@@ -1,13 +1,588 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator from SURVEY.md §2/§2b,
+  * expressed through the graft API (Pipeline/Transformer/operators);
+  * `oracleSql` carries the DuckDB-equivalent SQL with IDENTICAL column
+  * names/aliases. Float aggregates are rounded on both sides; dot
+  * products / folds use a fixed sequential operation order so doubles
+  * are bit-identical across engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Bit-deterministic half-up rounding: floor(x·10ⁿ + 0.5)/10ⁿ uses
+    * only IEEE ops, so Spark and the DuckDB oracle compute the exact
+    * same double — unlike engine round(), whose decimal-vs-binary
+    * tie-breaking differs on row-level products that land on .xx5.
+    */
+  private def r2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
+  private def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Region×year revenue rollup: broadcast dim joins, single fact scan.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val o  = t(spark, dir, "orders")
+    val c  = t(spark, dir, "customer")
+    val n  = t(spark, dir, "nation")
+    val r  = t(spark, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2 rows 1-3: map / filter / flatten ------------------------
+    "map_project" -> ((s, dir) =>
+      Pipeline(t(s, dir, "lineitem"))
+        .transform(_.map(
+          col("l_orderkey"), col("l_linenumber"),
+          r2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue")))
+        .toDF),
+
+    "filter_rows" -> ((s, dir) =>
+      Pipeline(t(s, dir, "lineitem"))
+        .transform(_.filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
+          .map(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))
+        .toDF),
+
+    "flatten_explode" -> ((s, dir) =>
+      Pipeline(t(s, dir, "documents"))
+        .transform(_.map(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+          .flatten(col("toks"), "token")
+          .map(col("doc_id"), col("token")))
+        .toDF),
+
+    // ---- §2 rows 7-8: reduce ----------------------------------------
+    "reduce_global" -> ((s, dir) =>
+      Pipeline(t(s, dir, "lineitem"))
+        .transform(_.reduceGlobal(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_rev")))
+        .toDF),
+
+    "reduce_per_key" -> ((s, dir) =>
+      Pipeline(t(s, dir, "lineitem"))
+        .transform(_.reducePerKey(
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            count(lit(1)).as("count_order"))))
+        .toDF),
+
+    // ---- §2 row 26: first(n) with pushed-down limit ------------------
+    "first_n" -> ((s, dir) =>
+      Pipeline(t(s, dir, "orders"))
+        .transform(_.mapPlan(_.orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10))
+          .map(col("o_orderkey"), col("o_totalprice")))
+        .toDF),
+
+    // ---- §2 row 18: multi-source union chain ------------------------
+    "union_chain" -> ((s, dir) =>
+      Pipeline(
+        t(s, dir, "customer").select(col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"), lit("customer").as("src")),
+        t(s, dir, "supplier").select(col("s_name").as("name"),
+          col("s_acctbal").as("acctbal"), lit("supplier").as("src")))
+        .toDF),
+
+    // ---- joins (implicit in any real pipeline) ----------------------
+    "join_broadcast" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_acctbal"))
+    }),
+
+    "join_shuffle" -> ((s, dir) =>
+      t(s, dir, "orders").join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("total"))),
+
+    // ---- §2 rows 28-30: branch --------------------------------------
+    "branch_fanout" -> ((s, dir) => {
+      val byStatus = Transformer.identity.reducePerKey(
+        Seq(col("o_orderstatus").as("k")), Seq(count(lit(1)).as("v")))
+      val byPrio = Transformer.identity.reducePerKey(
+        Seq(col("o_orderpriority").as("k")), Seq(count(lit(1)).as("v")))
+      val (outs, _) = Pipeline(t(s, dir, "orders"))
+        .branch(Seq("by_status" -> byStatus, "by_priority" -> byPrio))
+      outs("by_status").withColumn("branch", lit("by_status"))
+        .unionByName(outs("by_priority").withColumn("branch", lit("by_priority")))
+        .select(col("branch"), col("k"), col("v"))
+    }),
+
+    "branch_router" -> ((s, dir) => {
+      val agg = Transformer.identity.reduceGlobal(
+        count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      val (outs, _) = Pipeline(t(s, dir, "orders")).branchRouter(Seq(
+        ("urgent", col("o_orderpriority") === "1-URGENT", agg),
+        ("high", col("o_orderpriority") === "2-HIGH", agg),
+        ("other", lit(true), agg)))
+      outs.toSeq.sortBy(_._1).map { case (name, df) =>
+        df.withColumn("branch", lit(name)).select(col("branch"), col("n"), col("total"))
+      }.reduce(_.unionByName(_))
+    }),
+
+    "branch_broadcast" -> ((s, dir) => {
+      val agg = Transformer.identity.reduceGlobal(
+        count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      val (outs, _) = Pipeline(t(s, dir, "orders")).branchBroadcast(Seq(
+        ("bigspender", col("o_totalprice") > 200000, agg),
+        ("urgentish", col("o_orderpriority").isin("1-URGENT", "2-HIGH"), agg)))
+      outs.toSeq.sortBy(_._1).map { case (name, df) =>
+        df.withColumn("branch", lit(name)).select(col("branch"), col("n"), col("total"))
+      }.reduce(_.unionByName(_))
+    }),
+
+    // ---- §2 row 4: tap via observe ----------------------------------
+    "tap_observe" -> ((s, dir) =>
+      Pipeline(t(s, dir, "events"))
+        .transform(_.tap("tap_metrics", count(lit(1)).as("n_seen"), sum(col("value")).as("sum_value"))
+          .filter(col("event_type") === "purchase")
+          .map(col("event_id"), col("user_id"), col("value")))
+        .toDF),
+
+    // ---- §2 rows 5,13: compose / from_transformer -------------------
+    "compose_apply" -> ((s, dir) => {
+      val extract = Transformer.identity.filter(col("p_size") > 20)
+      val shape   = Transformer.identity.map(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      Pipeline(t(s, dir, "part")).apply(extract.andThen(shape)).toDF
+    }),
+
+    // ---- §2 row 6: loop ---------------------------------------------
+    "loop_converge" -> ((s, dir) => {
+      val body = Transformer.identity.withField("v",
+        when(col("v") > 1000, col("v") / 2).otherwise(col("v")))
+      Pipeline(t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice").as("v")))
+        .transform(_.loop(body, df => !df.where(col("v") > 1000).isEmpty, 32)
+          .map(col("o_orderkey"), r4(col("v")).as("v")))
+        .toDF
+    }),
+
+    // ---- §2 rows 9,11: catch / on_error quarantine ------------------
+    "catch_quarantine" -> ((s, dir) => {
+      val attempt = Transformer.identity.map(
+        col("doc_id"),
+        try_divide(lit(1000.0), col("n_chars") % 7).as("result"),
+        lit("ok").as("status"))
+      Pipeline(t(s, dir, "documents"))
+        .transform(_.catchErrors(attempt, isError = col("result").isNull,
+          handler = ErrorHandler.quarantine((bad, _) => bad.withColumn("status", lit("error"))))
+          .map(col("doc_id"), round(col("result"), 4).as("result"), col("status")))
+        .toDF
+    }),
+
+    // ---- §2 row 10: short_circuit -----------------------------------
+    "short_circuit" -> ((s, dir) =>
+      Pipeline(t(s, dir, "lineitem"))
+        .transform(_.shortCircuit((df, _) => !df.where(col("l_quantity") < 0).isEmpty)
+          .reducePerKey(Seq(col("l_returnflag")), Seq(count(lit(1)).as("n"))))
+        .toDF),
+
+    // ---- §2 rows 19,31,32: shared context ---------------------------
+    "context_broadcast" -> ((s, dir) =>
+      Pipeline(t(s, dir, "events"))
+        .withContext("multiplier" -> "3", "threshold" -> "100")
+        .transform(_.mapCtx(ctx => Seq(
+          col("event_id"), col("event_type"),
+          (col("value") * ctx.litConfDouble("multiplier")).as("scaled")))
+          .filterCtx(ctx => col("scaled") > ctx.litConfDouble("threshold"))
+          .reducePerKey(Seq(col("event_type")),
+            Seq(count(lit(1)).as("n"), round(sum(col("scaled")), 2).as("sum_scaled"))))
+        .toDF),
+
+    // ---- §2 row 22: buffer ------------------------------------------
+    "buffer_repartition" -> ((s, dir) =>
+      Pipeline(t(s, dir, "events"))
+        .buffer(8)
+        .transform(_.reducePerKey(Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))))
+        .toDF),
+
+    // ---- §2 row 12: set_chunker -------------------------------------
+    "set_chunker" -> ((s, dir) =>
+      Pipeline(t(s, dir, "orders"))
+        .transform(_.setChunker(8, pmod(col("o_orderkey"), lit(8)))
+          .withField("chunk", pmod(col("o_orderkey"), lit(8)))
+          .reducePerKey(Seq(col("chunk")),
+            Seq(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))))
+        .toDF),
+
+    // ---- windowed analytics -----------------------------------------
+    "window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("running_value"))
+    }),
+
+    "window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    "events_sessionize" -> ((s, dir) => {
+      val order = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val run   = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // ts arrives as long ns (nanosAsLong); integer-div to µs matches
+      // DuckDB's truncating ns→µs timestamp cast.
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("value"), expr("ts div 1000").as("tus"))
+        .withColumn("is_new",
+          when(lag(col("tus"), 1).over(order).isNull ||
+            col("tus") - lag(col("tus"), 1).over(order) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_seq", sum(col("is_new")).over(run))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+    }),
+
+    // ---- §2b: dedup -------------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_copies"))),
+
+    "ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text", 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", 3)),
+
+    // ---- §2b: similarity --------------------------------------------
+    "neardup_cosine" -> ((s, dir) =>
+      Similarity.nearDupCosineExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    "ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annTopKBruteForce(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annIvf(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", 5, 16, 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // ---- §2b: text analysis -----------------------------------------
+    "text_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang_pred"))),
+
+    "text_quality" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(TextAnalysis.tokenCharSum(toks).cast("double") /
+          greatest(size(toks), lit(1)).cast("double"), 4).as("avg_token_len"),
+        round(TextAnalysis.stopwordHits(toks).cast("double") /
+          greatest(size(toks), lit(1)).cast("double"), 4).as("stop_ratio"),
+        round(TextAnalysis.qualityScore(col("text"), toks), 4).as("quality"))
+    }),
+
+    "text_tokens" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))).as("fp"))),
+
+    // ---- §2b: multimodal plumbing -----------------------------------
+    "multimodal_meta" -> ((s, dir) => {
+      val bin = Multimodal.utf8Payload(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(bin).cast("long").as("n_bytes"),
+        ascii(col("text")).cast("long").as("head_byte"))
+    }),
+
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        t(s, dir, "documents").withColumn("payload", Multimodal.utf8Payload(col("text"))),
+        "doc_id", "payload", 4))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (approx ANN, simhash with engine-native hashing) → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "map_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue FROM lineitem""",
+
+    "filter_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 30 AND l_returnflag = 'R'""",
+
+    "flatten_explode" ->
+      """SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+         FROM documents""",
+
+    "reduce_global" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev FROM lineitem""",
+
+    "reduce_per_key" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "first_n" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "union_chain" ->
+      """SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+         UNION ALL
+         SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS src FROM supplier""",
+
+    "join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    "join_shuffle" ->
+      """SELECT o_orderstatus, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderstatus""",
+
+    "branch_fanout" ->
+      """SELECT 'by_status' AS branch, o_orderstatus AS k, count(*) AS v FROM orders GROUP BY 2
+         UNION ALL
+         SELECT 'by_priority' AS branch, o_orderpriority AS k, count(*) AS v FROM orders GROUP BY 2""",
+
+    "branch_router" ->
+      """SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
+                     WHEN o_orderpriority = '2-HIGH' THEN 'high'
+                     ELSE 'other' END AS branch,
+         count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY 1""",
+
+    "branch_broadcast" ->
+      """SELECT 'bigspender' AS branch, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders WHERE o_totalprice > 200000
+         UNION ALL
+         SELECT 'urgentish' AS branch, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""",
+
+    "tap_observe" ->
+      """SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'""",
+
+    "compose_apply" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_size > 20""",
+
+    "loop_converge" ->
+      """WITH RECURSIVE r AS (
+           SELECT o_orderkey, o_totalprice AS v, 0 AS it FROM orders
+           UNION ALL
+           SELECT o_orderkey, v / 2, it + 1 FROM r WHERE v > 1000 AND it < 32)
+         SELECT o_orderkey, floor(v * 10000 + 0.5) / 10000 AS v FROM r
+         WHERE v <= 1000 OR it = 32""",
+
+    "catch_quarantine" ->
+      """SELECT doc_id,
+         CASE WHEN n_chars % 7 = 0 THEN NULL
+              ELSE round(1000.0 / (n_chars % 7), 4) END AS result,
+         CASE WHEN n_chars % 7 = 0 THEN 'error' ELSE 'ok' END AS status
+         FROM documents""",
+
+    "short_circuit" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag""",
+
+    "context_broadcast" ->
+      """SELECT event_type, count(*) AS n, round(sum(value * 3), 2) AS sum_scaled
+         FROM events WHERE value * 3 > 100 GROUP BY event_type""",
+
+    "buffer_repartition" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+         FROM events GROUP BY event_type""",
+
+    "set_chunker" ->
+      """SELECT o_orderkey % 8 AS chunk, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY 1""",
+
+    "window_running" ->
+      """SELECT event_id, user_id,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+         FROM events""",
+
+    "window_topn" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rank
+           FROM orders) WHERE rank <= 3""",
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS tus FROM events),
+         m AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+                 OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new FROM e),
+         s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM m)
+         SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
+           round(sum(value), 2) AS session_value
+         FROM s GROUP BY user_id, session_seq""",
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text""",
+
+    "ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+               FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.6""",
+
+    "dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+               FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.6""",
+
+    "neardup_cosine" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.e)),
+                   i -> a.e[i] * b.e[i])), (acc, x) -> acc + x) AS d,
+                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.e)),
+                   i -> a.e[i] * a.e[i])), (acc, x) -> acc + x) AS na,
+                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(b.e)),
+                   i -> b.e[i] * b.e[i])), (acc, x) -> acc + x) AS nb
+               FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(d / sqrt(na * nb), 6) AS cosine FROM p
+         WHERE d / sqrt(na * nb) >= 0.4""",
+
+    "ann_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT * FROM v WHERE vec_id < 10),
+         c AS (SELECT * FROM v WHERE vec_id >= 10),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.e)),
+                   i -> q.e[i] * c.e[i])), (acc, x) -> acc + x) /
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.e)),
+                   i -> q.e[i] * q.e[i])), (acc, x) -> acc + x) *
+                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(c.e)),
+                   i -> c.e[i] * c.e[i])), (acc, x) -> acc + x)) AS cosine
+               FROM q, c),
+         r AS (SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+         SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM r
+         WHERE rank <= 5""",
+
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         sc AS (SELECT doc_id,
+           len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
+           len(list_filter(toks, t -> t IN ('el','la','de','que','y'))) AS s_es,
+           len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+           len(list_filter(toks, t -> t IN ('le','les','et','est','une'))) AS s_fr
+           FROM t)
+         SELECT doc_id, CASE
+           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+           WHEN s_de >= s_fr THEN 'de'
+           ELSE 'fr' END AS lang_pred FROM sc""",
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+                      list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents),
+         m AS (SELECT doc_id, text, len(toks) AS n,
+           list_sum(list_transform(toks, x -> length(x))) AS char_sum,
+           len(list_filter(toks,
+             x -> x IN ('the','a','of','and','is','to','in','it','that','for'))) AS stops,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+             greatest(length(text), 1) AS digit_ratio
+           FROM t)
+         SELECT doc_id, n::BIGINT AS n_tokens,
+           round(char_sum::DOUBLE / greatest(n, 1), 4) AS avg_token_len,
+           round(stops::DOUBLE / greatest(n, 1), 4) AS stop_ratio,
+           round(least(1.0, greatest(0.0,
+             0.2 + 0.01 * n + stops::DOUBLE / greatest(n, 1) - 5.0 * digit_ratio)), 4) AS quality
+         FROM m""",
+
+    "text_tokens" ->
+      """SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_ws_tokens,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens
+         FROM documents""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+             t -> (length(t) * 256 + ascii(t))::BIGINT)),
+           (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+         FROM documents""",
+
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+         ascii(text)::BIGINT AS head_byte FROM documents""",
+
+    "multimodal_frames" ->
+      """SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx,
+         floor(unnest(generate_series(0, 3)) * octet_length(encode(text)) / 4)::BIGINT AS frame_pos
+         FROM documents"""
+  )
 }

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * 100 TB design rules baked in:
+  *   - the shuffle key is always a small fixed-width hash (content
+  *     hash, LSH band signature, SimHash band) — never raw text;
+  *   - candidate generation is a bucket equi-join (O(n·bands) rows),
+  *     never an all-pairs cartesian;
+  *   - verification (exact Jaccard / Hamming) runs only on bucket
+  *     collisions.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per distinct content. Grouping
+    * is by 64-bit content hash so the shuffle carries 8 bytes per row,
+    * not the document body; at 64 bits, collisions at 100 TB doc
+    * counts (~1e11) are ~1e-11 per pair bucket and acceptable for
+    * training-data dedup (use a 128-bit pair of seeds if not).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash + LSH ------------------------------------------------
+
+  /** Mersenne prime 2^31-1: (a·h+b) mod p stays within 62 bits. */
+  private val P: Long = 2147483647L
+
+  /** Deterministic permutation constants (SplitMix64-style odd-step
+    * walk, truncated into [1, p)): fixed so signatures are stable
+    * across runs and clusters.
+    */
+  private def permConsts(numHashes: Int): Seq[(Long, Long)] = {
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x += 0xBF58476D1CE4E5B9L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      math.floorMod(z, P - 1) + 1
+    }
+    Seq.fill(numHashes)((next(), next()))
+  }
+
+  /** MinHash signature (array of `numHashes` ints) over a shingle
+    * array column. Universal-hash permutations over the 31-bit
+    * reduction of Spark's murmur3 shingle hash; each signature slot is
+    * a fold (`aggregate`) over the shingles — pure codegen'd
+    * expressions, no UDF, no shuffle.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val slots = permConsts(numHashes).map { case (a, b) =>
+      aggregate(
+        shingleCol,
+        lit(P),
+        (acc, s) => least(acc, pmod(lit(a) * pmod(hash(s).cast("long"), lit(P)) + lit(b), lit(P))))
+    }
+    array(slots: _*)
+  }
+
+  /** Candidate near-dup pairs via banded LSH over MinHash signatures.
+    *
+    * Input: df(idCol, shingles array). Output: (id_a, id_b) candidate
+    * pairs, id_a < id_b, distinct.
+    *
+    * bands·rowsPerBand = numHashes. Each doc explodes to `bands` rows
+    * keyed by (band index, band signature hash); the self-equi-join on
+    * that key is the only shuffle — O(n·bands) rows of (long, long),
+    * which is what survives a 100 TB corpus. With rowsPerBand=4,
+    * bands=32: P(candidate | J=0.9) ≈ 1−(1−0.9⁴)³² ≈ 1−3e-15,
+    * P(candidate | J=0.2) ≈ 5%, and false candidates are cheap to
+    * verify.
+    */
+  def lshCandidates(
+      sigDf: DataFrame,
+      idCol: String,
+      sigCol: String,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandSigs = (0 until bands).map(b =>
+      xxhash64(lit(b), slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))
+    val banded = sigDf.select(
+      col(idCol),
+      posexplode(array(bandSigs: _*)).as(Seq("band", "band_sig")))
+    val left  = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
+    val right = banded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
+    left.join(right, Seq("band", "band_sig"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against distinct
+    * shingle sets. Join candidates to the (small per-pair) shingle
+    * arrays and evaluate |∩| / |∪| with array expressions.
+    */
+  def verifyJaccard(
+      candidates: DataFrame,
+      shingleDf: DataFrame, // (id, shingle_set)
+      idCol: String,
+      setCol: String,
+      threshold: Double): DataFrame = {
+    val a = shingleDf.select(col(idCol).as("id_a"), col(setCol).as("set_a"))
+    val b = shingleDf.select(col(idCol).as("id_b"), col(setCol).as("set_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("set_a")) + size(col("set_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** End-to-end MinHash near-dup pairs: shingle → sign → band →
+    * bucket-join → exact verify. Returns (id_a, id_b, jaccard).
+    */
+  def minHashNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    val sets = df.select(
+      col(idCol),
+      array_distinct(
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)).as("shingle_set"))
+    val sigs = sets.select(
+      col(idCol),
+      col("shingle_set"),
+      minHashSignature(col("shingle_set"), numHashes).as("sig"))
+    val cands = lshCandidates(sigs, idCol, "sig", bands, numHashes / bands)
+    verifyJaccard(cands, sets, idCol, "shingle_set", threshold)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index —
+    * no MinHash approximation, still no cartesian: explode distinct
+    * shingles, equi-join on the shingle hash to count co-occurrences
+    * per pair, then compute J from per-doc set sizes. The shuffle key
+    * is the shingle hash; skew from ultra-common shingles is the known
+    * cost of the exact variant (MinHash is the scale path).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    val sets = df.select(
+      col(idCol),
+      array_distinct(
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)).as("shingle_set"))
+      .withColumn("set_size", size(col("shingle_set")))
+    val inv = sets.select(
+      col(idCol),
+      col("set_size"),
+      explode(col("shingle_set")).as("shingle"))
+      .withColumn("sh", xxhash64(col("shingle")))
+    val a = inv.select(col(idCol).as("id_a"), col("set_size").as("size_a"), col("sh"))
+    val b = inv.select(col(idCol).as("id_b"), col("set_size").as("size_b"), col("sh"))
+    a.join(b, "sh")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  /** 64-bit SimHash per doc: sum ±1 per bit over token xxhash64s, take
+    * the sign bit-vector. Explode + 64 conditional sums + recombine;
+    * one shuffle keyed by doc id.
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { bit =>
+      sum(when(shiftright(col("th"), bit).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"b$bit")
+    }
+    val summed = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val hashExpr = (0 until 64)
+      .map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    summed.select(col(idCol), hashExpr.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    * Blocking: split the 64-bit hash into 4 bands of 16 bits; any pair
+    * within Hamming ≤ 3 must agree exactly on ≥1 band (pigeonhole), so
+    * the band equi-join has full recall for maxHamming ≤ 3, and the
+    * popcount check verifies. Shuffle key = (band, 16-bit value).
+    */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only for Hamming <= 3")
+    val sh = simHash(df, idCol, textCol)
+    val bandVals = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = sh.select(
+      col(idCol), col("simhash"),
+      posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("band_val"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

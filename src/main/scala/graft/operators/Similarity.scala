@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Kernels are sequential-fold Column expressions in double precision,
+  * so dot products are bit-reproducible (same order of operations on
+  * every engine) — required for oracle-checked correctness and for
+  * deterministic re-runs of the same corpus.
+  *
+  * Scale paths:
+  *   - brute-force top-k broadcasts the (small) query set and scans
+  *     the corpus once — the right baseline when queries ≪ corpus;
+  *   - exact all-pairs near-dup is O(n²) by definition and kept for
+  *     verification at sampled scale;
+  *   - random-hyperplane LSH buckets and IVF (centroid partitions)
+  *     turn candidate generation into equi-joins for the 100 TB path.
+  */
+object Similarity {
+
+  /** Cast to double array once; all math is double. */
+  def asDouble(vec: Column): Column = vec.cast("array<double>")
+
+  /** Sequential-fold dot product (bit-deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity = dot / sqrt(|a|²·|b|²), computed in a fixed
+    * operation order.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Exact all-pairs near-dup above a cosine threshold. O(n²) — the
+    * verification baseline. Spark broadcasts the smaller side of the
+    * nested-loop; use `lshBuckets`/IVF for large n.
+    */
+  def nearDupCosineExact(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val a = v.select(col(idCol).as("id_a"), col("v").as("va"))
+    val b = v.select(col(idCol).as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Brute-force exact top-k: broadcast the query set, scan the corpus
+    * once computing cosine per (query, corpus) pair, rank per query.
+    * The only shuffle is the per-query top-k (tiny: k rows per query
+    * after partial sort).
+    */
+  def annTopKBruteForce(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Random-hyperplane LSH bucket id (nBits signs packed into a long).
+    * Hyperplane components are deterministic pseudo-random ±1 per
+    * (bit, dimension) derived from a fixed 64-bit mix — cheap, no
+    * stored model, reproducible everywhere.
+    */
+  def hyperplaneBucket(vec: Column, dims: Int, nBits: Int): Column = {
+    def sign(bit: Int, d: Int): Double = {
+      var z = (bit.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xBF58476D1CE4E5B9L)
+      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+    }
+    val bits = (0 until nBits).map { bit =>
+      val proj = (0 until dims)
+        .map(d => element_at(vec, d + 1) * lit(sign(bit, d)))
+        .reduce(_ + _)
+      when(proj > 0, lit(1L << bit)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Approximate near-dup via hyperplane-LSH bucketing: vectors in the
+    * same bucket are candidates, verified exactly. Recall < 1 by
+    * construction (LSH); bucket join keeps the shuffle O(n).
+    */
+  def nearDupCosineLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dims: Int,
+      nBits: Int = 8): DataFrame = {
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), dims, nBits))
+    val a = v.select(col(idCol).as("id_a"), col("v").as("va"), col("bucket"))
+    val b = v.select(col(idCol).as("id_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** IVF-style ANN: a deterministic subset of the corpus serves as
+    * centroids (every `stride`-th vector — at real scale, substitute
+    * k-means centroids trained offline); vectors are assigned to their
+    * nearest centroid cell (broadcast argmin), and each query probes
+    * the `nProbe` nearest cells only. The candidate join is an
+    * equi-join on cell id — O(n·probed fraction) instead of O(n·q).
+    */
+  def annIvf(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    // deterministic centroid choice: nCells lowest ids
+    val cents = c.orderBy(col("neighbor_id")).limit(nCells)
+      .select(col("neighbor_id").as("cell_id"), col("cv").as("centv"))
+    // assign each corpus vector to nearest centroid
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("neighbor_id"))
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("cell_cos", cosine(col("cv"), col("centv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("neighbor_id"), col("cv"), col("cell_id"))
+    // each query probes nProbe nearest cells
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cell_cos").desc, col("cell_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("cell_cos", cosine(col("qv"), col("centv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell_id"))
+    // candidates = corpus vectors in probed cells; rank per query
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+}

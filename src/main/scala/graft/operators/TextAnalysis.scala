@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernels for LLM training-data pipelines: tokenization,
+  * language ID, quality scoring, fingerprinting.
+  *
+  * All kernels are pure Column expressions — codegen'd, no UDFs, no
+  * shuffles — so they run at scan speed over 100 TB of documents and
+  * stay inside WholeStageCodegen. Determinism is part of the contract:
+  * the same text yields the same result on any cluster layout, and
+  * every kernel avoids engine-specific hashes/transcendentals so
+  * results are reproducible in external SQL engines too.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (robust to runs of spaces). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** Token n-gram shingles joined by single spaces. Docs shorter than
+    * `n` tokens collapse to a single whole-doc shingle.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** BPE-ish subword count estimate: letter runs, digit runs, and
+    * individual other symbols — the shape a byte-pair tokenizer's
+    * pre-tokenizer produces.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  // ---- language ID --------------------------------------------------
+
+  /** Marker function-words per language. Function words are the
+    * standard cheap language-ID signal (they are closed-class and
+    * high-frequency).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(m => m: Any): _*)))
+
+  /** N-gram-heuristic language ID: argmax of marker-hit counts with a
+    * fixed precedence tiebreak (en > es > de > fr). Returns the
+    * language code column.
+    */
+  def langId(toks: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerHits(toks, ms) }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+  }
+
+  // ---- quality ------------------------------------------------------
+
+  /** Character count of all tokens (text length minus whitespace). */
+  def tokenCharSum(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+
+  /** Stopword hit count (English closed-class sample). */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "to", "in", "it", "that", "for")
+
+  def stopwordHits(toks: Column): Column = markerHits(toks, stopwords)
+
+  /** Digit-character ratio of the raw text. */
+  def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: favors longer docs with natural
+    * stopword density, penalizes digit-heavy text. Deliberately linear
+    * (no transcendentals) so the score is bit-reproducible across
+    * engines.
+    */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val n    = size(toks).cast("double")
+    val stop = stopwordHits(toks).cast("double") / greatest(size(toks), lit(1)).cast("double")
+    least(lit(1.0), greatest(lit(0.0),
+      lit(0.2) + lit(0.01) * n + stop - lit(5.0) * digitRatio(text)))
+  }
+
+  // ---- fingerprinting -----------------------------------------------
+
+  /** Order-sensitive polynomial rolling hash over tokens, mod 1e9+7.
+    * Each token contributes (len·256 + first-char-code); the fold is
+    * `acc·31 + contrib (mod p)` — a Rabin-Karp-style document
+    * fingerprint computable by any engine with 64-bit integers.
+    */
+  def fingerprint(toks: Column): Column =
+    aggregate(
+      toks,
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + (length(t) * lit(256) + ascii(t)).cast("long"),
+        lit(1000000007L)))
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"), // near dup of 1
+    (4L, "completely different content about spark partitions and shuffles here"),
+    (5L, "unrelated words describing window functions and watermark semantics now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one survivor per distinct content") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips distinct docs") {
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair missed")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), "near dup pair missed")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "false positive with distinct doc")
+  }
+
+  test("minhash agrees with exact ngram jaccard on real documents") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val mh = Dedup.minHashNearDups(d, "doc_id", "text", 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ex = Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == ex, s"minhash=$mh exact=$ex")
+  }
+
+  test("minhash plan contains no cartesian product (bucketed join only)") {
+    val plan = Dedup.minHashNearDups(docs, "doc_id", "text", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in plan:\n$plan")
+  }
+
+  test("ngram jaccard computes correct coefficient") {
+    val two = Seq(
+      (1L, "a b c d e"), // shingles: abc bcd cde
+      (2L, "a b c d x")  // shingles: abc bcd cdx -> intersect 2, union 4 -> J=0.5
+    ).toDF("doc_id", "text")
+    val rows = Dedup.ngramJaccardPairs(two, "doc_id", "text", 0.4).collect()
+    assert(rows.length == 1)
+    assert(math.abs(rows.head.getAs[Double]("jaccard") - 0.5) < 1e-12)
+  }
+
+  test("simhash: near-identical docs collide, distinct docs don't") {
+    val pairs = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "identical docs must have hamming 0")
+    assert(!pairs.exists(p => p._2 == 4L && p._1 != 4L || p._1 == 4L),
+      "distinct doc should not be within hamming 3")
+  }
+
+  test("simhash of identical content is identical (deterministic)") {
+    val sh = Dedup.simHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(4L))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),  // close to 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f))  // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine kernel matches hand-computed values") {
+    val df = vecs.where(col("vec_id").isin(1, 2))
+    val c = Similarity.nearDupCosineExact(df, "vec_id", "embedding", -1.0)
+      .collect().head.getAs[Double]("cosine")
+    val expected = 0.9 / math.sqrt(0.81 + 0.01) // 0.9939...
+    assert(math.abs(c - expected) < 1e-9)
+  }
+
+  test("near-dup exact finds only pairs above threshold") {
+    val pairs = Similarity.nearDupCosineExact(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force topk ranks by cosine desc with deterministic ties") {
+    val out = Similarity.annTopKBruteForce(
+      vecs.where(col("vec_id") === 1), vecs.where(col("vec_id") =!= 1),
+      "vec_id", "embedding", 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(out.toSeq == Seq((1, 2L), (2, 3L), (3, 4L)))
+  }
+
+  test("LSH near-dup finds the close pair (bucketed, no full cross)") {
+    val pairs = Similarity.nearDupCosineLsh(vecs, "vec_id", "embedding", 0.9, dims = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH recall < 1 in general, but vectors this close share all 8
+    // hyperplane signs with overwhelming probability
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("IVF ANN achieves high recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 5)
+    val c = emb.where(col("vec_id") >= 5)
+    val brute = Similarity.annTopKBruteForce(q, c, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(q, c, "vec_id", "embedding", 5, nCells = 8, nProbe = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall (probing 6/8 cells)")
+  }
+
+  test("dot/norm fold is bit-deterministic (fixed operation order)") {
+    val df = Seq((1L, Array(0.1f, 0.2f, 0.3f, 0.4f))).toDF("id", "v")
+    val d1 = df.select(Similarity.dot(Similarity.asDouble(col("v")),
+      Similarity.asDouble(col("v"))).as("d")).collect().head.getDouble(0)
+    val expected = Seq(0.1f, 0.2f, 0.3f, 0.4f)
+      .map(_.toDouble).foldLeft(0.0)((acc, x) => acc + x * x)
+    assert(d1 == expected) // exact equality, not approx
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** Laygo execution strategies map onto Spark's scheduler (SURVEY §2
+  * rows 14-17): sequential = 1 partition, threaded/process = task
+  * parallelism over partitions, HTTP distribution = the cluster. These
+  * tests pin the partition-level behavior that encodes that mapping,
+  * plus the text-analysis kernels.
+  */
+class StrategySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sequential strategy = single partition execution") {
+    val p = Pipeline((1 to 100).toDF("x")).transform(_.setChunker(1))
+    assert(p.toDF.rdd.getNumPartitions == 1)
+    assert(p.toList()._1.size == 100)
+  }
+
+  test("parallel strategies = N concurrent partitions, order restored by sort not arrival") {
+    val p = Pipeline((1 to 1000).toDF("x")).transform(_.setChunker(8))
+    assert(p.toDF.rdd.getNumPartitions == 8)
+    val ordered = p.apply((df: org.apache.spark.sql.DataFrame) => df.orderBy("x"))
+      .toList()._1.map(_.getInt(0))
+    assert(ordered == (1 to 1000))
+  }
+
+  test("work distributes across partitions (no driver-side loop)") {
+    val parts = Pipeline((1 to 64).toDF("x")).transform(_.setChunker(4))
+      .toDF.withColumn("pid", spark_partition_id())
+      .groupBy("pid").count().collect()
+    assert(parts.length == 4)
+    assert(parts.map(_.getLong(1)).sum == 64)
+  }
+
+  // ---- text analysis kernels ---------------------------------------
+
+  test("tokens drops empty strings from repeated spaces") {
+    val out = Seq("a  b   c ").toDF("t")
+      .select(TextAnalysis.tokens(col("t")).as("toks"))
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("a", "b", "c"))
+  }
+
+  test("shingles: n-grams of tokens, short docs collapse to whole-doc shingle") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.shingles(TextAnalysis.tokens(col("t")), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextAnalysis.shingles(TextAnalysis.tokens(col("t")), 3).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+
+  test("langId picks language with most marker hits") {
+    val rows = Seq(
+      "the cat is on the mat and happy",
+      "el gato de la casa y que bien",
+      "der hund und die katze das haus",
+      "le chien et les chats est une"
+    ).toDF("t").select(TextAnalysis.langId(TextAnalysis.tokens(col("t"))).as("l"))
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("en", "es", "de", "fr"))
+  }
+
+  test("fingerprint is order-sensitive (rolling, not bag-of-words)") {
+    val fps = Seq("a b c", "c b a").toDF("t")
+      .select(TextAnalysis.fingerprint(TextAnalysis.tokens(col("t"))).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("quality score clamps to [0,1] and penalizes digit-heavy text") {
+    val rows = Seq(
+      "the meaningful document for all of those that read it carefully",
+      "12345 67890 11111 22222 33333"
+    ).toDF("t").select(
+      TextAnalysis.qualityScore(col("t"), TextAnalysis.tokens(col("t"))).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(rows.forall(q => q >= 0.0 && q <= 1.0))
+    assert(rows(0) > rows(1))
+  }
+}
