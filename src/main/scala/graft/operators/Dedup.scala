@@ -28,40 +28,15 @@ object Dedup {
 
   // ---- MinHash + LSH ------------------------------------------------
 
-  /** Mersenne prime 2^31-1: (a·h+b) mod p stays within 62 bits. */
-  private val P: Long = 2147483647L
-
-  /** Deterministic permutation constants (SplitMix64-style odd-step
-    * walk, truncated into [1, p)): fixed so signatures are stable
-    * across runs and clusters.
+  /** MinHash signature (array<long> of `numHashes` slots) over a
+    * shingle array column. Shingles are murmur3-hashed once
+    * (`transform` + `hash`), then the native `MinHashSig` expression
+    * computes all permutation minima in a single pass — no UDF, no
+    * shuffle, no per-slot re-traversal of the shingle array.
     */
-  private def permConsts(numHashes: Int): Seq[(Long, Long)] = {
-    var x = 0x9E3779B97F4A7C15L
-    def next(): Long = {
-      x += 0xBF58476D1CE4E5B9L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      math.floorMod(z, P - 1) + 1
-    }
-    Seq.fill(numHashes)((next(), next()))
-  }
-
-  /** MinHash signature (array of `numHashes` ints) over a shingle
-    * array column. Universal-hash permutations over the 31-bit
-    * reduction of Spark's murmur3 shingle hash; each signature slot is
-    * a fold (`aggregate`) over the shingles — pure codegen'd
-    * expressions, no UDF, no shuffle.
-    */
-  def minHashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val slots = permConsts(numHashes).map { case (a, b) =>
-      aggregate(
-        shingleCol,
-        lit(P),
-        (acc, s) => least(acc, pmod(lit(a) * pmod(hash(s).cast("long"), lit(P)) + lit(b), lit(P))))
-    }
-    array(slots: _*)
-  }
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    graft.functions.VectorExprs.minhashSig(
+      transform(shingleCol, s => hash(s)), numHashes)
 
   /** Candidate near-dup pairs via banded LSH over MinHash signatures.
     *
