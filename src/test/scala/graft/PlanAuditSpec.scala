@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Physical-plan audits: the 100 TB design rules from SURVEY §4,
+  * asserted against the actual executed plans at test scale. These
+  * are the properties that decide whether a query survives a 1000×
+  * scale-up, independent of wall-clock at sf0.001.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filter_rows: predicates reach the parquet scan (PushedFilters)") {
+    val p = plan("filter_rows")
+    assert(p.contains("PushedFilters: ["), s"no pushdown:\n$p")
+    assert(p.contains("GreaterThan(l_quantity,30.0)") || p.contains("l_quantity"),
+      s"quantity filter not pushed:\n$p")
+  }
+
+  test("map_project: scan reads only referenced columns (ReadSchema pruning)") {
+    val p = plan("map_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_comment"),
+      s"unpruned scan: $readSchema")
+    assert(readSchema.contains("l_extendedprice"), s"missing col: $readSchema")
+  }
+
+  test("join_broadcast: dims broadcast, no shuffle of the fact side") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$p")
+  }
+
+  test("entry: all dim joins broadcast") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast joins in entry:\n$p")
+    assert(!p.contains("CartesianProduct"), "cartesian in entry plan")
+  }
+
+  test("whole-stage codegen covers the row-level operators") {
+    // "*(n)" node prefix marks membership in a WholeStageCodegen stage
+    val p = plan("map_project")
+    assert(p.contains("*(1)"), s"no codegen span:\n$p")
+  }
+
+  test("dedup: minhash and simhash plans contain no cartesian/nested-loop join") {
+    for (q <- Seq("dedup_minhash", "dedup_simhash", "ngram_jaccard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: nested loop:\n$p")
+    }
+  }
+
+  test("dedup shuffle keys are fixed-width hashes, not raw text") {
+    // exact dedup groups by the 64-bit content hash; the exchange must
+    // not carry the text column
+    val p = Dedup.exact(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    // the grouping key is the xxhash64 (a bare long: #NNNL), never the text column
+    assert(exchangeLines.contains("hashpartitioning"), s"no hash partitioning:\n$exchangeLines")
+    assert(!exchangeLines.contains("text#"), s"raw text shuffled:\n$exchangeLines")
+  }
+
+  test("ann_topk: query side broadcast, corpus never shuffled before scoring") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"queries not broadcast:\n$p")
+  }
+
+  test("first_n compiles to a TakeOrderedAndProject / limit, not global sort") {
+    val p = plan("first_n")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("Limit"),
+      s"no pushed limit:\n$p")
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val p = plan("reduce_per_key")
+    // two HashAggregate levels: partial_<agg> then final
+    assert(p.contains("partial_sum") || p.contains("partial"), s"no partial agg:\n$p")
+  }
+}

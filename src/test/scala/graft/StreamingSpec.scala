@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("batch Transformer ops run unchanged on a streaming source") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Int]
+    in.addData(1, 2, 3, 4, 5, 6)
+    val t = Transformer.identity
+      .filter(col("value") % 2 === 0)
+      .map((col("value") * 10).as("value"))
+    val out = t.run(in.toDF(), PipelineContext(spark))
+    assert(out.isStreaming)
+    Streams.runToMemory(out, "t_stream", OutputMode.Append())
+    val rows = spark.table("t_stream").collect().map(_.getInt(0)).sorted
+    assert(rows.toSeq == Seq(20, 40, 60))
+  }
+
+  test("windowed aggregate with watermark bounds state (streaming reducePerKey)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    in.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(11), "b", 5.0), (ts(12), "a", 4.0))
+    val df = in.toDF().toDF("ts", "k", "v")
+    val agg = Streams.windowedAgg(df, "ts", "1 minute", "10 minutes",
+      Seq(col("k")), Seq(sum(col("v")).as("s"), count(lit(1)).as("n")))
+    Streams.runToMemory(agg, "w_stream", OutputMode.Complete())
+    val rows = spark.table("w_stream")
+      .select(col("k"), col("s"), col("n")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    // window [10:00,10:10): a -> 3.0 over 2 events; [10:10,10:20): b 5.0, a 4.0
+    assert(rows == Set(("a", 3.0, 2L), ("b", 5.0, 1L), ("a", 4.0, 1L)))
+  }
+
+  test("session windows split on gap (streaming sessionize)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    // user a: events at 10:01, 10:05 (same session, gap<10m), 10:30 (new session)
+    in.addData((ts(1), "a", 1.0), (ts(5), "a", 1.0), (ts(30), "a", 1.0))
+    val df = in.toDF().toDF("ts", "user", "v")
+    val sess = Streams.sessionWindowAgg(df, "ts", "1 minute", "10 minutes",
+      Seq(col("user")), Seq(count(lit(1)).as("n_events")))
+    Streams.runToMemory(sess, "s_stream", OutputMode.Complete())
+    val rows = spark.table("s_stream").select("n_events").collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState keeps running per-key totals (stateful context)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    in.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+    val out = Streams.runningTotals(in.toDS())
+    Streams.runToMemory(out.toDF(), "g_stream", OutputMode.Update())
+    val rows = spark.table("g_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(("a", 2L, 3.0), ("b", 1L, 10.0)))
+  }
+}
