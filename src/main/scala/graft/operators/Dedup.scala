@@ -101,10 +101,12 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
+    // persisted: reused by signature generation and pair verification
     val sets = df.select(
       col(idCol),
       array_distinct(
         TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)).as("shingle_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.select(
       col(idCol),
       col("shingle_set"),
@@ -113,12 +115,19 @@ object Dedup {
     verifyJaccard(cands, sets, idCol, "shingle_set", threshold)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index —
-    * no MinHash approximation, still no cartesian: explode distinct
-    * shingles, equi-join on the shingle hash to count co-occurrences
-    * per pair, then compute J from per-doc set sizes. The shuffle key
-    * is the shingle hash; skew from ultra-common shingles is the known
-    * cost of the exact variant (MinHash is the scale path).
+  /** Exact n-gram Jaccard near-dup pairs via a prefix-filtered
+    * inverted shingle index (PPJoin-style, no MinHash approximation,
+    * no cartesian).
+    *
+    * Candidate generation indexes only each doc's PREFIX — the first
+    * n − ⌈t·n⌉ + 1 shingle hashes in a fixed global order (hash
+    * order). Two sets with Jaccard ≥ t must overlap in ≥ ⌈t/(1+t)·
+    * (na+nb)⌉ ≥ 1 elements of their prefixes under any shared total
+    * order, so the equi-join on prefix hashes keeps full recall while
+    * shrinking both the index (≈(1−t)·n rows per doc) and,
+    * quadratically, the pair blowup on common shingles. Candidates
+    * are then verified with exact |∩|/|∪| on the full sorted-hash
+    * sets. Shuffle keys: shingle hash (candidates), pair id (verify).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -126,24 +135,34 @@ object Dedup {
       textCol: String,
       threshold: Double,
       shingleSize: Int = 3): DataFrame = {
+    // persisted: the shingle pipeline feeds candidate generation AND
+    // both sides of verification — recomputing it 3x dominates runtime
     val sets = df.select(
       col(idCol),
-      array_distinct(
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)).as("shingle_set"))
-      .withColumn("set_size", size(col("shingle_set")))
+      array_sort(array_distinct(transform(
+        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize),
+        s => xxhash64(s)))).as("hs"))
+      .withColumn("set_size", size(col("hs")))
+      // prefix length n - ceil(t*n) + 1
+      .withColumn("prefix_len",
+        (col("set_size") - ceil(col("set_size") * threshold) + 1).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sets.select(
       col(idCol),
       col("set_size"),
-      explode(col("shingle_set")).as("shingle"))
-      .withColumn("sh", xxhash64(col("shingle")))
-    val a = inv.select(col(idCol).as("id_a"), col("set_size").as("size_a"), col("sh"))
-    val b = inv.select(col(idCol).as("id_b"), col("set_size").as("size_b"), col("sh"))
-    a.join(b, "sh")
+      explode(slice(col("hs"), lit(1), col("prefix_len"))).as("sh"))
+    val a = inv.select(col(idCol).as("id_a"), col("sh"))
+    val b = inv.select(col(idCol).as("id_b"), col("sh"))
+    val cands = a.join(b, "sh")
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "size_a", "size_b")
-      .agg(count(lit(1)).as("inter"))
+      .select("id_a", "id_b")
+      .distinct()
+    val fa = sets.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
+    val fb = sets.select(col(idCol).as("id_b"), col("hs").as("hs_b"))
+    cands.join(fa, "id_a").join(fb, "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+        col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
