@@ -1,0 +1,55 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Terminal sinks beyond the driver-local ones on Pipeline.
+  *
+  * Laygo's HTTP transformer (transformers/http.py:60,97) ships chunks
+  * to remote worker processes over HTTP — its distribution layer. On
+  * Spark the cluster IS the distribution layer, so the surviving use
+  * case is egress: pushing results to an external service from the
+  * executors, batched per partition. `foreachPartitionPush` is that
+  * pattern with the transport injected (tests inject a collector; a
+  * real deployment injects an HTTP/queue client) — one client per
+  * partition, never per row, never through the driver.
+  */
+object Sinks {
+
+  /** Push rows to an external system, batched per partition.
+    *
+    * @param mkClient  constructed once per partition (connection setup)
+    * @param push      called per batch of rows
+    * @param close     called once per partition
+    * @param batchSize rows per push call
+    */
+  def foreachPartitionPush[C](
+      df: DataFrame,
+      mkClient: () => C,
+      push: (C, Seq[Row]) => Unit,
+      close: C => Unit,
+      batchSize: Int = 1000): Unit =
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val client = mkClient()
+      try it.grouped(batchSize).foreach(batch => push(client, batch))
+      finally close(client)
+    }
+
+  /** Partitioned parquet writer — the durable sink for 100 TB outputs:
+    * partition columns prune downstream scans, writer-side maxRecords
+    * keeps file sizes bounded.
+    */
+  def parquetPartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val w = df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** Full materialization with zero result movement (noop sink). */
+  def consume(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+}

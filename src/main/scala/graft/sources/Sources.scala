@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+
+import graft.Pipeline
+
+/** Source bindings — laygo pipelines start from Python iterables
+  * (pipeline.py:94); graft pipelines start from distributed sources.
+  * Local collections are supported for parity (and tests), files for
+  * real work. All readers return lazy scans: filters/projections
+  * applied later in the pipeline reach the file scan via Catalyst.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): Pipeline =
+    Pipeline(spark.read.parquet(path))
+
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+      inferSchema: Boolean = true): Pipeline =
+    Pipeline(spark.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .csv(path))
+
+  def json(spark: SparkSession, path: String): Pipeline =
+    Pipeline(spark.read.json(path))
+
+  /** Local collection → distributed dataset (laygo `Pipeline(data)`). */
+  def values[T: Encoder](spark: SparkSession, data: Seq[T]): Pipeline =
+    Pipeline(spark.createDataset(data)(implicitly[Encoder[T]]).toDF())
+
+  /** Typed dataset passthrough for case-class rows. */
+  def dataset[T](ds: Dataset[T]): Pipeline = Pipeline(ds.toDF())
+
+  /** Numeric range source (laygo tests' `range(n)` inputs). */
+  def range(spark: SparkSession, n: Long): Pipeline =
+    Pipeline(spark.range(n).toDF("id"))
+
+  /** Streaming file source — the unbounded analogue; pair with
+    * graft.streaming.Streams transforms.
+    */
+  def streamParquet(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+}
