@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration for graft's native expressions, so
+  * SQL users (spark.sql / thrift) can call them directly:
+  *
+  *   spark.sql("SELECT dotp(a.embedding, b.embedding) ...")
+  *   spark.sql("SELECT minhash_sig(transform(shingles, s -> hash(s)), 128) ...")
+  *
+  * Wire up either via config
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  * or imperatively with `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", name)
+
+  private[functions] val definitions
+      : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dotp", info("dotp"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    ("minhash_sig", info("minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+
+  /** Imperative registration into an existing session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, i, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), i, builder)
+    }
+}

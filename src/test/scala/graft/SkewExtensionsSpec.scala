@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftExtensions
+import graft.operators.Skew
+
+class SkewExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals plain join results (correctness under salting)") {
+    val fact = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d"), (3, "e")).toDF("k", "payload")
+    val dim  = Seq((1, "one"), (2, "two"), (3, "three")).toDF("k", "name")
+    val plain  = fact.join(dim, "k").select("k", "payload", "name").collect().toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", saltFactor = 4)
+      .select("k", "payload", "name").collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 5)
+  }
+
+  test("saltedJoin spreads a hot key across salt buckets") {
+    val fact = (1 to 1000).map(i => (1, i)).toDF("k", "v") // all rows same key
+    val dim  = Seq((1, "hot")).toDF("k", "name")
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(struct(col("k"), col("v"))), lit(8)).cast("int"))
+    val buckets = salted.groupBy("__salt").count().collect()
+    assert(buckets.length == 8, "hot key not spread across salts")
+    assert(buckets.map(_.getLong(1)).max < 1000, "one bucket still holds everything")
+    assert(Skew.saltedJoin(fact, dim, "k", 8).count() == 1000L)
+  }
+
+  test("twoPhaseSum matches single-phase aggregation") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 4.0), ("a", 3.0)).toDF("k", "v")
+    val twoPhase = Skew.twoPhaseSum(df, col("k"), col("v"), 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(twoPhase == Map("a" -> 6.0, "b" -> 4.0))
+  }
+
+  test("SQL users can call native expressions after extension registration") {
+    GraftExtensions.register(spark)
+    val d = spark.sql("SELECT dotp(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(d == 11.0)
+    val sig = spark.sql(
+      "SELECT minhash_sig(transform(array('a','b','c'), s -> hash(s)), 16) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 16)
+    // deterministic across invocations
+    val sig2 = spark.sql(
+      "SELECT minhash_sig(transform(array('a','b','c'), s -> hash(s)), 16) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig == sig2)
+  }
+
+  test("approx_count_distinct stays within 5% of exact (scale-path aggregate)") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val exact = li.select(countDistinct(col("l_partkey"))).collect().head.getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+}
