@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -342,7 +342,25 @@ object SparkEntry {
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(
         t(s, dir, "documents").withColumn("payload", Multimodal.utf8Payload(col("text"))),
-        "doc_id", "payload", 4))
+        "doc_id", "payload", 4)),
+
+    // ---- skew mitigation (SURVEY §4) --------------------------------
+    "skew_salted_join" -> ((s, dir) =>
+      Skew.saltedJoin(t(s, dir, "orders"), t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey", saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))),
+
+    "skew_two_phase" -> ((s, dir) =>
+      Skew.twoPhaseSum(t(s, dir, "lineitem"), col("l_partkey"), col("l_quantity"), 8)
+        .select(col("k"), round(col("total"), 2).as("total"))),
+
+    // ---- approximate scale-path variant (rows-only, LSH recall < 1) --
+    "neardup_cosine_lsh" -> ((s, dir) =>
+      Similarity.nearDupCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0.4, dims = 64, nBits = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -583,6 +601,15 @@ object SparkEntry {
     "multimodal_frames" ->
       """SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx,
          floor(unnest(generate_series(0, 3)) * octet_length(encode(text)) / 4)::BIGINT AS frame_pos
-         FROM documents"""
+         FROM documents""",
+
+    "skew_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
+    "skew_two_phase" ->
+      """SELECT l_partkey AS k, round(sum(l_quantity), 2) AS total
+         FROM lineitem GROUP BY l_partkey"""
   )
 }
