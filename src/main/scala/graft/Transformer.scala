@@ -71,6 +71,13 @@ final class Transformer private (
   def tap(name: String, metric: Column, metrics: Column*): Transformer =
     pipe((df, _) => df.observe(name, metric, metrics: _*))
 
+  /** Tap with a retrievable handle: metrics land in the passed
+    * `Observation` after the next action, the closest analogue of
+    * laygo's tap-into-context (observe side-channel, zero extra pass).
+    */
+  def tapInto(obs: org.apache.spark.sql.Observation, metric: Column, metrics: Column*): Transformer =
+    pipe((df, _) => df.observe(obs, metric, metrics: _*))
+
   /** Per-row side effect counted into a context accumulator — the
     * distributed-safe version of laygo's `tap(print)` idiom.
     */

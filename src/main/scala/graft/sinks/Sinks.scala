@@ -52,4 +52,22 @@ object Sinks {
   /** Full materialization with zero result movement (noop sink). */
   def consume(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Bucketed managed table: pre-shuffles once at write time so every
+    * later equi-join/aggregation on the bucket key runs with NO
+    * exchange — the co-located-join strategy for fact tables that are
+    * joined repeatedly at 100 TB. Bucket count should match the
+    * target cluster's parallelism, not the data size of one write.
+    */
+  def parquetBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }
