@@ -102,6 +102,16 @@ final class Transformer private (
   def reducePerKey(keys: Seq[Column], aggs: Seq[Column]): Transformer =
     pipe((df, _) => df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
 
+  /** Literal per-chunk reduce — one aggregate row per partition
+    * (chunk = partition), keyed by `spark_partition_id`. Matches laygo
+    * `reduce(..., per_chunk=True)` (transformer.py:436) exactly; note
+    * the result depends on the current partitioning, so pair with
+    * `setChunker` for deterministic chunk boundaries.
+    */
+  def reducePerChunk(aggs: Seq[Column]): Transformer =
+    pipe((df, _) =>
+      df.groupBy(spark_partition_id().as("chunk")).agg(aggs.head, aggs.tail: _*))
+
   /** Custom chunking — laygo `set_chunker` (transformer.py:186). A
     * laygo chunk is a Spark partition, so re-chunking is repartitioning:
     * by count, or by key columns for co-located downstream work.

@@ -52,6 +52,15 @@ class TransformerSpec extends SparkSpec {
     assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == Map("a" -> 4L, "b" -> 2L))
   }
 
+  test("reducePerChunk emits one row per partition (laygo per_chunk=True)") {
+    val (rows, _) = Pipeline((1 to 100).toDF("x"))
+      .transform(_.setChunker(4).reducePerChunk(Seq(sum(col("x")).as("s"), count(lit(1)).as("n"))))
+      .toList()
+    assert(rows.size == 4)
+    assert(rows.map(_.getLong(1)).sum == 5050L)
+    assert(rows.map(_.getLong(2)).sum == 100L)
+  }
+
   test("andThen composes transformers (apply/from_transformer)") {
     val double = Transformer.identity.map((col("x") * 2).as("x"))
     val addOne = Transformer.identity.map((col("x") + 1).as("x"))
