@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end scenarios mirroring /root/reference/tests/test_integration.py. */
+class IntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ETL pattern: extract-filter-shape (test_etl_pattern)") {
+    val raw = Seq(
+      ("Alice", 25, 50000), ("Bob", 30, 60000),
+      ("Charlie", 35, 70000), ("David", 28, 55000)
+    ).toDF("name", "age", "salary")
+    val (rows, _) = Pipeline(raw)
+      .transform(_.filter(col("age") > 28 && col("salary") > 55000)
+        .map(col("name")))
+      .toList()
+    assert(rows.map(_.getString(0)).sorted == Seq("Bob", "Charlie"))
+  }
+
+  test("data validation pattern: try-convert, count valid, drop invalid (test_data_validation_pattern)") {
+    val raw = Seq("1", "2", "3.0", "invalid", "5", null, "7").toDF("raw")
+    val p = Pipeline(raw)
+    val attempt = Transformer.identity
+      .map(col("raw"), expr("try_cast(raw AS double)").as("num"))
+    val (rows, ctx) = p
+      .transform(_.catchErrors(attempt, col("num").isNull)
+        .tapCount("valid_count")
+        .map(col("num").cast("int").as("n")))
+      .toList()
+    assert(rows.map(_.getInt(0)).sorted == Seq(1, 2, 3, 5, 7))
+    assert(ctx("valid_count") == 5L)
+  }
+
+  test("multi-stage context accumulation (stage1/stage2 processors)") {
+    val p = Pipeline((1 to 10).toDF("x"))
+    val stage1 = Transformer.identity
+      .tapCount("stage1_processed")
+      .map((col("x") * 2).as("x"))
+    val stage2 = Transformer.identity
+      .tapCount("stage2_processed")
+      .map((col("x") + 10).as("x"))
+    val (rows, ctx) = p.apply(stage1.andThen(stage2)).toList()
+    assert(rows.map(_.getInt(0)).sorted == (1 to 10).map(_ * 2 + 10))
+    assert(ctx("stage1_processed") == 10L)
+    assert(ctx("stage2_processed") == 10L)
+  }
+
+  test("context counters classify evens/odds during transform (count_and_transform)") {
+    val p = Pipeline((1 to 9).toDF("x"))
+    val classify = Transformer { (df, c) =>
+      val evens = c.counter("even_count")
+      val odds  = c.counter("odd_count")
+      df.mapPartitions { it =>
+        it.map { r =>
+          if (r.getInt(0) % 2 == 0) evens.add(1) else odds.add(1)
+          r
+        }
+      }(org.apache.spark.sql.Encoders.row(df.schema))
+    }
+    val (_, ctx) = p.apply(classify.andThen(
+      Transformer.identity.map((col("x") * 3).as("x")))).consume()
+    assert(ctx("even_count") == 4L && ctx("odd_count") == 5L)
+  }
+
+  test("full document pipeline: dedup -> quality filter -> language split (LLM pipeline shape)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val (outs, _) = Pipeline(docs)
+      .transform(_.withField("quality",
+        graft.operators.TextAnalysis.qualityScore(col("text"), toks))
+        .filter(col("quality") > 0.3)
+        .withField("lang_pred", graft.operators.TextAnalysis.langId(toks)))
+      .branchBroadcast(Seq(
+        ("en", col("lang_pred") === "en", Transformer.identity),
+        ("other", col("lang_pred") =!= "en", Transformer.identity)))
+    val en = outs("en").count()
+    val other = outs("other").count()
+    assert(en + other > 0)
+    assert(outs("en").columns.contains("quality"))
+  }
+}
