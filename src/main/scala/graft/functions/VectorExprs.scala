@@ -28,10 +28,25 @@ object VectorExprs {
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** MinHash signature (array<long> of `numHashes` slots) from an
-    * array<int> of shingle hashes.
+    * array of shingle hashes (int or long elements).
     */
   def minhashSig(hashes: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(hashes), numHashes))
+
+  /** Sorted-distinct 64-bit hash set of token n-gram shingles — one
+    * native pass replacing the interpreted transform/slice/concat_ws/
+    * hash/array_distinct/array_sort chain (the dominant cost of the
+    * dedup operators at scale).
+    */
+  def shingleSet(tokens: Column, n: Int): Column =
+    GraftBridge.column(ShingleSet(GraftBridge.expression(tokens), n))
+
+  /** |a ∩ b| for two SORTED long arrays via a merge walk — O(|a|+|b|),
+    * no hash-set allocation per row.
+    */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectSize(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 }
 
 /** Sequential-order dot product of two double arrays (codegen'd). */
@@ -105,13 +120,19 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  @transient private lazy val intInput: Boolean = child.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _                         => false
+  }
+
   protected override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(P)
     var i = 0
     while (i < n) {
-      val h = math.floorMod(arr.getInt(i).toLong, P)
+      val h0 = if (intInput) arr.getInt(i).toLong else arr.getLong(i)
+      val h = math.floorMod(h0, P)
       var j = 0
       while (j < numHashes) {
         val v = (as(j) * h + bs(j)) % P
@@ -125,4 +146,94 @@ case class MinHashSig(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+/** Sorted-distinct FNV-1a hash set over token n-gram windows.
+  *
+  * Emits one 64-bit hash per shingle (tokens joined conceptually by a
+  * separator; short docs collapse to one whole-doc shingle, matching
+  * TextAnalysis.shingles), deduplicated and sorted so downstream
+  * intersection is a merge walk. Any injective-in-practice hash keeps
+  * Jaccard sizes identical to string-set semantics; FNV-1a over token
+  * bytes is deterministic across runs, engines, and releases.
+  */
+case class ShingleSet(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime  = 0x100000001b3L
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val tokenBytes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      tokenBytes(i) = arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val count = if (m >= n) m - n + 1 else 1
+    val width = if (m >= n) n else m
+    val out = new Array[Long](count)
+    var w = 0
+    while (w < count) {
+      var h = FnvOffset
+      var t = 0
+      while (t < width) {
+        val bs = tokenBytes(w + t)
+        var b = 0
+        while (b < bs.length) {
+          h = (h ^ (bs(b) & 0xffL)) * FnvPrime
+          b += 1
+        }
+        h = (h ^ 0x20L) * FnvPrime // token separator
+        t += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedup of the sorted array
+    var uniq = 1
+    i = 1
+    while (i < count) {
+      if (out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** Intersection cardinality of two sorted long arrays (merge walk). */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
 }

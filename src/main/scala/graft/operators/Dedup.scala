@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spread CPU-bound per-row stages (shingling, signatures) across
+    * the cluster regardless of source file layout — a single
+    * unsplittable row group must not serialize the compute. Cheap
+    * relative to the kernels it parallelizes; near-no-op when the
+    * source is already well partitioned.
+    */
+  private def rebalance(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact dedup: one survivor (min id) per distinct content. Grouping
     * is by 64-bit content hash so the shuffle carries 8 bytes per row,
     * not the document body; at 64 bits, collisions at 100 TB doc
@@ -28,15 +37,21 @@ object Dedup {
 
   // ---- MinHash + LSH ------------------------------------------------
 
+  /** Sorted-distinct 64-bit shingle-hash set for a text column — one
+    * native pass (tokenize stays a cheap expression; windowing,
+    * hashing, dedup, sort run in `ShingleSet`).
+    */
+  def hashedShingleSet(textCol: Column, shingleSize: Int): Column =
+    graft.functions.VectorExprs.shingleSet(
+      TextAnalysis.tokens(textCol), shingleSize)
+
   /** MinHash signature (array<long> of `numHashes` slots) over a
-    * shingle array column. Shingles are murmur3-hashed once
-    * (`transform` + `hash`), then the native `MinHashSig` expression
+    * hashed-shingle array column: the native `MinHashSig` expression
     * computes all permutation minima in a single pass — no UDF, no
     * shuffle, no per-slot re-traversal of the shingle array.
     */
-  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
-    graft.functions.VectorExprs.minhashSig(
-      transform(shingleCol, s => hash(s)), numHashes)
+  def minHashSignature(shingleHashCol: Column, numHashes: Int): Column =
+    graft.functions.VectorExprs.minhashSig(shingleHashCol, numHashes)
 
   /** Candidate near-dup pairs via banded LSH over MinHash signatures.
     *
@@ -70,20 +85,22 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard verification of candidate pairs against distinct
-    * shingle sets. Join candidates to the (small per-pair) shingle
-    * arrays and evaluate |∩| / |∪| with array expressions.
+  /** Exact Jaccard verification of candidate pairs against sorted
+    * hashed-shingle sets: |∩| via the native merge walk, no per-row
+    * hash-set allocation.
     */
   def verifyJaccard(
       candidates: DataFrame,
-      shingleDf: DataFrame, // (id, shingle_set)
+      shingleDf: DataFrame, // (id, sorted hashed shingle set)
       idCol: String,
       setCol: String,
       threshold: Double): DataFrame = {
     val a = shingleDf.select(col(idCol).as("id_a"), col(setCol).as("set_a"))
     val b = shingleDf.select(col(idCol).as("id_b"), col(setCol).as("set_b"))
     candidates.join(a, "id_a").join(b, "id_b")
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
+      .withColumn("inter",
+        graft.functions.VectorExprs.sortedIntersectSize(col("set_a"), col("set_b"))
+          .cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("set_a")) + size(col("set_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -102,14 +119,12 @@ object Dedup {
       numHashes: Int = 128,
       bands: Int = 32): DataFrame = {
     // persisted: reused by signature generation and pair verification
-    val sets = df.select(
+    val sets = rebalance(df).select(
       col(idCol),
-      array_distinct(
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize)).as("shingle_set"))
+      hashedShingleSet(col(textCol), shingleSize).as("shingle_set"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = sets.select(
       col(idCol),
-      col("shingle_set"),
       minHashSignature(col("shingle_set"), numHashes).as("sig"))
     val cands = lshCandidates(sigs, idCol, "sig", bands, numHashes / bands)
     verifyJaccard(cands, sets, idCol, "shingle_set", threshold)
@@ -137,11 +152,9 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     // persisted: the shingle pipeline feeds candidate generation AND
     // both sides of verification — recomputing it 3x dominates runtime
-    val sets = df.select(
+    val sets = rebalance(df).select(
       col(idCol),
-      array_sort(array_distinct(transform(
-        TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), shingleSize),
-        s => xxhash64(s)))).as("hs"))
+      hashedShingleSet(col(textCol), shingleSize).as("hs"))
       .withColumn("set_size", size(col("hs")))
       // prefix length n - ceil(t*n) + 1
       .withColumn("prefix_len",
@@ -151,16 +164,22 @@ object Dedup {
       col(idCol),
       col("set_size"),
       explode(slice(col("hs"), lit(1), col("prefix_len"))).as("sh"))
-    val a = inv.select(col(idCol).as("id_a"), col("sh"))
-    val b = inv.select(col(idCol).as("id_b"), col("sh"))
+    val a = inv.select(col(idCol).as("id_a"), col("set_size").as("size_a"), col("sh"))
+    val b = inv.select(col(idCol).as("id_b"), col("set_size").as("size_b"), col("sh"))
     val cands = a.join(b, "sh")
       .where(col("id_a") < col("id_b"))
+      // length filter: J >= t forces min(na,nb) >= t*max(na,nb), so
+      // mismatched-size pairs never reach (array-carrying) verification
+      .where(least(col("size_a"), col("size_b")) >=
+        greatest(col("size_a"), col("size_b")) * threshold)
       .select("id_a", "id_b")
       .distinct()
     val fa = sets.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
     val fb = sets.select(col(idCol).as("id_b"), col("hs").as("hs_b"))
     cands.join(fa, "id_a").join(fb, "id_b")
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .withColumn("inter",
+        graft.functions.VectorExprs.sortedIntersectSize(col("hs_a"), col("hs_b"))
+          .cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -174,7 +193,7 @@ object Dedup {
     * one shuffle keyed by doc id.
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
+    val tok = rebalance(df).select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("th", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { bit =>

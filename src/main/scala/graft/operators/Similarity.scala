@@ -44,8 +44,10 @@ object Similarity {
     */
   def nearDupCosineExact(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     // precompute per-vector squared norms once: the pairwise kernel is
-    // then a single dot product instead of three
-    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    // then a single dot product instead of three; rebalance so an
+    // unsplittable single-row-group source can't serialize the O(n²) loop
+    val v = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
     val a = v.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = v.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
@@ -68,7 +70,8 @@ object Similarity {
       k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm2(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val c = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm2(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cosine", dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")))
