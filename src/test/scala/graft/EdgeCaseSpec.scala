@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Empty/degenerate inputs — the failure modes chunk libraries hit
+  * (laygo guards empty chunks at transformer.py:445,454).
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("map/filter/reduce on empty input yield empty/zero results") {
+    val p = Pipeline(Seq.empty[Int].toDF("x"))
+    assert(p.transform(_.map((col("x") * 2).as("x"))).toList()._1.isEmpty)
+    assert(p.transform(_.filter(col("x") > 0)).toList()._1.isEmpty)
+    val (rows, _) = p.transform(_.reduceGlobal(count(lit(1)).as("n"))).toList()
+    assert(rows.head.getLong(0) == 0L)
+  }
+
+  test("dedup operators tolerate empty corpora") {
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minHashNearDups(emptyDocs, "doc_id", "text", 0.6).count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, "doc_id", "text", 0.6).count() == 0)
+    assert(Dedup.simHashNearDups(emptyDocs, "doc_id", "text").count() == 0)
+  }
+
+  test("single-token and empty-text docs don't break shingling") {
+    val tiny = Seq((1L, "word"), (2L, ""), (3L, "two words")).toDF("doc_id", "text")
+    val sets = tiny.select(col("doc_id"),
+      Dedup.hashedShingleSet(col("text"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).length).toMap
+    assert(sets(1L) == 1) // whole-doc shingle
+    assert(sets(2L) == 0) // no tokens -> empty set
+    assert(sets(3L) == 1)
+    // and the pair ops run without error
+    assert(Dedup.ngramJaccardPairs(tiny, "doc_id", "text", 0.5).count() == 0)
+  }
+
+  test("catchErrors with every row failing yields only handled rows") {
+    val attempt = Transformer.identity.map(col("x"), try_divide(lit(1), lit(0)).as("r"))
+    val (rows, _) = Pipeline(Seq(1, 2).toDF("x"))
+      .transform(_.catchErrors(attempt, col("r").isNull,
+        ErrorHandler.quarantine((bad, _) => bad.withColumn("status", lit("error")))))
+      .toList()
+    assert(rows.size == 2 && rows.forall(_.getAs[String]("status") == "error"))
+  }
+
+  test("branch over empty source yields empty branches, not failures") {
+    val (outs, _) = Pipeline(Seq.empty[Int].toDF("x"))
+      .branchRouter(Seq(
+        ("neg", col("x") < 0, Transformer.identity),
+        ("rest", lit(true), Transformer.identity)))
+    assert(outs("neg").count() == 0 && outs("rest").count() == 0)
+  }
+
+  test("similarity ops on empty corpus yield empty results") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.nearDupCosineExact(empty, "vec_id", "embedding", 0.5).count() == 0)
+    assert(Similarity.annTopKBruteForce(empty, empty, "vec_id", "embedding", 3).count() == 0)
+  }
+
+  test("loop with zero iterations allowed returns input unchanged") {
+    val out = Pipeline(Seq(5).toDF("x"))
+      .transform(_.loop(Transformer.identity.map((col("x") * 2).as("x")), _ => true, 0))
+      .toList()._1.map(_.getInt(0))
+    assert(out == Seq(5))
+  }
+
+  test("langId and fingerprint handle empty token arrays") {
+    val r = Seq("").toDF("t").select(
+      TextAnalysis.langId(TextAnalysis.tokens(col("t"))).as("l"),
+      TextAnalysis.fingerprint(TextAnalysis.tokens(col("t"))).as("fp"))
+      .collect().head
+    assert(r.getString(0) == "en") // zero hits everywhere -> first tiebreak
+    assert(r.getLong(1) == 0L)     // empty fold -> initial value
+  }
+}
