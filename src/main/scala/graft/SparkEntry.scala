@@ -344,6 +344,24 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("payload", Multimodal.utf8Payload(col("text"))),
         "doc_id", "payload", 4)),
 
+    // ---- §2b: PII scan / semi-structured / temporal -----------------
+    "text_pii" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        (col("doc_id") +: TextAnalysis.piiCounts(col("text")) :+
+          TextAnalysis.piiFlag(col("text")).as("has_pii")): _*)),
+
+    "events_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+
+    "orders_by_month" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))),
+
     // ---- skew mitigation (SURVEY §4) --------------------------------
     "skew_salted_join" -> ((s, dir) =>
       Skew.saltedJoin(t(s, dir, "orders"), t(s, dir, "customer")
@@ -602,6 +620,28 @@ object SparkEntry {
       """SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx,
          floor(unnest(generate_series(0, 3)) * octet_length(encode(text)) / 4)::BIGINT AS frame_pos
          FROM documents""",
+
+    "text_pii" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
+         len(regexp_extract_all(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b'))::BIGINT AS n_phone,
+         len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+         len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
+         (regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')
+          OR regexp_matches(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')
+          OR regexp_matches(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')
+          OR regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b')) AS has_pii
+         FROM documents""",
+
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type""",
+
+    "orders_by_month" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY 1""",
 
     "skew_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total

@@ -92,6 +92,31 @@ object TextAnalysis {
       lit(0.2) + lit(0.01) * n + stop - lit(5.0) * digitRatio(text)))
   }
 
+  // ---- PII-ish scanning ---------------------------------------------
+
+  /** Defensive PII-pattern scan for training-data hygiene: counts of
+    * email / phone / IPv4 / SSN-shaped substrings plus an any-hit
+    * flag, as pure regex expressions (no lookarounds, so semantics
+    * are identical across Java-regex and RE2 engines). Downstream
+    * pipelines route flagged docs to scrubbing/quarantine.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone" -> "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b",
+    "ipv4"  -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn"   -> "\\b\\d{3}-\\d{2}-\\d{4}\\b")
+
+  /** Per-pattern hit-count columns (named n_<kind>). */
+  def piiCounts(text: Column): Seq[Column] =
+    piiPatterns.map { case (kind, pat) =>
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long").as(s"n_$kind")
+    }
+
+  /** True when any PII pattern matches. */
+  def piiFlag(text: Column): Column =
+    piiPatterns.map { case (_, pat) => regexp_like(text, lit(pat)) }
+      .reduce(_ || _)
+
   // ---- fingerprinting -----------------------------------------------
 
   /** Order-sensitive polynomial rolling hash over tokens, mod 1e9+7.

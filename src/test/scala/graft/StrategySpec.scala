@@ -82,4 +82,20 @@ class StrategySpec extends SparkSpec {
     assert(rows.forall(q => q >= 0.0 && q <= 1.0))
     assert(rows(0) > rows(1))
   }
+
+  test("piiScan counts and flags PII-shaped substrings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      "reach me at alice@example.com or 555-123-4567 today",
+      "server at 192.168.0.1 and ssn 123-45-6789",
+      "perfectly clean text with no identifiers"
+    ).toDF("text")
+    val out = df.select((TextAnalysis.piiCounts(col("text")) :+
+      TextAnalysis.piiFlag(col("text")).as("has_pii")): _*).collect()
+    assert(out(0).getAs[Long]("n_email") == 1 && out(0).getAs[Long]("n_phone") == 1)
+    assert(out(1).getAs[Long]("n_ipv4") == 1 && out(1).getAs[Long]("n_ssn") == 1)
+    assert(out(0).getAs[Boolean]("has_pii") && out(1).getAs[Boolean]("has_pii"))
+    assert(!out(2).getAs[Boolean]("has_pii"))
+  }
 }
