@@ -288,6 +288,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", 3)),
 
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.6)
+      Dedup.clusters(pairs, docs, "doc_id")
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
     // ---- §2b: similarity --------------------------------------------
     "neardup_cosine" -> ((s, dir) =>
       Similarity.nearDupCosineExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
@@ -542,6 +549,23 @@ object SparkEntry {
                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
                FROM s a JOIN s b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.6""",
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+         reach(a, b) AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
+         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id""",
 
     "neardup_cosine" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

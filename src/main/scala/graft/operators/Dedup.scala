@@ -186,6 +186,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Duplicate clusters from near-dup pairs: connected components by
+    * iterative min-label propagation (each node adopts the smallest
+    * label among itself and its neighbors until fixpoint). Iterations
+    * ≈ component diameter — near-dup clusters are shallow, so a small
+    * cap suffices; each round localCheckpoints to cut lineage. This is
+    * how pair output becomes a "keep one per cluster" dedup decision.
+    *
+    * @return (id, cluster) where cluster = min id of the component
+    */
+  def clusters(pairs: DataFrame, ids: DataFrame, idCol: String, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).cast("long").as("cluster"))
+      .localCheckpoint()
+    var it = 0
+    var changed = 1L
+    while (it < maxIters && changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src")
+          .withColumnRenamed("cluster", "src_cluster"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("src_cluster")).as("nbr_cluster"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .where(col("cluster") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** 64-bit SimHash per doc: sum ±1 per bit over token xxhash64s, take

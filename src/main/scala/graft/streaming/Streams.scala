@@ -75,6 +75,41 @@ object Streams {
       }
   }
 
+  /** Watermarked streaming dedup — exact dedup for unbounded sources:
+    * duplicate keys arriving within the watermark horizon are dropped;
+    * state for keys older than the watermark is evicted, keeping the
+    * dedup table bounded (the streaming mirror of `Dedup.exact`).
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Windowed stream-stream inner join: both sides watermarked, join
+    * condition bounded by an event-time range so each side's buffered
+    * state is evicted once the other side's watermark passes — the
+    * only join shape that runs unbounded without unbounded state.
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      watermarkDelay: String,
+      key: String,
+      maxLag: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxLag"))
+  }
+
   /** Stream → noop-style sink for tests/benchmarks: process all
     * available data once and stop (Trigger.AvailableNow semantics via
     * processAllAvailable on a memory sink).

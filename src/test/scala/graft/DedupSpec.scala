@@ -69,4 +69,14 @@ class DedupSpec extends SparkSpec {
     assert(sh(1L) == sh(2L))
     assert(sh(1L) != sh(4L))
   }
+
+  test("clusters: connected components from pair lists (chain and singleton)") {
+    import spark.implicits._
+    // chain 1-2-3 plus pair 10-11 plus singleton 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val out = Dedup.clusters(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
 }

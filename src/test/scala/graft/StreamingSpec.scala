@@ -66,4 +66,29 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(rows == Set(("a", 2L, 3.0), ("b", 1L, 10.0)))
   }
+
+  test("streaming dedup within watermark drops duplicate keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    in.addData((ts(1), 1L, "a"), (ts(2), 1L, "dup"), (ts(3), 2L, "b"), (ts(4), 1L, "dup2"))
+    val df = in.toDF().toDF("ts", "key", "payload")
+    val out = Streams.dedupWithinWatermark(df, "ts", "10 minutes", Seq("key"))
+    Streams.runToMemory(out, "dd_stream", OutputMode.Append())
+    val keys = spark.table("dd_stream").select("key").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == Seq(1L, 2L))
+  }
+
+  test("stream-stream join bounded by event-time range") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys   = MemoryStream[(Timestamp, Long)]
+    clicks.addData((ts(1), 1L), (ts(2), 2L), (ts(3), 3L))
+    buys.addData((ts(5), 1L), (ts(40), 2L)) // user 2 buys too late (>30m lag)
+    val c = clicks.toDF().toDF("cts", "user")
+    val b = buys.toDF().toDF("bts", "user")
+    val joined = Streams.streamStreamJoin(c, b, "cts", "bts", "1 minute", "user", "30 minutes")
+    Streams.runToMemory(joined.select(c("user")), "ss_join", OutputMode.Append())
+    val users = spark.table("ss_join").collect().map(_.getLong(0)).sorted
+    assert(users.toSeq == Seq(1L)) // only the within-window purchase joins
+  }
 }
