@@ -126,25 +126,60 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
-  /** IVF-style ANN: a deterministic subset of the corpus serves as
-    * centroids (every `stride`-th vector — at real scale, substitute
-    * k-means centroids trained offline); vectors are assigned to their
-    * nearest centroid cell (broadcast argmin), and each query probes
-    * the `nProbe` nearest cells only. The candidate join is an
-    * equi-join on cell id — O(n·probed fraction) instead of O(n·q).
+  /** Lloyd's k-means over the corpus (deterministic seeding: the k
+    * lowest-id vectors). Fully distributed: assignment is a broadcast
+    * argmin, centroid update explodes dimensions and averages per
+    * (cell, dim) — no driver-side math over the data. Used to train
+    * IVF cells; at 100 TB you train on a sample and reuse.
     */
-  def annIvf(
-      queries: DataFrame,
+  def kmeansCentroids(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      nCells: Int,
+      iters: Int = 5): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = c.orderBy(col("vid")).limit(k)
+      .select(row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("vid"))).as("cell_id"),
+        col("cv").as("centv"))
+      .localCheckpoint()
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid")).orderBy(col("cell_cos").desc, col("cell_id"))
+    var i = 0
+    while (i < iters) {
+      val assigned = c.crossJoin(broadcast(cents))
+        .withColumn("cell_cos", cosine(col("cv"), col("centv")))
+        .withColumn("rn", row_number().over(wAssign))
+        .where(col("rn") === 1)
+        .select(col("cell_id"), col("cv"))
+      cents = assigned
+        .select(col("cell_id"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy(col("cell_id"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell_id"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("centv"))
+        .localCheckpoint()
+      i += 1
+    }
+    cents
+  }
+
+  /** IVF search against an explicit centroid table: vectors assigned
+    * to nearest cell (broadcast argmin), queries probe the `nProbe`
+    * nearest cells, candidates join on cell id.
+    */
+  def annIvfWithCentroids(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame, // (cell_id, centv)
+      idCol: String,
+      vecCol: String,
+      k: Int,
       nProbe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    // deterministic centroid choice: nCells lowest ids
-    val cents = c.orderBy(col("neighbor_id")).limit(nCells)
-      .select(col("neighbor_id").as("cell_id"), col("cv").as("centv"))
+    val cents = centroids.select(col("cell_id"), col("centv"))
     // assign each corpus vector to nearest centroid
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("neighbor_id"))
@@ -173,5 +208,23 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF with deterministic untrained cells (the nCells lowest-id
+    * vectors as centroids) — reproducible baseline; prefer
+    * `kmeansCentroids` + `annIvfWithCentroids` for real recall.
+    */
+  def annIvf(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int): DataFrame = {
+    val cents = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+      .orderBy(col("nid")).limit(nCells)
+      .select(col("nid").as("cell_id"), col("cv").as("centv"))
+    annIvfWithCentroids(queries, corpus, cents, idCol, vecCol, k, nProbe)
   }
 }

@@ -66,4 +66,37 @@ class SimilaritySpec extends SparkSpec {
       .map(_.toDouble).foldLeft(0.0)((acc, x) => acc + x * x)
     assert(d1 == expected) // exact equality, not approx
   }
+
+  test("kmeans centroids converge to obvious cluster centers") {
+    import spark.implicits._
+    // three tight clusters around orthogonal directions
+    val pts = (0 until 30).map { i =>
+      val base = i % 3 match {
+        case 0 => Array(1.0f, 0.0f, 0.0f)
+        case 1 => Array(0.0f, 1.0f, 0.0f)
+        case _ => Array(0.0f, 0.0f, 1.0f)
+      }
+      val eps = 0.01f * ((i / 3) % 5)
+      (i.toLong, base.map(_ + eps))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(pts, "vec_id", "embedding", 3, iters = 4)
+      .collect().map(_.getSeq[Double](1).toArray)
+    assert(cents.length == 3)
+    // each centroid should be dominated by one axis
+    val domAxes = cents.map(c => c.indexOf(c.max)).sorted
+    assert(domAxes.toSeq == Seq(0, 1, 2), s"centroids not separated: ${cents.map(_.mkString(",")).mkString(" | ")}")
+  }
+
+  test("kmeans-trained IVF matches brute force better than or equal to untrained") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 5)
+    val c = emb.where(col("vec_id") >= 5)
+    val brute = Similarity.annTopKBruteForce(q, c, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.kmeansCentroids(c, "vec_id", "embedding", 8, iters = 3)
+    val trained = Similarity.annIvfWithCentroids(q, c, cents, "vec_id", "embedding", 5, nProbe = 6)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & trained).size.toDouble / brute.size
+    assert(recall >= 0.5, s"trained IVF recall too low: $recall")
+  }
 }
