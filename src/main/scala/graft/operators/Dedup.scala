@@ -35,6 +35,18 @@ object Dedup {
     df.groupBy(xxhash64(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** 128-bit variant: two independently-seeded 64-bit hashes as the
+    * group key. At 1e11+ documents the 64-bit birthday bound starts to
+    * matter for exactness guarantees; 128 bits does not. Still an
+    * 16-byte shuffle key, never the text.
+    */
+  def exact128(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(
+      xxhash64(col(textCol)).as("h1"),
+      xxhash64(lit("graft-seed-2"), col(textCol)).as("h2"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("n_copies"), col("h1"), col("h2"))
+
   // ---- MinHash + LSH ------------------------------------------------
 
   /** Sorted-distinct 64-bit shingle-hash set for a text column — one

@@ -79,4 +79,11 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
+
+  test("exact128 groups identically to exact on duplicate content") {
+    val out = Dedup.exact128(docs, "doc_id", "text")
+      .select("doc_id", "n_copies").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
 }
