@@ -47,6 +47,10 @@ object VectorExprs {
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftBridge.column(SortedIntersectSize(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** nBits-bit random-hyperplane LSH bucket of a double vector. */
+  def hyperplaneBucket(vec: Column, nBits: Int): Column =
+    GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), nBits))
 }
 
 /** Sequential-order dot product of two double arrays (codegen'd). */
@@ -236,4 +240,39 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
     copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH bucket id: nBits sign bits of projections
+  * onto deterministic ±1 hyperplanes (SplitMix64-derived per
+  * (bit, dim)). One native pass over the vector replaces an
+  * nBits×dims element_at expression tree.
+  */
+case class HyperplaneBucket(child: Expression, nBits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  private def sign(bit: Int, d: Int): Double = {
+    var z = (bit.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xBF58476D1CE4E5B9L)
+    z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dims = v.numElements()
+    var bucket = 0L
+    var bit = 0
+    while (bit < nBits) {
+      var proj = 0.0
+      var d = 0
+      while (d < dims) { proj += v.getDouble(d) * sign(bit, d); d += 1 }
+      if (proj > 0) bucket |= (1L << bit)
+      bit += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
 }

@@ -87,22 +87,12 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (nBits signs packed into a long).
     * Hyperplane components are deterministic pseudo-random ±1 per
     * (bit, dimension) derived from a fixed 64-bit mix — cheap, no
-    * stored model, reproducible everywhere.
+    * stored model, reproducible everywhere. Native single-pass
+    * expression (`dims` is inferred from the vector; parameter kept
+    * for source compatibility).
     */
-  def hyperplaneBucket(vec: Column, dims: Int, nBits: Int): Column = {
-    def sign(bit: Int, d: Int): Double = {
-      var z = (bit.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xBF58476D1CE4E5B9L)
-      z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
-      if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
-    }
-    val bits = (0 until nBits).map { bit =>
-      val proj = (0 until dims)
-        .map(d => element_at(vec, d + 1) * lit(sign(bit, d)))
-        .reduce(_ + _)
-      when(proj > 0, lit(1L << bit)).otherwise(lit(0L))
-    }
-    bits.reduce((x, y) => x.bitwiseOR(y))
-  }
+  def hyperplaneBucket(vec: Column, dims: Int, nBits: Int): Column =
+    graft.functions.VectorExprs.hyperplaneBucket(vec, nBits)
 
   /** Approximate near-dup via hyperplane-LSH bucketing: vectors in the
     * same bucket are candidates, verified exactly. Recall < 1 by
