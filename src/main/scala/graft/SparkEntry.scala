@@ -377,6 +377,31 @@ object SparkEntry {
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))),
 
+    // ---- SQL surface: classic TPC-H shapes via spark.sql ------------
+    "sql_tpch_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+           FROM lineitem
+           WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+             AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+    }),
+
+    "sql_tpch_q5" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+             AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+           GROUP BY n_name""")
+    }),
+
     // ---- skew mitigation (SURVEY §4) --------------------------------
     "skew_salted_join" -> ((s, dir) =>
       Skew.saltedJoin(t(s, dir, "orders"), t(s, dir, "customer")
@@ -674,6 +699,23 @@ object SparkEntry {
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
          round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY 1""",
+
+    "sql_tpch_q6" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "sql_tpch_q5" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+         GROUP BY n_name""",
 
     "skew_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
