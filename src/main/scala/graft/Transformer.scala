@@ -125,16 +125,23 @@ final class Transformer private (
   // ---- control flow (transformer.py:346,537) ------------------------
 
   /** Iterate `body` while `condition(df)` holds, at most `maxIterations`
-    * times — laygo `loop`. Each round is localCheckpointed to cut
-    * lineage (without it, iteration N re-executes rounds 1..N-1 and
-    * the plan grows without bound — fatal at scale).
+    * times — laygo `loop`. Lineage is cut with `localCheckpoint` every
+    * `checkpointInterval` rounds (without it, iteration N re-executes
+    * rounds 1..N-1 and the plan grows without bound — fatal at scale;
+    * checkpointing EVERY round would instead pay a full materialization
+    * per iteration).
     */
-  def loop(body: Transformer, condition: DataFrame => Boolean, maxIterations: Int): Transformer =
+  def loop(
+      body: Transformer,
+      condition: DataFrame => Boolean,
+      maxIterations: Int,
+      checkpointInterval: Int = 3): Transformer =
     pipe { (df0, ctx) =>
       var df = df0
       var i = 0
       while (i < maxIterations && condition(df)) {
-        df = body.run(df, ctx).localCheckpoint()
+        val next = body.run(df, ctx)
+        df = if ((i + 1) % checkpointInterval == 0) next.localCheckpoint() else next
         i += 1
       }
       df
