@@ -377,6 +377,26 @@ object SparkEntry {
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))),
 
+    // ---- OLAP coverage: lag windows, rollup, exact percentiles ------
+    "window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        round(col("value") - lag(col("value"), 1).over(w), 2).as("delta"))
+    }),
+
+    "rollup_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("g"), count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g"), col("n"), col("sum_qty"))),
+
+    "percentile_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
+
     // ---- SQL surface: classic TPC-H shapes via spark.sql ------------
     "sql_tpch_q6" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -699,6 +719,23 @@ object SparkEntry {
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
          round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY 1""",
+
+    "window_lag" ->
+      """SELECT event_id, user_id,
+         round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+         FROM events""",
+
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         GROUPING(l_returnflag, l_linestatus)::BIGINT AS g,
+         count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "percentile_agg" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+         FROM lineitem GROUP BY l_returnflag""",
 
     "sql_tpch_q6" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
