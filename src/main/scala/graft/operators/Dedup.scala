@@ -175,15 +175,25 @@ object Dedup {
     val inv = sets.select(
       col(idCol),
       col("set_size"),
-      explode(slice(col("hs"), lit(1), col("prefix_len"))).as("sh"))
-    val a = inv.select(col(idCol).as("id_a"), col("set_size").as("size_a"), col("sh"))
-    val b = inv.select(col(idCol).as("id_b"), col("set_size").as("size_b"), col("sh"))
+      posexplode(slice(col("hs"), lit(1), col("prefix_len"))).as(Seq("pos", "sh")))
+    val a = inv.select(col(idCol).as("id_a"), col("set_size").as("size_a"),
+      col("pos").as("pos_a"), col("sh"))
+    val b = inv.select(col(idCol).as("id_b"), col("set_size").as("size_b"),
+      col("pos").as("pos_b"), col("sh"))
+    // J >= t requires overlap >= ceil(t/(1+t)·(na+nb)); tiny epsilon
+    // guards against over-pruning on floating-point boundaries
+    val minOverlap = ceil((col("size_a") + col("size_b")) * (threshold / (1 + threshold)) - 1e-9)
     val cands = a.join(b, "sh")
       .where(col("id_a") < col("id_b"))
       // length filter: J >= t forces min(na,nb) >= t*max(na,nb), so
       // mismatched-size pairs never reach (array-carrying) verification
       .where(least(col("size_a"), col("size_b")) >=
         greatest(col("size_a"), col("size_b")) * threshold)
+      // positional filter (PPJoin): a match at sorted positions
+      // (pos_a, pos_b) caps the achievable overlap at
+      // 1 + min(remaining_a, remaining_b)
+      .where(lit(1) + least(col("size_a") - col("pos_a") - 1,
+        col("size_b") - col("pos_b") - 1) >= minOverlap)
       .select("id_a", "id_b")
       .distinct()
     val fa = sets.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
