@@ -377,6 +377,10 @@ object SparkEntry {
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))),
 
+    "token_cooccurrence" -> ((s, dir) =>
+      TextAnalysis.tokenCooccurrence(t(s, dir, "documents"), "doc_id", "text", 50L)
+        .select(col("tok_a"), col("tok_b"), col("n_pair"), round(col("lift"), 6).as("lift"))),
+
     // ---- OLAP coverage: lag windows, rollup, exact percentiles ------
     "window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -719,6 +723,20 @@ object SparkEntry {
       """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
          round(sum(o_totalprice), 2) AS total
          FROM orders GROUP BY 1""",
+
+    "token_cooccurrence" ->
+      """WITH dt AS (SELECT DISTINCT doc_id AS doc,
+             unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
+           FROM documents),
+         tf AS (SELECT tok, count(*) AS df_tok FROM dt GROUP BY tok),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         pc AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_pair
+                FROM dt a JOIN dt b ON a.doc = b.doc AND a.tok < b.tok
+                GROUP BY 1, 2 HAVING count(*) >= 50)
+         SELECT pc.tok_a, pc.tok_b, pc.n_pair,
+           round(pc.n_pair::DOUBLE * (SELECT n_docs FROM n) /
+             (fa.df_tok * fb.df_tok)::DOUBLE, 6) AS lift
+         FROM pc JOIN tf fa ON pc.tok_a = fa.tok JOIN tf fb ON pc.tok_b = fb.tok""",
 
     "window_lag" ->
       """SELECT event_id, user_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis kernels for LLM training-data pipelines: tokenization,
@@ -116,6 +116,45 @@ object TextAnalysis {
   def piiFlag(text: Column): Column =
     piiPatterns.map { case (_, pat) => regexp_like(text, lit(pat)) }
       .reduce(_ || _)
+
+  // ---- corpus statistics --------------------------------------------
+
+  /** Document-level token co-occurrence with lift (PMI without the
+    * log — pure integer/rational arithmetic, so results are exactly
+    * reproducible on any engine): for token pairs appearing together
+    * in ≥ minPairDocs documents,
+    * lift = n_xy · N / (n_x · n_y).
+    *
+    * Distributed shape: explode distinct tokens per doc (the
+    * "vocabulary projection"), self-join on doc id for within-doc
+    * pairs, aggregate pair counts, broadcast-join the (small)
+    * per-token document frequencies. No token×token cartesian — only
+    * within-document pairs materialize.
+    */
+  def tokenCooccurrence(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minPairDocs: Long): DataFrame = {
+    val docTokens = df.select(col(idCol).as("doc"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = df.select(count(lit(1))).as("n").head().getLong(0)
+    val tokDf = docTokens.groupBy(col("tok")).agg(count(lit(1)).as("df_tok"))
+    val a = docTokens.select(col("doc"), col("tok").as("tok_a"))
+    val b = docTokens.select(col("doc"), col("tok").as("tok_b"))
+    val pairCounts = a.join(b, "doc")
+      .where(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPairDocs)
+    pairCounts
+      .join(broadcast(tokDf.select(col("tok").as("tok_a"), col("df_tok").as("df_a"))), "tok_a")
+      .join(broadcast(tokDf.select(col("tok").as("tok_b"), col("df_tok").as("df_b"))), "tok_b")
+      .withColumn("lift",
+        col("n_pair").cast("double") * nDocs / (col("df_a") * col("df_b")).cast("double"))
+      .select(col("tok_a"), col("tok_b"), col("n_pair"), col("lift"))
+  }
 
   // ---- fingerprinting -----------------------------------------------
 
