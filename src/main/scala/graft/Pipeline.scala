@@ -103,6 +103,7 @@ final class Pipeline private (
     * once; each branch is a derived plan over the cache.
     */
   def branch(branches: Seq[(String, Transformer)]): (Map[String, DataFrame], Map[String, Any]) = {
+    if (branches.isEmpty) { consume(); return (Map.empty, context.toMap) } // laygo: {} (pipeline.py:518)
     val src = df.persist(StorageLevel.MEMORY_AND_DISK)
     val out = branches.map { case (name, t) => name -> t.run(src, context) }.toMap
     (out, context.toMap)
@@ -115,6 +116,7 @@ final class Pipeline private (
     */
   def branchRouter(
       branches: Seq[(String, Column, Transformer)]): (Map[String, DataFrame], Map[String, Any]) = {
+    if (branches.isEmpty) { consume(); return (Map.empty, context.toMap) } // laygo: {} (pipeline.py:518)
     // First-match chain: when(c1, n1).when(c2, n2)… — order preserved.
     val assign = branches.tail.foldLeft(when(branches.head._2, branches.head._1)) {
       case (acc, (name, cond, _)) => acc.when(cond, name)
