@@ -134,6 +134,7 @@ final class Pipeline private (
     */
   def branchBroadcast(
       branches: Seq[(String, Column, Transformer)]): (Map[String, DataFrame], Map[String, Any]) = {
+    if (branches.isEmpty) { consume(); return (Map.empty, context.toMap) } // laygo: {} (pipeline.py:518)
     val src = df.persist(StorageLevel.MEMORY_AND_DISK)
     val out = branches.map { case (name, cond, t) =>
       name -> t.run(src.where(cond), context)

@@ -281,8 +281,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.6)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
 
+    // threshold 0.8: with 32 bands x 4 rows, P(LSH misses a pair at
+    // exactly J=0.8) = (1-0.8^4)^32 ≈ 5e-8, so the exact-SQL oracle is
+    // safe for any data; at 0.6 the boundary miss rate would be ~1.2%
+    // per pair (data-dependently green only). Lower thresholds remain
+    // available on the operator with the recall math documented.
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text", 0.6)
+      Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text", 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
 
     "dedup_simhash" -> ((s, dir) =>
@@ -597,7 +602,7 @@ object SparkEntry {
                  len(list_intersect(a.sh, b.sh))::DOUBLE /
                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
                FROM s a JOIN s b ON a.doc_id < b.doc_id)
-         SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.6""",
+         SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.8""",
 
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
@@ -725,7 +730,7 @@ object SparkEntry {
          FROM orders GROUP BY 1""",
 
     "token_cooccurrence" ->
-      """WITH dt AS (SELECT DISTINCT doc_id AS doc,
+      """WITH dt AS (SELECT doc_id AS doc,
              unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
            FROM documents),
          tf AS (SELECT tok, count(*) AS df_tok FROM dt GROUP BY tok),
@@ -735,7 +740,7 @@ object SparkEntry {
                 GROUP BY 1, 2 HAVING count(*) >= 50)
          SELECT pc.tok_a, pc.tok_b, pc.n_pair,
            round(pc.n_pair::DOUBLE * (SELECT n_docs FROM n) /
-             (fa.df_tok * fb.df_tok)::DOUBLE, 6) AS lift
+             (fa.df_tok::DOUBLE * fb.df_tok::DOUBLE), 6) AS lift
          FROM pc JOIN tf fa ON pc.tok_a = fa.tok JOIN tf fb ON pc.tok_b = fb.tok""",
 
     "window_lag" ->

@@ -78,8 +78,12 @@ final class Transformer private (
   def tapInto(obs: org.apache.spark.sql.Observation, metric: Column, metrics: Column*): Transformer =
     pipe((df, _) => df.observe(obs, metric, metrics: _*))
 
-  /** Per-row side effect counted into a context accumulator — the
-    * distributed-safe version of laygo's `tap(print)` idiom.
+  /** Per-row side effect counted into a context accumulator — laygo's
+    * `tap(print)` idiom. CAVEAT: accumulator updates inside a
+    * transformation are at-least-once under Spark's execution model —
+    * task retries, speculative execution, or running TWO actions over
+    * the same plan each re-add. Read the counter after exactly one
+    * action, or use `tapInto` (observe) for exactly-once metrics.
     */
   def tapCount(counterName: String): Transformer =
     pipe { (df, ctx) =>

@@ -172,7 +172,10 @@ case class ShingleSet(child: Expression, n: Int)
   protected override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val m = arr.numElements()
-    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    // zero tokens -> one whole-doc shingle of the empty string, matching
+    // TextAnalysis.shingles / the oracle's [''] (so two empty docs are
+    // J=1 duplicates, not silently incomparable)
+    if (m == 0) return new GenericArrayData(Array(FnvOffset))
     val tokenBytes = new Array[Array[Byte]](m)
     var i = 0
     while (i < m) {

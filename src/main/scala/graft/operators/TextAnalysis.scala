@@ -152,7 +152,8 @@ object TextAnalysis {
       .join(broadcast(tokDf.select(col("tok").as("tok_a"), col("df_tok").as("df_a"))), "tok_a")
       .join(broadcast(tokDf.select(col("tok").as("tok_b"), col("df_tok").as("df_b"))), "tok_b")
       .withColumn("lift",
-        col("n_pair").cast("double") * nDocs / (col("df_a") * col("df_b")).cast("double"))
+        col("n_pair").cast("double") * nDocs /
+          (col("df_a").cast("double") * col("df_b").cast("double")))
       .select(col("tok_a"), col("tok_b"), col("n_pair"), col("lift"))
   }
 

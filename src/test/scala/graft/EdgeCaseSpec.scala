@@ -32,7 +32,7 @@ class EdgeCaseSpec extends SparkSpec {
       Dedup.hashedShingleSet(col("text"), 3).as("hs"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).length).toMap
     assert(sets(1L) == 1) // whole-doc shingle
-    assert(sets(2L) == 0) // no tokens -> empty set
+    assert(sets(2L) == 1) // empty text -> one empty-string whole-doc shingle (matches oracle)
     assert(sets(3L) == 1)
     // and the pair ops run without error
     assert(Dedup.ngramJaccardPairs(tiny, "doc_id", "text", 0.5).count() == 0)
