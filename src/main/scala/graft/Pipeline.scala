@@ -28,6 +28,11 @@ final class Pipeline private (
   /** Current logical plan (non-terminal escape hatch). */
   def toDF: DataFrame = df
 
+  /** Typed view of the pipeline for case-class rows (compile-time
+    * field checking; see TypedOps for typed aggregation).
+    */
+  def toDS[T: org.apache.spark.sql.Encoder]: org.apache.spark.sql.Dataset[T] = df.as[T]
+
   private def next(d: DataFrame): Pipeline = new Pipeline(spark, d, context)
 
   /** Attach/override context config — laygo `Pipeline.context`

@@ -24,9 +24,13 @@ object SparkEntry {
   private val tableCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // evict plans owned by other (stopped) sessions so a long-lived JVM
+    // that cycles sessions doesn't pin their state forever
+    tableCache.keys.filter(_._1 ne s).foreach(tableCache.remove)
     tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"),
       s.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Bit-deterministic half-up rounding: floor(x·10ⁿ + 0.5)/10ⁿ uses
     * only IEEE ops, so Spark and the DuckDB oracle compute the exact
