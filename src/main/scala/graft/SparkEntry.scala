@@ -390,6 +390,28 @@ object SparkEntry {
       TextAnalysis.tokenCooccurrence(t(s, dir, "documents"), "doc_id", "text", 50L)
         .select(col("tok_a"), col("tok_b"), col("n_pair"), round(col("lift"), 6).as("lift"))),
 
+    "distinct_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))),
+
+    "filtered_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+          round(sum(when(col("o_totalprice") > 200000, col("o_totalprice"))), 2).as("big_total"),
+          count(lit(1)).as("n"))),
+
+    "string_shape" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(substring(col("c_name"), 1, 8)).as("prefix"),
+        length(col("c_name")).cast("long").as("name_len"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"))),
+
     // ---- OLAP coverage: lag windows, rollup, exact percentiles ------
     "window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -746,6 +768,24 @@ object SparkEntry {
            round(pc.n_pair::DOUBLE * (SELECT n_docs FROM n) /
              (fa.df_tok::DOUBLE * fb.df_tok::DOUBLE), 6) AS lift
          FROM pc JOIN tf fa ON pc.tok_a = fa.tok JOIN tf fb ON pc.tok_b = fb.tok""",
+
+    "distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "filtered_agg" ->
+      """SELECT o_orderstatus,
+         count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+         round(sum(o_totalprice) FILTER (WHERE o_totalprice > 200000), 2) AS big_total,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus""",
+
+    "string_shape" ->
+      """SELECT c_custkey, upper(substr(c_name, 1, 8)) AS prefix,
+         length(c_name)::BIGINT AS name_len,
+         lpad(c_custkey::VARCHAR, 8, '0') AS padded
+         FROM customer""",
 
     "window_lag" ->
       """SELECT event_id, user_id,

@@ -81,4 +81,21 @@ class PlanAuditSpec extends SparkSpec {
     // two HashAggregate levels: partial_<agg> then final
     assert(p.contains("partial_sum") || p.contains("partial"), s"no partial agg:\n$p")
   }
+
+  test("shuffle-count regression pins: headline queries stay within budget") {
+    // number of shuffle exchanges is the scale-defining property of a
+    // plan; a change that adds one should fail loudly here
+    val budgets = Map(
+      "map_project" -> 0, "filter_rows" -> 0, "flatten_explode" -> 0,
+      "reduce_global" -> 1, "reduce_per_key" -> 1,
+      "join_broadcast" -> 1,        // final agg only; dim joins broadcast
+      "first_n" -> 1, "dedup_exact" -> 1,
+      "string_shape" -> 0, "text_langid" -> 0, "text_fingerprint" -> 0)
+    budgets.foreach { case (name, budget) =>
+      val p = plan(name)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size +
+        "Exchange rangepartitioning".r.findAllIn(p).size
+      assert(n <= budget, s"$name: $n shuffles (budget $budget):\n$p")
+    }
+  }
 }
