@@ -223,9 +223,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = ids.select(col(idCol).as("id"), col(idCol).cast("long").as("cluster"))
       .localCheckpoint()
+    // labels only decrease, so the label sum is a strictly decreasing
+    // convergence signal — one cheap aggregate per round instead of a
+    // join-and-count of changed rows
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("cluster"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var it = 0
-    var changed = 1L
-    while (it < maxIters && changed > 0) {
+    var converged = false
+    while (it < maxIters && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src")
           .withColumnRenamed("cluster", "src_cluster"), "src")
@@ -235,8 +241,9 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .where(col("cluster") =!= col("old")).count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       it += 1
     }
