@@ -390,6 +390,16 @@ object SparkEntry {
       TextAnalysis.tokenCooccurrence(t(s, dir, "documents"), "doc_id", "text", 50L)
         .select(col("tok_a"), col("tok_b"), col("n_pair"), round(col("lift"), 6).as("lift"))),
 
+    // raw single-node throughput probe: 100M-row generated scan
+    // through filter+map+agg, entirely inside whole-stage codegen —
+    // the shape laygo's per-item Python loops benchmark, at JVM speed
+    "throughput_rangescan" -> ((s, _) =>
+      Pipeline(s.range(100000000L).toDF("x"))
+        .transform(_.filter(col("x") % 3 === 0)
+          .map((col("x") * 2).as("y"))
+          .reduceGlobal(count(lit(1)).as("n"), sum(col("y")).as("total")))
+        .toDF),
+
     "distinct_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -768,6 +778,10 @@ object SparkEntry {
            round(pc.n_pair::DOUBLE * (SELECT n_docs FROM n) /
              (fa.df_tok::DOUBLE * fb.df_tok::DOUBLE), 6) AS lift
          FROM pc JOIN tf fa ON pc.tok_a = fa.tok JOIN tf fb ON pc.tok_b = fb.tok""",
+
+    "throughput_rangescan" ->
+      """SELECT count(*) AS n, CAST(sum(x * 2) AS BIGINT) AS total
+         FROM range(100000000) t(x) WHERE x % 3 = 0""",
 
     "distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
