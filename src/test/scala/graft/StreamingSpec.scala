@@ -91,4 +91,25 @@ class StreamingSpec extends SparkSpec {
     val users = spark.table("ss_join").collect().map(_.getLong(0)).sorted
     assert(users.toSeq == Seq(1L)) // only the within-window purchase joins
   }
+
+  test("file-stream over the real events table: windowed agg end-to-end") {
+    import graft.sources.Sources
+    val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+    val stream = // directory source (streaming requires a basePath dir); the dir mixes
+    // table schemas, so non-event files surface as null event_type rows
+    Sources.streamParquet(spark, "/root/testdata/sf0.001", schema)
+      .where(org.apache.spark.sql.functions.col("event_type").isNotNull)
+    // ts arrives as ns-long (nanosAsLong); convert for event-time windows
+    val withTs = stream.withColumn("event_time",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))
+    val agg = Streams.windowedAgg(withTs, "event_time", "1 hour", "1 day",
+      Seq(org.apache.spark.sql.functions.col("event_type")),
+      Seq(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")))
+    Streams.runToMemory(agg, "file_stream", OutputMode.Complete())
+    val total = spark.table("file_stream")
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == 1000L) // every event of sf0.001 flowed through the stream
+  }
 }
