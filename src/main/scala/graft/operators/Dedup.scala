@@ -240,7 +240,7 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: the convergence aggregate below materializes it
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
