@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+import graft.operators.Dedup
+
+/** Property-style checks of the native Catalyst expressions against
+  * independent pure-Scala reference implementations over seeded random
+  * inputs (deterministic, 100 cases each). The expressions carry the
+  * dedup/similarity kernels, so divergence from spec = silent wrong
+  * dedup decisions at scale.
+  */
+class NativeExprPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(20260812L)
+  private val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india", "juliet")
+
+  private def randomDoc(): String =
+    Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  /** Pure-Scala FNV-1a shingle hash set mirroring ShingleSet's spec. */
+  private def refShingleSet(text: String, n: Int): Seq[Long] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val windows =
+      if (toks.isEmpty) Seq(Seq.empty[String])
+      else if (toks.length >= n) toks.sliding(n).map(_.toSeq).toSeq
+      else Seq(toks.toSeq)
+    windows.map { w =>
+      var h = 0xcbf29ce484222325L
+      w.foreach { t =>
+        t.getBytes("UTF-8").foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+        h = (h ^ 0x20L) * 0x100000001b3L
+      }
+      h
+    }.distinct.sorted
+  }
+
+  test("ShingleSet matches the pure-Scala reference on 100 random docs") {
+    val docs = (0 until 100).map(i => (i.toLong, randomDoc()))
+    val got = docs.toDF("id", "text")
+      .select(col("id"), Dedup.hashedShingleSet(col("text"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == refShingleSet(text, 3), s"doc $id: '$text'")
+    }
+  }
+
+  test("SortedIntersectSize matches Scala set intersection on 100 random pairs") {
+    val cases = (0 until 100).map { i =>
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(30).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextInt(30).toLong).distinct.sorted
+      (i.toLong, a, b)
+    }
+    val got = cases.toDF("id", "a", "b")
+      .select(col("id"), VectorExprs.sortedIntersectSize(col("a"), col("b")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    cases.foreach { case (id, a, b) =>
+      assert(got(id) == (a.toSet & b.toSet).size, s"case $id: $a vs $b")
+    }
+  }
+
+  test("DotProduct matches a sequential Scala fold exactly on 100 random vectors") {
+    val cases = (0 until 100).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() - 0.5), Array.fill(64)(rnd.nextDouble() - 0.5))
+    }
+    val got = cases.toDF("id", "a", "b")
+      .select(col("id"), VectorExprs.dotp(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cases.foreach { case (id, a, b) =>
+      var s = 0.0
+      var k = 0
+      while (k < 64) { s += a(k) * b(k); k += 1 }
+      assert(got(id) == s, s"case $id") // bitwise equality
+    }
+  }
+
+  test("MinHashSig: same input same signature; supersets only lower slots") {
+    val base = Seq.fill(40)(rnd.nextLong()).distinct
+    val superset = base ++ Seq.fill(10)(rnd.nextLong())
+    val df = Seq((1L, base), (2L, base), (3L, superset)).toDF("id", "hs")
+      .select(col("id"), VectorExprs.minhashSig(col("hs"), 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(df(1L) == df(2L), "identical input must give identical signature")
+    df(1L).zip(df(3L)).foreach { case (s1, s3) =>
+      assert(s3 <= s1, "adding elements can only lower a min-hash slot")
+    }
+  }
+
+  test("minhash jaccard estimate tracks true jaccard on random doc pairs") {
+    // signature agreement rate ≈ J within sampling error (128 slots)
+    val doc1 = Seq.fill(60)(rnd.nextLong()).distinct
+    val overlap = doc1.take(30)
+    val doc2 = (overlap ++ Seq.fill(30)(rnd.nextLong())).distinct
+    val trueJ = (doc1.toSet & doc2.toSet).size.toDouble / (doc1.toSet | doc2.toSet).size
+    val sigs = Seq((1L, doc1), (2L, doc2)).toDF("id", "hs")
+      .select(col("id"), VectorExprs.minhashSig(col("hs"), 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 128.0
+    assert(math.abs(agree - trueJ) < 0.15, s"estimate $agree vs true $trueJ")
+  }
+}
