@@ -51,6 +51,10 @@ object VectorExprs {
   /** nBits-bit random-hyperplane LSH bucket of a double vector. */
   def hyperplaneBucket(vec: Column, nBits: Int): Column =
     GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), nBits))
+
+  /** One-pass 64-bit SimHash of a token array. */
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
 }
 
 /** Sequential-order dot product of two double arrays (codegen'd). */
@@ -277,5 +281,45 @@ case class HyperplaneBucket(child: Expression, nBits: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array in one pass — no explode, no
+  * shuffle: per token, an FNV-1a hash votes ±1 on each of 64 bit
+  * counters; the sign vector is the fingerprint. Per-doc computable,
+  * so the only shuffle in simhash dedup is the band join.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val bs = arr.getUTF8String(i).getBytes
+      var h = 0xcbf29ce484222325L
+      var b = 0
+      while (b < bs.length) { h = (h ^ (bs(b) & 0xffL)) * 0x100000001b3L; b += 1 }
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }

@@ -252,24 +252,16 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------
 
-  /** 64-bit SimHash per doc: sum ±1 per bit over token xxhash64s, take
-    * the sign bit-vector. Explode + 64 conditional sums + recombine;
-    * one shuffle keyed by doc id.
+  /** 64-bit SimHash per doc: each token's hash votes ±1 on 64 bit
+    * counters; the sign vector is the fingerprint. Native one-pass
+    * expression — per-doc computable in the scan stage, so simhash
+    * generation involves NO explode and NO shuffle (the band join for
+    * pairing is the only exchange in the dedup).
     */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = rebalance(df).select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { bit =>
-      sum(when(shiftright(col("th"), bit).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"b$bit")
-    }
-    val summed = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hashExpr = (0 until 64)
-      .map(bit => when(col(s"b$bit") > 0, lit(1L << bit)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    summed.select(col(idCol), hashExpr.as("simhash"))
-  }
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    rebalance(df).select(col(idCol),
+      graft.functions.VectorExprs.simhash64(
+        TextAnalysis.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Blocking: split the 64-bit hash into 4 bands of 16 bits; any pair
