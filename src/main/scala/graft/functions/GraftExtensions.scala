@@ -26,13 +26,22 @@ object GraftExtensions {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft.functions", name)
 
+  private def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+
   private[functions] val definitions
       : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("dotp", info("dotp"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
     ("minhash_sig", info("minhash_sig"),
-      (exprs: Seq[Expression]) => MinHashSig(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0), intArg(exprs(1)))),
+    ("shingle_set", info("shingle_set"),
+      (exprs: Seq[Expression]) => ShingleSet(exprs(0), intArg(exprs(1)))),
+    ("sorted_intersect_size", info("sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))),
+    ("hyperplane_bucket", info("hyperplane_bucket"),
+      (exprs: Seq[Expression]) => HyperplaneBucket(exprs(0), intArg(exprs(1)))),
+    ("simhash64", info("simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
 
   /** Imperative registration into an existing session. */
   def register(spark: SparkSession): Unit =

@@ -49,6 +49,16 @@ class SkewExtensionsSpec extends SparkSpec {
       "SELECT minhash_sig(transform(array('a','b','c'), s -> hash(s)), 16) AS s")
       .collect().head.getSeq[Long](0)
     assert(sig == sig2)
+    // full native-kernel surface: shingle sets, intersection, simhash,
+    // hyperplane buckets all callable from SQL
+    val row = spark.sql(
+      """SELECT sorted_intersect_size(shingle_set(array('a','b','c','d'), 3),
+         shingle_set(array('a','b','c','x'), 3)) AS inter,
+         simhash64(array('w1','w2')) AS sh,
+         hyperplane_bucket(array(1.0d, -2.0d, 0.5d), 4) AS hb""").collect().head
+    assert(row.getInt(0) == 1)  // shared shingle: "a b c"
+    assert(row.getLong(1) != 0L)
+    assert(row.getLong(2) >= 0L && row.getLong(2) < 16L)
   }
 
   test("approx_count_distinct stays within 5% of exact (scale-path aggregate)") {
