@@ -25,9 +25,10 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // evict plans owned by other (stopped) sessions so a long-lived JVM
-    // that cycles sessions doesn't pin their state forever
-    tableCache.keys.filter(_._1 ne s).foreach(tableCache.remove)
+    // evict plans owned by STOPPED sessions so a long-lived JVM that
+    // cycles sessions doesn't pin their state (live sessions keep theirs)
+    tableCache.keys.filter(k => (k._1 ne s) && k._1.sparkContext.isStopped)
+      .foreach(tableCache.remove)
     tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"),
       s.read.parquet(s"$dir/$name.parquet"))
   }

@@ -26,7 +26,12 @@ object GraftExtensions {
   private def info(name: String): ExpressionInfo =
     new ExpressionInfo("graft.functions", name)
 
-  private def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
+  private def intArg(e: Expression): Int = {
+    require(e.foldable, "graft function: size argument must be a constant")
+    val v = e.eval()
+    require(v != null, "graft function: size argument must be non-null")
+    v.asInstanceOf[Number].intValue()
+  }
 
   private[functions] val definitions
       : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -57,6 +57,32 @@ object VectorExprs {
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
 }
 
+/** Shared FNV-1a 64-bit primitives — single source of truth for the
+  * cross-engine-deterministic hash contract used by ShingleSet and
+  * SimHash64.
+  */
+private[functions] object Fnv {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime  = 0x100000001b3L
+  def mixBytes(h0: Long, bs: Array[Byte]): Long = {
+    var h = h0
+    var b = 0
+    while (b < bs.length) { h = (h ^ (bs(b) & 0xffL)) * Prime; b += 1 }
+    h
+  }
+}
+
+/** Helper: analysis-time type check for array-input expressions. */
+private[functions] object ExprChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def requireArray(dt: DataType, elem: DataType, what: String): TypeCheckResult =
+    dt match {
+      case ArrayType(e, _) if e == elem => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$what requires array<${elem.simpleString}>, got ${other.simpleString}")
+    }
+}
+
 /** Sequential-order dot product of two double arrays (codegen'd). */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -170,8 +196,8 @@ case class ShingleSet(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime  = 0x100000001b3L
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.requireArray(child.dataType, StringType, "shingle_set")
 
   protected override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -179,11 +205,13 @@ case class ShingleSet(child: Expression, n: Int)
     // zero tokens -> one whole-doc shingle of the empty string, matching
     // TextAnalysis.shingles / the oracle's [''] (so two empty docs are
     // J=1 duplicates, not silently incomparable)
-    if (m == 0) return new GenericArrayData(Array(FnvOffset))
+    if (m == 0) return new GenericArrayData(Array(Fnv.Offset))
     val tokenBytes = new Array[Array[Byte]](m)
     var i = 0
     while (i < m) {
-      tokenBytes(i) = arr.getUTF8String(i).getBytes
+      // null tokens hash as empty (null-safe for SQL-surface callers)
+      val u = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      tokenBytes(i) = if (u == null) Array.emptyByteArray else u.getBytes
       i += 1
     }
     val count = if (m >= n) m - n + 1 else 1
@@ -191,16 +219,11 @@ case class ShingleSet(child: Expression, n: Int)
     val out = new Array[Long](count)
     var w = 0
     while (w < count) {
-      var h = FnvOffset
+      var h = Fnv.Offset
       var t = 0
       while (t < width) {
-        val bs = tokenBytes(w + t)
-        var b = 0
-        while (b < bs.length) {
-          h = (h ^ (bs(b) & 0xffL)) * FnvPrime
-          b += 1
-        }
-        h = (h ^ 0x20L) * FnvPrime // token separator
+        h = Fnv.mixBytes(h, tokenBytes(w + t))
+        h = (h ^ 0x20L) * Fnv.Prime // token separator
         t += 1
       }
       out(w) = h
@@ -294,22 +317,25 @@ case class SimHash64(child: Expression)
 
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.requireArray(child.dataType, StringType, "simhash64")
+
   protected override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val m = arr.numElements()
     val counts = new Array[Int](64)
     var i = 0
     while (i < m) {
+      if (arr.isNullAt(i)) { i += 1 } else {
       val bs = arr.getUTF8String(i).getBytes
-      var h = 0xcbf29ce484222325L
-      var b = 0
-      while (b < bs.length) { h = (h ^ (bs(b) & 0xffL)) * 0x100000001b3L; b += 1 }
+      val h = Fnv.mixBytes(Fnv.Offset, bs)
       var bit = 0
       while (bit < 64) {
         if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
         bit += 1
       }
       i += 1
+      }
     }
     var out = 0L
     var bit = 0

@@ -223,12 +223,6 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = ids.select(col(idCol).as("id"), col(idCol).cast("long").as("cluster"))
       .localCheckpoint()
-    // labels only decrease, so the label sum is a strictly decreasing
-    // convergence signal — one cheap aggregate per round instead of a
-    // join-and-count of changed rows
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("cluster"))).head().getLong(0)
-    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
@@ -237,14 +231,16 @@ object Dedup {
           .withColumnRenamed("cluster", "src_cluster"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("src_cluster")).as("nbr_cluster"))
+      // convergence flag computed in the same pass (labels only ever
+      // decrease): no extra join, no overflow-prone label sums, and an
+      // early-exit isEmpty probe on the checkpointed round output
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"))
-        .localCheckpoint(false) // lazy: the convergence aggregate below materializes it
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster"))).as("cluster"),
+          (coalesce(col("nbr_cluster"), col("cluster")) < col("cluster")).as("changed"))
+        .localCheckpoint(false) // lazy: the probe below materializes it
+      converged = next.where(col("changed")).isEmpty
+      labels = next.select(col("id"), col("cluster"))
       it += 1
     }
     labels
@@ -259,9 +255,15 @@ object Dedup {
     * pairing is the only exchange in the dedup).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    rebalance(df).select(col(idCol),
-      graft.functions.VectorExprs.simhash64(
-        TextAnalysis.tokens(col(textCol))).as("simhash"))
+    rebalance(df)
+      // empty docs carry no signal and would all share simhash 0 — at
+      // web-crawl scale that one degenerate value becomes a quadratic
+      // pair blowup in the band join, so they are excluded (matching
+      // the previous explode-based behavior)
+      .where(size(TextAnalysis.tokens(col(textCol))) > 0)
+      .select(col(idCol),
+        graft.functions.VectorExprs.simhash64(
+          TextAnalysis.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     * Blocking: split the 64-bit hash into 4 bands of 16 bits; any pair
