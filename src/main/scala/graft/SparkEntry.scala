@@ -391,6 +391,19 @@ object SparkEntry {
       TextAnalysis.tokenCooccurrence(t(s, dir, "documents"), "doc_id", "text", 50L)
         .select(col("tok_a"), col("tok_b"), col("n_pair"), round(col("lift"), 6).as("lift"))),
 
+    // cross-modal: text-quality gate joined to the embedding table
+    // (broadcast the filtered doc side into the vector corpus)
+    "crossmodal_join" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val quality = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text"), toks).as("quality"))
+        .where(col("quality") > 0.5)
+      t(s, dir, "embeddings")
+        .join(broadcast(quality), col("vec_id") === col("doc_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), round(avg(col("quality")), 4).as("avg_quality"))
+    }),
+
     // raw single-node throughput probe: 100M-row generated scan
     // through filter+map+agg, entirely inside whole-stage codegen —
     // the shape laygo's per-item Python loops benchmark, at JVM speed
@@ -779,6 +792,22 @@ object SparkEntry {
            round(pc.n_pair::DOUBLE * (SELECT n_docs FROM n) /
              (fa.df_tok::DOUBLE * fb.df_tok::DOUBLE), 6) AS lift
          FROM pc JOIN tf fa ON pc.tok_a = fa.tok JOIN tf fb ON pc.tok_b = fb.tok""",
+
+    "crossmodal_join" ->
+      """WITH t AS (SELECT doc_id, text,
+                      list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents),
+         q AS (SELECT doc_id,
+           least(1.0, greatest(0.0,
+             0.2 + 0.01 * len(toks) +
+             len(list_filter(toks,
+               x -> x IN ('the','a','of','and','is','to','in','it','that','for')))::DOUBLE /
+               greatest(len(toks), 1) -
+             5.0 * length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+               greatest(length(text), 1))) AS quality
+           FROM t)
+         SELECT label, count(*) AS n, round(avg(quality), 4) AS avg_quality
+         FROM embeddings JOIN q ON vec_id = doc_id
+         WHERE quality > 0.5 GROUP BY label""",
 
     "throughput_rangescan" ->
       """SELECT count(*) AS n, CAST(sum(x * 2) AS BIGINT) AS total
