@@ -86,4 +86,17 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
+
+  test("clusters: maxIters caps propagation (long chain partially converges)") {
+    import spark.implicits._
+    val chain = (1L to 5L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
+    val ids = (1L to 5L).toDF("doc_id")
+    val one = Dedup.clusters(chain, ids, "doc_id", maxIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one round: each node adopts min over direct neighbors only
+    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    val full = Dedup.clusters(chain, ids, "doc_id", maxIters = 10)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(full.toSeq == Seq(1L)) // fully converged: single component
+  }
 }

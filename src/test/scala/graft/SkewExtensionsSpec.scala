@@ -67,4 +67,13 @@ class SkewExtensionsSpec extends SparkSpec {
     val approx = li.select(approx_count_distinct(col("l_partkey"))).collect().head.getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx exact=$exact")
   }
+
+  test("saltedJoin supports outer semantics: unmatched fact rows survive a left join") {
+    val fact = Seq((1, "a"), (2, "b"), (9, "orphan")).toDF("k", "payload")
+    val dim  = Seq((1, "one"), (2, "two")).toDF("k", "name")
+    val out = Skew.saltedJoin(fact, dim, "k", 4, joinType = "left")
+      .select("k", "payload", "name").collect()
+      .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(out == Set((1, "a", "one"), (2, "b", "two"), (9, "orphan", null)))
+  }
 }

@@ -112,4 +112,27 @@ class StreamingSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
     assert(total == 1000L) // every event of sf0.001 flowed through the stream
   }
+
+  test("watermark drops late data and bounds state (append-mode windowed agg)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "k", "v")
+    val agg = Streams.windowedAgg(df, "ts", "5 minutes", "10 minutes",
+      Seq(col("k")), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("late_stream")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: event at 10:01; batch 2 advances event time to 10:40,
+    // closing the [10:00,10:10) window (watermark 10:35 > window end)
+    in.addData((ts(1), "a", 1.0)); q.processAllAvailable()
+    in.addData((ts(40), "a", 1.0)); q.processAllAvailable()
+    // batch 3: a LATE event for the closed 10:00 window must be dropped
+    in.addData((ts(2), "a", 99.0)); q.processAllAvailable()
+    in.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "a", 1.0)); q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("late_stream")
+      .select(col("window.start").cast("string"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // the first window emitted exactly 1 event — the late 99.0 never counted
+    assert(emitted("2024-01-01 10:00:00") == 1L, s"late data not dropped: $emitted")
+  }
 }
