@@ -298,9 +298,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", 3)),
 
+    // clustering input is the EXACT Jaccard pair set (PPJoin), not
+    // minhash: LSH recall at threshold 0.6 is ~98.8% per pair, which
+    // would make the recursive-CTE oracle only data-dependently green;
+    // exact pairs make the green hash provable for any corpus
     "dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.6)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6)
       Dedup.clusters(pairs, docs, "doc_id")
         .select(col("id").as("doc_id"), col("cluster"))
     }),

@@ -210,9 +210,13 @@ object Dedup {
 
   /** Duplicate clusters from near-dup pairs: connected components by
     * iterative min-label propagation (each node adopts the smallest
-    * label among itself and its neighbors until fixpoint). Iterations
-    * ≈ component diameter — near-dup clusters are shallow, so a small
-    * cap suffices; each round localCheckpoints to cut lineage. This is
+    * label among itself and its neighbors), accelerated by pointer
+    * jumping (each node then adopts its label's label). Plain
+    * propagation needs ~diameter rounds — a pathological chain-shaped
+    * component (mirror farms produce them) would need thousands; the
+    * jump halves remaining depth every round, so convergence is
+    * O(log diameter) and the default cap genuinely covers web-scale
+    * components. Each round localCheckpoints to cut lineage. This is
     * how pair output becomes a "keep one per cluster" dedup decision.
     *
     * @return (id, cluster) where cluster = min id of the component
@@ -240,7 +244,16 @@ object Dedup {
           (coalesce(col("nbr_cluster"), col("cluster")) < col("cluster")).as("changed"))
         .localCheckpoint(false) // lazy: the probe below materializes it
       converged = next.where(col("changed")).isEmpty
-      labels = next.select(col("id"), col("cluster"))
+      // pointer jump: follow each label to ITS label. Labels only ever
+      // decrease, so this is sound at any point; it is what turns
+      // diameter-bound convergence into log-bound (large-component
+      // guard). At neighbor-fixpoint labels are constant per component
+      // and the jump is a no-op, so the convergence probe stays exact.
+      val prev = next.select(col("id"), col("cluster"))
+      labels = prev
+        .join(prev.select(col("id").as("cluster"), col("cluster").as("parent")),
+          Seq("cluster"), "left")
+        .select(col("id"), coalesce(col("parent"), col("cluster")).as("cluster"))
       it += 1
     }
     labels

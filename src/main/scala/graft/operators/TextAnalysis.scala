@@ -135,11 +135,18 @@ object TextAnalysis {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      minPairDocs: Long): DataFrame = {
+      minPairDocs: Long,
+      maxTokensPerDoc: Int = 5000): DataFrame = {
+    // heavy-tail guard: a single pathological doc with 10⁵ distinct
+    // tokens would emit 5·10⁹ within-doc pairs; cap the per-doc
+    // vocabulary projection (first occurrences win — deterministic)
     val docTokens = df.select(col(idCol).as("doc"),
-      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      explode(slice(array_distinct(tokens(col(textCol))), 1, maxTokensPerDoc)).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = df.select(count(lit(1))).as("n").head().getLong(0)
+    // corpus size stays IN the plan (single-row broadcast cross-join):
+    // building this operator must not trigger a Spark job (SURVEY §4
+    // rule 1 — no materialization inside operators)
+    val nDocsDf = df.select(count(lit(1)).as("n_docs"))
     val tokDf = docTokens.groupBy(col("tok")).agg(count(lit(1)).as("df_tok"))
     val a = docTokens.select(col("doc"), col("tok").as("tok_a"))
     val b = docTokens.select(col("doc"), col("tok").as("tok_b"))
@@ -151,8 +158,9 @@ object TextAnalysis {
     pairCounts
       .join(broadcast(tokDf.select(col("tok").as("tok_a"), col("df_tok").as("df_a"))), "tok_a")
       .join(broadcast(tokDf.select(col("tok").as("tok_b"), col("df_tok").as("df_b"))), "tok_b")
+      .crossJoin(broadcast(nDocsDf))
       .withColumn("lift",
-        col("n_pair").cast("double") * nDocs /
+        col("n_pair").cast("double") * col("n_docs").cast("double") /
           (col("df_a").cast("double") * col("df_b").cast("double")))
       .select(col("tok_a"), col("tok_b"), col("n_pair"), col("lift"))
   }

@@ -93,10 +93,23 @@ class DedupSpec extends SparkSpec {
     val ids = (1L to 5L).toDF("doc_id")
     val one = Dedup.clusters(chain, ids, "doc_id", maxIters = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // one round: each node adopts min over direct neighbors only
-    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // one round = neighbor-min then pointer jump: 3 reaches 1 via its
+    // label's label, 4/5 land on their neighbor-min's jumped label
+    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
     val full = Dedup.clusters(chain, ids, "doc_id", maxIters = 10)
       .collect().map(r => r.getLong(1)).distinct
     assert(full.toSeq == Seq(1L)) // fully converged: single component
+  }
+
+  test("clusters: pointer jumping converges a 64-node chain in <=8 rounds") {
+    import spark.implicits._
+    // plain min-label propagation needs 63 rounds for this worst-case
+    // path graph; the jump makes depth shrink superlinearly — the
+    // large-component guard for web-scale duplicate clusters
+    val chain = (1L to 64L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
+    val ids = (1L to 64L).toDF("doc_id")
+    val out = Dedup.clusters(chain, ids, "doc_id", maxIters = 8)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(out.toSeq == Seq(1L), s"chain not fully converged: ${out.toSeq}")
   }
 }

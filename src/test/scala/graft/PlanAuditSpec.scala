@@ -101,6 +101,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial"), s"no partial agg:\n$p")
   }
 
+  test("operator plan-build triggers no Spark jobs (SURVEY §4 rule 1)") {
+    // tokenCooccurrence used to .head() the corpus count at build time;
+    // the count must stay in the plan (broadcast cross-join)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    // resolve the source first: parquet schema/footer reads may run a
+    // job of their own and are not what this test pins
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.schema
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = graft.operators.TextAnalysis.tokenCooccurrence(docs, "doc_id", "text", 5L)
+      df.queryExecution.executedPlan // force full planning, no action
+      Thread.sleep(500)              // let async listener events drain
+      assert(jobs.get() == 0, s"plan build ran ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("shuffle-count regression pins: headline queries stay within budget") {
     // number of shuffle exchanges is the scale-defining property of a
     // plan; a change that adds one should fail loudly here
