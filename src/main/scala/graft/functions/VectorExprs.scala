@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.types._
@@ -136,7 +136,7 @@ case class DotProduct(left: Expression, right: Expression)
   * clusters, and releases.
   */
 case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val P: Long = 2147483647L
 
@@ -159,8 +159,13 @@ case class MinHashSig(child: Expression, numHashes: Int)
     case _                         => false
   }
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Kernel body, also the codegen target ([[doGenCode]] emits a call
+    * through a reference object — no per-row InternalRow or boxing).
+    */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(P)
     var i = 0
@@ -178,6 +183,12 @@ case class MinHashSig(child: Expression, numHashes: Int)
     new GenericArrayData(mins)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
@@ -192,15 +203,18 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * bytes is deterministic across runs, engines, and releases.
   */
 case class ShingleSet(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     ExprChecks.requireArray(child.dataType, StringType, "shingle_set")
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Kernel body, also the codegen target. */
+  def compute(arr: ArrayData): ArrayData = {
     val m = arr.numElements()
     // zero tokens -> one whole-doc shingle of the empty string, matching
     // TextAnalysis.shingles / the oracle's [''] (so two empty docs are
@@ -240,19 +254,27 @@ case class ShingleSet(child: Expression, n: Int)
     new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSet", this, classOf[ShingleSet].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
     copy(child = newChild)
 }
 
 /** Intersection cardinality of two sorted long arrays (merge walk). */
 case class SortedIntersectSize(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
 
-  protected override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  /** Kernel body, also the codegen target (primitive int — unboxed). */
+  def compute(x: ArrayData, y: ArrayData): Int = {
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0
@@ -268,6 +290,13 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     c
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedIntersect", this,
+      classOf[SortedIntersectSize].getName)
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = $ref.compute($x, $y);")
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
     copy(left = l, right = r)
 }
@@ -278,7 +307,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   * nBits×dims element_at expression tree.
   */
 case class HyperplaneBucket(child: Expression, nBits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -288,8 +317,11 @@ case class HyperplaneBucket(child: Expression, nBits: Int)
     if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
   }
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Kernel body, also the codegen target (primitive long — unboxed). */
+  def compute(v: ArrayData): Long = {
     val dims = v.numElements()
     var bucket = 0L
     var bit = 0
@@ -303,6 +335,13 @@ case class HyperplaneBucket(child: Expression, nBits: Int)
     bucket
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneBucket", this,
+      classOf[HyperplaneBucket].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
 }
@@ -313,15 +352,18 @@ case class HyperplaneBucket(child: Expression, nBits: Int)
   * so the only shuffle in simhash dedup is the band join.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     ExprChecks.requireArray(child.dataType, StringType, "simhash64")
 
-  protected override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Kernel body, also the codegen target (primitive long — unboxed). */
+  def compute(arr: ArrayData): Long = {
     val m = arr.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -344,6 +386,12 @@ case class SimHash64(child: Expression)
       bit += 1
     }
     out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash64", this, classOf[SimHash64].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
