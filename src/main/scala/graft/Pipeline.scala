@@ -92,6 +92,23 @@ final class Pipeline private (
     ((), context.toMap)
   }
 
+  /** Arrival-order driver consumption — laygo's threaded strategy with
+    * `ordered=False` (strategies/threaded.py:13): the handler receives
+    * each chunk's rows AS ITS TASK COMPLETES, not in partition-index
+    * order, so a straggler partition never blocks results that are
+    * already done. (`iterator`/`toList` restore deterministic order;
+    * this sink deliberately does not.) One partition's rows are
+    * buffered at a time on the driver per completion — bounded like
+    * `toLocalIterator`, but without its head-of-line blocking.
+    */
+  def eachArrival(f: Seq[Row] => Unit): (Unit, Map[String, Any]) = {
+    spark.sparkContext.runJob(
+      df.rdd,
+      (rows: Iterator[Row]) => rows.toArray,
+      (_: Int, rows: Array[Row]) => f(rows.toSeq))
+    ((), context.toMap)
+  }
+
   /** Full materialization without result movement — laygo `consume`
     * (pipeline.py:346). The noop sink executes the complete plan
     * (side effects, observe metrics, accumulators all fire).

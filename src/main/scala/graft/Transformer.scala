@@ -126,6 +126,28 @@ final class Transformer private (
       else df.repartition(numPartitions, keys: _*)
     }
 
+  /** Rows-per-chunk sizing — laygo `chunk_size` (transformer.py:36),
+    * the reference's default chunking knob. The partition count comes
+    * from the optimizer's PLAN-TIME row estimate (CBO rowCount when
+    * available, else sizeInBytes over the schema's row width) — no job
+    * runs at build time, per SURVEY §4 rule 1. The estimate makes the
+    * chunk size approximate, which is the right trade: an exact count
+    * would cost a full extra pass over 100 TB before the real work.
+    */
+  def setChunkerByRows(rowsPerChunk: Long): Transformer = {
+    require(rowsPerChunk >= 1, "rowsPerChunk must be at least 1")
+    pipe { (df, _) =>
+      val stats = df.queryExecution.optimizedPlan.stats
+      val estRows = stats.rowCount.map(_.toLong).getOrElse {
+        val rowWidth = math.max(1, df.schema.defaultSize)
+        (stats.sizeInBytes / rowWidth).min(BigInt(Long.MaxValue)).toLong
+      }
+      val parts = ((estRows + rowsPerChunk - 1) / rowsPerChunk)
+        .max(1L).min(1 << 20).toInt
+      df.repartition(parts)
+    }
+  }
+
   // ---- control flow (transformer.py:346,537) ------------------------
 
   /** Iterate `body` while `condition(df)` holds, at most `maxIterations`

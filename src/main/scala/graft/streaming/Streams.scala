@@ -123,4 +123,20 @@ object Streams {
     q.processAllAvailable()
     q.stop()
   }
+
+  /** One-shot batch-over-stream execution with Trigger.AvailableNow:
+    * processes everything available at start time (possibly as several
+    * rate-limited micro-batches) and terminates. This is the mode the
+    * batch↔streaming equivalence harness runs — same parquet in, same
+    * rows out as the batch operator.
+    */
+  def runToMemoryAvailableNow(df: DataFrame, name: String, outputMode: OutputMode): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

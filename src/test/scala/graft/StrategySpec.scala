@@ -34,6 +34,33 @@ class StrategySpec extends SparkSpec {
     assert(parts.map(_.getLong(1)).sum == 64)
   }
 
+  test("arrival-order sink streams chunks as tasks complete (ordered=False)") {
+    // laygo create_threaded_transformer(ordered=False): results surface
+    // per completed chunk with no global order restoration. Delivery
+    // order is scheduler-dependent (unassertable); the contract pinned
+    // here: every row arrives exactly once, grouped by chunk, with no
+    // sort anywhere in the executed plan.
+    val p = Pipeline((1 to 400).toDF("x")).transform(_.setChunker(8))
+    assert(!p.toDF.queryExecution.executedPlan.toString.contains("Sort"),
+      "arrival-order path must not sort")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    p.eachArrival(rows => seen.synchronized { seen += rows.map(_.getInt(0)); () })
+    assert(seen.size == 8, s"expected 8 chunk deliveries, got ${seen.size}")
+    assert(seen.flatten.sorted == (1 to 400), "rows lost or duplicated")
+  }
+
+  test("setChunkerByRows sizes partitions from the plan-time row estimate") {
+    // 1200 local rows at 100 rows/chunk -> 12 partitions, ~100 rows
+    // each (local relations carry exact row counts in plan stats)
+    val p = Pipeline((1 to 1200).toDF("x")).transform(_.setChunkerByRows(100))
+    val counts = p.toDF.groupBy(spark_partition_id().as("pid"))
+      .count().collect().map(_.getLong(1))
+    assert(counts.length == 12, s"expected 12 chunks, got ${counts.length}")
+    assert(counts.forall(n => n >= 80 && n <= 120),
+      s"chunk sizes far from 100: ${counts.mkString(",")}")
+    assert(counts.sum == 1200)
+  }
+
   // ---- text analysis kernels ---------------------------------------
 
   test("tokens drops empty strings from repeated spaces") {

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.sources.Sources
+import graft.streaming.Streams
+
+/** Batch ↔ streaming equivalence harness: each streaming mirror runs
+  * one-shot (Trigger.AvailableNow for file streams) over the SAME
+  * parquet input as its batch counterpart and must produce the
+  * identical row set — hard evidence the mirrors share semantics, not
+  * just shape. This is the streaming analogue of the DuckDB oracle:
+  * the batch operator (itself oracle-checked) is the reference.
+  */
+class StreamingEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  private lazy val eventsSchema =
+    spark.read.parquet(s"$sfDir/events.parquet").schema
+
+  /** Stream over the sf dir restricted to events rows, with the ns-long
+    * ts column converted to an event-time timestamp (same expression the
+    * batch side uses, so values are bit-identical).
+    */
+  private def eventsStream: DataFrame =
+    Sources.streamParquet(spark, sfDir, eventsSchema)
+      .where(col("event_type").isNotNull)
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  private def eventsBatch: DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+
+  test("windowedAgg (AvailableNow) == batch tumbling-window aggregate") {
+    val streamed = Streams.windowedAgg(eventsStream, "event_time", "1 hour", "1 day",
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v")))
+      .select(col("window.start").cast("string").as("ws"),
+        col("event_type"), col("n"), col("v"))
+    Streams.runToMemoryAvailableNow(streamed, "eq_windowed", OutputMode.Complete())
+    val batch = eventsBatch
+      .groupBy(window(col("event_time"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(col("window.start").cast("string").as("ws"),
+        col("event_type"), col("n"), col("v"))
+    assert(rowSet(spark.table("eq_windowed")) == rowSet(batch),
+      "streaming windowed aggregate diverged from batch")
+  }
+
+  test("dedupWithinWatermark (AvailableNow) == batch distinct keys") {
+    // watermark horizon longer than the data span -> exact dedup, the
+    // same contract as batch Dedup.exact on the key column
+    val out = Streams.dedupWithinWatermark(
+      eventsStream, "event_time", "3650 days", Seq("user_id"))
+      .select(col("user_id"))
+    Streams.runToMemoryAvailableNow(out, "eq_dedup", OutputMode.Append())
+    val streamKeys = spark.table("eq_dedup").collect().map(_.getLong(0)).toSet
+    val batchKeys = eventsBatch.select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(streamKeys == batchKeys, "streaming dedup keys diverged from batch distinct")
+  }
+
+  test("Transformer map/filter over a file stream (AvailableNow) == batch") {
+    val t = Transformer.identity
+      .filter(col("event_type") === "purchase")
+      .map(col("event_id"), col("user_id"), round(col("value") * 2, 2).as("v2"))
+    val streamed = t.run(eventsStream.drop("event_time"), PipelineContext(spark))
+    Streams.runToMemoryAvailableNow(streamed, "eq_transform", OutputMode.Append())
+    val batch = t.run(spark.read.parquet(s"$sfDir/events.parquet"), PipelineContext(spark))
+    assert(rowSet(spark.table("eq_transform")) == rowSet(batch),
+      "streaming transformer output diverged from batch")
+  }
+
+  test("runningTotals final per-key state == batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(("a", 1.5), ("b", 2.0), ("a", 3.0), ("c", 4.25), ("b", 0.5), ("a", 1.0))
+    val in = MemoryStream[(String, Double)]
+    in.addData(data: _*)
+    val out = Streams.runningTotals(in.toDS())
+    Streams.runToMemory(out.toDF(), "eq_running", OutputMode.Update())
+    // the last update per key carries the final running totals
+    val finals = spark.table("eq_running").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+    val batch = data.toDF("k", "v").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finals == batch, s"streaming state $finals != batch $batch")
+  }
+}
