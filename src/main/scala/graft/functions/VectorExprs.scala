@@ -14,8 +14,12 @@ import org.apache.spark.sql.types._
   * evaluate their lambda per element with no codegen (CodegenFallback),
   * which makes O(pairs·dims) kernels interpreter-bound. These
   * expressions run the same arithmetic in tight JVM loops — same
-  * operation order, bit-identical results — and `DotProduct` joins
-  * whole-stage codegen so the 100 TB hot path stays compiled.
+  * operation order, bit-identical results — and every one of them
+  * participates in whole-stage codegen (`DotProduct` emits its loop
+  * inline; the others emit a call to their kernel method through a
+  * codegen reference object — no per-row InternalRow, no boxing for
+  * the primitive-returning kernels), so the 100 TB hot path stays
+  * compiled end to end.
   */
 object VectorExprs {
 
