@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -401,6 +401,24 @@ object SparkEntry {
     "token_cooccurrence" -> ((s, dir) =>
       TextAnalysis.tokenCooccurrence(t(s, dir, "documents"), "doc_id", "text", 50L)
         .select(col("tok_a"), col("tok_b"), col("n_pair"), round(col("lift"), 6).as("lift"))),
+
+    // ---- §2b: corpus assembly ---------------------------------------
+    // deterministic language-mix rebalancing: per-stratum keep rates
+    // decided by a row-local Lehmer hash (reproducible in any engine)
+    "sample_stratified" -> ((s, dir) =>
+      Corpus.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.8, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.3, "zh" -> 0.1))
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // training-shard assembly: token-budget packing, windowed per shard
+    "pack_sequences" -> ((s, dir) =>
+      Corpus.packSequences(t(s, dir, "documents"), "doc_id", "text", 512L, 4)
+        .select(col("doc_id"), col("shard"), col("n_tokens"), col("pack_id"))),
+
+    // exact-dedup survivor ROWS (min-id winner with full payload)
+    "dedup_survivors" -> ((s, dir) =>
+      Corpus.dedupSurvivors(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
     // cross-modal: text-quality gate joined to the embedding table
     // (broadcast the filtered doc side into the vector corpus)
@@ -837,6 +855,26 @@ object SparkEntry {
            round(pc.n_pair::DOUBLE * (SELECT n_docs FROM n) /
              (fa.df_tok::DOUBLE * fb.df_tok::DOUBLE), 6) AS lift
          FROM pc JOIN tf fa ON pc.tok_a = fa.tok JOIN tf fb ON pc.tok_b = fb.tok""",
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE ((doc_id * 48271 + 11) % 2147483647) % 1000 <
+           CASE lang WHEN 'en' THEN 800 WHEN 'es' THEN 500 WHEN 'de' THEN 500
+                     WHEN 'fr' THEN 300 WHEN 'zh' THEN 100 ELSE 1000 END""",
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+           FROM documents),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+         SELECT doc_id, shard, n_tokens, ((cum - n_tokens) // 512)::BIGINT AS pack_id
+         FROM c""",
+
+    "dedup_survivors" ->
+      """WITH w AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+         SELECT d.doc_id, d.lang, d.source, d.n_chars
+         FROM documents d JOIN w USING (doc_id)""",
 
     "crossmodal_join" ->
       """WITH t AS (SELECT doc_id, text,

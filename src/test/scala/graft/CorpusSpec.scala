@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("hashSample is deterministic and close to the requested fraction") {
+    val total = docs.count()
+    val a = Corpus.hashSample(docs, "doc_id", 0.5)
+    val b = Corpus.hashSample(docs, "doc_id", 0.5)
+    val ids = a.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == b.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "same seed must select the same rows")
+    val frac = ids.size.toDouble / total
+    assert(frac > 0.35 && frac < 0.65, s"sampled fraction $frac far from 0.5")
+    // different seed -> different (but same-sized-ish) selection
+    val c = Corpus.hashSample(docs, "doc_id", 0.5, seed = 99L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(c != ids, "different seed should pick a different sample")
+  }
+
+  test("stratifiedSample keeps rare strata and downsamples dominant ones") {
+    val out = Corpus.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.1, "zh" -> 1.0))
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val orig = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("zh") == orig("zh"), "rate-1.0 stratum must keep every row")
+    assert(kept.getOrElse("en", 0L) < orig("en") / 2, "rate-0.1 stratum must shrink")
+    assert(kept("fr") == orig("fr"), "unlisted strata keep defaultRate=1.0")
+  }
+
+  test("packSequences: packs respect the token budget and are contiguous per shard") {
+    val target = 256L
+    val packs = Corpus.packSequences(docs, "doc_id", "text", target, 4)
+    // a doc STARTS in the pack where its running total lands, so a pack
+    // holds at most target + (max single doc) tokens
+    val maxDoc = packs.agg(max("n_tokens")).head().getLong(0)
+    val perPack = packs.groupBy("shard", "pack_id")
+      .agg(sum("n_tokens").as("tok")).collect()
+    assert(perPack.forall(_.getLong(2) <= target + maxDoc),
+      "pack exceeded budget + one-doc slack")
+    // pack ids per shard are 0..max with no gaps (contiguous fill)
+    val byShard = packs.select("shard", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    byShard.foreach { case (shard, rows) =>
+      val ids = rows.map(_._2).distinct.sorted
+      assert(ids.head == 0 && ids.last == ids.length - 1,
+        s"shard $shard pack ids not contiguous: ${ids.take(20).mkString(",")}")
+    }
+  }
+
+  test("dedupSurvivors returns the full min-id row per distinct content") {
+    val d = Seq(
+      (5L, "same content here", "en", "srcA", 17L),
+      (2L, "same content here", "de", "srcB", 17L),
+      (9L, "unique content", "fr", "srcC", 14L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Corpus.dedupSurvivors(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3))).toSet
+    assert(out == Set((2L, "de", "srcB"), (9L, "fr", "srcC")),
+      s"survivors wrong: $out")
+  }
+
+  test("sampling decisions are row-local: no shuffle in the sampled plan") {
+    val p = Corpus.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
+}
