@@ -495,6 +495,22 @@ object SparkEntry {
              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
     }),
 
+    "sql_tpch_q3" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             CAST(o_orderdate AS STRING) AS orderdate,
+             o_orderpriority AS priority
+           FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+           GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10""")
+    }),
+
     "sql_tpch_q5" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
@@ -936,6 +952,18 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "sql_tpch_q3" ->
+      """SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate::VARCHAR AS orderdate,
+           o_orderpriority AS priority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10""",
 
     "sql_tpch_q5" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
