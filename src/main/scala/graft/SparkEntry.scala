@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -275,6 +275,55 @@ object SparkEntry {
         .withColumn("session_seq", sum(col("is_new")).over(run))
         .groupBy(col("user_id"), col("session_seq"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+    }),
+
+    // ---- §2b: temporal joins ----------------------------------------
+    // As-of join: each purchase matched to the user's most recent prior
+    // click (LEFT OUTER — purchases with no prior click keep nulls).
+    // One union shuffle + one window walk; the oracle replays the same
+    // windowed formulation, so the match is deterministic by
+    // construction (ties on click ts broken by largest event_id).
+    "asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"), col("value"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_event_id"),
+          col("tus").as("click_tus"))
+      Temporal.asofJoin(purchases, clicks, "user_id", "tus", "click_tus", "click_event_id")
+        .select(col("event_id"), col("user_id"), col("tus"), col("value"),
+          col("click_event_id"), col("click_tus"),
+          (col("tus") - col("click_tus")).as("gap_us"))
+    }),
+
+    // Interval join via bin-explode + equi-join (bands overlap, so this
+    // is a genuine interval join); the exact range predicate filters
+    // candidates, so bin width affects cost only, never results.
+    "range_join_bands" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 50.0), ("mid", 40.0, 200.0), ("high", 150.0, 500.0))
+        .toDF("band", "lo", "hi")
+      val e = t(s, dir, "events").select(col("event_id"), col("value"))
+      Temporal.rangeJoinBinned(e, "value", bands, "lo", "hi", 25.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
+    // Trailing 1-hour per-user features via a RANGE window frame.
+    // Money is summed in integer cents (floor(v*100+0.5) is exact on
+    // 2-decimal doubles), so the running sums hash-match bit-exactly
+    // regardless of either engine's frame evaluation order.
+    "window_time_range" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"),
+          floor(col("value") * 100 + lit(0.5)).as("cents"))
+      Temporal.trailingRange(e, "user_id", "tus", 3600000000L,
+        "trailing_n" -> count(lit(1)),
+        "trailing_cents" -> sum(col("cents")))
+        .select(col("event_id"), col("user_id"), col("tus"),
+          col("trailing_n"), col("trailing_cents"))
     }),
 
     // ---- §2b: dedup -------------------------------------------------
@@ -681,6 +730,48 @@ object SparkEntry {
          SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
            round(sum(value), 2) AS session_value
          FROM s GROUP BY user_id, session_seq""",
+
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tus, value
+                    FROM events),
+         p AS (SELECT event_id, user_id, tus, value FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS click_event_id, tus AS click_tus FROM e
+               WHERE event_type = 'click'),
+         u AS (
+           SELECT user_id AS k, tus AS t, 1 AS side, 0::BIGINT AS tie,
+                  event_id, tus, value, NULL::BIGINT AS click_event_id, NULL::BIGINT AS click_tus
+           FROM p
+           UNION ALL
+           SELECT user_id, click_tus, 0, click_event_id,
+                  NULL, NULL, NULL, click_event_id, click_tus
+           FROM c),
+         m AS (SELECT *,
+                 last_value(click_event_id IGNORE NULLS) OVER win AS m_id,
+                 last_value(click_tus IGNORE NULLS) OVER win AS m_tus
+               FROM u
+               WINDOW win AS (PARTITION BY k ORDER BY t, side, tie
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, k AS user_id, tus, value, m_id AS click_event_id,
+           m_tus AS click_tus, tus - m_tus AS gap_us
+         FROM m WHERE side = 1""",
+
+    "range_join_bands" ->
+      """SELECT band, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events e
+         JOIN (VALUES ('low', 0.0, 50.0), ('mid', 40.0, 200.0), ('high', 150.0, 500.0))
+           AS b(band, lo, hi)
+           ON e.value >= b.lo AND e.value < b.hi
+         GROUP BY band""",
+
+    "window_time_range" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS tus,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+         SELECT event_id, user_id, tus,
+           count(*) OVER win AS trailing_n,
+           CAST(sum(cents) OVER win AS BIGINT) AS trailing_cents
+         FROM e
+         WINDOW win AS (PARTITION BY user_id ORDER BY tus
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text""",

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / ordered-join operators: as-of join, interval (range)
+  * join, and trailing time-range features — the event-stream joins a
+  * log-processing pipeline needs that plain equi-joins can't express.
+  *
+  * Scale design:
+  *   - the as-of join is ONE shuffle (union both sides, hash by key) +
+  *     one ordered window walk per key — never a per-row range probe
+  *     or a time-expanded join. State per key is a single "last seen
+  *     right row" struct, the same shape a streaming join would keep;
+  *   - the range join never materializes fact × intervals: intervals
+  *     are exploded into fixed-width bins (a few rows each) and the
+  *     join is an equi-join on the bin id, with the exact range
+  *     predicate applied AFTER candidate generation. Shuffle volume is
+  *     O(fact + intervals·binsPerInterval), independent of how many
+  *     fact rows an interval covers.
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the most recent right row with
+    * `right.tsCol <= left.tsCol` and equal key (a LEFT OUTER as-of:
+    * unmatched left rows survive with nulls). Ties on the right
+    * timestamp are broken deterministically by `rightTieCol` (largest
+    * wins), so the result is reproducible on any engine.
+    *
+    * Mechanism: tag and union both sides, then one running
+    * `last(right_payload, ignoreNulls)` window ordered by
+    * (ts, side, tie) per key — right rows sort before left rows at
+    * equal timestamps, which is exactly the `<=` as-of semantics.
+    * Cost: one hash shuffle of |L|+|R| rows + a per-key sort; no
+    * nested-loop probe, no time-bucket explosion, O(1) state per key
+    * during the walk.
+    *
+    * Requirements: both ts columns share an orderable type; column
+    * names are disjoint apart from `keyCol` (pre-alias the right side).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTieCol: String): DataFrame = {
+    val rightPayload = right.columns.filterNot(_ == keyCol)
+    require(left.columns.intersect(rightPayload).isEmpty,
+      s"left/right column collision: ${left.columns.intersect(rightPayload).mkString(", ")}")
+    val l = left.select(
+      col(keyCol).as("__k"), col(leftTsCol).as("__t"),
+      lit(1).as("__side"), lit(0L).as("__tie"),
+      struct(left.columns.map(col): _*).as("__left"))
+    val r = right.select(
+      col(keyCol).as("__k"), col(rightTsCol).as("__t"),
+      lit(0).as("__side"), col(rightTieCol).cast("long").as("__tie"),
+      struct(rightPayload.map(col): _*).as("__right"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", last(col("__right"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__left.*") +: rightPayload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Interval (range) join: fact rows matched to every interval
+    * `[loCol, hiCol)` that contains `valCol`. Intervals may overlap —
+    * this is a genuine interval join, not a bucketing.
+    *
+    * Scale path: each interval is exploded into the fixed-width bins
+    * it covers (`binWidth` chosen so intervals span a handful of
+    * bins), the fact side computes its single bin in the scan stage,
+    * and candidates come from an equi-join on the bin id — a hash
+    * join, never a nested-loop theta join. The exact range predicate
+    * then filters candidates. Works when the interval table is far
+    * too large to broadcast; shuffle keys are 8-byte bin ids.
+    */
+  def rangeJoinBinned(
+      fact: DataFrame,
+      valCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val iv = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    fact.withColumn("__bin", floor(col(valCol) / binWidth).cast("long"))
+      .join(iv, Seq("__bin"))
+      .where(col(valCol) >= col(loCol) && col(valCol) < col(hiCol))
+      .drop("__bin")
+  }
+
+  /** Trailing time-range window features: per row, aggregates over all
+    * rows of the same key whose ordering value lies within
+    * `[current − rangeBack, current]` (a RANGE frame, peer-inclusive —
+    * identical semantics on any SQL engine). One shuffle on the key;
+    * Spark evaluates the frame with a sliding two-pointer walk, not a
+    * per-row rescan.
+    */
+  def trailingRange(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      rangeBack: Long,
+      aggs: (String, Column)*): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rangeBetween(-rangeBack, 0)
+    aggs.foldLeft(df) { case (acc, (name, a)) => acc.withColumn(name, a.over(w)) }
+  }
+}

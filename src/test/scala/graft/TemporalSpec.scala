@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+
+/** Temporal operators checked against brute-force formulations that
+  * are obviously correct (per-row scans over collected data), plus
+  * plan pins for the scale properties the operators promise.
+  */
+class TemporalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val events = spark.read.parquet(s"$sfDir/events.parquet")
+    .select(col("event_id"), col("user_id"), col("event_type"),
+      expr("ts div 1000").as("tus"), col("value"))
+
+  test("asofJoin matches a brute-force most-recent-prior scan") {
+    val left = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tus"))
+    val right = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("r_id"), col("tus").as("r_tus"))
+    val got = Temporal.asofJoin(left, right, "user_id", "tus", "r_tus", "r_id")
+      .select(col("event_id"), col("r_id")).as[(Long, Option[Long])]
+      .collect().toMap
+
+    val rights = right.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(r => (r._3, r._2)) }
+    val lefts = left.as[(Long, Long, Long)].collect()
+    assert(lefts.nonEmpty && got.size == lefts.length)
+    for ((eid, uid, ts) <- lefts) {
+      // most recent right with r_tus <= ts; ties broken by largest r_id
+      val expected = rights.getOrElse(uid, Array.empty[(Long, Long)])
+        .filter(_._1 <= ts).sortBy(r => (r._1, r._2)).lastOption.map(_._2)
+      assert(got(eid) == expected, s"event $eid: got ${got(eid)}, want $expected")
+    }
+  }
+
+  test("asofJoin is left-outer: purchases with no prior click survive with nulls") {
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "user_id", "tus")
+    val right = Seq((10L, 5L, 200L)).toDF("user_id", "r_id", "r_tus") // only AFTER
+    val out = Temporal.asofJoin(left, right, "user_id", "tus", "r_tus", "r_id")
+      .select(col("event_id"), col("r_id")).as[(Long, Option[Long])].collect()
+    assert(out.toSeq == Seq((1L, None)))
+  }
+
+  test("asofJoin right rows at the exact left timestamp match (<= semantics)") {
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "user_id", "tus")
+    val right = Seq((10L, 5L, 100L), (10L, 6L, 100L), (10L, 7L, 101L))
+      .toDF("user_id", "r_id", "r_tus")
+    val out = Temporal.asofJoin(left, right, "user_id", "tus", "r_tus", "r_id")
+      .select(col("r_id")).as[Long].collect()
+    assert(out.toSeq == Seq(6L), "equal-ts rows are eligible; largest tie id wins")
+  }
+
+  test("rangeJoinBinned equals the naive theta join on overlapping bands") {
+    val bands = Seq(("low", 0.0, 50.0), ("mid", 40.0, 200.0), ("high", 150.0, 500.0))
+      .toDF("band", "lo", "hi")
+    val fact = events.select(col("event_id"), col("value"))
+    val got = Temporal.rangeJoinBinned(fact, "value", bands, "lo", "hi", 25.0)
+      .select(col("event_id"), col("band")).as[(Long, String)].collect().toSet
+    val naive = fact.join(bands, col("value") >= col("lo") && col("value") < col("hi"))
+      .select(col("event_id"), col("band")).as[(Long, String)].collect().toSet
+    assert(got == naive && got.nonEmpty)
+    // a value in the overlap [40,50) must hit both bands
+    val overlap = got.groupBy(_._1).values.map(_.size).max
+    assert(overlap >= 2, "overlapping bands should multi-match some rows")
+  }
+
+  test("rangeJoinBinned plan is an equi-join on the bin id, never a nested loop") {
+    val bands = (0 until 100).map(i => (s"b$i", i * 5.0, i * 5.0 + 8.0))
+      .toDF("band", "lo", "hi")
+    val p = Temporal.rangeJoinBinned(events, "value", bands, "lo", "hi", 25.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a per-pair scan:\n$p")
+  }
+
+  test("trailingRange equals a brute-force trailing scan") {
+    val e = events.select(col("event_id"), col("user_id"), col("tus"))
+    val back = 3600000000L
+    val got = Temporal.trailingRange(e, "user_id", "tus", back,
+      "trailing_n" -> count(lit(1)))
+      .select(col("event_id"), col("trailing_n")).as[(Long, Long)].collect().toMap
+    val rows = e.as[(Long, Long, Long)].collect()
+    val byUser = rows.groupBy(_._2)
+    assert(rows.nonEmpty)
+    for ((eid, uid, ts) <- rows.take(500)) {
+      val expected = byUser(uid).count(r => r._3 >= ts - back && r._3 <= ts)
+      assert(got(eid) == expected, s"event $eid: got ${got(eid)}, want $expected")
+    }
+  }
+
+  test("asofJoin rejects colliding column names") {
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "user_id", "tus")
+    val right = Seq((10L, 5L, 100L)).toDF("user_id", "event_id", "r_tus")
+    assertThrows[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, "user_id", "tus", "r_tus", "event_id")
+    }
+  }
+}
