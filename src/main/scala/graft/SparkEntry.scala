@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Embeddings, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -387,6 +387,31 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
+
+    // ---- §2b: embedding preparation ---------------------------------
+    // Unit-normalize every vector with the native one-pass kernel;
+    // sequential-order square sum + IEEE-exact sqrt/divide make every
+    // output component bit-identical to the oracle's index-order fold.
+    // Components exploded to scalar rows (driver compare can't hash
+    // list cells), which pins every dimension of every vector.
+    "embed_normalize" -> ((s, dir) =>
+      Embeddings.normalize(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("norm"), posexplode(col("unit")))
+        .select(col("vec_id"), col("norm"), col("pos").cast("long").as("dim"),
+          col("col").as("unit_val"))),
+
+    // Symmetric int8 quantization (native kernel, scan-stage, zero
+    // shuffle); floor-based rounding so codes are engine-portable.
+    "embed_quantize" -> ((s, dir) =>
+      Embeddings.quantizeI8(t(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("scale"), posexplode(col("qvec")))
+        .select(col("vec_id"), col("scale"), col("pos").cast("long").as("dim"),
+          col("col").as("q"))),
+
+    // Per-label norm statistics summed in exact integer 1e-4 units —
+    // order-independent reduction, safe under partial aggregation.
+    "embed_norm_stats" -> ((s, dir) =>
+      Embeddings.normStats(t(s, dir, "embeddings"), "embedding", "label")),
 
     // ---- §2b: text analysis -----------------------------------------
     "text_langid" -> ((s, dir) =>
@@ -871,6 +896,39 @@ object SparkEntry {
                    ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM r
          WHERE rank <= 5""",
+
+    "embed_normalize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         n AS (SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(e)),
+                   i -> e[i] * e[i])), (acc, x) -> acc + x)) AS norm
+               FROM v),
+         x AS (SELECT vec_id, norm, e, unnest(generate_series(1, len(e))) AS i FROM n)
+         SELECT vec_id, norm, i - 1 AS dim,
+           CASE WHEN norm = 0 THEN 0.0 ELSE e[i] / norm END AS unit_val
+         FROM x""",
+
+    "embed_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         m AS (SELECT vec_id, e,
+                 coalesce(list_max(list_transform(e, x -> abs(x))), 0.0) AS maxabs FROM v),
+         s AS (SELECT vec_id, e,
+                 CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale FROM m),
+         x AS (SELECT vec_id, scale, e, unnest(generate_series(1, len(e))) AS i FROM s)
+         SELECT vec_id, scale, i - 1 AS dim,
+           CAST(floor(e[i] * scale + 0.5) AS INTEGER) AS q
+         FROM x""",
+
+    "embed_norm_stats" ->
+      """WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+         n AS (SELECT label,
+                 CAST(floor(sqrt(list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, len(e)), i -> e[i] * e[i])),
+                   (acc, x) -> acc + x)) * 10000 + 0.5) AS BIGINT) AS norm_e4
+               FROM v)
+         SELECT label, count(*) AS n_vectors, min(norm_e4) AS min_norm_e4,
+           max(norm_e4) AS max_norm_e4, CAST(sum(norm_e4) AS BIGINT) AS sum_norm_e4
+         FROM n GROUP BY label""",
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks

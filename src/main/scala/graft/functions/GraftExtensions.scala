@@ -46,7 +46,11 @@ object GraftExtensions {
     ("hyperplane_bucket", info("hyperplane_bucket"),
       (exprs: Seq[Expression]) => HyperplaneBucket(exprs(0), intArg(exprs(1)))),
     ("simhash64", info("simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))),
+    ("l2_normalize", info("l2_normalize"),
+      (exprs: Seq[Expression]) => L2Normalize(exprs(0))),
+    ("quantize_i8", info("quantize_i8"),
+      (exprs: Seq[Expression]) => QuantizeI8(exprs(0))))
 
   /** Imperative registration into an existing session. */
   def register(spark: SparkSession): Unit =

@@ -59,6 +59,16 @@ object VectorExprs {
   /** One-pass 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  /** Unit-normalized copy of an array<double> vector (zero → zero). */
+  def l2Normalize(vec: Column): Column =
+    GraftBridge.column(L2Normalize(GraftBridge.expression(vec)))
+
+  /** Symmetric int8 quantization codes (array<int>) of an
+    * array<double> vector.
+    */
+  def quantizeI8(vec: Column): Column =
+    GraftBridge.column(QuantizeI8(GraftBridge.expression(vec)))
 }
 
 /** Shared FNV-1a 64-bit primitives — single source of truth for the
@@ -399,5 +409,89 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Unit-normalize a double vector: x / sqrt(Σx²), with the sum taken
+  * sequentially left-to-right so the norm (and therefore every output
+  * component — sqrt and division are correctly rounded in IEEE 754) is
+  * bit-identical to any engine folding the squares in index order.
+  * The zero vector maps to the zero vector.
+  */
+case class L2Normalize(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.requireArray(child.dataType, DoubleType, "l2_normalize")
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Kernel body, also the codegen target. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = arr.getDouble(i); s += v * v; i += 1 }
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n)
+    if (norm != 0.0) {
+      i = 0
+      while (i < n) { out(i) = arr.getDouble(i) / norm; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2Normalize", this, classOf[L2Normalize].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+/** Symmetric int8 quantization of a double vector in one pass:
+  * scale = 127 / max|x| (0 for the zero vector), qᵢ = ⌊xᵢ·scale + 0.5⌋.
+  * Floor-based rounding (not banker's) because `floor` is exact and
+  * identical on every engine, so the quantized codes are
+  * cross-engine-deterministic. Emitted as array<int>; the matching
+  * scale for dequantization is `Embeddings.quantScale` (same max|x|
+  * formula as a plain Column so it stays engine-portable).
+  */
+case class QuantizeI8(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.requireArray(child.dataType, DoubleType, "quantize_i8")
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Kernel body, also the codegen target. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { val a = math.abs(arr.getDouble(i)); if (a > m) m = a; i += 1 }
+    val s = if (m == 0.0) 0.0 else 127.0 / m
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) { out(i) = math.floor(arr.getDouble(i) * s + 0.5).toInt; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("quantizeI8", this, classOf[QuantizeI8].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
     copy(child = newChild)
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExprs
+
+/** Embedding-vector preparation operators: unit normalization,
+  * symmetric int8 quantization, and corpus-level norm statistics —
+  * the storage/compute reducers an embedding pipeline applies before
+  * ANN indexing or training-data export.
+  *
+  * Scale design: every kernel is a per-row native expression
+  * ([[graft.functions.L2Normalize]], [[graft.functions.QuantizeI8]])
+  * that runs inside the scan stage — zero shuffle, whole-stage
+  * codegen, no interpreted higher-order-function lambdas. Stats
+  * aggregate in exact integer space (norm → ten-thousandths) so the
+  * reduction is order-independent and bit-identical on any engine at
+  * any parallelism — the property that keeps a 100 TB aggregate
+  * reproducible across retries and cluster sizes.
+  */
+object Embeddings {
+
+  /** max|x| of an array<double> column (0.0 for the zero/empty vector). */
+  def maxAbs(vec: Column): Column =
+    coalesce(array_max(transform(vec, x => abs(x))), lit(0.0))
+
+  /** The int8 quantization scale paired with [[VectorExprs.quantizeI8]]:
+    * 127 / max|x|, 0 for the zero vector. Plain-Column formula so an
+    * oracle engine reproduces it bit-exactly.
+    */
+  def quantScale(vec: Column): Column = {
+    val m = maxAbs(vec)
+    when(m === 0.0, lit(0.0)).otherwise(lit(127.0) / m)
+  }
+
+  /** Adds `unit` (unit-normalized vector) and `norm` (L2 norm) columns.
+    * Sequential-order sum → cross-engine bit-exact norms.
+    */
+  def normalize(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("norm", sqrt(VectorExprs.dotp(v, v)))
+      .withColumn("unit", VectorExprs.l2Normalize(v))
+  }
+
+  /** Adds `qvec` (int8 codes as array<int>) and `scale` columns. */
+  def quantizeI8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("qvec", VectorExprs.quantizeI8(v))
+      .withColumn("scale", quantScale(v))
+  }
+
+  /** Per-group norm statistics with the sum carried in exact integer
+    * ten-thousandths (floor(norm·10⁴+0.5)) — associative + commutative
+    * integer addition, so partial aggregation is safe and the result
+    * is independent of partitioning.
+    */
+  def normStats(df: DataFrame, vecCol: String, groupCols: String*): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val norm = sqrt(VectorExprs.dotp(v, v))
+    df.withColumn("__norm_e4", floor(norm * 10000 + lit(0.5)).cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        min(col("__norm_e4")).as("min_norm_e4"),
+        max(col("__norm_e4")).as("max_norm_e4"),
+        sum(col("__norm_e4")).as("sum_norm_e4"))
+  }
+}

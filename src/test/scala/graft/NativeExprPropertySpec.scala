@@ -100,4 +100,50 @@ class NativeExprPropertySpec extends SparkSpec {
     val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 128.0
     assert(math.abs(agree - trueJ) < 0.15, s"estimate $agree vs true $trueJ")
   }
+
+  test("L2Normalize matches a sequential Scala reference bitwise; zero vector maps to zero") {
+    val cases = (0 until 100).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() - 0.5))
+    } :+ (100L, Array.fill(64)(0.0))
+    val got = cases.toDF("id", "v")
+      .select(col("id"), VectorExprs.l2Normalize(col("v")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    cases.foreach { case (id, v) =>
+      var s = 0.0
+      var k = 0
+      while (k < v.length) { s += v(k) * v(k); k += 1 }
+      val norm = math.sqrt(s)
+      val ref = if (norm == 0.0) v.map(_ => 0.0).toSeq else v.map(_ / norm).toSeq
+      assert(got(id) == ref, s"case $id") // bitwise equality per component
+    }
+  }
+
+  test("QuantizeI8 codes are in [-127,127], recover sign/magnitude order, zero vector -> zeros") {
+    val cases = (0 until 100).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 10 - 5))
+    } :+ (100L, Array.fill(64)(0.0))
+    val got = cases.toDF("id", "v")
+      .select(col("id"), VectorExprs.quantizeI8(col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    cases.foreach { case (id, v) =>
+      val m = v.map(math.abs).max
+      val s = if (m == 0.0) 0.0 else 127.0 / m
+      val ref = v.map(x => math.floor(x * s + 0.5).toInt).toSeq
+      assert(got(id) == ref, s"case $id")
+      assert(got(id).forall(q => q >= -127 && q <= 127), s"range case $id")
+    }
+    assert(got(100L).forall(_ == 0), "zero vector must quantize to zeros")
+  }
+
+  test("quantization round-trip error is bounded by scale/2 per component") {
+    val v = Array.fill(64)(rnd.nextDouble() * 4 - 2)
+    val m = v.map(math.abs).max
+    val s = 127.0 / m
+    val row = Seq((1L, v)).toDF("id", "v")
+      .select(VectorExprs.quantizeI8(col("v")).as("q")).collect().head
+    val q = row.getSeq[Int](0)
+    v.zip(q).foreach { case (x, qi) =>
+      assert(math.abs(qi / s - x) <= 0.5 / s + 1e-12, s"component $x -> $qi")
+    }
+  }
 }
