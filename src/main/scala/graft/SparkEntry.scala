@@ -440,6 +440,12 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.fingerprint(TextAnalysis.tokens(col("text"))).as("fp"))),
 
+    // Corpus-wide top-k terms: partial count per term, shuffle bounded
+    // by vocabulary size, TakeOrderedAndProject (per-partition k-heap,
+    // no global sort). Deterministic tie-break by term text.
+    "corpus_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(t(s, dir, "documents"), "text", 20)),
+
     // ---- §2b: multimodal plumbing -----------------------------------
     "multimodal_meta" -> ((s, dir) => {
       val bin = Multimodal.utf8Payload(col("text"))
@@ -567,6 +573,25 @@ object SparkEntry {
            FROM lineitem
            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")
+    }),
+
+    // TPC-H Q1: the canonical partial-agg benchmark — nine aggregates
+    // over a date-filtered scan, one shuffle of (flag,status) groups.
+    "sql_tpch_q1" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             round(avg(l_quantity), 2) AS avg_qty,
+             round(avg(l_extendedprice), 2) AS avg_price,
+             round(avg(l_discount), 2) AS avg_disc,
+             count(*) AS count_order
+           FROM lineitem
+           WHERE l_shipdate <= '1998-09-02'
+           GROUP BY l_returnflag, l_linestatus""")
     }),
 
     "sql_tpch_q3" -> ((s, dir) => {
@@ -1101,6 +1126,26 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "sql_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 2) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "corpus_top_terms" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+                       FROM documents)
+         SELECT term, count(*) AS n FROM toks GROUP BY term
+         ORDER BY n DESC, term LIMIT 20""",
 
     "sql_tpch_q3" ->
       """SELECT l_orderkey,

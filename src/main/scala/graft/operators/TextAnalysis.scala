@@ -178,4 +178,21 @@ object TextAnalysis {
       lit(0L),
       (acc, t) => pmod(acc * lit(31L) + (length(t) * lit(256) + ascii(t)).cast("long"),
         lit(1000000007L)))
+
+  /** Corpus-wide top-k terms by frequency, ties broken by term text so
+    * the result set is deterministic on any engine.
+    *
+    * Scale shape: explode feeds a partial (map-side) count per term,
+    * the shuffle carries one row per distinct term per partition, and
+    * the limit compiles to TakeOrderedAndProject — a size-k heap per
+    * partition merged on the driver, never a global sort. Safe at any
+    * corpus size whose distinct-term count fits a shuffle (vocabulary,
+    * not corpus, bounds the data volume).
+    */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
 }

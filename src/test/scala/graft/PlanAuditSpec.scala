@@ -95,6 +95,20 @@ class PlanAuditSpec extends SparkSpec {
       s"no pushed limit:\n$p")
   }
 
+  test("corpus_top_terms: partial count + TakeOrderedAndProject, no global sort") {
+    val p = plan("corpus_top_terms")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k heap:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side count:\n$p")
+  }
+
+  test("embedding prep kernels stay in the scan stage: zero shuffles") {
+    Seq("embed_normalize", "embed_quantize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
   test("aggregations use partial (map-side) aggregation") {
     val p = plan("reduce_per_key")
     // two HashAggregate levels: partial_<agg> then final
