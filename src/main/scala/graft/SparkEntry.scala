@@ -500,6 +500,22 @@ object SparkEntry {
       Corpus.dedupSurvivors(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))),
 
+    // benchmark decontamination: distinct 3-gram overlap of each corpus
+    // doc against the "eval set" (docs with id % 10 == 0); benchmark
+    // shingle hashes broadcast, corpus never shuffled
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.contamination(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", 3)
+    }),
+
+    // repetition quality signal: n-gram multiplicity stats per doc
+    // (total / distinct / most-repeated 2-gram)
+    "repetition_stats" -> ((s, dir) =>
+      Corpus.repetitionStats(t(s, dir, "documents"), "doc_id", "text", 2)),
+
     // cross-modal: text-quality gate joined to the embedding table
     // (broadcast the filtered doc side into the vector corpus)
     "crossmodal_join" -> ((s, dir) => {
@@ -1065,6 +1081,36 @@ object SparkEntry {
       """WITH w AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
          SELECT d.doc_id, d.lang, d.source, d.n_chars
          FROM documents d JOIN w USING (doc_id)""",
+
+    "decontaminate" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 0),
+         corp AS (SELECT doc_id, sh FROM s WHERE doc_id % 10 <> 0),
+         hits AS (SELECT c.doc_id, count(*) AS n_shared
+                  FROM (SELECT doc_id, unnest(sh) AS g FROM corp) c
+                  JOIN bench USING (g) GROUP BY c.doc_id)
+         SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
+           coalesce(h.n_shared, 0) AS n_shared,
+           coalesce(h.n_shared, 0) > 0 AS contaminated
+         FROM corp c LEFT JOIN hits h USING (doc_id)""",
+
+    "repetition_stats" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+                 THEN list_transform(generate_series(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+1], ' '))
+                 ELSE [array_to_string(toks, ' ')] END sh FROM t),
+         c AS (SELECT doc_id, gm, count(*) AS c
+               FROM (SELECT doc_id, unnest(sh) AS gm FROM s) GROUP BY doc_id, gm)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+           count(*) AS n_distinct, max(c) AS max_repeat
+         FROM c GROUP BY doc_id""",
 
     "crossmodal_join" ->
       """WITH t AS (SELECT doc_id, text,

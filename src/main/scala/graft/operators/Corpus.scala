@@ -102,4 +102,58 @@ object Corpus {
       .agg(min_by(payload, col(idCol)).as("survivor"))
       .select(col("survivor.*"))
   }
+
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct n-gram shingles also occur anywhere in `benchmark` —
+    * the standard "does training data leak the eval set" check.
+    *
+    * Scale shape: the benchmark's distinct shingle hashes are tiny
+    * compared to the corpus (eval sets are MBs against TBs), so they
+    * BROADCAST; the corpus side explodes its shingle set and probes
+    * the broadcast hash table in the scan stage — the corpus is never
+    * shuffled, and unmatched docs survive via a left join. 8-byte FNV
+    * shingle hashes ([[Dedup.hashedShingleSet]]), never raw text.
+    */
+  def contamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(Dedup.hashedShingleSet(col(textCol), n)).as("sh"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(Dedup.hashedShingleSet(col(textCol), n)).as("sh"))
+      .join(broadcast(benchShingles), Seq("sh"))
+      // shingle sets are distinct per doc, so plain count = distinct count
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+    corpus
+      .select(col(idCol),
+        size(Dedup.hashedShingleSet(col(textCol), n)).cast("long").as("n_shingles"))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Per-document repetition statistics over n-gram multiplicities:
+    * total shingles, distinct shingles, and the count of the most
+    * repeated shingle — the inputs to any repetition-based quality
+    * filter (boilerplate, spam, degenerate generations).
+    *
+    * Two-level aggregation so the shuffle key is (doc, 8-byte hash)
+    * and the per-key combine is map-side partial — no per-row O(len²)
+    * multiplicity scan, no raw shingle text on the wire.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol),
+      explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
+      .groupBy(col(idCol), xxhash64(col("sh")).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_repeat"))
 }

@@ -72,4 +72,39 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
   }
+
+  test("contamination counts shared shingles and keeps clean docs with zero") {
+    val corpus = Seq(
+      (1L, "alpha bravo charlie delta"),   // shares 'alpha bravo charlie' + 'bravo charlie delta'
+      (2L, "echo foxtrot golf"),           // clean
+      (3L, "alpha bravo charlie")          // exactly one benchmark shingle
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha bravo charlie delta")).toDF("doc_id", "text")
+    val got = Corpus.contamination(corpus, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((2L, 2L, true)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((1L, 0L, false)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == ((1L, 1L, true)), s"doc 3: ${got(3L)}")
+  }
+
+  test("contamination plan broadcasts the benchmark side; corpus not shuffled before probe") {
+    val p = Corpus.contamination(
+      docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+      "doc_id", "text", 3).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"benchmark side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs joins:\n$p")
+  }
+
+  test("repetitionStats multiplicity math on a known doc") {
+    val df = Seq(
+      (1L, "a b a b a b"),   // 2-grams: ab ba ab ba ab -> 5 total, 2 distinct, max 3
+      (2L, "x")              // short doc -> single whole-doc shingle
+    ).toDF("doc_id", "text")
+    val got = Corpus.repetitionStats(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((5L, 2L, 3L)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, 1L)), s"doc 2: ${got(2L)}")
+  }
 }
