@@ -135,6 +135,27 @@ object SparkEntry {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("total"))),
 
+    // Semi join: orders having at least one returned lineitem — the
+    // probe side carries only the join key (no payload duplication,
+    // no fan-out), the exact shape EXISTS subqueries compile to.
+    "join_semi" -> ((s, dir) => {
+      val returned = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      t(s, dir, "orders")
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // Anti join: orders with NO returned lineitem — NOT EXISTS as a
+    // hash anti join, never a filtered outer join materializing nulls.
+    "join_anti" -> ((s, dir) => {
+      val returned = t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      t(s, dir, "orders")
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
+
     // ---- §2 rows 28-30: branch --------------------------------------
     "branch_fanout" -> ((s, dir) => {
       val byStatus = Transformer.identity.reducePerKey(
@@ -717,6 +738,20 @@ object SparkEntry {
     "join_shuffle" ->
       """SELECT o_orderstatus, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderstatus""",
+
+    "join_semi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority""",
+
+    "join_anti" ->
+      """SELECT o_orderstatus, count(*) AS n_orders
+         FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderstatus""",
 
     "branch_fanout" ->
       """SELECT 'by_status' AS branch, o_orderstatus AS k, count(*) AS v FROM orders GROUP BY 2
