@@ -148,8 +148,11 @@ object Corpus {
     * multiplicity scan, no raw shingle text on the wire.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol),
-      explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
+    // repartition before the CPU-bound explode: a single unsplittable
+    // row group must not serialize the shingle generation
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
       .groupBy(col(idCol), xxhash64(col("sh")).as("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))

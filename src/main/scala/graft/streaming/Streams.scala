@@ -110,6 +110,61 @@ object Streams {
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxLag"))
   }
 
+  /** Streaming as-of join input: `side` 0 = right (reference) rows,
+    * 1 = left (probe) rows; `id` doubles as the deterministic
+    * tie-breaker, `value` is the left payload.
+    */
+  case class AsofIn(key: Long, ts: Long, side: Int, id: Long, value: Double)
+
+  /** One joined probe row: the most recent reference row at or before
+    * `ts` (None when no reference row preceded it).
+    */
+  case class AsofOut(key: Long, ts: Long, id: Long, value: Double,
+      matchId: Option[Long], matchTs: Option[Long])
+
+  /** Internal per-key state: the latest reference row's (ts, id).
+    * Public because Spark's state-store encoder instantiates it from
+    * generated code.
+    */
+  case class AsofState(ts: Long, id: Long)
+
+  /** Streaming as-of join — the unbounded mirror of
+    * [[graft.operators.Temporal.asofJoin]]. Per-key state is ONE
+    * (ts, id) pair: the latest reference row seen, exactly the state
+    * bound the batch operator's window walk was designed around, so a
+    * 1000-executor stream holds |keys| tuples of state, not a buffer
+    * of history. Rows are replayed in (ts, side, id) order within each
+    * micro-batch (reference rows at equal ts join to probes, ties to
+    * the largest id — identical tie-break to batch); the reference
+    * state only ever advances, so late micro-batches can't regress a
+    * match. Probe rows that arrive before their reference row's
+    * micro-batch resolve to the reference state as of processing time
+    * (the streaming-inherent semantics; batch equivalence holds when
+    * each key's rows arrive in one batch or in event order).
+    */
+  def asofJoinStream(in: Dataset[AsofIn]): Dataset[AsofOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[AsofState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.side, r.id))
+          val out = Seq.newBuilder[AsofOut]
+          var st = state.getOption
+          sorted.foreach { r =>
+            if (r.side == 0) {
+              if (st.forall(s => (r.ts > s.ts) || (r.ts == s.ts && r.id > s.id)))
+                st = Some(AsofState(r.ts, r.id))
+            } else {
+              val m = st.filter(_.ts <= r.ts)
+              out += AsofOut(key, r.ts, r.id, r.value, m.map(_.id), m.map(_.ts))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Stream → noop-style sink for tests/benchmarks: process all
     * available data once and stop (Trigger.AvailableNow semantics via
     * processAllAvailable on a memory sink).

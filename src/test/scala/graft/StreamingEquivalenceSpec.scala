@@ -93,4 +93,49 @@ class StreamingEquivalenceSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(finals == batch, s"streaming state $finals != batch $batch")
   }
+
+  test("asofJoinStream (two in-order micro-batches) == batch Temporal.asofJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tus"), col("value"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_event_id"),
+        col("tus").as("click_tus"))
+    val batch = graft.operators.Temporal
+      .asofJoin(purchases, clicks, "user_id", "tus", "click_tus", "click_event_id")
+      .select(col("event_id"), col("click_event_id")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    val all = e.where(col("event_type").isin("purchase", "click")).select(
+      col("user_id").as("key"), col("tus").as("ts"),
+      when(col("event_type") === "click", 0).otherwise(1).as("side"),
+      col("event_id").as("id"), coalesce(col("value"), lit(0.0)).as("value"))
+      .as[Streams.AsofIn].collect().sortBy(r => (r.ts, r.side, r.id))
+    // split by GLOBAL event time: per-key event order is preserved
+    // across micro-batches, the contract under which equivalence holds
+    val (first, second) = all.splitAt(all.length / 2)
+
+    val in = MemoryStream[Streams.AsofIn]
+    val q = Streams.asofJoinStream(in.toDS()).toDF()
+      .writeStream.format("memory").queryName("eq_asof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("eq_asof")
+      .select(col("id"), col("matchId")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(streamed.size == batch.size,
+      s"row counts differ: streamed ${streamed.size} vs batch ${batch.size}")
+    val diffs = batch.collect { case (id, m) if streamed.get(id) != Some(m) =>
+      (id, m, streamed.get(id)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverging matches, e.g. ${diffs.take(3)}")
+  }
 }
