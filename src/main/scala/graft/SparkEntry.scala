@@ -631,6 +631,34 @@ object SparkEntry {
            GROUP BY l_returnflag, l_linestatus""")
     }),
 
+    // Q18-style: IN subquery with HAVING — Catalyst decorrelates to a
+    // semi join against the pre-aggregated key set (one extra shuffle,
+    // no per-row subquery execution).
+    "sql_tpch_q18" -> ((s, dir) => {
+      Seq("orders", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT o_orderkey, o_orderdate::STRING AS orderdate, o_totalprice,
+             round(sum(l_quantity), 2) AS total_qty
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+           GROUP BY o_orderkey, o_orderdate, o_totalprice""")
+    }),
+
+    // Scalar subquery: global average computed once, broadcast into
+    // the row filter; threshold rounded to cents via the floor(+0.5)
+    // protocol so both engines cut on the identical value.
+    "scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n_above,
+             round(sum(o_totalprice), 2) AS total_above
+           FROM orders
+           WHERE o_totalprice >
+             (SELECT floor(avg(o_totalprice) * 100 + 0.5) / 100 FROM orders)
+           GROUP BY o_orderstatus""")
+    }),
+
     "sql_tpch_q3" -> ((s, dir) => {
       Seq("customer", "orders", "lineitem")
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
@@ -1227,6 +1255,22 @@ object SparkEntry {
                        FROM documents)
          SELECT term, count(*) AS n FROM toks GROUP BY term
          ORDER BY n DESC, term LIMIT 20""",
+
+    "sql_tpch_q18" ->
+      """SELECT o_orderkey, o_orderdate::VARCHAR AS orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                              GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+         GROUP BY o_orderkey, o_orderdate, o_totalprice""",
+
+    "scalar_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n_above,
+           round(sum(o_totalprice), 2) AS total_above
+         FROM orders
+         WHERE o_totalprice >
+           (SELECT floor(avg(o_totalprice) * 100 + 0.5) / 100 FROM orders)
+         GROUP BY o_orderstatus""",
 
     "sql_tpch_q3" ->
       """SELECT l_orderkey,

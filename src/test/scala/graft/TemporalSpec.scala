@@ -98,4 +98,29 @@ class TemporalSpec extends SparkSpec {
       Temporal.asofJoin(left, right, "user_id", "tus", "r_tus", "event_id")
     }
   }
+
+  test("asofJoin with an empty right side keeps all left rows with null matches") {
+    val left = Seq((1L, 10L), (2L, 20L)).toDF("k", "t")
+      .select(col("k"), col("t"), col("t").as("lv"))
+    val right = Seq.empty[(Long, Long, Long)].toDF("k", "rt", "rid")
+    val out = Temporal.asofJoin(left, right, "k", "t", "rt", "rid")
+    assert(out.count() == 2)
+    assert(out.where(col("rid").isNull).count() == 2, "all matches must be null")
+  }
+
+  test("asofJoin tie-break: equal right timestamps resolve to the largest tie id") {
+    val left = Seq((1L, 100L)).toDF("k", "t").select(col("k"), col("t"), col("t").as("lv"))
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 9L), (1L, 100L, 8L)).toDF("k", "rt", "rid")
+    val got = Temporal.asofJoin(left, right, "k", "t", "rt", "rid")
+      .select(col("rid")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(9L), s"expected largest-id winner, got $got")
+  }
+
+  test("rangeJoinBinned handles intervals spanning many bins and empty overlaps") {
+    val fact = Seq((1L, 5.0), (2L, 999.0)).toDF("id", "v")
+    val iv = Seq(("wide", 0.0, 500.0)).toDF("name", "lo", "hi")
+    val out = Temporal.rangeJoinBinned(fact, "v", iv, "lo", "hi", 10.0)
+      .select(col("id")).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L), s"only the in-range fact row joins: $out")
+  }
 }
