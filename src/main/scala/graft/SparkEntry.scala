@@ -267,6 +267,31 @@ object SparkEntry {
         .toDF),
 
     // ---- windowed analytics -----------------------------------------
+    // ntile quartiles + integer rank positions per partition (rank
+    // arithmetic instead of percent_rank's double division keeps the
+    // output exactly integral and engine-portable)
+    "window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          rank().over(w).cast("long").as("rnk"))
+        .where(col("rnk") <= 100)
+    }),
+
+    // pivot: per-priority order counts spread across status columns —
+    // compiles to one partial-agg pass with CASE projections, never a
+    // per-pivot-value scan
+    "pivot_status" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"),
+          col("O").as("n_o"), col("P").as("n_p"))),
+
     "window_running" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -433,6 +458,11 @@ object SparkEntry {
     // order-independent reduction, safe under partial aggregation.
     "embed_norm_stats" -> ((s, dir) =>
       Embeddings.normStats(t(s, dir, "embeddings"), "embedding", "label")),
+
+    // Per-label centroids with components fixed to integer millionths
+    // BEFORE summing — associative adds, partition-order-independent.
+    "embed_centroids" -> ((s, dir) =>
+      Embeddings.centroids(t(s, dir, "embeddings"), "embedding", "label")),
 
     // ---- §2b: text analysis -----------------------------------------
     "text_langid" -> ((s, dir) =>
@@ -849,6 +879,23 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey) AS rank
            FROM orders) WHERE rank <= 3""",
 
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, quartile, rnk FROM (
+           SELECT o_orderkey, o_orderpriority,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             CAST(rank() OVER w AS BIGINT) AS rnk
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey))
+         WHERE rnk <= 100""",
+
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY o_orderpriority""",
+
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS tus FROM events),
          m AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
@@ -1033,6 +1080,14 @@ object SparkEntry {
          SELECT label, count(*) AS n_vectors, min(norm_e4) AS min_norm_e4,
            max(norm_e4) AS max_norm_e4, CAST(sum(norm_e4) AS BIGINT) AS sum_norm_e4
          FROM n GROUP BY label""",
+
+    "embed_centroids" ->
+      """WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+         x AS (SELECT label, e, unnest(generate_series(1, len(e))) AS i FROM v),
+         c AS (SELECT label, i - 1 AS dim,
+                 CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT) AS c_e6 FROM x)
+         SELECT label, dim, count(*) AS n, CAST(sum(c_e6) AS BIGINT) AS sum_e6
+         FROM c GROUP BY label, dim""",
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks

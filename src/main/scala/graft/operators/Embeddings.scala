@@ -66,4 +66,21 @@ object Embeddings {
         max(col("__norm_e4")).as("max_norm_e4"),
         sum(col("__norm_e4")).as("sum_norm_e4"))
   }
+
+  /** Per-group centroid components in exact integer millionths:
+    * each component is fixed to ⌊x·10⁶+0.5⌋ BEFORE summing, so the
+    * per-dimension sums are associative integer adds — identical
+    * under any partitioning, retry, or engine — and the caller
+    * recovers the mean as sum_e6 / (n·10⁶) to float precision.
+    * One shuffle keyed on (group, dim): at d dims the shuffle is
+    * n·d fixed-width rows, partial-aggregated map-side.
+    */
+  def centroids(df: DataFrame, vecCol: String, groupCols: String*): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(groupCols.map(col) :+ posexplode(v): _*)
+      .select(groupCols.map(col) :+ col("pos").cast("long").as("dim")
+        :+ floor(col("col") * 1000000 + lit(0.5)).cast("long").as("c_e6"): _*)
+      .groupBy((groupCols.map(col) :+ col("dim")): _*)
+      .agg(count(lit(1)).as("n"), sum(col("c_e6")).as("sum_e6"))
+  }
 }
