@@ -626,6 +626,14 @@ object SparkEntry {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
         .select(col("l_returnflag"), col("l_linestatus"), col("g"), col("n"), col("sum_qty"))),
 
+    "cube_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("g"), count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("g"), col("n"), col("total"))),
+
     "percentile_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -1278,6 +1286,12 @@ object SparkEntry {
          GROUPING(l_returnflag, l_linestatus)::BIGINT AS g,
          count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+
+    "cube_agg" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS g,
+         count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
 
     "percentile_agg" ->
       """SELECT l_returnflag,
