@@ -145,7 +145,18 @@ class PlanAuditSpec extends SparkSpec {
       "reduce_global" -> 1, "reduce_per_key" -> 1,
       "join_broadcast" -> 1,        // final agg only; dim joins broadcast
       "first_n" -> 1, "dedup_exact" -> 1,
-      "string_shape" -> 0, "text_langid" -> 0, "text_fingerprint" -> 0)
+      "string_shape" -> 0, "text_langid" -> 0, "text_fingerprint" -> 0,
+      // round-3 additions
+      "embed_normalize" -> 0, "embed_quantize" -> 0,   // scan-stage kernels
+      "embed_norm_stats" -> 1, "embed_centroids" -> 1, // one keyed agg each
+      "asof_join" -> 1,          // ONE union shuffle feeds the window walk
+      "window_time_range" -> 1,  // one hash shuffle for the RANGE frame
+      "corpus_top_terms" -> 1,   // term agg; top-k is a heap, not a sort
+      "repetition_stats" -> 3,   // rebalance round-robin + two agg levels
+      "window_ntile" -> 1, "cube_agg" -> 1,
+      "pivot_status" -> 2,       // two-phase pivot: pre-agg then spread
+
+      "decontaminate" -> 2)      // hit agg + left join back; bench broadcast
     budgets.foreach { case (name, budget) =>
       val p = plan(name)
       val n = "Exchange hashpartitioning".r.findAllIn(p).size +
