@@ -372,6 +372,15 @@ object SparkEntry {
           col("trailing_n"), col("trailing_cents"))
     }),
 
+    // Ordered conversion funnel over the event log: all joins/aggs
+    // keyed on user_id (one shuffle reused across steps).
+    "events_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      Temporal.funnel(e, "user_id", "event_type", "tus",
+        Seq("view", "click", "purchase"))
+    }),
+
     // ---- §2b: dedup -------------------------------------------------
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
@@ -956,6 +965,20 @@ object SparkEntry {
          FROM e
          WINDOW win AS (PARTITION BY user_id ORDER BY tus
                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS tus FROM events),
+         s0 AS (SELECT user_id, min(tus) AS t0 FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s1 AS (SELECT s0.user_id, min(e.tus) AS t1 FROM s0 JOIN e USING (user_id)
+                WHERE e.event_type = 'click' AND e.tus >= s0.t0 GROUP BY s0.user_id),
+         s2 AS (SELECT s1.user_id, min(e.tus) AS t2 FROM s1 JOIN e USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.tus >= s1.t1 GROUP BY s1.user_id)
+         SELECT 0::BIGINT AS step_idx, 'view' AS step, (SELECT count(*) FROM s0) AS n_users
+         UNION ALL
+         SELECT 1, 'click', (SELECT count(*) FROM s1)
+         UNION ALL
+         SELECT 2, 'purchase', (SELECT count(*) FROM s2)""",
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text""",

@@ -112,4 +112,45 @@ object Temporal {
       .rangeBetween(-rangeBack, 0)
     aggs.foldLeft(df) { case (acc, (name, a)) => acc.withColumn(name, a.over(w)) }
   }
+
+  /** Ordered conversion funnel: per user, step k counts only if its
+    * first qualifying event is at or after the first qualifying time
+    * of step k−1 (the standard "view → click → purchase" definition).
+    * Returns one row per step: (step_idx, step, n_users).
+    *
+    * Scale shape: every join/aggregate is keyed on `userCol`, so after
+    * the first shuffle each chained step reuses the same hash
+    * partitioning — k steps cost one shuffle of each step's FILTERED
+    * events (pushed-down type predicate), never a per-user subquery or
+    * a self-join of the full log. Per-user state is one timestamp per
+    * step. The final unpivot is driver-free (explode of a k-element
+    * literal array).
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t0"))
+    val perUser = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (st, i)) =>
+      val prev = col(s"t${i - 1}")
+      val stepEvents = events.where(col(typeCol) === st)
+        .select(col(userCol), col(tsCol).as("__ts"))
+      val carried = (0 until i).map(j => min(col(s"t$j")).as(s"t$j"))
+      val next = min(when(col("__ts") >= prev, col("__ts"))).as(s"t$i")
+      acc.join(stepEvents, Seq(userCol), "left")
+        .groupBy(col(userCol))
+        .agg(carried.head, (carried.tail :+ next): _*)
+    }
+    val countCols = steps.indices.map(i => count(col(s"t$i")).as(s"c$i"))
+    perUser.agg(countCols.head, countCols.tail: _*)
+      .select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+        struct(lit(i.toLong).as("step_idx"), lit(st).as("step"),
+          col(s"c$i").as("n_users"))
+      }: _*)).as("s"))
+      .select(col("s.step_idx"), col("s.step"), col("s.n_users"))
+  }
 }

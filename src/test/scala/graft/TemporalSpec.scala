@@ -123,4 +123,17 @@ class TemporalSpec extends SparkSpec {
       .select(col("id")).collect().map(_.getLong(0)).toSeq
     assert(out == Seq(1L), s"only the in-range fact row joins: $out")
   }
+
+  test("funnel: step k only counts first occurrence at/after step k-1's first time") {
+    val e = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full conversion
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 20L),  // click BEFORE view: no click step
+      (3L, "view", 10L),                                            // view only
+      (4L, "purchase", 1L), (4L, "view", 2L), (4L, "click", 3L)     // purchase before click: stops at click
+    ).toDF("user_id", "event_type", "tus")
+    val got = Temporal.funnel(e, "user_id", "event_type", "tus",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("view" -> 4L, "click" -> 2L, "purchase" -> 1L), s"got $got")
+  }
 }
