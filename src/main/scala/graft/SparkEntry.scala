@@ -576,6 +576,26 @@ object SparkEntry {
     "repetition_stats" -> ((s, dir) =>
       Corpus.repetitionStats(t(s, dir, "documents"), "doc_id", "text", 2)),
 
+    // global-quantile quality gate: keep docs at/above the corpus-wide
+    // p75 of BPE-ish token count — one scalar agg broadcast into a
+    // row-local filter, corpus never shuffled or ranked
+    "quantile_gate" -> ((s, dir) =>
+      Corpus.quantileFilter(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens")),
+        "n_bpe_tokens", 0.75)),
+
+    // context-window preparation: overlapping token chunks (w=64, s=48)
+    // — row-local explode+slice, no shuffle, bounded blowup n/s
+    "chunk_sliding" -> ((s, dir) =>
+      Corpus.chunkSliding(t(s, dir, "documents"), "doc_id", "text", 64, 48)),
+
+    // mixture capping: no source may exceed 30% of the corpus; rate
+    // table broadcast into the deterministic hash filter
+    "source_cap" -> ((s, dir) =>
+      Corpus.capSources(t(s, dir, "documents"), "doc_id", "source", 0.3)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))),
+
     // cross-modal: text-quality gate joined to the embedding table
     // (broadcast the filtered doc side into the vector corpus)
     "crossmodal_join" -> ((s, dir) => {
@@ -1260,6 +1280,40 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
            count(*) AS n_distinct, max(c) AS max_repeat
          FROM c GROUP BY doc_id""",
+
+    // interpolated-quantile threshold: quantile_cont matches Spark's
+    // percentile() definition (index p·(n−1), linear interpolation)
+    "quantile_gate" ->
+      """WITH s AS (SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+               AS n_bpe_tokens
+           FROM documents)
+         SELECT doc_id, n_bpe_tokens FROM s
+         WHERE n_bpe_tokens >= (SELECT quantile_cont(n_bpe_tokens, 0.75) FROM s)""",
+
+    "chunk_sliding" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+           FROM documents),
+         z AS (SELECT doc_id, tk,
+             greatest(1, CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT) + 1) AS nc
+           FROM t),
+         i AS (SELECT doc_id, tk, unnest(range(0, nc)) AS chunk_id FROM z)
+         SELECT doc_id, chunk_id,
+           len(tk[chunk_id*48+1 : chunk_id*48+64])::BIGINT AS n_tokens,
+           array_to_string(tk[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
+         FROM i""",
+
+    // identical IEEE op order as capSources: floor(min(1, f·tot/cnt)·1000)
+    "source_cap" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+         g AS (SELECT count(*) AS tot FROM documents),
+         r AS (SELECT source, floor(least(1.0, 0.3 * tot / cnt) * 1000) AS permille
+               FROM c, g)
+         SELECT d.source, count(*) AS n_kept
+         FROM documents d JOIN r USING (source)
+         WHERE ((d.doc_id * 48271 + 11) % 2147483647) % 1000 < permille
+         GROUP BY d.source""",
 
     "crossmodal_join" ->
       """WITH t AS (SELECT doc_id, text,

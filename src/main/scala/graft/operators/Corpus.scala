@@ -138,6 +138,91 @@ object Corpus {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Global-quantile gate: keep rows whose `scoreCol` is at or above
+    * the exact interpolated q-quantile of the WHOLE corpus ("keep the
+    * top quartile by quality"). Two-phase, no global sort: the
+    * quantile is one partial-aggregable scan reduced to a single
+    * scalar row, broadcast back into every partition's filter — the
+    * corpus itself is never shuffled or ranked (contrast percent_rank,
+    * whose global window is a total sort). The threshold stays a plan
+    * value (cross join against a 1-row broadcast), so building the
+    * gate triggers no job.
+    */
+  def quantileFilter(
+      df: DataFrame,
+      scoreCol: String,
+      q: Double,
+      keepUpper: Boolean = true): DataFrame = {
+    require(q > 0 && q < 1, "q must be in (0,1)")
+    val thr = df.agg(expr(s"percentile($scoreCol, $q)").as("__thr"))
+    val keep =
+      if (keepUpper) col(scoreCol) >= col("__thr") else col(scoreCol) < col("__thr")
+    df.crossJoin(broadcast(thr)).where(keep).drop("__thr")
+  }
+
+  /** Sliding-window chunking: split each document into fixed-size
+    * token windows with overlap (window `w`, stride `s` — the
+    * standard context-window preparation before tokenized training
+    * shards). Each doc yields ceil((n−w)/s)+1 chunks (min 1, so empty
+    * or short docs still emit one row); chunk i covers tokens
+    * [i·s+1, i·s+w], clamped at the end.
+    *
+    * Row-local throughout: tokenize → per-row chunk-count arithmetic →
+    * explode over a generated index sequence → slice. No shuffle, no
+    * window, no state; output size is bounded by the w/s overlap
+    * factor (≈ n/s chunks per doc), never quadratic.
+    */
+  def chunkSliding(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be positive")
+    require(stride <= window, "stride > window would drop tokens between chunks")
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+      // exact-integer boundary: (n-w)/s hits ceil boundaries only at
+      // exact multiples, where IEEE division is exact on both engines
+      .withColumn("__nc",
+        greatest(lit(1L), ceil((size(col("__tk")) - lit(window)) / lit(stride.toDouble)) + lit(1L)))
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        expr(s"slice(__tk, chunk_id * $stride + 1, $window)").as("__chunk"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
+  /** Mixture capping: downsample every over-represented source so none
+    * exceeds `maxFrac` of the original corpus ("no single crawl may
+    * dominate the mix"). Phase 1 computes per-source keep rates from
+    * two tiny aggregates (per-source counts × the global total);
+    * phase 2 broadcasts the rate table (|distinct sources| rows) into
+    * a row-local [[hashBucket]] filter. The corpus is scanned once and
+    * never shuffled; decisions are deterministic and stable across
+    * reruns, like all sampling here.
+    */
+  def capSources(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      maxFrac: Double,
+      seed: Long = 11L): DataFrame = {
+    require(maxFrac > 0 && maxFrac <= 1, "maxFrac must be in (0,1]")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__cnt"))
+    val total = df.agg(count(lit(1)).as("__tot"))
+    // permille = floor(min(1, maxFrac·tot/cnt)·1000); plain IEEE ops in
+    // a fixed order so any engine lands on the identical integer
+    val rates = counts.crossJoin(broadcast(total))
+      .select(col(sourceCol),
+        floor(least(lit(1.0), lit(maxFrac) * col("__tot") / col("__cnt")) * 1000)
+          .as("__permille"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .where(hashBucket(col(idCol), seed) < col("__permille"))
+      .drop("__permille")
+  }
+
   /** Per-document repetition statistics over n-gram multiplicities:
     * total shingles, distinct shingles, and the count of the most
     * repeated shingle — the inputs to any repetition-based quality

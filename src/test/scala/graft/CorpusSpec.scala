@@ -97,6 +97,56 @@ class CorpusSpec extends SparkSpec {
       s"no all-pairs joins:\n$p")
   }
 
+  test("quantileFilter keeps exactly the rows at/above the interpolated quantile") {
+    val df = (1L to 8L).map(i => (i, i)).toDF("id", "score")
+    // p75 over 1..8: index 0.75*7 = 5.25 -> 6 + 0.25*(7-6) = 6.25
+    val upper = Corpus.quantileFilter(df, "score", 0.75)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(upper == Set(7L, 8L), s"got $upper")
+    val lower = Corpus.quantileFilter(df, "score", 0.75, keepUpper = false)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(lower == (1L to 6L).toSet, s"got $lower")
+  }
+
+  test("chunkSliding windows, overlap, and tail clamping on a known doc") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, w=4 s=3
+      (2L, ""),                                       // empty -> one empty chunk
+      (3L, "a b")                                     // shorter than window
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkSliding(df, "doc_id", "text", 4, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    // ceil((10-4)/3)+1 = 3 chunks at offsets 0,3,6; last clamps to 4 tokens
+    assert(got((1L, 0L)) == ((4L, "t1 t2 t3 t4")))
+    assert(got((1L, 1L)) == ((4L, "t4 t5 t6 t7")))
+    assert(got((1L, 2L)) == ((4L, "t7 t8 t9 t10")))
+    assert(got((2L, 0L)) == ((0L, "")), "empty doc still emits one chunk")
+    assert(got((3L, 0L)) == ((2L, "a b")), "short doc -> single clamped chunk")
+    assert(got.size == 5, s"unexpected chunk rows: ${got.keys}")
+  }
+
+  test("capSources caps dominant sources near maxFrac and keeps small ones whole") {
+    // 800 rows of 'big', 100 of 'mid', 20 of 'rare' -> cap at 20% of 920
+    val df = ((1L to 800L).map((_, "big")) ++ (1001L to 1100L).map((_, "mid")) ++
+      (2001L to 2020L).map((_, "rare"))).toDF("doc_id", "source")
+    val kept = Corpus.capSources(df, "doc_id", "source", 0.2)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = 0.2 * 920
+    assert(kept("mid") == 100L && kept("rare") == 20L,
+      s"under-cap sources must keep every row: $kept")
+    // hash sampling is approximate: allow 25% relative slack around the cap
+    assert(kept("big") < cap * 1.25 && kept("big") > cap * 0.75,
+      s"dominant source not capped near $cap: $kept")
+    // determinism: same input -> identical selection
+    val again = Corpus.capSources(df, "doc_id", "source", 0.2)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
+
   test("repetitionStats multiplicity math on a known doc") {
     val df = Seq(
       (1L, "a b a b a b"),   // 2-grams: ab ba ab ba ab -> 5 total, 2 distinct, max 3

@@ -109,6 +109,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("quantile_gate / source_cap broadcast their tiny threshold sides") {
+    Seq("quantile_gate", "source_cap").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q threshold side not broadcast:\n$p")
+    }
+  }
+
   test("aggregations use partial (map-side) aggregation") {
     val p = plan("reduce_per_key")
     // two HashAggregate levels: partial_<agg> then final
@@ -156,7 +164,12 @@ class PlanAuditSpec extends SparkSpec {
       "window_ntile" -> 1, "cube_agg" -> 1,
       "pivot_status" -> 2,       // two-phase pivot: pre-agg then spread
 
-      "decontaminate" -> 2)      // hit agg + left join back; bench broadcast
+      "decontaminate" -> 2,      // hit agg + left join back; bench broadcast
+      "chunk_sliding" -> 0,      // row-local explode+slice, no shuffle
+      "quantile_gate" -> 0,      // threshold agg is SinglePartition+broadcast;
+                                 // the corpus itself is never hash-shuffled
+      "source_cap" -> 2)         // per-source counts + final per-source agg;
+                                 // rate table broadcasts into the filter
     budgets.foreach { case (name, budget) =>
       val p = plan(name)
       val n = "Exchange hashpartitioning".r.findAllIn(p).size +
