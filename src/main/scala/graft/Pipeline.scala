@@ -74,7 +74,7 @@ final class Pipeline private (
     * (pipeline.py:264). `toLocalIterator` keeps only one partition in
     * flight, the honest equivalent of laygo's lazy iterator.
     */
-  def iterator: Iterator[Row] = df.toLocalIterator.asScala
+  def iterator: Iterator[Row] = df.toLocalIterator().asScala
 
   /** First n rows with limit pushed into the plan — laygo `first(n)`
     * (pipeline.py:321). Never collect-then-slice.

@@ -50,7 +50,9 @@ object GraftExtensions {
     ("l2_normalize", info("l2_normalize"),
       (exprs: Seq[Expression]) => L2Normalize(exprs(0))),
     ("quantize_i8", info("quantize_i8"),
-      (exprs: Seq[Expression]) => QuantizeI8(exprs(0))))
+      (exprs: Seq[Expression]) => QuantizeI8(exprs(0))),
+    ("shingle_stats", info("shingle_stats"),
+      (exprs: Seq[Expression]) => ShingleStats(exprs(0), intArg(exprs(1)))))
 
   /** Imperative registration into an existing session. */
   def register(spark: SparkSession): Unit =

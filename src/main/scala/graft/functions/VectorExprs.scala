@@ -69,6 +69,13 @@ object VectorExprs {
     */
   def quantizeI8(vec: Column): Column =
     GraftBridge.column(QuantizeI8(GraftBridge.expression(vec)))
+
+  /** struct(n_shingles, n_distinct, max_repeat) of a token array's
+    * n-gram shingle multiset — per-doc repetition stats without a
+    * single shuffled row.
+    */
+  def shingleStats(tokens: Column, n: Int): Column =
+    GraftBridge.column(ShingleStats(GraftBridge.expression(tokens), n))
 }
 
 /** Shared FNV-1a 64-bit primitives — single source of truth for the
@@ -493,5 +500,85 @@ case class QuantizeI8(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+    copy(child = newChild)
+}
+
+/** Per-document shingle-multiplicity statistics in ONE native pass:
+  * (n_shingles, n_distinct, max_repeat) over token n-gram shingles.
+  *
+  * Same FNV shingle-hash contract as [[ShingleSet]], but multiplicities
+  * are kept: hash all shingles, sort, then run-scan the sorted array —
+  * O(L log L) row-local, zero allocation beyond the hash buffer. This
+  * replaces the explode → groupBy(doc, hash) → groupBy(doc) pipeline,
+  * whose shuffle volume is EVERY SHINGLE OCCURRENCE in the corpus —
+  * per-doc statistics never needed a shuffle at all (cf. reference
+  * profiler-style per-chunk stats, laygo transformer.py:428 reduce).
+  */
+case class ShingleStats(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_shingles", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("max_repeat", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.requireArray(child.dataType, StringType, "shingle_stats")
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Kernel body, also the codegen target. */
+  def compute(arr: ArrayData): InternalRow = {
+    val m = arr.numElements()
+    // zero tokens -> one whole-doc empty shingle (matches
+    // TextAnalysis.shingles and the oracle's [''])
+    if (m == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](1L, 1L, 1L))
+    val tokenBytes = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      val u = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      tokenBytes(i) = if (u == null) Array.emptyByteArray else u.getBytes
+      i += 1
+    }
+    val count = if (m >= n) m - n + 1 else 1
+    val width = if (m >= n) n else m
+    val hs = new Array[Long](count)
+    var w = 0
+    while (w < count) {
+      var h = Fnv.Offset
+      var t = 0
+      while (t < width) {
+        h = Fnv.mixBytes(h, tokenBytes(w + t))
+        h = (h ^ 0x20L) * Fnv.Prime // token separator
+        t += 1
+      }
+      hs(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    // run-scan: equal shingles are adjacent after the sort
+    var distinct = 1L
+    var maxRun = 1L
+    var run = 1L
+    i = 1
+    while (i < count) {
+      if (hs(i) == hs(i - 1)) { run += 1; if (run > maxRun) maxRun = run }
+      else { distinct += 1; run = 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](count.toLong, distinct, maxRun))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleStats", this, classOf[ShingleStats].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStats =
     copy(child = newChild)
 }

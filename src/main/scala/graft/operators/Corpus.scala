@@ -97,7 +97,7 @@ object Corpus {
     * feeds downstream after `Dedup.exact` decides the winners.
     */
   def dedupSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(xxhash64(col(textCol)).as("content_hash"))
       .agg(min_by(payload, col(idCol)).as("survivor"))
       .select(col("survivor.*"))
@@ -228,20 +228,21 @@ object Corpus {
     * repeated shingle — the inputs to any repetition-based quality
     * filter (boilerplate, spam, degenerate generations).
     *
-    * Two-level aggregation so the shuffle key is (doc, 8-byte hash)
-    * and the per-key combine is map-side partial — no per-row O(len²)
-    * multiplicity scan, no raw shingle text on the wire.
+    * Entirely row-local: the native [[graft.functions.VectorExprs.shingleStats]]
+    * kernel hashes, sorts, and run-scans each doc's shingles in one
+    * compiled pass. Per-doc statistics never need a shuffle — the
+    * previous explode → groupBy(doc, hash) → groupBy(doc) design put
+    * EVERY shingle occurrence in the corpus on the wire; this puts
+    * none. (Round-robin repartition only spreads the CPU-bound scan
+    * across cores when the input is a single unsplittable row group.)
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    // repartition before the CPU-bound explode: a single unsplittable
-    // row group must not serialize the shingle generation
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol),
-        explode(TextAnalysis.shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh"))
-      .groupBy(col(idCol), xxhash64(col("sh")).as("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol))
-      .agg(sum(col("c")).as("n_shingles"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("max_repeat"))
+        graft.functions.VectorExprs
+          .shingleStats(TextAnalysis.tokens(col(textCol)), n).as("s"))
+      .select(col(idCol),
+        col("s.n_shingles").as("n_shingles"),
+        col("s.n_distinct").as("n_distinct"),
+        col("s.max_repeat").as("max_repeat"))
 }

@@ -52,18 +52,18 @@ object Temporal {
     val l = left.select(
       col(keyCol).as("__k"), col(leftTsCol).as("__t"),
       lit(1).as("__side"), lit(0L).as("__tie"),
-      struct(left.columns.map(col): _*).as("__left"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__left"))
     val r = right.select(
       col(keyCol).as("__k"), col(rightTsCol).as("__t"),
       lit(0).as("__side"), col(rightTieCol).cast("long").as("__tie"),
-      struct(rightPayload.map(col): _*).as("__right"))
+      struct(rightPayload.toIndexedSeq.map(col): _*).as("__right"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__m", last(col("__right"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(col("__left.*") +: rightPayload.map(c => col(s"__m.$c").as(c)): _*)
+      .select(col("__left.*") +: rightPayload.toIndexedSeq.map(c => col(s"__m.$c").as(c)): _*)
   }
 
   /** Interval (range) join: fact rows matched to every interval

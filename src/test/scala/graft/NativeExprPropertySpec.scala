@@ -47,6 +47,34 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  /** Pure-Scala repetition stats: group the raw STRING shingles (no
+    * hashing at all), so the test also covers hash injectivity on
+    * real multisets.
+    */
+  private def refShingleStats(text: String, n: Int): (Long, Long, Long) = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val windows =
+      if (toks.isEmpty) Seq("")
+      else if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
+      else Seq(toks.mkString(" "))
+    val counts = windows.groupBy(identity).map(_._2.size.toLong)
+    (windows.size.toLong, counts.size.toLong, counts.max)
+  }
+
+  test("ShingleStats matches string-level multiplicity stats on 100 random docs") {
+    // small vocab + short docs force many repeated shingles
+    val docs = (0 until 100).map(i => (i.toLong, randomDoc()))
+    val got = docs.toDF("id", "text")
+      .select(col("id"),
+        VectorExprs.shingleStats(
+          graft.operators.TextAnalysis.tokens(col("text")), 2).as("s"))
+      .select(col("id"), col("s.n_shingles"), col("s.n_distinct"), col("s.max_repeat"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == refShingleStats(text, 2), s"doc $id: '$text'")
+    }
+  }
+
   test("SortedIntersectSize matches Scala set intersection on 100 random pairs") {
     val cases = (0 until 100).map { i =>
       val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(30).toLong).distinct.sorted

@@ -160,7 +160,8 @@ class PlanAuditSpec extends SparkSpec {
       "asof_join" -> 1,          // ONE union shuffle feeds the window walk
       "window_time_range" -> 1,  // one hash shuffle for the RANGE frame
       "corpus_top_terms" -> 1,   // term agg; top-k is a heap, not a sort
-      "repetition_stats" -> 3,   // rebalance round-robin + two agg levels
+      "repetition_stats" -> 0,   // native per-doc kernel; round-robin
+                                 // rebalance only (not hash/range)
       "window_ntile" -> 1, "cube_agg" -> 1,
       "pivot_status" -> 2,       // two-phase pivot: pre-agg then spread
 
