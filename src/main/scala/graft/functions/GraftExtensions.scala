@@ -52,7 +52,9 @@ object GraftExtensions {
     ("quantize_i8", info("quantize_i8"),
       (exprs: Seq[Expression]) => QuantizeI8(exprs(0))),
     ("shingle_stats", info("shingle_stats"),
-      (exprs: Seq[Expression]) => ShingleStats(exprs(0), intArg(exprs(1)))))
+      (exprs: Seq[Expression]) => ShingleStats(exprs(0), intArg(exprs(1)))),
+    ("bpe_count", info("bpe_count"),
+      (exprs: Seq[Expression]) => BpeTokenCount(exprs(0))))
 
   /** Imperative registration into an existing session. */
   def register(spark: SparkSession): Unit =

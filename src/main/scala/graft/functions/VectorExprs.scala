@@ -76,6 +76,12 @@ object VectorExprs {
     */
   def shingleStats(tokens: Column, n: Int): Column =
     GraftBridge.column(ShingleStats(GraftBridge.expression(tokens), n))
+
+  /** Count of `[a-z]+|[0-9]+|[^a-z0-9 ]` matches over an
+    * already-lowercased string, as one UTF-8 byte scan.
+    */
+  def bpeCount(loweredText: Column): Column =
+    GraftBridge.column(BpeTokenCount(GraftBridge.expression(loweredText)))
 }
 
 /** Shared FNV-1a 64-bit primitives — single source of truth for the
@@ -580,5 +586,68 @@ case class ShingleStats(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleStats =
+    copy(child = newChild)
+}
+
+/** BPE-ish pre-tokenizer token count in one native UTF-8 byte scan:
+  * the number of matches of `[a-z]+|[0-9]+|[^a-z0-9 ]` over the
+  * (already lowercased) input — letter runs, digit runs, and every
+  * other code point individually. Replaces regexp_extract_all, which
+  * materializes every match as a string just to count them; this
+  * counts continuation-byte-aware code points with zero allocation.
+  * Feeds token-count stats and the global-quantile quality gate.
+  */
+case class BpeTokenCount(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_count requires string, got ${other.simpleString}")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  /** Kernel body, also the codegen target. */
+  def compute(u: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val bs = u.getBytes
+    var count = 0
+    var inLetter = false
+    var inDigit = false
+    var i = 0
+    while (i < bs.length) {
+      val b = bs(i)
+      if ((b & 0xc0) == 0x80) {
+        // UTF-8 continuation byte: part of a code point already counted
+      } else if (b >= 'a' && b <= 'z') {
+        if (!inLetter) count += 1
+        inLetter = true; inDigit = false
+      } else if (b >= '0' && b <= '9') {
+        if (!inDigit) count += 1
+        inDigit = true; inLetter = false
+      } else if (b == ' ') {
+        inLetter = false; inDigit = false
+      } else {
+        // any other code point (ASCII symbol, or the LEADING byte of a
+        // multi-byte sequence) is one single-char token
+        count += 1
+        inLetter = false; inDigit = false
+      }
+      i += 1
+    }
+    count
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTokenCount", this, classOf[BpeTokenCount].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
 }

@@ -33,7 +33,7 @@ object TextAnalysis {
     * pre-tokenizer produces.
     */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    graft.functions.VectorExprs.bpeCount(lower(text))
 
   // ---- language ID --------------------------------------------------
 

@@ -38,6 +38,15 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(tiny, "doc_id", "text", 0.5).count() == 0)
   }
 
+  test("repetitionStats tolerates empty and single-token docs") {
+    val tiny = Seq((1L, "word"), (2L, ""), (3L, "a a a")).toDF("doc_id", "text")
+    val got = graft.operators.Corpus.repetitionStats(tiny, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((1L, 1L, 1L)), "single token -> whole-doc shingle")
+    assert(got(2L) == ((1L, 1L, 1L)), "empty text -> one empty whole-doc shingle")
+    assert(got(3L) == ((2L, 1L, 2L)), "'a a'×2 -> 2 shingles, 1 distinct, max 2")
+  }
+
   test("catchErrors with every row failing yields only handled rows") {
     val attempt = Transformer.identity.map(col("x"), try_divide(lit(1), lit(0)).as("r"))
     val (rows, _) = Pipeline(Seq(1, 2).toDF("x"))

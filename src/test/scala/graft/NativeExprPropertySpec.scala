@@ -75,6 +75,24 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("BpeTokenCount matches the regexp_extract_all definition on adversarial strings") {
+    val gen = new scala.util.Random(42L)
+    val alphabet = "abz09 ,.!?-_\n\tÉé中文🙂 ".toCharArray
+    val cases = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(gen.nextInt(40))(alphabet(gen.nextInt(alphabet.length))).mkString)
+    } ++ Seq((1000L, ""), (1001L, "   "), (1002L, "abc123abc"), (1003L, "a1 b2"))
+    val df = cases.toDF("id", "text")
+    val got = df.select(col("id"),
+      VectorExprs.bpeCount(lower(col("text"))).as("native"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("regex"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"id ${r.getLong(0)}: native ${r.getInt(1)} != regex ${r.getInt(2)}")
+    }
+  }
+
   test("SortedIntersectSize matches Scala set intersection on 100 random pairs") {
     val cases = (0 until 100).map { i =>
       val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(30).toLong).distinct.sorted
