@@ -66,6 +66,48 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(streamKeys == batchKeys, "streaming dedup keys diverged from batch distinct")
   }
 
+  test("sessionWindowAgg (AvailableNow) == batch session_window aggregate") {
+    // integer-cents sum: aggregation order differs between engines'
+    // plans, so equality must not ride on float summation order
+    val cents = (col("value") * 100).cast("long")
+    val streamed = Streams.sessionWindowAgg(eventsStream, "event_time",
+      "3650 days", "30 minutes", Seq(col("user_id")),
+      Seq(count(lit(1)).as("n"), sum(cents).as("v_cents")))
+      .select(col("session_window.start").cast("string").as("ss"),
+        col("user_id"), col("n"), col("v_cents"))
+    Streams.runToMemoryAvailableNow(streamed, "eq_session", OutputMode.Complete())
+    val batch = eventsBatch
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("v_cents"))
+      .select(col("session_window.start").cast("string").as("ss"),
+        col("user_id"), col("n"), col("v_cents"))
+    assert(rowSet(spark.table("eq_session")) == rowSet(batch),
+      "streaming session windows diverged from batch")
+  }
+
+  test("streamStreamJoin (AvailableNow) == batch range join") {
+    def shaped(df: DataFrame, prefix: String, eventType: String): DataFrame =
+      df.where(col("event_type") === eventType)
+        .select(col("user_id"),
+          col("event_time").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+    val joined = Streams.streamStreamJoin(
+      shaped(eventsStream, "c", "click"),
+      shaped(eventsStream, "p", "purchase"),
+      "c_ts", "p_ts", "3650 days", "user_id", "10 minutes")
+      .select(col("c_id"), col("p_id"))
+    Streams.runToMemoryAvailableNow(joined, "eq_ssjoin", OutputMode.Append())
+    val cb = shaped(eventsBatch, "c", "click")
+    val pb = shaped(eventsBatch, "p", "purchase")
+    val batch = cb.join(pb,
+      cb("user_id") === pb("user_id") &&
+        pb("p_ts") >= cb("c_ts") &&
+        pb("p_ts") <= cb("c_ts") + expr("INTERVAL 10 minutes"))
+      .select(col("c_id"), col("p_id"))
+    assert(rowSet(spark.table("eq_ssjoin")) == rowSet(batch),
+      "stream-stream join diverged from the batch range join")
+  }
+
   test("Transformer map/filter over a file stream (AvailableNow) == batch") {
     val t = Transformer.identity
       .filter(col("event_type") === "purchase")
