@@ -386,6 +386,16 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_copies"))),
 
+    // daily-increment dedup: new batch (id%10 != 0) vs the existing
+    // corpus's hash index (id%10 == 0) — anti join on 8-byte hashes
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.exactIncremental(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text")
+    }),
+
     "ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 0.6)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
@@ -525,6 +535,13 @@ object SparkEntry {
       t(s, dir, "documents").select(
         (col("doc_id") +: TextAnalysis.piiCounts(col("text")) :+
           TextAnalysis.piiFlag(col("text")).as("has_pii")): _*)),
+
+    // PII scrubbing: typed-tag redaction of flagged docs (the action
+    // downstream of the text_pii scan)
+    "pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(TextAnalysis.piiFlag(col("text")))
+        .select(col("doc_id"), TextAnalysis.piiRedact(col("text")).as("redacted"))),
 
     "events_json" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1003,6 +1020,13 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text""",
 
+    "dedup_incremental" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents
+         WHERE doc_id % 10 <> 0
+           AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)
+         GROUP BY text""",
+
     "ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
                     FROM documents),
@@ -1206,6 +1230,21 @@ object SparkEntry {
           OR regexp_matches(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')
           OR regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b')) AS has_pii
          FROM documents""",
+
+    // replacement nesting mirrors the Spark fold order (email, phone,
+    // ipv4, ssn); 'g' flag = replace-all, matching Spark regexp_replace
+    "pii_redact" ->
+      """SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS redacted
+         FROM documents
+         WHERE regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')
+            OR regexp_matches(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')
+            OR regexp_matches(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')
+            OR regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b')""",
 
     "events_json" ->
       """SELECT event_type, count(*) AS n,

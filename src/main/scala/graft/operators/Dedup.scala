@@ -47,6 +47,32 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("n_copies"), col("h1"), col("h2"))
 
+  /** Incremental exact dedup: the survivors of a NEW batch against an
+    * EXISTING corpus — the daily-increment shape of a crawl pipeline
+    * (dedup the delta, never re-dedup the accumulated 100 TB).
+    *
+    * Within-batch winners are min-id per content hash (same contract
+    * as [[exact]]); the anti join against the existing corpus's hash
+    * set then drops anything already known. Both sides shuffle on the
+    * 8-byte hash only — the existing corpus contributes one hash per
+    * doc, never its text, which is exactly the "dedup index" a
+    * production pipeline would persist between runs ([[exact128]]'s
+    * double hash upgrades the collision bound the same way here).
+    */
+  def exactIncremental(
+      batch: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val knownHashes = existing
+      .select(xxhash64(col(textCol)).as("content_hash")).distinct()
+    batch
+      .groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .join(knownHashes, Seq("content_hash"), "left_anti")
+      .select(col(idCol), col("n_copies"))
+  }
+
   // ---- MinHash + LSH ------------------------------------------------
 
   /** Sorted-distinct 64-bit shingle-hash set for a text column — one

@@ -117,6 +117,18 @@ object TextAnalysis {
     piiPatterns.map { case (_, pat) => regexp_like(text, lit(pat)) }
       .reduce(_ || _)
 
+  /** Scrub PII matches with typed tags (`<EMAIL>`, `<PHONE>`, …) —
+    * the redaction step downstream of [[piiFlag]] routing. Patterns
+    * apply in declaration order; earlier replacements insert letters,
+    * so later (digit-shaped) patterns can never re-match inside a
+    * tag. Pure regexp_replace chain: row-local, codegen'd,
+    * reproducible on any engine with leftmost-longest alternation.
+    */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (kind, pat)) =>
+      regexp_replace(acc, pat, s"<${kind.toUpperCase}>")
+    }
+
   // ---- corpus statistics --------------------------------------------
 
   /** Document-level token co-occurrence with lift (PMI without the

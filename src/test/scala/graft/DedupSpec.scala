@@ -21,6 +21,19 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("exactIncremental keeps only batch content unseen in the existing corpus") {
+    import spark.implicits._
+    val existing = Seq((100L, "known content"), (101L, "other known")).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "known content"),  // already in corpus -> dropped
+      (12L, "fresh content"),  // new, unique -> survives
+      (14L, "fresh dupe"), (13L, "fresh dupe") // new, min-id 13 survives with 2 copies
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, existing, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(12L -> 1L, 13L -> 2L), s"got $out")
+  }
+
   test("minhash LSH finds exact and near duplicates, skips distinct docs") {
     val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -47,6 +47,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got(3L) == ((2L, 1L, 2L)), "'a a'×2 -> 2 shingles, 1 distinct, max 2")
   }
 
+  test("piiRedact scrubs each pattern kind with its typed tag") {
+    val df = Seq(
+      (1L, "mail me at jo.na+x@ex-ample.org today"),
+      (2L, "call 555-123-4567 or visit 10.0.0.1"),
+      (3L, "ssn 123-45-6789 end"),
+      (4L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      graft.operators.TextAnalysis.piiRedact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail me at <EMAIL> today")
+    assert(got(2L) == "call <PHONE> or visit <IPV4>")
+    assert(got(3L) == "ssn <SSN> end")
+    assert(got(4L) == "nothing sensitive here")
+  }
+
   test("catchErrors with every row failing yields only handled rows") {
     val attempt = Transformer.identity.map(col("x"), try_divide(lit(1), lit(0)).as("r"))
     val (rows, _) = Pipeline(Seq(1, 2).toDF("x"))

@@ -169,8 +169,11 @@ class PlanAuditSpec extends SparkSpec {
       "chunk_sliding" -> 0,      // row-local explode+slice, no shuffle
       "quantile_gate" -> 0,      // threshold agg is SinglePartition+broadcast;
                                  // the corpus itself is never hash-shuffled
-      "source_cap" -> 2)         // per-source counts + final per-source agg;
+      "source_cap" -> 2,         // per-source counts + final per-source agg;
                                  // rate table broadcasts into the filter
+      "pii_redact" -> 0,         // row-local regex chain, no shuffle
+      "dedup_incremental" -> 3)  // batch hash agg + index distinct + anti
+                                 // join, all keyed on the 8-byte hash
     budgets.foreach { case (name, budget) =>
       val p = plan(name)
       val n = "Exchange hashpartitioning".r.findAllIn(p).size +
