@@ -613,6 +613,19 @@ object SparkEntry {
       Corpus.capSources(t(s, dir, "documents"), "doc_id", "source", 0.3)
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))),
 
+    // stable train/val/test assignment: per-doc split + per-split
+    // counts — adding docs never moves existing docs between splits
+    "split_assign" -> ((s, dir) =>
+      Corpus.assignSplits(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"))),
+
+    // deterministic training-order shuffle: nShards independent
+    // scramble-ordered windows, never one global ORDER BY
+    "shuffle_shards" -> ((s, dir) =>
+      Corpus.shuffleShards(t(s, dir, "documents"), "doc_id", 8)),
+
     // cross-modal: text-quality gate joined to the embedding table
     // (broadcast the filtered doc side into the vector corpus)
     "crossmodal_join" -> ((s, dir) => {
@@ -1342,6 +1355,27 @@ object SparkEntry {
            len(tk[chunk_id*48+1 : chunk_id*48+64])::BIGINT AS n_tokens,
            array_to_string(tk[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
          FROM i""",
+
+    // cut points are cumulative permille: train [0,900) val [900,950)
+    // test [950,1000) over the same Lehmer bucket
+    "split_assign" ->
+      """SELECT CASE WHEN b < 900 THEN 'train'
+                     WHEN b < 950 THEN 'val'
+                     ELSE 'test' END AS split,
+           count(*) AS n, min(doc_id) AS min_id
+         FROM (SELECT doc_id,
+                 ((doc_id * 48271 + 11) % 2147483647) % 1000 AS b
+               FROM documents)
+         GROUP BY 1""",
+
+    "shuffle_shards" ->
+      """WITH s AS (SELECT doc_id,
+             (((doc_id * 48271 + 11) % 2147483647) * 48271) % 2147483647 AS scramble
+           FROM documents)
+         SELECT doc_id, scramble % 8 AS shard,
+           row_number() OVER (PARTITION BY scramble % 8
+                              ORDER BY scramble, doc_id) AS pos
+         FROM s""",
 
     // identical IEEE op order as capSources: floor(min(1, f·tot/cnt)·1000)
     "source_cap" ->

@@ -223,6 +223,55 @@ object Corpus {
       .drop("__permille")
   }
 
+  /** Deterministic train/val/test assignment: each row lands in the
+    * split whose cumulative permille range contains its [[hashBucket]]
+    * value. Row-local, zero shuffle, stable across reruns — adding
+    * documents to the corpus never moves an existing document between
+    * splits (the property random splits lack, and the reason eval
+    * contamination creeps into retrained models).
+    */
+  def assignSplits(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      seed: Long = 11L): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val cuts = splits.scanLeft(0L) { case (acc, (_, f)) => acc + (f * 1000).round }
+    val bucket = hashBucket(col(idCol), seed)
+    val assign = splits.zip(cuts.sliding(2).toSeq).foldLeft(lit(splits.last._1): Column) {
+      case (acc, ((name, _), Seq(lo, hi))) =>
+        when(bucket >= lo && bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Deterministic training-order shuffle, sharded: scramble key =
+    * full-range Lehmer hash of the id, shard = key mod nShards, pos =
+    * position within the shard in scramble order. This is how training
+    * order gets randomized at 100 TB — nShards independent window
+    * sorts (one per output shard file), never ONE global ORDER BY,
+    * which would funnel the corpus through a single range-sorted
+    * window. Reproducible: same corpus, same order, any cluster.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int, seed: Long = 11L): DataFrame = {
+    require(nShards >= 1, "nShards must be positive")
+    // TWO Lehmer rounds: one round is monotone over any id range that
+    // doesn't wrap the modulus (id·48271+seed < 2³¹ for id ≲ 4·10⁴),
+    // which would make "scramble order" silently equal id order. The
+    // second multiply wraps thousands of times over any realistic
+    // range; max intermediate (p−1)·48271 ≈ 1.0e14 stays in 62 bits.
+    val scramble = pmod(
+      pmod(col(idCol).cast("long") * lit(48271L) + lit(seed), lit(2147483647L)) * lit(48271L),
+      lit(2147483647L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("scramble"), col(idCol))
+    df.select(col(idCol))
+      .withColumn("scramble", scramble)
+      .withColumn("shard", pmod(col("scramble"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("scramble")
+  }
+
   /** Per-document repetition statistics over n-gram multiplicities:
     * total shingles, distinct shingles, and the count of the most
     * repeated shingle — the inputs to any repetition-based quality

@@ -147,6 +147,44 @@ class CorpusSpec extends SparkSpec {
     assert(again == kept)
   }
 
+  test("assignSplits is stable: growing the corpus never moves existing docs") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = (1L to 300L).toDF("doc_id")
+    val grown = (1L to 1000L).toDF("doc_id")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      Corpus.assignSplits(df, "doc_id", splits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = asMap(small)
+    val after = asMap(grown)
+    assert(before.forall { case (id, s) => after(id) == s },
+      "existing docs must keep their split when the corpus grows")
+    val sizes = after.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(sizes("train") > 700 && sizes("train") < 900, s"train share off: $sizes")
+    assert(sizes.values.sum == 1000)
+  }
+
+  test("shuffleShards: contiguous positions per shard, deterministic, scrambled") {
+    val df = (1L to 500L).toDF("doc_id")
+    val out = Corpus.shuffleShards(df, "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 500)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.head == 1L && ps.last == ps.length,
+        s"shard $shard positions not contiguous 1..${ps.length}")
+    }
+    // the scramble must not be id order: within a shard, doc ids at
+    // consecutive positions should be far apart for most steps
+    val monotone = out.groupBy(_._2).values.flatMap { rows =>
+      rows.sortBy(_._3).map(_._1).toSeq.sliding(2).collect { case Seq(a, b) => b == a + 4 }
+    }
+    assert(monotone.count(identity) < monotone.size / 2,
+      "shard order looks like id order, not a scramble")
+    val again = Corpus.shuffleShards(df, "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)), "not deterministic")
+  }
+
   test("repetitionStats multiplicity math on a known doc") {
     val df = Seq(
       (1L, "a b a b a b"),   // 2-grams: ab ba ab ba ab -> 5 total, 2 distinct, max 3

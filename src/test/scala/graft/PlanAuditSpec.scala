@@ -172,8 +172,11 @@ class PlanAuditSpec extends SparkSpec {
       "source_cap" -> 2,         // per-source counts + final per-source agg;
                                  // rate table broadcasts into the filter
       "pii_redact" -> 0,         // row-local regex chain, no shuffle
-      "dedup_incremental" -> 3)  // batch hash agg + index distinct + anti
+      "dedup_incremental" -> 3,  // batch hash agg + index distinct + anti
                                  // join, all keyed on the 8-byte hash
+      "split_assign" -> 1,       // row-local assignment; one count agg
+      "shuffle_shards" -> 1)     // one hash exchange feeds the per-shard
+                                 // windows — never a global ORDER BY
     budgets.foreach { case (name, budget) =>
       val p = plan(name)
       val n = "Exchange hashpartitioning".r.findAllIn(p).size +
