@@ -251,7 +251,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).cast("long").as("cluster"))
+    // propagate over the PAIR SUBGRAPH only: a node in no near-dup pair
+    // can never change label, and at corpus scale near-dup pairs touch
+    // a sliver of the documents — iterating all ids would put the whole
+    // corpus through every round's joins for nothing. Singletons get
+    // their own id back in the final left join.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").cast("long").as("cluster"))
       .localCheckpoint()
     var it = 0
     var converged = false
@@ -282,7 +288,9 @@ object Dedup {
         .select(col("id"), coalesce(col("parent"), col("cluster")).as("cluster"))
       it += 1
     }
-    labels
+    ids.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id").cast("long")).as("cluster"))
   }
 
   // ---- SimHash ------------------------------------------------------
