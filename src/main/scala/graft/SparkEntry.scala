@@ -423,6 +423,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // keep the BEST copy of each duplicate family: longest doc wins,
+    // ties to smallest id (partial-aggregable argmax, no window)
+    "cluster_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = Dedup.clusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6), docs, "doc_id")
+      Dedup.clusterSurvivors(labels, docs, "doc_id", "n_chars")
+    }),
+
     // ---- §2b: similarity --------------------------------------------
     // Graded scale path: deterministic axis-sign LSH buckets (SQL-
     // expressible — `embedding[i] > 0` — so DuckDB replays the exact
@@ -1082,6 +1091,32 @@ object SparkEntry {
            UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
          SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id""",
+
+    // same reach CTE as dedup_clusters; survivor = longest member
+    // (ties to min id) via a deterministic per-cluster window
+    "cluster_survivors" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+         reach(a, b) AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
+                 FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id),
+         m AS (SELECT cluster, count(*) AS n_members FROM lab GROUP BY cluster),
+         w AS (SELECT l.cluster, d.doc_id, d.n_chars,
+                 row_number() OVER (PARTITION BY l.cluster
+                                    ORDER BY d.n_chars DESC, d.doc_id) AS rn
+               FROM lab l JOIN documents d USING (doc_id))
+         SELECT w.cluster, w.doc_id, w.n_chars, m.n_members
+         FROM w JOIN m USING (cluster) WHERE rn = 1""",
 
     "neardup_cosine_bucketed" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -293,6 +293,31 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id").cast("long")).as("cluster"))
   }
 
+  /** Survivor per near-dup cluster: the member with the highest
+    * `scoreCol` (ties to the smallest id — fully deterministic). This
+    * is [[clusters]]' downstream decision step: exact dedup keeps
+    * min-id, near-dup dedup keeps the BEST copy (longest, highest
+    * quality) of each duplicate family.
+    *
+    * One hash shuffle on the cluster label; the per-cluster argmax is
+    * a partial-aggregable max_by over (score, −id) — no window, no
+    * per-cluster sort.
+    */
+  def clusterSurvivors(
+      labels: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val joined = docs.join(labels.withColumnRenamed("id", idCol), Seq(idCol))
+    joined.groupBy(col("cluster"))
+      .agg(
+        max_by(struct(col(idCol), col(scoreCol)),
+          struct(col(scoreCol), (-col(idCol)).as("neg_id"))).as("winner"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col(s"winner.$idCol").as(idCol),
+        col(s"winner.$scoreCol").as(scoreCol), col("n_members"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** 64-bit SimHash per doc: each token's hash votes ±1 on 64 bit

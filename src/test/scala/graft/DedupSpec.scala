@@ -34,6 +34,23 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(12L -> 1L, 13L -> 2L), s"got $out")
   }
 
+  test("clusterSurvivors picks max score, ties to min id, counts members") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster 1: 2 and 3 tie on score -> 2 wins
+      (7L, 5L),                        // singleton
+      (8L, 9L), (9L, 12L)              // cluster 8: 9 wins outright
+    ).toDF("doc_id", "score")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 8L), (9L, 8L))
+      .toDF("id", "cluster")
+    val out = Dedup.clusterSurvivors(labels, d, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 30L, 3L)),
+      7L -> ((7L, 5L, 1L)),
+      8L -> ((9L, 12L, 2L))), s"got $out")
+  }
+
   test("minhash LSH finds exact and near duplicates, skips distinct docs") {
     val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
