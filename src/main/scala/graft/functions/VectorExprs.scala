@@ -651,3 +651,55 @@ case class BpeTokenCount(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
     copy(child = newChild)
 }
+
+/** Deterministic random-projection dimensionality reduction:
+  * y_j = Σᵢ vᵢ·w(i,j) with pseudo-random weights
+  * w(i,j) = ((i·outDims + j)·48271 + seed) mod (2³¹−1) / (2³¹−1) − 0.5
+  * — the Johnson-Lindenstrauss shrink step before ANN/LSH at scale
+  * (project 4096-dim embeddings to 64 before bucketing). The weight
+  * matrix is arithmetic, not data: nothing is broadcast, nothing is
+  * stored, any engine regenerates it bit-identically (Lehmer-style
+  * integers stay in 62 bits; contrast SplitMix64, whose wrapping
+  * 64-bit multiply plain SQL cannot express). Sequential-i summation
+  * order keeps results bit-equal across engines.
+  */
+case class RandomProject(child: Expression, outDims: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.requireArray(child.dataType, DoubleType, "random_project")
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  /** Kernel body, also the codegen target. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Double](outDims)
+    val P = 2147483647L
+    var i = 0
+    while (i < n) {
+      val v = arr.getDouble(i)
+      val base = i.toLong * outDims
+      var j = 0
+      while (j < outDims) {
+        val w = java.lang.Math.floorMod((base + j) * 48271L + seed, P).toDouble / P - 0.5
+        out(j) += v * w
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("randomProject", this, classOf[RandomProject].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProject =
+    copy(child = newChild)
+}
