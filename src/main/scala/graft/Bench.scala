@@ -24,16 +24,34 @@ object Bench {
       spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // also write the line to a file: sbt buries stdout under [info]
-    // prefixes, which has left the driver's parsed field null
+    def fmt(v: Double): String = {
+      // 3 decimals, trailing zeros stripped: ms precision, minimal chars
+      val s = f"$v%.3f".reverse.dropWhile(_ == '0').reverse
+      if (s.endsWith(".")) s + "0" else s
+    }
+    def line(rs: Seq[(String, Double)], omitted: Int): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+    }
+    // full-precision record for humans/judge
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    },"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    // stdout line must fit the driver's 2000-char tail capture alongside
+    // sbt's trailing "[success] ..." line, or its JSON parse comes back
+    // null (r02/r03 both hit this). Emit slowest-first and drop the
+    // fastest entries until the line fits a conservative budget; the
+    // full map is always in bench.json.
+    val budget = 1750
+    val bySlow = results.toSeq.sortBy(-_._2)
+    var keep = bySlow.length
+    while (keep > 1 && line(bySlow.take(keep), bySlow.length - keep).length > budget) keep -= 1
+    println(line(bySlow.take(keep), bySlow.length - keep))
     spark.stop()
   }
 }
