@@ -410,7 +410,8 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
 
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", 3)),
+      Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
 
     // clustering input is the EXACT Jaccard pair set (PPJoin), not
     // minhash: LSH recall at threshold 0.6 is ~98.8% per pair, which
@@ -808,7 +809,9 @@ object SparkEntry {
       Skew.twoPhaseSum(t(s, dir, "lineitem"), col("l_partkey"), col("l_quantity"), 8)
         .select(col("k"), round(col("total"), 2).as("total"))),
 
-    // ---- approximate scale-path variant (rows-only, LSH recall < 1) --
+    // approximate scale-path variant: recall < 1 by LSH construction,
+    // but the hyperplane sign matrix is deterministic, so the oracle
+    // replays the identical bucketing and the result is hash-checked
     "neardup_cosine_lsh" -> ((s, dir) =>
       Similarity.nearDupCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         0.4, dims = 64, nBits = 8)
@@ -826,6 +829,42 @@ object SparkEntry {
   /** DuckDB cosine(a,b) built from [[duckDot]] folds. */
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)}))"
+
+  /** DuckDB FNV-1a 64 over a token's characters in unsigned-HUGEINT
+    * mod-2^64 arithmetic — the same bit pattern as the native
+    * `Fnv.mixBytes` (the xor only ever touches the low byte, so it is
+    * computed on the BIGINT low byte and recombined). Tokens here are
+    * ASCII, so `unicode(char)` IS the UTF-8 byte.
+    */
+  private def duckFnv(tok: String): String =
+    s"""list_reduce(
+       list_prepend('14695981039346656037'::HUGEINT,
+         list_transform(generate_series(1, length($tok)), i -> unicode($tok[i])::HUGEINT)),
+       (h, c) -> ((h - (h % 256) + xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT)
+                  * 1099511628211::HUGEINT) % '18446744073709551616'::HUGEINT)"""
+
+  /** VALUES list (bit, 2^bit) for extracting the 64 bits of an
+    * unsigned-HUGEINT hash: bit i of h = (h // 2^i) % 2.
+    */
+  private def duckBitPowers: String =
+    (0 until 64).map(i => s"($i,'${BigInt(1) << i}'::HUGEINT)").mkString(",")
+
+  /** The ±1 hyperplane row for one LSH bit as a DuckDB list literal —
+    * the exact sign matrix of the native `HyperplaneBucket` kernel
+    * (single source of truth: `VectorExprs.hyperplaneSign`).
+    */
+  private def duckHyperplaneArr(bit: Int, dims: Int): String =
+    (0 until dims).map(d =>
+      if (graft.functions.VectorExprs.hyperplaneSign(bit, d) > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+
+  /** Projection of vector column `e` onto hyperplane `bit`, folded in
+    * index order so the double is bit-identical to the native kernel's
+    * sequential loop.
+    */
+  private def duckHyperplaneProj(bit: Int, dims: Int): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(e)),
+       i -> e[i] * (${duckHyperplaneArr(bit, dims)})[i])), (acc, x) -> acc + x)"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -1129,6 +1168,46 @@ object SparkEntry {
                  ${duckCos("a.e", "b.e")} AS c
                FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.4""",
+
+    // Replays the native hyperplane bucketing exactly: the ±1 sign
+    // matrix is embedded as literals (same SplitMix64 derivation as
+    // the kernel), and each projection folds in index order, so the
+    // bucket bits — and therefore the candidate set — are identical.
+    "neardup_cosine_lsh" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         bv AS (SELECT vec_id, e, ${(0 until 8).map(b =>
+        s"(CASE WHEN ${duckHyperplaneProj(b, 64)} > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")} AS bucket FROM v),
+         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCos("a.e", "b.e")} AS c
+               FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.4""",
+
+    // Replays the native SimHash64: FNV-1a per DISTINCT token (hash
+    // values are a pure function of the token bytes, so hashing the
+    // vocabulary once and joining is exactly the per-occurrence vote),
+    // ±1 votes summed per (doc, bit), sign vector banded 4×16 bits,
+    // pigeonhole band join, exact per-bit Hamming verify.
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                          x -> x <> '')) AS tok FROM documents),
+         vocab AS (SELECT DISTINCT tok FROM toks),
+         hashed AS (SELECT tok, ${duckFnv("tok")} AS h FROM vocab),
+         pw(bit, p) AS (VALUES $duckBitPowers),
+         bits AS (SELECT tok, bit, ((h // p) % 2)::BIGINT AS b FROM hashed, pw),
+         perdoc AS (SELECT t.doc_id, b.bit, sum(CASE WHEN b.b = 1 THEN 1 ELSE -1 END) AS cnt
+                    FROM toks t JOIN bits b USING (tok) GROUP BY 1, 2),
+         fp AS (SELECT doc_id, bit, CASE WHEN cnt > 0 THEN 1 ELSE 0 END AS fb FROM perdoc),
+         bands AS (SELECT doc_id, bit // 16 AS band, sum(fb * (1 << (bit % 16)))::BIGINT AS band_val
+                   FROM fp GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id),
+         ham AS (SELECT c.id_a, c.id_b,
+                   sum(CASE WHEN fa.fb <> fb2.fb THEN 1 ELSE 0 END)::BIGINT AS hamming
+                 FROM cand c JOIN fp fa ON fa.doc_id = c.id_a
+                   JOIN fp fb2 ON fb2.doc_id = c.id_b AND fb2.bit = fa.bit
+                 GROUP BY 1, 2)
+         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""",
 
     "ann_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

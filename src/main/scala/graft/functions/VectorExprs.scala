@@ -56,6 +56,16 @@ object VectorExprs {
   def hyperplaneBucket(vec: Column, nBits: Int): Column =
     GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), nBits))
 
+  /** The deterministic ±1 hyperplane component for (bit, dim) used by
+    * [[HyperplaneBucket]] — public so an external oracle can embed the
+    * identical sign matrix and replay the bucketing exactly.
+    */
+  def hyperplaneSign(bit: Int, d: Int): Double = {
+    var z = (bit.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xBF58476D1CE4E5B9L)
+    z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
+    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
+  }
+
   /** One-pass 64-bit SimHash of a token array. */
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
@@ -338,11 +348,7 @@ case class HyperplaneBucket(child: Expression, nBits: Int)
 
   override def dataType: DataType = LongType
 
-  private def sign(bit: Int, d: Int): Double = {
-    var z = (bit.toLong * 0x9E3779B97F4A7C15L) ^ (d.toLong * 0xBF58476D1CE4E5B9L)
-    z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
-    if (((z ^ (z >>> 31)) & 1L) == 0L) 1.0 else -1.0
-  }
+  private def sign(bit: Int, d: Int): Double = VectorExprs.hyperplaneSign(bit, d)
 
   protected override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
