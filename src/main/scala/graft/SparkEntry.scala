@@ -636,6 +636,27 @@ object SparkEntry {
     "shuffle_shards" -> ((s, dir) =>
       Corpus.shuffleShards(t(s, dir, "documents"), "doc_id", 8)),
 
+    // boilerplate scoring: fraction of each doc's distinct 2-gram
+    // shingles that recur across ≥30 docs (C4-style repeated-content
+    // signal); df aggregation on 8-byte hashes, frequent set broadcast
+    "boilerplate_score" -> ((s, dir) =>
+      Corpus.boilerplateScore(t(s, dir, "documents"), "doc_id", "text", 2, 30L)
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          r4(col("boiler_ratio")).as("boiler_ratio"))),
+
+    // leakage-safe splits: the split decision hashes the near-dup
+    // CLUSTER label, so every member of a duplicate family lands in
+    // the same split — the anti-leakage property per-doc hashing lacks
+    "split_cluster_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = Dedup.clusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6), docs, "doc_id")
+      Corpus.assignSplits(
+        labels.select(col("id").as("doc_id"), col("cluster")),
+        "cluster", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("cluster"), col("split"))
+    }),
+
     // cross-modal: text-quality gate joined to the embedding table
     // (broadcast the filtered doc side into the vector corpus)
     "crossmodal_join" -> ((s, dir) => {
@@ -795,6 +816,66 @@ object SparkEntry {
            WHERE r_name = 'ASIA'
              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
            GROUP BY n_name""")
+    }),
+
+    // TPC-H Q7: volume shipping between two nations by year — the
+    // two-role dimension join (nation joined twice under different
+    // aliases), both sides broadcast; one shuffle on the group key.
+    "sql_tpch_q7" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem", "supplier", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+           GROUP BY 1, 2, 3""")
+    }),
+
+    // TPC-H Q10: returned-item revenue per customer, top 20 — grouped
+    // top-n over a fact-fact join (TakeOrderedAndProject, no global
+    // sort materialization); deterministic tie-break on custkey.
+    "sql_tpch_q10" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT c_custkey, c_name,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+               / 100.0 AS revenue,
+             c_acctbal
+           FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+             AND l_returnflag = 'R'
+           GROUP BY c_custkey, c_name, c_acctbal
+           ORDER BY revenue DESC, c_custkey LIMIT 20""")
+    }),
+
+    // TPC-H Q14: promo revenue share — the cross-engine-exact ratio
+    // pattern: revenue fixed to integer cents per ROW (identical
+    // doubles both engines), summed exactly (order-independent), the
+    // percentage derived from the two exact integers.
+    "sql_tpch_q14" -> ((s, dir) => {
+      Seq("lineitem", "part").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """WITH l AS (SELECT
+               CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+               p_type
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01')
+           SELECT
+             CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             floor(1000000.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                   / sum(cents) + 0.5) / 10000 AS promo_pct
+           FROM l""")
     }),
 
     // ---- skew mitigation (SURVEY §4) --------------------------------
@@ -1481,6 +1562,87 @@ object SparkEntry {
                  ((doc_id * 48271 + 11) % 2147483647) % 1000 AS b
                FROM documents)
          GROUP BY 1""",
+
+    "boilerplate_score" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
+                 THEN list_transform(generate_series(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+1], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         df AS (SELECT g, count(*) AS d FROM ex GROUP BY g),
+         freq AS (SELECT g FROM df WHERE d >= 30),
+         hits AS (SELECT ex.doc_id, count(*) AS n_boiler
+                  FROM ex JOIN freq USING (g) GROUP BY ex.doc_id)
+         SELECT s.doc_id, len(s.sh)::BIGINT AS n_shingles,
+           coalesce(h.n_boiler, 0)::BIGINT AS n_boiler,
+           floor((CASE WHEN len(s.sh) > 0
+                       THEN coalesce(h.n_boiler, 0)::DOUBLE / len(s.sh)
+                       ELSE 0.0 END) * 10000 + 0.5) / 10000 AS boiler_ratio
+         FROM s LEFT JOIN hits h USING (doc_id)""",
+
+    "split_cluster_safe" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+         reach(a, b) AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
+                 FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
+         SELECT doc_id, cluster,
+           CASE WHEN b < 900 THEN 'train'
+                WHEN b < 950 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id, cluster,
+                 ((cluster * 48271 + 11) % 2147483647) % 1000 AS b FROM lab)""",
+
+    "sql_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON c_custkey = o_custkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+         GROUP BY 1, 2, 3""",
+
+    "sql_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+             / 100.0 AS revenue,
+           c_acctbal
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "sql_tpch_q14" ->
+      """WITH l AS (SELECT
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+             p_type
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01')
+         SELECT
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           floor(1000000.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
+                 / sum(cents) + 0.5) / 10000 AS promo_pct
+         FROM l""",
 
     "shuffle_shards" ->
       """WITH s AS (SELECT doc_id,

@@ -294,4 +294,43 @@ object Corpus {
         col("s.n_shingles").as("n_shingles"),
         col("s.n_distinct").as("n_distinct"),
         col("s.max_repeat").as("max_repeat"))
+
+  /** Boilerplate scoring: the fraction of each doc's distinct n-gram
+    * shingles that are corpus-frequent (present in ≥ minDocs docs) —
+    * the token-stream analogue of C4's repeated-line stripping
+    * (headers, footers, nav chrome recur across a crawl; prose
+    * doesn't). Docs above a ratio cutoff are boilerplate-dominated.
+    *
+    * 100 TB path: shingle document frequency aggregates 8-byte hashes
+    * (one row per distinct shingle per doc, never positions); the
+    * frequent set after the ≥ minDocs cut is vocabulary-sized — MBs
+    * against a TB corpus — so it BROADCASTS back, and each doc's hit
+    * count comes from a map-side broadcast-hash probe of its exploded
+    * set. The corpus text itself is never shuffled.
+    */
+  def boilerplateScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int,
+      minDocs: Long): DataFrame = {
+    val sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        Dedup.hashedShingleSet(col(textCol), shingleSize).as("hs"))
+      .withColumn("n_shingles", size(col("hs")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val frequent = sets.select(explode(col("hs")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("sh"))
+    val hits = sets.select(col(idCol), explode(col("hs")).as("sh"))
+      .join(broadcast(frequent), "sh")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_boiler"))
+    sets.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(col("n_shingles") > 0,
+          coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("boiler_ratio"))
+  }
 }

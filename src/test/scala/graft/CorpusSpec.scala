@@ -195,4 +195,43 @@ class CorpusSpec extends SparkSpec {
     assert(got(1L) == ((5L, 2L, 3L)), s"doc 1: ${got(1L)}")
     assert(got(2L) == ((1L, 1L, 1L)), s"doc 2: ${got(2L)}")
   }
+
+  test("boilerplateScore flags shingles shared across many docs") {
+    // 10 docs carry the same boilerplate prefix; each has a unique tail.
+    // 2-gram windows of "the same header text u<i> v<i>" (6 tokens → 5):
+    // "the same", "same header", "header text" shared by all 10 docs;
+    // "text u<i>", "u<i> v<i>" unique per doc.
+    val df = (1L to 10L)
+      .map(i => (i, s"the same header text u$i v$i"))
+      .toDF("doc_id", "text")
+    val out = Corpus.boilerplateScore(df, "doc_id", "text", 2, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 10)
+    out.foreach { case (id, nSh, nBoiler, ratio) =>
+      assert(nSh == 5L, s"doc $id distinct 2-grams: $nSh")
+      assert(nBoiler == 3L, s"doc $id boilerplate hits: $nBoiler")
+      assert(math.abs(ratio - 0.6) < 1e-9, s"doc $id ratio $ratio")
+    }
+    // raising the df cutoff above the corpus size clears every flag
+    val none = Corpus.boilerplateScore(df, "doc_id", "text", 2, 11L)
+      .agg(sum(col("n_boiler"))).collect()(0).getLong(0)
+    assert(none == 0L, "no shingle reaches a df cutoff above corpus size")
+  }
+
+  test("cluster-keyed splits keep every near-dup family in one split") {
+    val docs500 = docs
+    val labels = graft.operators.Dedup.clusters(
+      graft.operators.Dedup.ngramJaccardPairs(docs500, "doc_id", "text", 0.6),
+      docs500, "doc_id")
+    val assigned = Corpus.assignSplits(
+      labels.select(col("id").as("doc_id"), col("cluster")),
+      "cluster", Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val perCluster = assigned.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("n_splits"), count(lit(1)).as("n"))
+      .collect()
+    assert(perCluster.forall(_.getLong(1) == 1L),
+      "a near-dup family must never straddle a split boundary")
+    assert(perCluster.exists(_.getLong(2) > 1L),
+      "test corpus should contain at least one multi-doc family")
+  }
 }
