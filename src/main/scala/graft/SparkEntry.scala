@@ -40,6 +40,7 @@ object SparkEntry {
     */
   private def r2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
   private def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
+  private def r6(c: Column): Column = floor(c * 1000000 + lit(0.5)) / 1000000
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Region×year revenue rollup: broadcast dim joins, single fact scan.
@@ -643,6 +644,53 @@ object SparkEntry {
       Corpus.boilerplateScore(t(s, dir, "documents"), "doc_id", "text", 2, 30L)
         .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
           r4(col("boiler_ratio")).as("boiler_ratio"))),
+
+    // temperature-based mixture weights (α=0.5): per-source sampling
+    // weight ∝ sqrt(n) — the standard upweight-the-tail policy for
+    // multi-source training mixes. sqrt is correctly rounded IEEE, and
+    // the normalizer folds the per-source terms in source order, so
+    // every weight is bit-reproducible on any engine. Two tiny aggs;
+    // the corpus is scanned once and never shuffled.
+    "source_mixture_weights" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val total = counts.agg(
+        aggregate(
+          transform(sort_array(collect_list(struct(col("source"), col("n_docs")))),
+            x => sqrt(x.getField("n_docs"))),
+          lit(0.0), (acc, x) => acc + x).as("tot"))
+      counts.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"),
+          r6(sqrt(col("n_docs")) / col("tot")).as("weight"))
+    }),
+
+    // cohort retention: users bucketed by first-activity week, activity
+    // counted per (cohort week, weeks-since) — both aggregations hash
+    // on user_id (the partitioning is reused), never a self-join of the
+    // event log against itself
+    "events_retention" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+        .distinct()
+      val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ud.join(first, "user_id")
+        .select(expr("cohort_day DIV 7").as("cohort_week"),
+          expr("(day - cohort_day) DIV 7").as("week_offset"),
+          col("user_id"))
+        .distinct()
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // distribution windows: percent_rank / cume_dist are ratios of
+    // small exact integers — bit-identical across engines; ordering
+    // made total with the event_id tie-break
+    "window_cume" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      t(s, dir, "events").select(col("event_id"), col("user_id"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }),
 
     // leakage-safe splits: the split decision hashes the near-dup
     // CLUSTER label, so every member of a duplicate family lands in
@@ -1562,6 +1610,31 @@ object SparkEntry {
                  ((doc_id * 48271 + 11) % 2147483647) % 1000 AS b
                FROM documents)
          GROUP BY 1""",
+
+    "source_mixture_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         t AS (SELECT list_reduce(list_prepend(0.0,
+                 list(sqrt(n_docs::DOUBLE) ORDER BY source)),
+                 (acc, x) -> acc + x) AS tot FROM c)
+         SELECT c.source, c.n_docs,
+           floor(sqrt(c.n_docs::DOUBLE) / t.tot * 1000000 + 0.5) / 1000000 AS weight
+         FROM c, t""",
+
+    "events_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts::TIMESTAMP) // 86400000000 AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
+         j AS (SELECT DISTINCT ud.user_id, f.cohort_day // 7 AS cohort_week,
+                 (ud.day - f.cohort_day) // 7 AS week_offset
+               FROM ud JOIN f USING (user_id))
+         SELECT cohort_week, week_offset, count(*) AS n_users
+         FROM j GROUP BY 1, 2""",
+
+    "window_cume" ->
+      """SELECT event_id, user_id,
+           percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pr,
+           cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id) AS cd
+         FROM events""",
 
     "boilerplate_score" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
