@@ -665,22 +665,22 @@ object SparkEntry {
     }),
 
     // cohort retention: users bucketed by first-activity week, activity
-    // counted per (cohort week, weeks-since) — both aggregations hash
-    // on user_id (the partitioning is reused), never a self-join of the
-    // event log against itself
-    "events_retention" -> ((s, dir) => {
-      val ud = t(s, dir, "events")
+    // counted per (cohort week, weeks-since). ONE shuffle on user_id
+    // collects each user's distinct active days; cohort and offsets
+    // derive array-locally from that row (per-user state is bounded by
+    // active days, KBs at worst), then one cell agg — never a
+    // self-join of the event log, never a third pass
+    "events_retention" -> ((s, dir) =>
+      t(s, dir, "events")
         .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
-        .distinct()
-      val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-      ud.join(first, "user_id")
-        .select(expr("cohort_day DIV 7").as("cohort_week"),
-          expr("(day - cohort_day) DIV 7").as("week_offset"),
-          col("user_id"))
-        .distinct()
+        .groupBy(col("user_id")).agg(collect_set(col("day")).as("days"))
+        .withColumn("cohort_day", array_min(col("days")))
+        .select(col("user_id"),
+          (col("cohort_day") / lit(7)).cast("long").as("cohort_week"),
+          explode(array_distinct(transform(col("days"),
+            d => ((d - col("cohort_day")) / lit(7)).cast("long")))).as("week_offset"))
         .groupBy(col("cohort_week"), col("week_offset"))
-        .agg(count(lit(1)).as("n_users"))
-    }),
+        .agg(count(lit(1)).as("n_users"))),
 
     // distribution windows: percent_rank / cume_dist are ratios of
     // small exact integers — bit-identical across engines; ordering

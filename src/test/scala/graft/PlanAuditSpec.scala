@@ -175,13 +175,39 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_incremental" -> 3,  // batch hash agg + index distinct + anti
                                  // join, all keyed on the 8-byte hash
       "split_assign" -> 1,       // row-local assignment; one count agg
-      "shuffle_shards" -> 1)     // one hash exchange feeds the per-shard
+      "shuffle_shards" -> 1,     // one hash exchange feeds the per-shard
                                  // windows — never a global ORDER BY
+      // round-4 additions
+      "source_mixture_weights" -> 2, // source counts + the tiny ordered
+                                     // fold; rate table broadcasts back
+      "events_retention" -> 2,   // one user-keyed day-set agg + the
+                                 // cohort-cell agg; no log self-join
+      "window_cume" -> 1,        // one hash shuffle for the user window
+      "boilerplate_score" -> 3)  // df agg + per-doc hit agg + final
+                                 // join; frequent set broadcasts
+    budgets2Check(budgets)
+  }
+
+  test("round-4 joins: boilerplate broadcast probe, q7/q10 shapes") {
+    val bp = plan("boilerplate_score")
+    assert(bp.contains("BroadcastHashJoin"), s"frequent-set probe not broadcast:\n$bp")
+    assert(!bp.contains("CartesianProduct") && !bp.contains("BroadcastNestedLoopJoin"),
+      s"boilerplate_score: non-equi join:\n$bp")
+    val q7 = plan("sql_tpch_q7")
+    assert(q7.contains("BroadcastHashJoin"), s"nation joins not broadcast:\n$q7")
+    assert(!q7.contains("CartesianProduct"), s"q7 cartesian:\n$q7")
+    val q10 = plan("sql_tpch_q10")
+    assert(q10.contains("TakeOrderedAndProject"), s"q10 top-20 is a global sort:\n$q10")
+    val ret = plan("events_retention")
+    assert(!ret.contains("CartesianProduct") && !ret.contains("BroadcastNestedLoopJoin"),
+      s"retention self-join shape:\n$ret")
+  }
+
+  private def budgets2Check(budgets: Map[String, Int]): Unit =
     budgets.foreach { case (name, budget) =>
       val p = plan(name)
       val n = "Exchange hashpartitioning".r.findAllIn(p).size +
         "Exchange rangepartitioning".r.findAllIn(p).size
       assert(n <= budget, s"$name: $n shuffles (budget $budget):\n$p")
     }
-  }
 }
