@@ -926,6 +926,116 @@ object SparkEntry {
            FROM l""")
     }),
 
+    // TPC-H Q8 (adapted: p_type in place of the missing p_container
+    // taxonomy): national market share — two-role nation join plus a
+    // region filter, ratio derived from exact integer cents (the q14
+    // protocol) so the share is bit-identical cross-engine.
+    "sql_tpch_q8" -> ((s, dir) => {
+      Seq("part", "supplier", "lineitem", "orders", "customer", "nation", "region")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """WITH v AS (SELECT
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+               n2.n_name AS supp_nation
+             FROM part JOIN lineitem ON p_partkey = l_partkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             JOIN region ON n1.n_regionkey = r_regionkey
+             JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+               AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01')
+           SELECT o_year,
+             CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             floor(1000000.0 * sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END)
+                   / sum(cents) + 0.5) / 10000 AS mkt_share_pct
+           FROM v GROUP BY o_year""")
+    }),
+
+    // TPC-H Q9 (adapted: no partsupp table in the schema, so profit =
+    // discounted revenue): profit by supplier nation × order year over
+    // a part-name substring filter.
+    "sql_tpch_q9" -> ((s, dir) => {
+      Seq("part", "supplier", "lineitem", "orders", "nation")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+               / 100.0 AS profit
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE p_name LIKE '%red%'
+           GROUP BY n_name, year(o_orderdate)""")
+    }),
+
+    // TPC-H Q13: customer order-count distribution — the left-outer
+    // join with an ON-clause filter (unmatched customers count 0) and
+    // a two-level aggregation.
+    "sql_tpch_q13" -> ((s, dir) => {
+      Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT c_count, count(*) AS custdist
+           FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                 FROM customer LEFT JOIN orders
+                   ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+                 GROUP BY c_custkey) AS c_orders
+           GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")
+    }),
+
+    // TPC-H Q17 (adapted: p_type for the missing p_container):
+    // small-quantity revenue via a correlated scalar subquery (per-part
+    // average quantity) — quantities are integral so the 0.2·avg
+    // threshold is exact in both engines; the output derives from
+    // integer cents (floor(x/7+0.5) instead of round to dodge
+    // half-even vs half-up ties).
+    "sql_tpch_q17" -> ((s, dir) => {
+      Seq("lineitem", "part").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             floor(sum(cents) / 7.0 + 0.5) / 100.0 AS avg_yearly
+           FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+                 FROM lineitem JOIN part ON p_partkey = l_partkey
+                 WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+                   AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                     FROM lineitem l2
+                                     WHERE l2.l_partkey = p_partkey)) AS small_qty""")
+    }),
+
+    // TPC-H Q22 (adapted: nationkey bucket for the missing phone
+    // country code): positive-balance customers above the mean with no
+    // recent orders — anti join + uncorrelated scalar subquery, the
+    // mean compared in exact integer cents.
+    "sql_tpch_q22" -> ((s, dir) => {
+      Seq("customer", "orders").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """WITH avg_bal AS (
+             SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) * 1.0 / count(*) AS avg_cents
+             FROM customer WHERE c_acctbal > 0.0)
+           SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+             count(*) AS numcust,
+             CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+           FROM (SELECT c_custkey, c_nationkey,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+                 FROM customer CROSS JOIN avg_bal
+                 WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > avg_cents
+                   AND NOT EXISTS (SELECT 1 FROM orders
+                                   WHERE o_custkey = c_custkey
+                                     AND o_orderdate >= '2000-01-01')) AS rich_idle
+           GROUP BY c_nationkey % 5 ORDER BY cntrycode""")
+    }),
+
+    // Per-document top-k TF-IDF terms: broadcast vocabulary-sized df
+    // probe, integer-scaled idf (no logarithms), WindowGroupLimit
+    // top-k per doc.
+    "tfidf_top_terms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)),
+
     // ---- skew mitigation (SURVEY §4) --------------------------------
     "skew_salted_join" -> ((s, dir) =>
       Skew.saltedJoin(t(s, dir, "orders"), t(s, dir, "customer")
@@ -1716,6 +1826,89 @@ object SparkEntry {
            floor(1000000.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
                  / sum(cents) + 0.5) / 10000 AS promo_pct
          FROM l""",
+
+    "sql_tpch_q8" ->
+      """WITH v AS (SELECT
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+             n2.n_name AS supp_nation
+           FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+             AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01')
+         SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           floor(1000000.0 * sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END)
+                 / sum(cents) + 0.5) / 10000 AS mkt_share_pct
+         FROM v GROUP BY o_year""",
+
+    "sql_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+             / 100.0 AS profit
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY n_name, year(o_orderdate)""",
+
+    "sql_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+               GROUP BY c_custkey) AS c_orders
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    "sql_tpch_q17" ->
+      """SELECT
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           floor(sum(cents) / 7.0 + 0.5) / 100.0 AS avg_yearly
+         FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+               FROM lineitem JOIN part ON p_partkey = l_partkey
+               WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
+                 AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = p_partkey)) AS small_qty""",
+
+    "sql_tpch_q22" ->
+      """WITH avg_bal AS (
+           SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) * 1.0 / count(*) AS avg_cents
+           FROM customer WHERE c_acctbal > 0.0)
+         SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+           count(*) AS numcust,
+           CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+         FROM (SELECT c_custkey, c_nationkey,
+                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+               FROM customer CROSS JOIN avg_bal
+               WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > avg_cents
+                 AND NOT EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey
+                                   AND o_orderdate >= '2000-01-01')) AS rich_idle
+         GROUP BY c_nationkey % 5 ORDER BY cntrycode""",
+
+    "tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         docfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT t.doc_id, t.term, t.tf,
+             t.tf * ((n.n_docs * 1000) // d.df) AS score
+           FROM tf t JOIN docfreq d USING (term) CROSS JOIN n)
+         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS rank FROM scored) AS ranked
+         WHERE rank <= 3""",
 
     "shuffle_shards" ->
       """WITH s AS (SELECT doc_id,

@@ -207,4 +207,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term"))
       .limit(k)
+
+  /** Per-document top-k terms by TF-IDF (integer-scaled, so the score
+    * is bit-reproducible on any engine: idf = (nDocs*1000) div df in
+    * exact integer arithmetic, score = tf * idf — no logarithms).
+    *
+    * Scale shape: the corpus text leaves the scan only as (doc_id,
+    * term) pairs that partial-aggregate into per-doc term counts (the
+    * shuffle is bounded by total distinct (doc, term) pairs, not raw
+    * token volume). The document-frequency side collapses to one row
+    * per vocabulary term and BROADCASTS back as a map-side probe, and
+    * the corpus count rides along as a broadcast 1-row crossjoin — no
+    * driver-side action at plan build. The per-doc top-k rank filter
+    * compiles to WindowGroupLimit: a size-k heap per doc, never a full
+    * per-doc sort materialization.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * expr("(n_docs * 1000L) div df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf").cast("long").as("tf"),
+        col("score").cast("long").as("score"), col("rank").cast("long").as("rank"))
+  }
 }
