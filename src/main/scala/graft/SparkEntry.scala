@@ -895,8 +895,8 @@ object SparkEntry {
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(
         """SELECT c_custkey, c_name,
-             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
-               / 100.0 AS revenue,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS revenue,
              c_acctbal
            FROM customer JOIN orders ON c_custkey = o_custkey
            JOIN lineitem ON l_orderkey = o_orderkey
@@ -921,8 +921,8 @@ object SparkEntry {
            SELECT
              CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
              CAST(sum(cents) AS BIGINT) AS total_cents,
-             floor(1000000.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
-                   / sum(cents) + 0.5) / 10000 AS promo_pct
+             CAST(floor(1000000.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE)
+                   / sum(cents) + 0.5) AS DOUBLE) / 10000 AS promo_pct
            FROM l""")
     }),
 
@@ -950,8 +950,8 @@ object SparkEntry {
            SELECT o_year,
              CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
              CAST(sum(cents) AS BIGINT) AS total_cents,
-             floor(1000000.0 * sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END)
-                   / sum(cents) + 0.5) / 10000 AS mkt_share_pct
+             CAST(floor(1000000.0 * CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END) AS DOUBLE)
+                   / sum(cents) + 0.5) AS DOUBLE) / 10000 AS mkt_share_pct
            FROM v GROUP BY o_year""")
     }),
 
@@ -963,8 +963,8 @@ object SparkEntry {
         .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
       s.sql(
         """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
-               / 100.0 AS profit
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+               AS DOUBLE) / 100.0 AS profit
            FROM lineitem JOIN part ON p_partkey = l_partkey
            JOIN supplier ON s_suppkey = l_suppkey
            JOIN orders ON o_orderkey = l_orderkey
@@ -998,7 +998,7 @@ object SparkEntry {
       s.sql(
         """SELECT
              CAST(sum(cents) AS BIGINT) AS total_cents,
-             floor(sum(cents) / 7.0 + 0.5) / 100.0 AS avg_yearly
+             CAST(floor(CAST(sum(cents) AS DOUBLE) / 7.0 + 0.5) AS DOUBLE) / 100.0 AS avg_yearly
            FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
                  FROM lineitem JOIN part ON p_partkey = l_partkey
                  WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'

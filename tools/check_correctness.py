@@ -32,9 +32,23 @@ def main(sf_dir: str, out_dir: str) -> int:
     failures = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got = duckdb.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')",
-                connection=con).df()
+            # Read the Spark dump the way the driver does (pyarrow→pandas),
+            # NOT via DuckDB: DuckDB silently coerces parquet DECIMAL to
+            # float64, masking decimal-typed outputs that the driver hashes
+            # as Decimal objects (round-4 lesson: q8/q9/q10/q14/q17).
+            import glob as _glob
+            import pyarrow.parquet as _pq
+            _files = _glob.glob(f"{out_dir}/{name}/*.parquet")
+            _tbl = _pq.read_table(_files[0]) if len(_files) == 1 else \
+                _pq.ParquetDataset(f"{out_dir}/{name}").read()
+            _dec = [f.name for f in _tbl.schema if "decimal" in str(f.type)]
+            if _dec:
+                print(f"FAIL {name}: DECIMAL output columns {_dec} "
+                      "(driver hashes Decimal objects != DuckDB doubles; "
+                      "CAST to DOUBLE in the Spark query)")
+                failures += 1
+                continue
+            got = _tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})")
             failures += 1
