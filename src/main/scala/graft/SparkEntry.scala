@@ -62,7 +62,15 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ portableTpch.map { case (name, (tables, sql)) =>
+      name -> (((s: SparkSession, dir: String) => {
+        tables.foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(sql)
+      }): (SparkSession, String) => DataFrame)
+    }
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2 rows 1-3: map / filter / flatten ------------------------
     "map_project" -> ((s, dir) =>
@@ -645,6 +653,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
           r4(col("boiler_ratio")).as("boiler_ratio"))),
 
+    // novelty scoring: fraction of each doc's distinct 3-gram shingles
+    // first seen in THIS doc (id-ordered corpus scan) — snapshot
+    // freshness; duplicate-of-earlier docs score ≈0. One 8-byte-hash
+    // shuffle; the novel count is the first-seen table re-grouped
+    "shingle_novelty" -> ((s, dir) =>
+      Corpus.shingleNovelty(t(s, dir, "documents"), "doc_id", "text", 3)),
+
     // temperature-based mixture weights (α=0.5): per-source sampling
     // weight ∝ sqrt(n) — the standard upweight-the-tail policy for
     // multi-source training mixes. sqrt is correctly rounded IEEE, and
@@ -1055,6 +1070,149 @@ object SparkEntry {
       Similarity.nearDupCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         0.4, dims = 64, nBits = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine")))
+  )
+
+  /** TPC-H shapes whose SQL is engine-portable verbatim: registered as
+    * Spark queries AND as their own DuckDB oracles from one source of
+    * truth (no drift possible). Together with the hand-built
+    * q1/q3/q5/q6/q7/q8/q9/q10/q13/q14/q17/q18/q22 this completes all
+    * 22 TPC-H query shapes (adapted where the 7-table schema lacks
+    * partsupp / commitdate / shipmode / container — the JOIN/subquery
+    * structure is preserved, the missing column is substituted).
+    * Money follows the integer-cents protocol; every ratio output is
+    * computed in doubles (never Spark DECIMAL division).
+    */
+  private val portableTpch: Map[String, (Seq[String], String)] = Map(
+
+    // Q2 (adapted: per-(part,supplier) min unit price from lineitem
+    // stands in for partsupp.ps_supplycost): min-cost supplier per
+    // part via a correlated min subquery over the same CTE —
+    // decorrelates to one aggregate + self-join, no per-row probe.
+    "sql_tpch_q2" -> (Seq("part", "supplier", "lineitem", "nation", "region") ->
+      """WITH cost AS (SELECT l_partkey, l_suppkey,
+             min(CAST(floor(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)) AS unit_cents
+           FROM lineitem GROUP BY l_partkey, l_suppkey)
+         SELECT p_partkey, s_suppkey, s_name, CAST(unit_cents AS BIGINT) AS unit_cents
+         FROM part JOIN cost ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA' AND p_size = 10
+           AND unit_cents = (SELECT min(c2.unit_cents) FROM cost c2
+                             WHERE c2.l_partkey = p_partkey)
+         ORDER BY p_partkey, s_suppkey"""),
+
+    // Q4: priority count of orders with at least one late-shipped line
+    // (l_shipdate > o_orderdate replaces the missing commitdate) —
+    // correlated EXISTS with an inequality = left semi hash join.
+    "sql_tpch_q4" -> (Seq("orders", "lineitem") ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+
+    // Q11 (adapted: revenue by part for one nation's suppliers stands
+    // in for partsupp stock value): groups above a fraction of the
+    // global total — the threshold compare stays in exact integers
+    // (cents·1000 > Σcents) instead of a float multiply.
+    "sql_tpch_q11" -> (Seq("lineitem", "supplier", "nation") ->
+      """WITH pv AS (SELECT l_partkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS cents
+           FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_1' GROUP BY l_partkey)
+         SELECT l_partkey, CAST(cents AS BIGINT) AS value_cents
+         FROM pv WHERE cents * 1000 > (SELECT sum(cents) FROM pv)
+         ORDER BY value_cents DESC, l_partkey"""),
+
+    // Q12 (adapted: l_returnflag buckets for the missing l_shipmode):
+    // the canonical conditional-count pivot over a fact-fact join.
+    "sql_tpch_q12" -> (Seq("orders", "lineitem") ->
+      """SELECT l_returnflag AS ship_bucket,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+         GROUP BY l_returnflag ORDER BY ship_bucket"""),
+
+    // Q15: top supplier by quarterly revenue — the view + scalar-max
+    // pattern; the revenue CTE is evaluated once per consumer side
+    // (aggregate reuse), max compared in exact integer cents.
+    "sql_tpch_q15" -> (Seq("supplier", "lineitem") ->
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS total_cents
+           FROM lineitem
+           WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(total_cents AS BIGINT) AS total_cents
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+         ORDER BY s_suppkey"""),
+
+    // Q16 (adapted: negative-balance suppliers stand in for the
+    // complaints predicate): distinct-supplier counts per part attr
+    // with a NOT IN subquery — the null-aware anti join shape.
+    "sql_tpch_q16" -> (Seq("lineitem", "part", "supplier") ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""),
+
+    // Q19 (adapted: l_returnflag for the missing shipmode/container):
+    // disjunction of brand×size×quantity blocks — Catalyst extracts
+    // the common conjunct ('N') into the scan and plans ONE hash join
+    // over the union of ranges, not three scans.
+    "sql_tpch_q19" -> (Seq("lineitem", "part") ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS revenue_cents
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                AND l_quantity >= 1 AND l_quantity <= 11 AND l_returnflag = 'N')
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                AND l_quantity >= 10 AND l_quantity <= 20 AND l_returnflag = 'N')
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND l_quantity >= 20 AND l_quantity <= 30 AND l_returnflag = 'N')"""),
+
+    // Q20 (adapted: shipped-quantity threshold stands in for the
+    // availqty check): IN over a grouped HAVING subquery — an
+    // aggregate-then-semi-join, quantities are integral so the
+    // double sum threshold is exact.
+    "sql_tpch_q20" -> (Seq("supplier", "lineitem", "part") ->
+      """SELECT s_suppkey, s_name
+         FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_name LIKE '%red%'
+             AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+           GROUP BY l_suppkey HAVING sum(l_quantity) > 450)
+         ORDER BY s_suppkey"""),
+
+    // Q21 (adapted: late = shipped >60 days after order date, for the
+    // missing commit/receipt dates): the EXISTS + NOT EXISTS pair over
+    // one derived table — semi join and anti join against the same
+    // subplan, the q21 signature shape.
+    "sql_tpch_q21" -> (Seq("supplier", "lineitem", "orders", "nation") ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           WHERE o_orderstatus = 'F')
+         SELECT s_name, count(*) AS numwait
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         JOIN lo l1 ON s_suppkey = l1.l_suppkey
+         WHERE n_name = 'NATION_1' AND l1.late
+           AND EXISTS (SELECT 1 FROM lo l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lo l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+         GROUP BY s_name ORDER BY numwait DESC, s_name""")
   )
 
   /** DuckDB dot-product snippet with the same sequential left-to-right
@@ -2063,6 +2221,21 @@ object SparkEntry {
 
     "skew_two_phase" ->
       """SELECT l_partkey AS k, round(sum(l_quantity), 2) AS total
-         FROM lineitem GROUP BY l_partkey"""
-  )
+         FROM lineitem GROUP BY l_partkey""",
+
+    "shingle_novelty" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         f AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g),
+         nov AS (SELECT first_doc AS doc_id, count(*) AS n_novel FROM f GROUP BY first_doc)
+         SELECT s.doc_id, len(s.sh)::BIGINT AS n_shingles,
+           coalesce(nov.n_novel, 0)::BIGINT AS n_novel,
+           floor(coalesce(nov.n_novel, 0)::DOUBLE / len(s.sh) * 10000 + 0.5) / 10000 AS novelty
+         FROM s LEFT JOIN nov ON s.doc_id = nov.doc_id"""
+  ) ++ portableTpch.map { case (name, (_, sql)) => name -> sql }
 }

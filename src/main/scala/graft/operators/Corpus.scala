@@ -333,4 +333,45 @@ object Corpus {
           coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_shingles"))
           .otherwise(lit(0.0)).as("boiler_ratio"))
   }
+
+  /** Novelty scoring: the fraction of each doc's distinct n-gram
+    * shingles that appear for the FIRST time in this doc, scanning the
+    * corpus in id order — a snapshot/crawl freshness signal (near-copies
+    * of earlier documents score ≈0; genuinely new text scores ≈1).
+    * Complements [[boilerplateScore]]: boilerplate measures cross-doc
+    * frequency, novelty measures first occurrence.
+    *
+    * 100 TB path: one shuffle of 8-byte shingle hashes for the
+    * min-doc-id aggregate (partial agg applies — each mapper emits one
+    * candidate per distinct shingle). The per-doc novel count needs NO
+    * join-back through the corpus: it is just the first-seen table
+    * re-grouped by its min id. Only the final id-keyed stats join
+    * touches per-doc rows, and both sides of it are id+counters — the
+    * corpus text is never shuffled.
+    *
+    * Mirrors the reference's chunk-level recurrence checks done with a
+    * shared seen-set dict; on Spark the "seen set" is the groupBy.
+    */
+  def shingleNovelty(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int): DataFrame = {
+    val sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        Dedup.hashedShingleSet(col(textCol), shingleSize).as("hs"))
+      .withColumn("n_shingles", size(col("hs")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val novel = sets.select(col(idCol), explode(col("hs")).as("sh"))
+      .groupBy(col("sh")).agg(min(col(idCol)).as("first_doc"))
+      .groupBy(col("first_doc").as(idCol))
+      .agg(count(lit(1)).as("n_novel"))
+    sets.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        // bit-deterministic half-up rounding (the r4 protocol): both
+        // engines divide, scale, floor the same IEEE doubles
+        (floor(coalesce(col("n_novel"), lit(0L)).cast("double")
+          / col("n_shingles") * 10000 + lit(0.5)) / 10000).as("novelty"))
+  }
 }

@@ -218,6 +218,24 @@ class CorpusSpec extends SparkSpec {
     assert(none == 0L, "no shingle reaches a df cutoff above corpus size")
   }
 
+  test("shingleNovelty: first occurrence scores 1, later copies 0, half-new half") {
+    // doc 1 introduces its shingles; doc 2 is an exact copy (novelty 0);
+    // doc 3 shares a 4-token prefix with doc 1 and adds a new tail.
+    // 3-grams of "a b c d e" = {abc, bcd, cde}; doc 3 "a b c d x" =
+    // {abc, bcd, cdx} → abc/bcd first seen in doc 1, cdx novel → 1/3.
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "a b c d x")).toDF("doc_id", "text")
+    val out = Corpus.shingleNovelty(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 1.0)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 0.0)), s"exact copy must be 0-novel: ${out(2L)}")
+    assert(out(3L)._2 == 1L && math.abs(out(3L)._3 - 0.3333) < 1e-9,
+      s"doc 3: ${out(3L)}")
+  }
+
   test("cluster-keyed splits keep every near-dup family in one split") {
     val docs500 = docs
     val labels = graft.operators.Dedup.clusters(

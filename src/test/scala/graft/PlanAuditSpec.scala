@@ -203,6 +203,34 @@ class PlanAuditSpec extends SparkSpec {
       s"retention self-join shape:\n$ret")
   }
 
+  test("round-5 TPC-H shapes: semi/anti joins planned as hash joins, no cartesian") {
+    // q4 EXISTS → left semi; q21 EXISTS + NOT EXISTS over one derived
+    // table → semi + anti; q16 NOT IN → null-aware anti; q19's
+    // disjunctive predicate must still plan ONE equi hash join
+    for (q <- Seq("sql_tpch_q2", "sql_tpch_q4", "sql_tpch_q16",
+        "sql_tpch_q19", "sql_tpch_q20", "sql_tpch_q21")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+    }
+    val q4 = plan("sql_tpch_q4")
+    assert(q4.contains("LeftSemi"), s"q4 EXISTS not a semi join:\n$q4")
+    val q21 = plan("sql_tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"),
+      s"q21 missing semi+anti pair:\n$q21")
+    val q19 = plan("sql_tpch_q19")
+    assert(q19.contains("BroadcastHashJoin") || q19.contains("SortMergeJoin") ||
+      q19.contains("ShuffledHashJoin"), s"q19 disjunction broke the equi-join:\n$q19")
+    assert(!q19.contains("BroadcastNestedLoopJoin"), s"q19 nested loop:\n$q19")
+  }
+
+  test("shingle_novelty: hash-keyed shuffles only, text never on the wire") {
+    val p = plan("shingle_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty non-equi join:\n$p")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"), s"raw text shuffled:\n$exchangeLines")
+  }
+
   private def budgets2Check(budgets: Map[String, Int]): Unit =
     budgets.foreach { case (name, budget) =>
       val p = plan(name)
