@@ -422,6 +422,19 @@ object SparkEntry {
       Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
 
+    // incremental near-dup: the daily batch (doc_id%10=0) banded
+    // against the corpus index (%10≠0) — never corpus×corpus; at
+    // t=0.8 the 32×4 band miss probability (≈5e-8) makes the exact
+    // cross-Jaccard oracle sound
+    "neardup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.minHashNearDupsIncremental(
+        docs.where(col("doc_id") % 10 === 0),
+        docs.where(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", 0.8)
+        .select(col("id_new"), col("id_old"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
     // clustering input is the EXACT Jaccard pair set (PPJoin), not
     // minhash: LSH recall at threshold 0.6 is ~98.8% per pair, which
     // would make the recursive-CTE oracle only data-dependently green;
@@ -652,6 +665,13 @@ object SparkEntry {
       Corpus.boilerplateScore(t(s, dir, "documents"), "doc_id", "text", 2, 30L)
         .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
           r4(col("boiler_ratio")).as("boiler_ratio"))),
+
+    // per-source token-budget fill: longest-first selection until each
+    // source hits its token quota; histogram-level offsets broadcast,
+    // per-doc running sums windowed per (source, length) group — never
+    // one reducer per source
+    "budget_select" -> ((s, dir) =>
+      Corpus.budgetSelect(t(s, dir, "documents"), "doc_id", "text", "source", 800L)),
 
     // novelty scoring: fraction of each doc's distinct 3-gram shingles
     // first seen in THIS doc (id-ordered corpus scan) — snapshot
@@ -1511,6 +1531,19 @@ object SparkEntry {
                FROM s a JOIN s b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.8""",
 
+    "neardup_incremental" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         p AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+                 len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+               FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         SELECT id_new, id_old, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.8""",
+
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
                     FROM documents),
@@ -2222,6 +2255,17 @@ object SparkEntry {
     "skew_two_phase" ->
       """SELECT l_partkey AS k, round(sum(l_quantity), 2) AS total
          FROM lineitem GROUP BY l_partkey""",
+
+    "budget_select" ->
+      """WITH t AS (SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source
+                                     ORDER BY n_tokens DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t)
+         SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+         FROM c WHERE cum_tokens <= 800""",
 
     "shingle_novelty" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks

@@ -334,6 +334,49 @@ object Corpus {
           .otherwise(lit(0.0)).as("boiler_ratio"))
   }
 
+  /** Per-source token-budget selection: rank each source's docs
+    * longest-first (ties to smallest id), keep docs while the running
+    * token total stays within `budgetTokens` — the "fill each mixture
+    * component to its token quota" step of corpus assembly.
+    *
+    * 100 TB path: the running sum is NOT a per-source window (that
+    * puts an entire source — possibly most of the corpus — through
+    * one reducer). Instead: (1) a (source, n_tokens) histogram
+    * aggregates the corpus to vocabulary-sized rows; (2) the
+    * histogram-level running sum — tiny — computes each length
+    * group's tokens-before; (3) the group offsets BROADCAST back and
+    * the per-doc running sum needs only a (source, n_tokens)-keyed
+    * window, i.e. one fine-grained partition per length group, never
+    * one partition per source. Worst case (every doc the same length)
+    * degenerates to the per-source window; real length distributions
+    * keep groups small.
+    *
+    * @return (id, source, n_tokens, cum_tokens) for kept docs
+    */
+  def budgetSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      budgetTokens: Long): DataFrame = {
+    val base = df.select(col(idCol), col(sourceCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val hist = base.groupBy(col(sourceCol), col("n_tokens"))
+      .agg(sum(col("n_tokens")).as("grp_tokens"))
+    val wh = Window.partitionBy(col(sourceCol)).orderBy(col("n_tokens").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.select(col(sourceCol), col("n_tokens"),
+      coalesce(sum(col("grp_tokens")).over(wh), lit(0L)).as("cum_before"))
+      // groups that start at/after the budget can never contribute
+      .where(col("cum_before") < budgetTokens)
+    val wd = Window.partitionBy(col(sourceCol), col("n_tokens"))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, 0)
+    base.join(broadcast(offsets), Seq(sourceCol, "n_tokens"))
+      .withColumn("cum_tokens", col("cum_before") + sum(col("n_tokens")).over(wd))
+      .where(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Novelty scoring: the fraction of each doc's distinct n-gram
     * shingles that appear for the FIRST time in this doc, scanning the
     * corpus in id order — a snapshot/crawl freshness signal (near-copies

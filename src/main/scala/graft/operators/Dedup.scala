@@ -110,17 +110,30 @@ object Dedup {
       sigCol: String,
       bands: Int,
       rowsPerBand: Int): DataFrame = {
-    val bandSigs = (0 until bands).map(b =>
-      xxhash64(lit(b), slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))
-    val banded = sigDf.select(
-      col(idCol),
-      posexplode(array(bandSigs: _*)).as(Seq("band", "band_sig")))
+    val banded = bandKeys(sigDf, idCol, sigCol, bands, rowsPerBand)
     val left  = banded.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
     val right = banded.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
     left.join(right, Seq("band", "band_sig"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  /** (id, band, band_sig) band-key rows for a signature table — the
+    * LSH index representation both the self-join ([[lshCandidates]])
+    * and the incremental new-vs-corpus join consume.
+    */
+  def bandKeys(
+      sigDf: DataFrame,
+      idCol: String,
+      sigCol: String,
+      bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandSigs = (0 until bands).map(b =>
+      xxhash64(lit(b), slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))
+    sigDf.select(
+      col(idCol),
+      posexplode(array(bandSigs: _*)).as(Seq("band", "band_sig")))
   }
 
   /** Exact Jaccard verification of candidate pairs against sorted
@@ -166,6 +179,59 @@ object Dedup {
       minHashSignature(col("shingle_set"), numHashes).as("sig"))
     val cands = lshCandidates(sigs, idCol, "sig", bands, numHashes / bands)
     verifyJaccard(cands, sets, idCol, "shingle_set", threshold)
+  }
+
+  /** Incremental MinHash near-dup: pairs each NEW doc against the
+    * accumulated CORPUS without ever re-pairing the corpus with
+    * itself. This is the daily-snapshot shape: the corpus's band keys
+    * are an index a production pipeline computes once and persists
+    * (like [[exactIncremental]]'s hash index); each increment only
+    * generates signatures for the new batch and equi-joins its band
+    * keys against the index.
+    *
+    * 100 TB path: shuffle rows are (8-byte id, band, 8-byte band sig)
+    * — O(new·bands + corpus·bands), never |new|·|corpus|; exact
+    * verification touches only bucket-collision candidates, and with
+    * 32×4 bands P(miss | J=0.8) ≈ 5e-8, so the oracle can be the
+    * exact cross Jaccard at the query threshold.
+    *
+    * @return (id_new, id_old, jaccard) — every near-dup link from the
+    *         batch into the corpus (a batch doc may hit many).
+    */
+  def minHashNearDupsIncremental(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def sets(df: DataFrame) = rebalance(df).select(
+      col(idCol),
+      hashedShingleSet(col(textCol), shingleSize).as("shingle_set"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(s: DataFrame) = bandKeys(
+      s.select(col(idCol), minHashSignature(col("shingle_set"), numHashes).as("sig")),
+      idCol, "sig", bands, rowsPerBand)
+    val newSets = sets(newDf)
+    val oldSets = sets(corpusDf)
+    val cands = banded(newSets).select(col(idCol).as("id_new"), col("band"), col("band_sig"))
+      .join(banded(oldSets).select(col(idCol).as("id_old"), col("band"), col("band_sig")),
+        Seq("band", "band_sig"))
+      .select("id_new", "id_old")
+      .distinct()
+    cands
+      .join(newSets.select(col(idCol).as("id_new"), col("shingle_set").as("set_a")), "id_new")
+      .join(oldSets.select(col(idCol).as("id_old"), col("shingle_set").as("set_b")), "id_old")
+      .withColumn("inter",
+        graft.functions.VectorExprs.sortedIntersectSize(col("set_a"), col("set_b"))
+          .cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("set_a")) + size(col("set_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs via a prefix-filtered

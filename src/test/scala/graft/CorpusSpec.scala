@@ -236,6 +236,26 @@ class CorpusSpec extends SparkSpec {
       s"doc 3: ${out(3L)}")
   }
 
+  test("budgetSelect fills each source longest-first within the token budget") {
+    // src A lengths: 5,4,3 (ids 1,2,3) budget 8 → keep 5 then ~4 fills
+    // 9 > 8, so 4 is cut; next group 3 starts at cum_before 9 ≥ 8, cut.
+    // Wait: longest-first = 5 (cum 5), 4 (cum 9 > 8 dropped), 3 (group
+    // offset 9 ≥ 8, pruned). Kept: just id 1. src B: 2,2 both fit (4 ≤ 8).
+    val df = Seq(
+      (1L, "a b c d e", "A"), (2L, "a b c d", "A"), (3L, "a b c", "A"),
+      (4L, "x y", "B"), (5L, "p q", "B")).toDF("doc_id", "text", "source")
+    val out = Corpus.budgetSelect(df, "doc_id", "text", "source", 8L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set((1L, "A", 5L, 5L), (4L, "B", 2L, 2L), (5L, "B", 2L, 4L)),
+      s"got $out")
+    // equal-length ties consume the budget in id order
+    val ties = Seq((1L, "a b", "C"), (2L, "c d", "C"), (3L, "e f", "C"))
+      .toDF("doc_id", "text", "source")
+    val kept = Corpus.budgetSelect(ties, "doc_id", "text", "source", 4L)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L), s"tie-break must favor smaller ids: $kept")
+  }
+
   test("cluster-keyed splits keep every near-dup family in one split") {
     val docs500 = docs
     val labels = graft.operators.Dedup.clusters(

@@ -131,6 +131,21 @@ class DedupSpec extends SparkSpec {
     assert(full.toSeq == Seq(1L)) // fully converged: single component
   }
 
+  test("minHashNearDupsIncremental links batch docs to corpus, never corpus to itself") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // corpus-internal dup
+      (3L, "completely different content about spark physical plans")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1 and 2
+      (11L, "novel text that matches nothing in the accumulated corpus")).toDF("doc_id", "text")
+    val out = Dedup.minHashNearDupsIncremental(batch, corpus, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 1L), (10L, 2L)),
+      s"expected batch->corpus links only, got $out")
+  }
+
   test("clusters: pointer jumping converges a 64-node chain in <=8 rounds") {
     import spark.implicits._
     // plain min-label propagation needs 63 rounds for this worst-case

@@ -223,6 +223,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!q19.contains("BroadcastNestedLoopJoin"), s"q19 nested loop:\n$q19")
   }
 
+  test("budget_select: offsets broadcast; doc window keyed by (source, length), not source") {
+    val p = plan("budget_select")
+    assert(p.contains("BroadcastHashJoin"), s"offset table not broadcast:\n$p")
+    // the corpus-side window must partition on BOTH source and n_tokens —
+    // a source-only partitioning is the one-reducer-per-source hazard
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).mkString("\n")
+    assert(windowLines.contains("n_tokens"),
+      s"doc running sum not keyed by length group:\n$windowLines")
+  }
+
+  test("neardup_incremental: band equi-join, no cartesian, text never shuffled") {
+    val p = plan("neardup_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental near-dup non-equi join:\n$p")
+    val exchangeLines = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchangeLines.contains("text#"), s"raw text shuffled:\n$exchangeLines")
+  }
+
   test("shingle_novelty: hash-keyed shuffles only, text never on the wire") {
     val p = plan("shingle_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
