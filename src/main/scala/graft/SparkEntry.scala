@@ -1089,6 +1089,22 @@ object SparkEntry {
     "neardup_cosine_lsh" -> ((s, dir) =>
       Similarity.nearDupCosineLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         0.4, dims = 64, nBits = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    // measured recall of the production LSH near-dup: exact ground
+    // truth on a deterministic half-sample (brute force is the POINT
+    // of an eval harness — bounded by sampleMod, never the corpus),
+    // LSH side is the deployed full-corpus operator
+    "lsh_recall_eval" -> ((s, dir) =>
+      Similarity.lshRecallEval(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0.4, dims = 64, nBits = 8, sampleMod = 2)),
+
+    // the recall lever lsh_recall_eval motivates: 3 OR-ed bucket
+    // tables from ONE 24-bit kernel pass (per-table bucket = bit
+    // slice); candidate = collision in any table
+    "neardup_cosine_lsh_multi" -> ((s, dir) =>
+      Similarity.nearDupCosineLshMulti(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0.4, dims = 64, nBits = 8, nTables = 3)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine")))
   )
 
@@ -1611,6 +1627,48 @@ object SparkEntry {
          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCos("a.e", "b.e")} AS c
                FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.4""",
+
+    // Multi-table replay: the same hyperplane sign matrix, bits
+    // t·8..t·8+7 per table, pair kept on collision in ANY table
+    // (UNION dedups), exact cosine verify.
+    "neardup_cosine_lsh_multi" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         bv AS (SELECT vec_id, e, ${(0 until 3).map(tb =>
+        (0 until 8).map(b =>
+          s"(CASE WHEN ${duckHyperplaneProj(tb * 8 + b, 64)} > 0 THEN ${1 << b} ELSE 0 END)")
+          .mkString("(", " + ", s") AS b$tb")).mkString(", ")} FROM v),
+         cand AS (${(0 until 3).map(tb =>
+        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM bv a JOIN bv b ON a.b$tb = b.b$tb AND a.vec_id < b.vec_id""")
+        .mkString(" UNION ")}),
+         p AS (SELECT c.id_a, c.id_b, ${duckCos("va.e", "vb.e")} AS cs
+               FROM cand c JOIN v va ON va.vec_id = c.id_a
+               JOIN v vb ON vb.vec_id = c.id_b)
+         SELECT id_a, id_b, round(cs, 6) AS cosine FROM p WHERE cs >= 0.4""",
+
+    // Recall harness oracle: exact pairs on the id%2 sample, LSH pairs
+    // via the same hyperplane replay as neardup_cosine_lsh, recall
+    // from the two exact integer counts.
+    "lsh_recall_eval" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         sv AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+         ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sv a JOIN sv b ON a.vec_id < b.vec_id
+                WHERE ${duckCos("a.e", "b.e")} >= 0.4),
+         bv AS (SELECT vec_id, e, ${(0 until 8).map(b =>
+        s"(CASE WHEN ${duckHyperplaneProj(b, 64)} > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")} AS bucket FROM v),
+         lsh AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                 WHERE ${duckCos("a.e", "b.e")} >= 0.4),
+         h AS (SELECT count(*) AS n_hit FROM ex
+               WHERE EXISTS (SELECT 1 FROM lsh
+                             WHERE lsh.id_a = ex.id_a AND lsh.id_b = ex.id_b)),
+         t AS (SELECT count(*) AS n_exact FROM ex)
+         SELECT n_exact, n_hit,
+           CASE WHEN n_exact = 0 THEN 1.0
+                ELSE floor(n_hit::DOUBLE / n_exact * 10000 + 0.5) / 10000 END AS recall
+         FROM t, h""",
 
     // Replays the native SimHash64: FNV-1a per DISTINCT token (hash
     // values are a pure function of the token bytes, so hashing the

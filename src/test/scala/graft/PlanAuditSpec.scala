@@ -241,6 +241,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exchangeLines.contains("text#"), s"raw text shuffled:\n$exchangeLines")
   }
 
+  test("lsh_multi and recall eval: no unbounded cartesian, eval brute force sample-bounded") {
+    val m = plan("neardup_cosine_lsh_multi")
+    assert(!m.contains("CartesianProduct") && !m.contains("BroadcastNestedLoopJoin"),
+      s"multi-table LSH non-equi join:\n$m")
+    // the eval harness MAY nested-loop, but only over the sampled side:
+    // every scan feeding it must carry the id-sample filter
+    val e = plan("lsh_recall_eval")
+    if (e.contains("BroadcastNestedLoopJoin")) {
+      assert(e.contains("pmod") || e.contains("% 2"),
+        s"brute-force side not visibly sample-bounded:\n$e")
+    }
+  }
+
   test("shingle_novelty: hash-keyed shuffles only, text never on the wire") {
     val p = plan("shingle_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -67,6 +67,19 @@ class SimilaritySpec extends SparkSpec {
     assert(key(bucketed).subsetOf(key(exact)))
   }
 
+  test("multi-table LSH pairs are a superset of the single table's (table 0 = bits 0-7)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = key(Similarity.nearDupCosineLsh(emb, "vec_id", "embedding", 0.4, 64, 8))
+    val multi = key(Similarity.nearDupCosineLshMulti(emb, "vec_id", "embedding", 0.4, 64, 8, 3))
+    assert(single.subsetOf(multi),
+      s"multi-table must dominate: missing ${single.diff(multi)}")
+    // every multi pair is a true near-dup (verify step is exact)
+    val exact = key(Similarity.nearDupCosineExact(emb, "vec_id", "embedding", 0.4))
+    assert(multi.subsetOf(exact), s"false positives: ${multi.diff(exact)}")
+  }
+
   test("IVF ANN achieves high recall vs brute force on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.where(col("vec_id") < 5)
