@@ -165,6 +165,63 @@ object Streams {
       }
   }
 
+  /** Stream-static incremental near-dup — the unbounded mirror of
+    * [[graft.operators.Dedup.minHashNearDupsIncremental]]: a stream of
+    * new docs banded against the accumulated corpus's STATIC minhash
+    * index (in production a persisted table, refreshed between runs).
+    *
+    * STATELESS by construction: the batch side dedups band collisions
+    * with distinct(), which on a stream would mean unbounded
+    * dropDuplicates state. Instead each pair is emitted exactly once,
+    * at its FIRST matching band — both sides carry their full band-hash
+    * array (bands·8 bytes), so "no earlier band also matched" is a
+    * row-local predicate. No watermark, zero streaming state, and the
+    * per-micro-batch plan is the same band equi-join as batch.
+    */
+  def incrementalNearDupStream(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32): DataFrame = {
+    import graft.operators.Dedup
+    val rowsPerBand = numHashes / bands
+    def withBands(df: DataFrame, idAs: String, setAs: String, bhAs: String) = {
+      val sig = Dedup.minHashSignature(col("__set"), numHashes)
+      val bandHashes = (0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)))
+      df.select(col(idCol).as(idAs),
+        Dedup.hashedShingleSet(col(textCol), shingleSize).as("__set"))
+        .withColumn("__sig", sig)
+        .select(col(idAs), col("__set").as(setAs), array(bandHashes: _*).as(bhAs))
+    }
+    val s = withBands(newDocs, "id_new", "set_a", "bh_new")
+      .select(col("id_new"), col("set_a"), col("bh_new"),
+        posexplode(col("bh_new")).as(Seq("band", "band_sig")))
+    val c = withBands(corpus, "id_old", "set_b", "bh_old")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id_old"), col("set_b"), col("bh_old"),
+        posexplode(col("bh_old")).as(Seq("band", "band_sig")))
+    val firstMatch = !exists(
+      zip_with(
+        slice(col("bh_new"), lit(1), col("band")),
+        slice(col("bh_old"), lit(1), col("band")),
+        (x, y) => x === y),
+      b => b)
+    s.join(c, Seq("band", "band_sig"))
+      .where(firstMatch)
+      .withColumn("inter",
+        graft.functions.VectorExprs.sortedIntersectSize(col("set_a"), col("set_b"))
+          .cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("set_a")) + size(col("set_b")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("jaccard"))
+  }
+
   /** Stream → noop-style sink for tests/benchmarks: process all
     * available data once and stop (Trigger.AvailableNow semantics via
     * processAllAvailable on a memory sink).

@@ -108,6 +108,37 @@ class StreamingEquivalenceSpec extends SparkSpec {
       "stream-stream join diverged from the batch range join")
   }
 
+  test("incrementalNearDupStream (micro-batched) == batch incremental near-dup") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val newBatch = docs.where(col("doc_id") % 10 === 0)
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val batch = graft.operators.Dedup
+      .minHashNearDupsIncremental(newBatch, corpus, "doc_id", "text", 0.8)
+      .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("j"))
+
+    val rows = newBatch.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // two micro-batches: stateless first-band-match dedup must hold
+    // within AND across batches (each new doc appears once, so pair
+    // uniqueness is per-row, not cross-batch state)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streamDf = in.toDS().toDF("doc_id", "text")
+    val out = Streams.incrementalNearDupStream(streamDf, corpus, "doc_id", "text", 0.8)
+      .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("j"))
+    val q = out.writeStream.format("memory").queryName("eq_incdup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rowSet(spark.table("eq_incdup")) == rowSet(batch),
+      "streaming incremental near-dup diverged from the batch operator")
+  }
+
   test("Transformer map/filter over a file stream (AvailableNow) == batch") {
     val t = Transformer.identity
       .filter(col("event_type") === "purchase")
