@@ -666,6 +666,34 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
           r4(col("boiler_ratio")).as("boiler_ratio"))),
 
+    // data-quality audit: rule -> violation count. All row-local rules
+    // evaluate in ONE fact scan (sum of CASEs, unpivoted via stack);
+    // relational rules are an anti join (orphans) and a keyed agg
+    // (duplicate pk) — the validation pass a pipeline runs before
+    // training jobs consume a drop
+    "dq_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val rowLocal = li.agg(
+        sum(when(col("l_orderkey").isNull, 1).otherwise(0)).cast("long").as("nk"),
+        sum(when(col("l_extendedprice") <= 0, 1).otherwise(0)).cast("long").as("np"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1).otherwise(0))
+          .cast("long").as("bd"))
+        .selectExpr("""stack(3,
+          'lineitem_null_orderkey', nk,
+          'lineitem_nonpositive_price', np,
+          'lineitem_discount_range', bd) AS (rule, n_bad)""")
+      val orphan = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_bad"))
+        .select(lit("orders_orphan_customer").as("rule"), col("n_bad"))
+      val dupPk = li.groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("c")).where(col("c") > 1)
+        .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n_bad"))
+        .select(lit("lineitem_dup_pk").as("rule"), col("n_bad"))
+      rowLocal.unionByName(orphan).unionByName(dupPk)
+    }),
+
     // per-source token-budget fill: longest-first selection until each
     // source hits its token quota; histogram-level offsets broadcast,
     // per-doc running sums windowed per (source, length) group — never
@@ -2313,6 +2341,19 @@ object SparkEntry {
     "skew_two_phase" ->
       """SELECT l_partkey AS k, round(sum(l_quantity), 2) AS total
          FROM lineitem GROUP BY l_partkey""",
+
+    "dq_audit" ->
+      """SELECT 'lineitem_null_orderkey' AS rule,
+           count(*) FILTER (l_orderkey IS NULL)::BIGINT AS n_bad FROM lineitem
+         UNION ALL SELECT 'lineitem_nonpositive_price',
+           count(*) FILTER (l_extendedprice <= 0)::BIGINT FROM lineitem
+         UNION ALL SELECT 'lineitem_discount_range',
+           count(*) FILTER (l_discount < 0 OR l_discount > 0.5)::BIGINT FROM lineitem
+         UNION ALL SELECT 'orders_orphan_customer', count(*)::BIGINT FROM orders
+           WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+         UNION ALL SELECT 'lineitem_dup_pk', coalesce(sum(c), 0)::BIGINT
+           FROM (SELECT count(*) AS c FROM lineitem
+                 GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)""",
 
     "budget_select" ->
       """WITH t AS (SELECT doc_id, source,
