@@ -497,6 +497,13 @@ object SparkEntry {
         .select(col("vec_id"), col("norm"), col("pos").cast("long").as("dim"),
           col("col").as("unit_val"))),
 
+    // product-quantization encode: 64 dims → 8 sub-vector codes against
+    // broadcast per-subspace codebooks; the ×16 join blowup collapses
+    // map-side via partial min-agg — no window, no n×codes shuffle
+    "embed_pq_encode" -> ((s, dir) =>
+      Embeddings.pqEncode(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 64, nSub = 8, nCodes = 16)),
+
     // Symmetric int8 quantization (native kernel, scan-stage, zero
     // shuffle); floor-based rounding so codes are engine-portable.
     "embed_quantize" -> ((s, dir) =>
@@ -1765,6 +1772,22 @@ object SparkEntry {
                    ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
          SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM r
          WHERE rank <= 5""",
+
+    "embed_pq_encode" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cb AS (SELECT vec_id AS code, e AS ce FROM v ORDER BY vec_id LIMIT 16),
+         sp AS (SELECT s FROM generate_series(0, 7) t(s)),
+         sub AS (SELECT vec_id, s AS subspace, e[s*8+1 : s*8+8] AS sv FROM v, sp),
+         cbs AS (SELECT code, s AS subspace, ce[s*8+1 : s*8+8] AS cv FROM cb, sp),
+         d AS (SELECT vec_id, subspace, code,
+                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+                   i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), (acc, x) -> acc + x) AS d2
+               FROM sub JOIN cbs USING (subspace)),
+         r AS (SELECT vec_id, subspace, code, d2,
+                 row_number() OVER (PARTITION BY vec_id, subspace
+                                    ORDER BY d2, code) AS rn FROM d)
+         SELECT vec_id, subspace::BIGINT AS subspace, code, round(d2, 6) AS dist2
+         FROM r WHERE rn = 1""",
 
     "embed_normalize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

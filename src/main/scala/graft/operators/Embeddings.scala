@@ -83,4 +83,54 @@ object Embeddings {
       .groupBy((groupCols.map(col) :+ col("dim")): _*)
       .agg(count(lit(1)).as("n"), sum(col("c_e6")).as("sum_e6"))
   }
+
+  /** Product-quantization encode: each vector splits into `nSub`
+    * contiguous sub-vectors; each sub-vector is coded as its nearest
+    * centroid in a per-subspace codebook of `nCodes` entries — dims·4
+    * bytes of floats become nSub byte-ish codes (64 dims → 8 codes is
+    * 32×), the compression ANN rerank and training-data export lean
+    * on. Codebook seeding is deterministic and untrained (the nCodes
+    * lowest-id vectors' sub-slices, [[graft.operators.Similarity]]
+    * IVF's convention) — production trains per-subspace k-means on a
+    * sample and persists; the encode plan is identical either way.
+    *
+    * 100 TB path: the codebook is nSub·nCodes rows (KBs) and
+    * BROADCASTS; the corpus explodes row-locally ×nSub, and the
+    * ×nCodes blowup from the broadcast equi-join collapses in the
+    * SAME stage via partial min-aggregation (min over a
+    * (dist, code) struct — no window, no sort, nothing corpus-sized
+    * crosses the wire beyond n·nSub fixed-width rows).
+    *
+    * @return (id, subspace, code, dist2) — dist2 the squared L2
+    *         residual, the per-code quantization error
+    */
+  def pqEncode(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Int,
+      nSub: Int,
+      nCodes: Int): DataFrame = {
+    require(dims % nSub == 0, "dims must divide into equal subspaces")
+    val subDim = dims / nSub
+    val v = df.select(col(idCol), col(vecCol).cast("array<double>").as("e"))
+    def subSlices(e: Column) =
+      array((0 until nSub).map(s => slice(e, s * subDim + 1, subDim)): _*)
+    val sub = v.select(col(idCol),
+      posexplode(subSlices(col("e"))).as(Seq("subspace", "sv")))
+    val codebook = v.orderBy(col(idCol)).limit(nCodes)
+      .select(col(idCol).as("code"),
+        posexplode(subSlices(col("e"))).as(Seq("subspace", "cv")))
+    // squared L2 in fixed index order: (0 + d₁) + d₂ + … matches the
+    // oracle's list_reduce fold bit for bit
+    val dist2 = (0 until subDim).map { i =>
+      val d = element_at(col("sv"), i + 1) - element_at(col("cv"), i + 1)
+      d * d
+    }.reduce(_ + _)
+    sub.join(broadcast(codebook), Seq("subspace"))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min(struct(dist2.as("dist2"), col("code").as("code"))).as("w"))
+      .select(col(idCol), col("subspace").cast("long").as("subspace"),
+        col("w.code").as("code"), round(col("w.dist2"), 6).as("dist2"))
+  }
 }

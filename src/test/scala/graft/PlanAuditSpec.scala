@@ -254,6 +254,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("embed_pq_encode: broadcast codebook, min-agg assignment, no window") {
+    val p = plan("embed_pq_encode")
+    assert(p.contains("BroadcastHashJoin"), s"codebook not broadcast:\n$p")
+    assert(!p.contains("Window ["), s"PQ assignment sorts a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("partial_min"),
+      s"code argmin not partial-aggregated map-side:\n$p")
+  }
+
   test("shingle_novelty: hash-keyed shuffles only, text never on the wire") {
     val p = plan("shingle_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
