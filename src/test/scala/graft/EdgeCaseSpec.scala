@@ -101,4 +101,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getString(0) == "en") // zero hits everywhere -> first tiebreak
     assert(r.getLong(1) == 0L)     // empty fold -> initial value
   }
+
+  test("round-5 operators tolerate empty and degenerate inputs") {
+    import graft.operators.{Corpus, Embeddings}
+    val docs3 = Seq((1L, "a b c d", "s")).toDF("doc_id", "text", "source")
+    // empty batch against a corpus, and a batch against an empty corpus
+    assert(Dedup.minHashNearDupsIncremental(
+      emptyDocs, docs3.drop("source"), "doc_id", "text", 0.8).count() == 0)
+    assert(Dedup.minHashNearDupsIncremental(
+      docs3.drop("source"), emptyDocs, "doc_id", "text", 0.8).count() == 0)
+    // zero budget keeps nothing; huge budget keeps everything
+    assert(Corpus.budgetSelect(docs3, "doc_id", "text", "source", 0L).count() == 0)
+    assert(Corpus.budgetSelect(docs3, "doc_id", "text", "source", 1000L).count() == 1)
+    // single doc: everything novel
+    val nov = Corpus.shingleNovelty(docs3, "doc_id", "text", 3).collect().head
+    assert(nov.getLong(2) == nov.getLong(1) && nov.getDouble(3) == 1.0)
+    // PQ with fewer vectors than codebook slots: codebook shrinks, every
+    // vector still gets a code per subspace (its own slice at dist 0)
+    val vecs = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(-0.25f)))
+      .toDF("vec_id", "embedding")
+    val pq = Embeddings.pqEncode(vecs, "vec_id", "embedding", dims = 8, nSub = 2, nCodes = 16)
+    assert(pq.count() == 4)
+    assert(pq.where(col("dist2") > 0).count() == 0,
+      "each of 2 vectors must code to itself exactly when both seed the codebook")
+  }
 }
