@@ -485,6 +485,19 @@ object SparkEntry {
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // FAISS-shaped two-stage ANN: IVF prunes (probed cells only), PQ
+    // code-table sums score the candidates in exact integer nano-units
+    // (order-independent), exact cosine reranks only the shortlist
+    "ann_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annIvfPq(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4,
+        dims = 64, nSub = 8, nCodes = 16, shortlist = 20)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // ---- §2b: embedding preparation ---------------------------------
     // Unit-normalize every vector with the native one-pass kernel;
     // sequential-order square sum + IEEE-exact sqrt/divide make every
@@ -1753,6 +1766,59 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
          SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM r
+         WHERE rank <= 5""",
+
+    // IVF assignment/probes replayed as in ann_ivf; PQ codes as in
+    // embed_pq_encode (argmin per corpus sub-vector); coarse score =
+    // integer sum of floor(d2·1e9+0.5) table entries; exact rerank.
+    "ann_ivf_pq" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         ct AS (SELECT neighbor_id AS cell_id, ce AS cte FROM c ORDER BY neighbor_id LIMIT 16),
+         asg AS (SELECT neighbor_id, cell_id FROM (
+                   SELECT c.neighbor_id, ct.cell_id,
+                     row_number() OVER (PARTITION BY c.neighbor_id
+                       ORDER BY ${duckCos("c.ce", "ct.cte")} DESC, ct.cell_id) AS rn
+                   FROM c, ct) WHERE rn = 1),
+         pr AS (SELECT query_id, cell_id FROM (
+                  SELECT q.query_id, ct.cell_id,
+                    row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY ${duckCos("q.qe", "ct.cte")} DESC, ct.cell_id) AS rn
+                  FROM q, ct) WHERE rn <= 4),
+         sp AS (SELECT s FROM generate_series(0, 7) t(s)),
+         cbs AS (SELECT cb0.code, sp.s AS subspace, cb0.ce[sp.s*8+1 : sp.s*8+8] AS cv
+                 FROM (SELECT neighbor_id AS code, ce FROM c
+                       ORDER BY neighbor_id LIMIT 16) cb0, sp),
+         csub AS (SELECT neighbor_id, s AS subspace, ce[s*8+1 : s*8+8] AS sv FROM c, sp),
+         codes AS (SELECT neighbor_id, subspace, code FROM (
+                     SELECT csub.neighbor_id, csub.subspace, cbs.code,
+                       row_number() OVER (PARTITION BY csub.neighbor_id, csub.subspace
+                         ORDER BY list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+                           i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), (acc, x) -> acc + x),
+                         cbs.code) AS rn
+                     FROM csub JOIN cbs USING (subspace)) WHERE rn = 1),
+         dt AS (SELECT query_id, subspace, code,
+                  CAST(floor(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+                    i -> (qsv[i] - cv[i]) * (qsv[i] - cv[i]))), (acc, x) -> acc + x)
+                    * 1000000000 + 0.5) AS BIGINT) AS d2_e9
+                FROM (SELECT query_id, s AS subspace, qe[s*8+1 : s*8+8] AS qsv FROM q, sp)
+                JOIN cbs USING (subspace)),
+         cand AS (SELECT pr.query_id, asg.neighbor_id FROM asg JOIN pr USING (cell_id)),
+         ad AS (SELECT query_id, neighbor_id, CAST(sum(d2_e9) AS BIGINT) AS adist
+                FROM cand JOIN codes USING (neighbor_id)
+                JOIN dt USING (query_id, subspace, code)
+                GROUP BY query_id, neighbor_id),
+         sl AS (SELECT query_id, neighbor_id FROM (
+                  SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY adist, neighbor_id) AS srn FROM ad) WHERE srn <= 20),
+         rr AS (SELECT sl.query_id, sl.neighbor_id, ${duckCos("q.qe", "c.ce")} AS cosine
+                FROM sl JOIN q USING (query_id) JOIN c USING (neighbor_id))
+         SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
+           SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
          WHERE rank <= 5""",
 
     "ann_topk" ->

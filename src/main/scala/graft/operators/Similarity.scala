@@ -348,6 +348,101 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Two-stage IVF+PQ ANN — the FAISS-shaped pipeline: IVF cells
+    * PRUNE candidates (only probed cells' members are scored), PQ
+    * codes CHEAPEN the coarse distance (a code-table lookup-sum, no
+    * full-dimension dot product per candidate), and only the top
+    * `shortlist` per query get the exact-cosine rerank. This is the
+    * composition [[annIvf]] + [[Embeddings.pqEncode]] exist for.
+    *
+    * Determinism across engines: each (query, subspace, code) distance
+    * is fixed to integer nano-units BEFORE summing, so the coarse
+    * score is an order-independent integer sum — rank boundaries
+    * cannot flip on float association — and all tie-breaks are on ids.
+    *
+    * 100 TB path: assignment and probing are scan-stage argmax over
+    * broadcast centroids (zero corpus shuffle — the ann_ivf plan);
+    * the PQ distance TABLE is queries·nSub·nCodes rows (KBs,
+    * broadcast); candidate scoring shuffles candidates×nSub
+    * fixed-width rows with map-side partial sums; only
+    * queries·shortlist rows reach the exact rerank.
+    */
+  def annIvfPq(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      dims: Int,
+      nSub: Int,
+      nCodes: Int,
+      shortlist: Int): DataFrame = {
+    require(dims % nSub == 0, "dims must divide into equal subspaces")
+    val subDim = dims / nSub
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    // ---- IVF stage: untrained lowest-id cells, scan-stage assignment
+    val cents = c.orderBy(col("neighbor_id")).limit(nCells)
+      .select(col("neighbor_id").as("cell_id"), col("cv").as("centv"))
+    val packed = packedCells(cents)
+    val assigned = c.crossJoin(broadcast(packed))
+      .select(col("neighbor_id"), nearestCell(col("cv"), col("cells")).as("cell_id"))
+    val probes = q.crossJoin(broadcast(packed))
+      .select(col("query_id"),
+        explode(slice(reverse(array_sort(cellScores(col("qv"), col("cells")))),
+          1, nProbe)).as("cell"))
+      .select(col("query_id"), col("cell").getField("cell_id").as("cell_id"))
+    val cand = assigned.join(broadcast(probes), Seq("cell_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    // ---- PQ stage: corpus codes + per-query distance tables
+    def subSlices(e: Column) =
+      array((0 until nSub).map(s => slice(e, s * subDim + 1, subDim)): _*)
+    val codes = Embeddings.pqEncode(
+      c.select(col("neighbor_id"), col("cv")), "neighbor_id", "cv",
+      dims, nSub, nCodes)
+      .select(col("neighbor_id"), col("subspace"), col("code"))
+    val cbSub = c.orderBy(col("neighbor_id")).limit(nCodes)
+      .select(col("neighbor_id").as("code"),
+        posexplode(subSlices(col("cv"))).as(Seq("subspace", "csv")))
+      .select(col("code"), col("subspace").cast("long").as("subspace"), col("csv"))
+    val qd2 = (0 until subDim).map { i =>
+      val d = element_at(col("qsv"), i + 1) - element_at(col("csv"), i + 1)
+      d * d
+    }.reduce(_ + _)
+    val dtable = q
+      .select(col("query_id"), posexplode(subSlices(col("qv"))).as(Seq("subspace", "qsv")))
+      .select(col("query_id"), col("subspace").cast("long").as("subspace"), col("qsv"))
+      .join(cbSub, Seq("subspace"))
+      // integer nano-units BEFORE the sum: order-independent coarse score
+      .select(col("query_id"), col("subspace"), col("code"),
+        floor(qd2 * 1000000000L + lit(0.5)).cast("long").as("d2_e9"))
+    val approx = cand
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(dtable), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2_e9")).as("adist_e9"))
+    val wShort = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adist_e9"), col("neighbor_id"))
+    val short = approx.withColumn("srank", row_number().over(wShort))
+      .where(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    // ---- exact rerank of the shortlist only
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    short
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** IVF with deterministic untrained cells (the nCells lowest-id
     * vectors as centroids) — reproducible baseline; prefer
     * `kmeansCentroids` + `annIvfWithCentroids` for real recall.

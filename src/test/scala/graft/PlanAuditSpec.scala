@@ -254,6 +254,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf_pq: scan-stage assignment, partial-sum coarse score, windows only rank") {
+    val p = plan("ann_ivf_pq")
+    // the only windows allowed are the per-query shortlist + final rank
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows <= 2, s"$windows windows — assignment/probing must stay windowless:\n$p")
+    assert(p.contains("partial_sum"),
+      s"PQ coarse score not partial-aggregated map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+  }
+
   test("embed_pq_encode: broadcast codebook, min-agg assignment, no window") {
     val p = plan("embed_pq_encode")
     assert(p.contains("BroadcastHashJoin"), s"codebook not broadcast:\n$p")

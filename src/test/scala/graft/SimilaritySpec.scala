@@ -80,6 +80,33 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.subsetOf(exact), s"false positives: ${multi.diff(exact)}")
   }
 
+  test("IVF+PQ two-stage: well-formed top-k, candidates confined to probed cells") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val out = Similarity.annIvfPq(
+      emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+      "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4,
+      dims = 64, nSub = 8, nCodes = 16, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size == 10 && byQuery.values.forall(_.length == 5),
+      s"expected 10 queries x 5 results, got ${out.length}")
+    byQuery.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5), "ranks must be 1..5")
+      assert(sorted.sliding(2).forall(w => w(0)._4 >= w(1)._4),
+        "cosines must descend with rank (exact rerank)")
+    }
+    // the rerank is exact, so every emitted cosine must equal the
+    // brute-force cosine for that (query, neighbor) pair
+    val brute = Similarity.annTopKBruteForce(
+      emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+      "vec_id", "embedding", 490)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.foreach { case (q, _, n, cs) =>
+      assert(math.abs(brute((q, n)) - cs) < 1e-12, s"cosine mismatch for ($q,$n)")
+    }
+  }
+
   test("IVF ANN achieves high recall vs brute force on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.where(col("vec_id") < 5)
