@@ -686,6 +686,23 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
           r4(col("boiler_ratio")).as("boiler_ratio"))),
 
+    // market-basket pair mining: parts co-purchased in the same order,
+    // kept above a support threshold. ONE shuffle on the order key;
+    // the within-order pair blowup is line_count², bounded by order
+    // size (~7 lines), never a corpus self-join — then a partial-agg
+    // count on the (part_a, part_b) pair key
+    "basket_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, Seq("l_orderkey"))
+        .where(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 3)
+    }),
+
     // data-quality audit: rule -> violation count. All row-local rules
     // evaluate in ONE fact scan (sum of CASEs, unpivoted via stack);
     // relational rules are an anti join (orphans) and a keyed agg
@@ -2430,6 +2447,13 @@ object SparkEntry {
     "skew_two_phase" ->
       """SELECT l_partkey AS k, round(sum(l_quantity), 2) AS total
          FROM lineitem GROUP BY l_partkey""",
+
+    "basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+         FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
 
     "dq_audit" ->
       """SELECT 'lineitem_null_orderkey' AS rule,
