@@ -14,8 +14,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm JIT/classloading/parquet codepaths so the first measured
-    // query isn't charged ~4s of one-time setup
+    // query isn't charged ~4s of one-time setup. entry() covers the
+    // join/agg paths; a tiny dedup-cluster run at sf0.001 compiles the
+    // shingle/minhash kernels and the iterative-loop machinery that
+    // otherwise land on whichever cluster query the map orders first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try SparkEntry.queries("dedup_clusters")(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

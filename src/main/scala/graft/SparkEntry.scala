@@ -686,6 +686,38 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
           r4(col("boiler_ratio")).as("boiler_ratio"))),
 
+    // RFM customer segmentation: recency/frequency/monetary per
+    // customer, quartile labels against EXACT interpolated thresholds
+    // computed in one partial-aggregable scan and broadcast back (the
+    // quantile_gate pattern ×9 scalars) — customers are never globally
+    // ranked; monetary stays in integer cents
+    "orders_rfm" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(
+          max(expr("unix_timestamp(o_orderdate) div 86400")).as("recency_day"),
+          count(lit(1)).as("frequency"),
+          sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("monetary_cents"))
+      val thr = base.agg(
+        expr("percentile(recency_day, 0.25)").as("r1"),
+        expr("percentile(recency_day, 0.5)").as("r2"),
+        expr("percentile(recency_day, 0.75)").as("r3"),
+        expr("percentile(frequency, 0.25)").as("f1"),
+        expr("percentile(frequency, 0.5)").as("f2"),
+        expr("percentile(frequency, 0.75)").as("f3"),
+        expr("percentile(monetary_cents, 0.25)").as("m1"),
+        expr("percentile(monetary_cents, 0.5)").as("m2"),
+        expr("percentile(monetary_cents, 0.75)").as("m3"))
+      def qlabel(c: Column, t1: Column, t2: Column, t3: Column) =
+        (lit(1) + (c >= t1).cast("int") + (c >= t2).cast("int")
+          + (c >= t3).cast("int")).cast("long")
+      base.crossJoin(broadcast(thr)).select(
+        col("c_custkey"), col("recency_day"), col("frequency"), col("monetary_cents"),
+        qlabel(col("recency_day"), col("r1"), col("r2"), col("r3")).as("r_q"),
+        qlabel(col("frequency"), col("f1"), col("f2"), col("f3")).as("f_q"),
+        qlabel(col("monetary_cents"), col("m1"), col("m2"), col("m3")).as("m_q"))
+    }),
+
     // market-basket pair mining: parts co-purchased in the same order,
     // kept above a support threshold. ONE shuffle on the order key;
     // the within-order pair blowup is line_count², bounded by order
@@ -2447,6 +2479,30 @@ object SparkEntry {
     "skew_two_phase" ->
       """SELECT l_partkey AS k, round(sum(l_quantity), 2) AS total
          FROM lineitem GROUP BY l_partkey""",
+
+    "orders_rfm" ->
+      """WITH base AS (SELECT o_custkey AS c_custkey,
+             max(epoch_us(o_orderdate) // 86400000000) AS recency_day,
+             count(*) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+           FROM orders GROUP BY 1),
+         thr AS (SELECT
+             quantile_cont(recency_day, 0.25) AS r1, quantile_cont(recency_day, 0.5) AS r2,
+             quantile_cont(recency_day, 0.75) AS r3,
+             quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2,
+             quantile_cont(frequency, 0.75) AS f3,
+             quantile_cont(monetary_cents, 0.25) AS m1, quantile_cont(monetary_cents, 0.5) AS m2,
+             quantile_cont(monetary_cents, 0.75) AS m3
+           FROM base)
+         SELECT c_custkey, recency_day, frequency, monetary_cents,
+           (1 + (recency_day >= r1)::INT + (recency_day >= r2)::INT
+              + (recency_day >= r3)::INT)::BIGINT AS r_q,
+           (1 + (frequency >= f1)::INT + (frequency >= f2)::INT
+              + (frequency >= f3)::INT)::BIGINT AS f_q,
+           (1 + (monetary_cents >= m1)::INT + (monetary_cents >= m2)::INT
+              + (monetary_cents >= m3)::INT)::BIGINT AS m_q
+         FROM base, thr""",
 
     "basket_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

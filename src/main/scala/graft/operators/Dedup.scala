@@ -322,8 +322,19 @@ object Dedup {
     // a sliver of the documents — iterating all ids would put the whole
     // corpus through every round's joins for nothing. Singletons get
     // their own id back in the final left join.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").cast("long").as("cluster"))
+    // Pre-pass = what round 1 against identity labels would compute,
+    // minus the join: each node's label = min(self, direct neighbors),
+    // straight off the edge list, then one pointer jump. Typical
+    // near-dup families (cliques/stars) are already at fixpoint here,
+    // so the loop's first iteration OBSERVES convergence instead of
+    // still propagating — one fewer round on the common shape.
+    val firstPass = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("m"))
+      .select(col("dst").as("id"), least(col("m"), col("dst")).cast("long").as("cluster"))
+    var labels = firstPass
+      .join(firstPass.select(col("id").as("cluster"), col("cluster").as("parent")),
+        Seq("cluster"), "left")
+      .select(col("id"), coalesce(col("parent"), col("cluster")).as("cluster"))
       .localCheckpoint()
     var it = 0
     var converged = false

@@ -121,11 +121,18 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     val chain = (1L to 5L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
     val ids = (1L to 5L).toDF("doc_id")
-    val one = Dedup.clusters(chain, ids, "doc_id", maxIters = 1)
+    // maxIters=0 = just the pre-pass (neighbor-min + pointer jump):
+    // 3 reaches 1 via its label's label, 4/5 land on their
+    // neighbor-min's jumped label
+    val zero = Dedup.clusters(chain, ids, "doc_id", maxIters = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // one round = neighbor-min then pointer jump: 3 reaches 1 via its
-    // label's label, 4/5 land on their neighbor-min's jumped label
-    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    assert(zero == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // the pre-pass buys a round: one loop iteration now finishes the
+    // 5-chain (pre-round-1 labels reach distance ≤2, the round + jump
+    // close the rest)
+    val one = Dedup.clusters(chain, ids, "doc_id", maxIters = 1)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(one.toSeq == Seq(1L))
     val full = Dedup.clusters(chain, ids, "doc_id", maxIters = 10)
       .collect().map(r => r.getLong(1)).distinct
     assert(full.toSeq == Seq(1L)) // fully converged: single component
