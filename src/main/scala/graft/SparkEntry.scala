@@ -770,6 +770,21 @@ object SparkEntry {
     "budget_select" -> ((s, dir) =>
       Corpus.budgetSelect(t(s, dir, "documents"), "doc_id", "text", "source", 800L)),
 
+    // snapshot diff: the re-crawl report (added/removed/changed/
+    // unchanged per doc) that gates incremental reprocessing; both
+    // sides reduce to (id, hash) in their scans — text never shuffles.
+    // Simulated snapshots: old = %7≠0, new = %5≠0 with %13 edits
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.where(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+      val newSnap = docs.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev")))
+            .otherwise(col("text")).as("text"))
+      Corpus.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("status"))
+    }),
+
     // novelty scoring: fraction of each doc's distinct 3-gram shingles
     // first seen in THIS doc (id-ordered corpus scan) — snapshot
     // freshness; duplicate-of-earlier docs score ≈0. One 8-byte-hash
@@ -1195,6 +1210,19 @@ object SparkEntry {
     "lsh_recall_eval" -> ((s, dir) =>
       Similarity.lshRecallEval(t(s, dir, "embeddings"), "vec_id", "embedding",
         0.4, dims = 64, nBits = 8, sampleMod = 2)),
+
+    // contrastive triplets: nearest-neighbor positives + Lehmer-hash
+    // deterministic negatives (row-local keep test sizes the pool, so
+    // the corpus never ranks whole) — embedding-training data mining
+    "contrastive_triplets" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.contrastiveTriplets(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", nAnchors = 10, negK = 3,
+        poolKeepMod = 1000, poolKeepLt = 250)
+        .select(col("anchor_id"), col("pos_id"), round(col("pos_cos"), 6).as("pos_cos"),
+          col("neg_id"), col("slot"))
+    }),
 
     // the recall lever lsh_recall_eval motivates: 3 OR-ed bucket
     // tables from ONE 24-bit kernel pass (per-table bucket = bit
@@ -1724,6 +1752,33 @@ object SparkEntry {
          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCos("a.e", "b.e")} AS c
                FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.4""",
+
+    // Lehmer rounds and pool filter replayed verbatim; positives from
+    // the exact top-1; slot = rank within the anchor's sampled pool.
+    "contrastive_triplets" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         a AS (SELECT vec_id AS anchor_id, e AS ae FROM v WHERE vec_id < 10),
+         c AS (SELECT vec_id, e AS ce FROM v WHERE vec_id >= 10),
+         pos AS (SELECT anchor_id, pos_id, pos_cos FROM (
+                   SELECT a.anchor_id, c.vec_id AS pos_id,
+                     ${duckCos("a.ae", "c.ce")} AS pos_cos,
+                     row_number() OVER (PARTITION BY a.anchor_id
+                       ORDER BY ${duckCos("a.ae", "c.ce")} DESC, c.vec_id) AS rn
+                   FROM a, c) WHERE rn = 1),
+         ai AS (SELECT anchor_id,
+                  row_number() OVER (ORDER BY anchor_id) - 1 AS aidx FROM a),
+         s1 AS (SELECT vec_id AS neg_id,
+                  (vec_id * 48271) % 2147483647 AS l1 FROM c),
+         s2 AS (SELECT neg_id, l1 % 10 AS aidx,
+                  (l1 * 48271) % 2147483647 AS l2 FROM s1),
+         pool AS (SELECT * FROM s2 WHERE l2 % 1000 < 250),
+         slotted AS (SELECT neg_id, aidx,
+                       row_number() OVER (PARTITION BY aidx
+                         ORDER BY l2, neg_id) AS slot FROM pool)
+         SELECT ai.anchor_id, p.pos_id, round(p.pos_cos, 6) AS pos_cos,
+           s.neg_id, s.slot::BIGINT AS slot
+         FROM slotted s JOIN ai USING (aidx) JOIN pos p USING (anchor_id)
+         WHERE s.slot <= 3 AND s.neg_id <> p.pos_id""",
 
     // Multi-table replay: the same hyperplane sign matrix, bits
     // t·8..t·8+7 per table, pair kept on collision in ANY table
@@ -2534,6 +2589,18 @@ object SparkEntry {
                                      ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t)
          SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM c WHERE cum_tokens <= 800""",
+
+    "snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+         n AS (SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0 THEN text || ' rev' ELSE text END AS text
+               FROM documents WHERE doc_id % 5 <> 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text = n.text THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
 
     "shingle_novelty" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks

@@ -377,6 +377,30 @@ object Corpus {
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_tokens"))
   }
 
+  /** Snapshot diff: per-doc status between two corpus versions —
+    * added / removed / changed / unchanged, the "what did the new
+    * crawl do" report that gates incremental reprocessing (only
+    * added+changed docs re-enter the pipeline).
+    *
+    * 100 TB path: each side reduces to (id, 64-bit content hash) in
+    * its scan stage; the full-outer join shuffles 16-byte rows keyed
+    * by id — document text never crosses the wire.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), xxhash64(col(textCol)).as("h_old"))
+    val n = newDf.select(col(idCol).as("id"), xxhash64(col(textCol)).as("h_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Novelty scoring: the fraction of each doc's distinct n-gram
     * shingles that appear for the FIRST time in this doc, scanning the
     * corpus in id order — a snapshot/crawl freshness signal (near-copies

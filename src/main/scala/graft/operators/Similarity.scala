@@ -348,6 +348,55 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Contrastive-triplet mining for embedding training: each anchor
+    * pairs with its nearest corpus neighbor (positive) and `negK`
+    * pseudo-random corpus negatives. Negatives are Lehmer-hash
+    * selected — pure row-local modular arithmetic, so the SAME
+    * triplets come out of every engine, cluster size, and rerun (the
+    * reproducibility random() sampling can't give).
+    *
+    * 100 TB path: positives ride the broadcast-anchor brute-force
+    * top-1 (anchors ≪ corpus by contract — sample anchors first);
+    * negatives PRE-FILTER the corpus with a row-local keep test
+    * (l2 % poolKeepMod < poolKeepLt) sized so the surviving pool is
+    * anchors·negK·(a few), and only that sliver enters the per-anchor
+    * slot window — the corpus is never ranked or shuffled whole.
+    * A pool that undershoots leaves a slot short (documented), never
+    * wrong.
+    */
+  def contrastiveTriplets(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nAnchors: Int,
+      negK: Int,
+      poolKeepMod: Int,
+      poolKeepLt: Int): DataFrame = {
+    val pos = annTopKBruteForce(anchors, corpus, idCol, vecCol, 1)
+      .select(col("query_id").as("anchor_id"), col("neighbor_id").as("pos_id"),
+        col("cosine").as("pos_cos"))
+    // tiny global window: anchors are small by contract
+    val aIdx = anchors.select(col(idCol).as("anchor_id"))
+      .withColumn("aidx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("anchor_id"))).cast("long") - 1)
+    val pool = corpus.select(col(idCol).as("neg_id"))
+      .withColumn("l1", pmod(col("neg_id") * 48271L, lit(2147483647L)))
+      .withColumn("aidx", pmod(col("l1"), lit(nAnchors.toLong)))
+      .withColumn("l2", pmod(col("l1") * 48271L, lit(2147483647L)))
+      .where(pmod(col("l2"), lit(poolKeepMod.toLong)) < poolKeepLt)
+    val wSlot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("aidx")).orderBy(col("l2"), col("neg_id"))
+    pool.withColumn("slot", row_number().over(wSlot).cast("long"))
+      .where(col("slot") <= negK)
+      .join(broadcast(aIdx), Seq("aidx"))
+      .join(broadcast(pos), Seq("anchor_id"))
+      .where(col("neg_id") =!= col("pos_id"))
+      .select(col("anchor_id"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("slot"))
+  }
+
   /** Two-stage IVF+PQ ANN — the FAISS-shaped pipeline: IVF cells
     * PRUNE candidates (only probed cells' members are scored), PQ
     * codes CHEAPEN the coarse distance (a code-table lookup-sum, no
