@@ -446,6 +446,21 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // multi-signal dedup: one cluster graph over BOTH channels — text
+    // n-gram Jaccard pairs ∪ embedding cosine pairs (vec_id == doc_id)
+    // — so a doc caught by either signal joins the family; same
+    // log-convergence label propagation downstream
+    "dedup_multisignal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val textPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6)
+        .select(col("id_a"), col("id_b"))
+      val vecPairs = Similarity.nearDupCosineBucketed(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, signDims = 4)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusters(textPairs.unionByName(vecPairs).distinct(), docs, "doc_id")
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
     // keep the BEST copy of each duplicate family: longest doc wins,
     // ties to smallest id (partial-aggregable argmax, no window)
     "cluster_survivors" -> ((s, dir) => {
@@ -685,6 +700,22 @@ object SparkEntry {
       Corpus.boilerplateScore(t(s, dir, "documents"), "doc_id", "text", 2, 30L)
         .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
           r4(col("boiler_ratio")).as("boiler_ratio"))),
+
+    // grouped exact percentile bands (boxplot stats): one partial-
+    // aggregable pass per group — quartiles in integer cents, computed
+    // by the same interpolated-percentile both engines implement
+    "group_boxplot" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(cents, array(0.25, 0.5, 0.75))").as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          posexplode(col("qs")).as(Seq("q_idx", "q_value")))
+        .select(col("l_returnflag"), col("n"), col("q_idx").cast("long").as("q_idx"),
+          col("q_value"))
+    }),
 
     // RFM customer segmentation: recency/frequency/monetary per
     // customer, quartile labels against EXACT interpolated thresholds
@@ -1702,6 +1733,36 @@ object SparkEntry {
          SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id""",
 
+    // dedup_clusters' reach CTE over the UNION of the text-pair and
+    // cosine-pair predicates (both replayed exactly as in their own
+    // oracles)
+    "dedup_multisignal" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         tp AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         bv AS (SELECT vec_id, e,
+                  (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END) +
+                  (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END) +
+                  (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END) AS bucket FROM v),
+         vp AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+               FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+               WHERE ${duckCos("a.e", "b.e")} >= 0.4),
+         p AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM vp),
+         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+         reach(a, b) AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
+         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id""",
+
     // same reach CTE as dedup_clusters; survivor = longest member
     // (ties to min id) via a deterministic per-cluster window
     "cluster_survivors" ->
@@ -2534,6 +2595,16 @@ object SparkEntry {
     "skew_two_phase" ->
       """SELECT l_partkey AS k, round(sum(l_quantity), 2) AS total
          FROM lineitem GROUP BY l_partkey""",
+
+    "group_boxplot" ->
+      """WITH li AS (SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM lineitem),
+         g AS (SELECT l_returnflag, count(*) AS n,
+                 quantile_cont(cents, [0.25, 0.5, 0.75]) AS qs
+               FROM li GROUP BY l_returnflag)
+         SELECT l_returnflag, n, u.i - 1 AS q_idx, qs[u.i] AS q_value
+         FROM g, (SELECT unnest(generate_series(1, 3)) AS i) u""",
 
     "orders_rfm" ->
       """WITH base AS (SELECT o_custkey AS c_custkey,
