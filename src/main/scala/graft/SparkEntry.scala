@@ -766,6 +766,43 @@ object SparkEntry {
         .where(col("support") >= 3)
     }),
 
+    // deterministic integer PageRank over the co-purchase graph: ranks
+    // in integer micro-units, per-edge contribution = rank div outdeg,
+    // damping as integer (85·s) div 100 — every operation is an
+    // associative integer op, so 5 fixed iterations are bit-identical
+    // at any parallelism and in any engine (float PageRank can't make
+    // that promise). Per iteration: one src-keyed join + one dst-keyed
+    // partial-agg shuffle; localCheckpoint cuts lineage
+    "graph_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val pairs = a.join(b, Seq("l_orderkey"))
+        .where(col("pa") < col("pb"))
+        .groupBy(col("pa"), col("pb"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 3)
+      val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val contribBase = edges.join(deg, Seq("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var rank = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1000000L).as("r"))
+        .localCheckpoint(false)
+      for (_ <- 0 until 5) {
+        rank = contribBase
+          .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst"), expr("r div d").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+          .select(col("dst").as("node"),
+            expr("150000 + (85 * s) div 100").as("r"))
+          .localCheckpoint(false)
+      }
+      rank.select(col("node").as("part"), col("r").as("rank_e6"))
+    }),
+
     // data-quality audit: rule -> violation count. All row-local rules
     // evaluate in ONE fact scan (sum of CASEs, unpivoted via stack);
     // relational rules are an anti join (orphans) and a keyed agg
@@ -2636,6 +2673,25 @@ object SparkEntry {
          FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+
+    "graph_pagerank" -> {
+      def it(prev: String, cur: String) =
+        s"""$cur AS (SELECT e.dst AS node,
+              CAST(150000 + (85 * sum(r.r // deg.d)) // 100 AS BIGINT) AS r
+            FROM e JOIN deg ON deg.src = e.src JOIN $prev r ON r.node = e.src
+            GROUP BY e.dst)"""
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+         e AS (SELECT pa AS src, pb AS dst FROM p UNION ALL SELECT pb, pa FROM p),
+         deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         r0 AS (SELECT DISTINCT src AS node, 1000000::BIGINT AS r FROM e),
+         ${it("r0", "r1")}, ${it("r1", "r2")}, ${it("r2", "r3")},
+         ${it("r3", "r4")}, ${it("r4", "r5")}
+         SELECT node AS part, r AS rank_e6 FROM r5"""
+    },
 
     "dq_audit" ->
       """SELECT 'lineitem_null_orderkey' AS rule,
