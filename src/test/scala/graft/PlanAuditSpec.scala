@@ -281,6 +281,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exchangeLines.contains("text#"), s"raw text shuffled:\n$exchangeLines")
   }
 
+  test("GLOBAL SWEEP: no unbounded cartesian product in any registered query") {
+    // CartesianProduct = both sides unbroadcast — never acceptable.
+    // (BroadcastNestedLoopJoin can be fine when the broadcast side is
+    // bounded — those cases are pinned individually above.)
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        val p = plan(name)
+        if (p.contains("CartesianProduct")) Some(name -> "CartesianProduct") else None
+      } catch { case e: Throwable => Some(name -> s"plan build failed: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, s"plan sweep failures: $failures")
+  }
+
   private def budgets2Check(budgets: Map[String, Int]): Unit =
     budgets.foreach { case (name, budget) =>
       val p = plan(name)
