@@ -353,6 +353,24 @@ object SparkEntry {
           (col("tus") - col("click_tus")).as("gap_us"))
     }),
 
+    // forward direction: each purchase matched to the NEXT click at or
+    // after it — same one-shuffle window walk, frame flipped
+    "asof_join_forward" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("tus"), col("value"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tus"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_event_id"),
+          col("tus").as("click_tus"))
+      Temporal.asofJoinForward(purchases, clicks, "user_id", "tus", "click_tus",
+        "click_event_id")
+        .select(col("event_id"), col("user_id"), col("tus"), col("value"),
+          col("click_event_id"), col("click_tus"),
+          (col("click_tus") - col("tus")).as("gap_us"))
+    }),
+
     // Interval join via bin-explode + equi-join (bands overlap, so this
     // is a genuine interval join); the exact range predicate filters
     // candidates, so bin width affects cost only, never results.
@@ -1647,6 +1665,30 @@ object SparkEntry {
          SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
            round(sum(value), 2) AS session_value
          FROM s GROUP BY user_id, session_seq""",
+
+    "asof_join_forward" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tus, value
+                    FROM events),
+         p AS (SELECT event_id, user_id, tus, value FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, event_id AS click_event_id, tus AS click_tus FROM e
+               WHERE event_type = 'click'),
+         u AS (
+           SELECT user_id AS k, tus AS t, 1 AS side, 0::BIGINT AS tie,
+                  event_id, tus, value, NULL::BIGINT AS click_event_id, NULL::BIGINT AS click_tus
+           FROM p
+           UNION ALL
+           SELECT user_id, click_tus, 0, click_event_id,
+                  NULL, NULL, NULL, click_event_id, click_tus
+           FROM c),
+         m AS (SELECT *,
+                 first_value(click_event_id IGNORE NULLS) OVER win AS m_id,
+                 first_value(click_tus IGNORE NULLS) OVER win AS m_tus
+               FROM u
+               WINDOW win AS (PARTITION BY k ORDER BY t, side DESC, tie
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT event_id, k AS user_id, tus, value, m_id AS click_event_id,
+           m_tus AS click_tus, m_tus - tus AS gap_us
+         FROM m WHERE side = 1""",
 
     "asof_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tus, value

@@ -66,6 +66,41 @@ object Temporal {
       .select(col("__left.*") +: rightPayload.toIndexedSeq.map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  /** Forward as-of join: each left row matched to the EARLIEST right
+    * row at or after its timestamp (ties to the smallest `rightTieCol`)
+    * — the "next event after" direction [[asofJoin]]'s backward walk
+    * doesn't cover. Same single hash shuffle + ordered window walk,
+    * with the frame flipped to [current, following] and `first` in
+    * place of `last`; at equal timestamps the probe sorts before the
+    * reference so a same-instant reference still matches.
+    */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      rightTieCol: String): DataFrame = {
+    val rightPayload = right.columns.filterNot(_ == keyCol)
+    require(left.columns.intersect(rightPayload).isEmpty,
+      s"left/right column collision: ${left.columns.intersect(rightPayload).mkString(", ")}")
+    val l = left.select(
+      col(keyCol).as("__k"), col(leftTsCol).as("__t"),
+      lit(1).as("__side"), lit(0L).as("__tie"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__left"))
+    val r = right.select(
+      col(keyCol).as("__k"), col(rightTsCol).as("__t"),
+      lit(0).as("__side"), col(rightTieCol).cast("long").as("__tie"),
+      struct(rightPayload.toIndexedSeq.map(col): _*).as("__right"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side").desc, col("__tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", first(col("__right"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(col("__left.*") +: rightPayload.toIndexedSeq.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
   /** Interval (range) join: fact rows matched to every interval
     * `[loCol, hiCol)` that contains `valCol`. Intervals may overlap —
     * this is a genuine interval join, not a bucketing.

@@ -53,6 +53,35 @@ class TemporalSpec extends SparkSpec {
     assert(out.toSeq == Seq(6L), "equal-ts rows are eligible; largest tie id wins")
   }
 
+  test("asofJoinForward matches a brute-force earliest-at-or-after scan") {
+    val left = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tus"))
+    val right = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("r_id"), col("tus").as("r_tus"))
+    val got = Temporal.asofJoinForward(left, right, "user_id", "tus", "r_tus", "r_id")
+      .select(col("event_id"), col("r_id")).as[(Long, Option[Long])]
+      .collect().toMap
+    val rights = right.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(r => (r._3, r._2)) }
+    val lefts = left.as[(Long, Long, Long)].collect()
+    assert(lefts.nonEmpty && got.size == lefts.length)
+    for ((eid, uid, ts) <- lefts) {
+      // earliest right with r_tus >= ts; ties broken by smallest r_id
+      val expected = rights.getOrElse(uid, Array.empty[(Long, Long)])
+        .filter(_._1 >= ts).sortBy(r => (r._1, r._2)).headOption.map(_._2)
+      assert(got(eid) == expected, s"event $eid: got ${got(eid)}, want $expected")
+    }
+  }
+
+  test("asofJoinForward: equal-ts reference matches, smallest tie id wins") {
+    val left = Seq((1L, 10L, 100L)).toDF("event_id", "user_id", "tus")
+    val right = Seq((10L, 5L, 100L), (10L, 6L, 100L), (10L, 7L, 99L))
+      .toDF("user_id", "r_id", "r_tus")
+    val out = Temporal.asofJoinForward(left, right, "user_id", "tus", "r_tus", "r_id")
+      .select(col("r_id")).as[Long].collect()
+    assert(out.toSeq == Seq(5L), "equal-ts rows eligible forward; smallest tie id wins")
+  }
+
   test("rangeJoinBinned equals the naive theta join on overlapping bands") {
     val bands = Seq(("low", 0.0, 50.0), ("mid", 40.0, 200.0), ("high", 150.0, 500.0))
       .toDF("band", "lo", "hi")
