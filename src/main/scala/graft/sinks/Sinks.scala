@@ -53,6 +53,32 @@ object Sinks {
   def consume(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Training-shard writer: the end of the corpus pipeline. Rows get
+    * [[graft.operators.Corpus.shuffleShards]]' deterministic scrambled
+    * order (nShards independent windowed orders — never one global
+    * ORDER BY), then land as one partition directory per shard with
+    * rows physically sorted by their within-shard position, so a
+    * training job reads each shard file sequentially in the intended
+    * order. Reproducible: same corpus + seed → byte-identical shard
+    * layout on any cluster.
+    */
+  def writeTrainingShards(
+      df: DataFrame,
+      idCol: String,
+      path: String,
+      nShards: Int,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val order = graft.operators.Corpus.shuffleShards(df, idCol, nShards)
+    df.join(order, Seq(idCol))
+      .repartition(nShards, org.apache.spark.sql.functions.col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy("shard")
+      .parquet(path)
+  }
+
   /** Bucketed managed table: pre-shuffles once at write time so every
     * later equi-join/aggregation on the bucket key runs with NO
     * exchange — the co-located-join strategy for fact tables that are

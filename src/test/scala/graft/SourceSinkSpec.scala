@@ -50,6 +50,26 @@ class SourceSinkSpec extends SparkSpec {
     assert(batches.value >= 10L)      // batched, not row-at-a-time
   }
 
+  test("writeTrainingShards: one dir per shard, rows in scrambled order, reproducible") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val tmp = Files.createTempDirectory("graft_shards").toString
+    Sinks.writeTrainingShards(docs, "doc_id", s"$tmp/s", 4)
+    val back = spark.read.parquet(s"$tmp/s")
+    assert(back.count() == docs.count(), "every doc lands in exactly one shard")
+    assert(back.select("shard").distinct().count() == 4)
+    // physical row order within each shard file = the deterministic
+    // scrambled order (read order of a parquet file is row order)
+    val expected = graft.operators.Corpus.shuffleShards(docs, "doc_id", 4)
+      .orderBy("shard", "pos").select("shard", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = (0 until 4).flatMap { sh =>
+      spark.read.parquet(s"$tmp/s/shard=$sh")
+        .select("doc_id").collect().map(r => (sh.toLong, r.getLong(0))).toSeq
+    }
+    assert(got == expected, "on-disk order must equal the deterministic shard order")
+  }
+
   test("csv source reads with header and schema inference") {
     val tmp = Files.createTempDirectory("graft_csv").toString
     Seq(("x", 1), ("y", 2)).toDF("name", "n").write.option("header", "true").csv(s"$tmp/c")
