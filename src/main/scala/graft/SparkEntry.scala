@@ -856,6 +856,24 @@ object SparkEntry {
     "budget_select" -> ((s, dir) =>
       Corpus.budgetSelect(t(s, dir, "documents"), "doc_id", "text", "source", 800L)),
 
+    // epoch expansion by mixture weight: small sources repeat
+    // ceil-sqrt-proportionally (temperature upweighting realized as
+    // integer repeat factors); the repeat table is a tiny agg
+    // broadcast back, expansion is a row-local sequence explode —
+    // corpus scanned once, output = Σ repeats_s·n_s rows
+    "mixture_epochs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val reps = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val nMax = reps.agg(max(col("n")).as("n_max"))
+      val factors = reps.crossJoin(broadcast(nMax))
+        .select(col("lang"),
+          ceil(sqrt(col("n_max").cast("double") / col("n"))).cast("long")
+            .as("repeats"))
+      docs.join(broadcast(factors), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("repeats"),
+          explode(sequence(lit(1L), col("repeats"))).as("epoch"))
+    }),
+
     // snapshot diff: the re-crawl report (added/removed/changed/
     // unchanged per doc) that gates incremental reprocessing; both
     // sides reduce to (id, hash) in their scans — text never shuffles.
@@ -2758,6 +2776,16 @@ object SparkEntry {
                                      ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t)
          SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
          FROM c WHERE cum_tokens <= 800""",
+
+    "mixture_epochs" ->
+      """WITH reps AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         nm AS (SELECT max(n) AS n_max FROM reps),
+         f AS (SELECT lang,
+                 CAST(ceil(sqrt(n_max::DOUBLE / n)) AS BIGINT) AS repeats
+               FROM reps, nm)
+         SELECT d.doc_id, d.lang, f.repeats,
+           unnest(generate_series(1, f.repeats)) AS epoch
+         FROM documents d JOIN f USING (lang)""",
 
     "snapshot_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
