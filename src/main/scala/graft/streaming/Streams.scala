@@ -165,6 +165,45 @@ object Streams {
       }
   }
 
+  /** One funnel event: `step` is the 0-based index in the ordered
+    * step list (view=0, click=1, …). Public: state-store encoders
+    * instantiate these from generated code.
+    */
+  case class FunnelIn(user: Long, ts: Long, step: Int)
+
+  /** Per-user funnel progress: how many ordered steps completed, and
+    * the event time of the last completed step.
+    */
+  case class FunnelProgress(user: Long, completed: Int, lastTs: Long)
+
+  /** Streaming conversion funnel — the unbounded mirror of the batch
+    * `events_funnel` query. Per-user state is TWO values (steps
+    * completed, ts of last completed step): each micro-batch replays
+    * its rows in (ts, step) order and advances the state machine when
+    * the next expected step arrives at/after the last completion —
+    * exactly the batch min-chain semantics under per-user in-order
+    * arrival (the asof-stream contract). State is O(1) per user —
+    * never a buffer of events — so a 1000-executor stream holds
+    * |users| pairs, and completed-step counts fall out of the latest
+    * emissions.
+    */
+  def funnelStream(in: Dataset[FunnelIn], nSteps: Int): Dataset[FunnelProgress] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user)
+      .mapGroupsWithState[(Int, Long), FunnelProgress](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Int, Long)]) =>
+          var (done, lastTs) = state.getOption.getOrElse((0, Long.MinValue))
+          rows.toSeq.sortBy(r => (r.ts, r.step)).foreach { r =>
+            if (done < nSteps && r.step == done && r.ts >= lastTs) {
+              done += 1
+              lastTs = r.ts
+            }
+          }
+          state.update((done, lastTs))
+          FunnelProgress(user, done, lastTs)
+      }
+  }
+
   /** Stream-static incremental near-dup — the unbounded mirror of
     * [[graft.operators.Dedup.minHashNearDupsIncremental]]: a stream of
     * new docs banded against the accumulated corpus's STATIC minhash

@@ -108,6 +108,52 @@ class StreamingEquivalenceSpec extends SparkSpec {
       "stream-stream join diverged from the batch range join")
   }
 
+  test("funnelStream (micro-batched) == brute-force min-chain == events_funnel counts") {
+    val steps = Seq("view", "click", "purchase")
+    val evs = eventsBatch.where(col("event_type").isin(steps: _*))
+      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_type"))
+      .collect().map(r => Streams.FunnelIn(r.getLong(0), r.getLong(1),
+        steps.indexOf(r.getString(2))))
+      .sortBy(r => (r.ts, r.user, r.step))
+    // brute-force expected per user: walk events in (ts, step) order
+    val expected = evs.groupBy(_.user).map { case (u, rs) =>
+      var done = 0
+      var lastTs = Long.MinValue
+      rs.sortBy(r => (r.ts, r.step)).foreach { r =>
+        if (done < 3 && r.step == done && r.ts >= lastTs) { done += 1; lastTs = r.ts }
+      }
+      u -> done
+    }
+    // split by GLOBAL ts: per-user order preserved across micro-batches
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.FunnelIn]
+    val q = Streams.funnelStream(in.toDS(), 3).toDF()
+      .writeStream.format("memory").queryName("eq_funnel")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per user is the final state
+    val got = spark.table("eq_funnel")
+      .groupBy(col("user")).agg(max(struct(col("lastTs"), col("completed"))).as("w"))
+      .select(col("user"), col("w.completed"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == expected.size)
+    val diffs = expected.collect { case (u, d) if got(u) != d => (u, d, got(u)) }
+    assert(diffs.isEmpty, s"${diffs.size} diverging users, e.g. ${diffs.take(3)}")
+    // and the step counts tie back to the oracle-checked batch query
+    val batchCounts = SparkEntry.queries("events_funnel")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val streamCounts = (0 until 3)
+      .map(i => i.toLong -> expected.count(_._2 > i).toLong).toMap
+    assert(streamCounts == batchCounts,
+      s"stream-derived counts $streamCounts != batch funnel $batchCounts")
+  }
+
   test("incrementalNearDupStream (micro-batched) == batch incremental near-dup") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val newBatch = docs.where(col("doc_id") % 10 === 0)
