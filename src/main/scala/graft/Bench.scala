@@ -13,13 +13,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm JIT/classloading/parquet codepaths so the first measured
-    // query isn't charged ~4s of one-time setup. entry() covers the
-    // join/agg paths; a tiny dedup-cluster run at sf0.001 compiles the
-    // shingle/minhash kernels and the iterative-loop machinery that
-    // otherwise land on whichever cluster query the map orders first.
+    // warm JIT/classloading/codegen so the first measured query isn't
+    // charged one-time setup. Measured (RunOne, sf0.1): a cold
+    // dedup_clusters run costs 10.8s vs 1.9s steady-state — and a
+    // sf0.001 warmup does NOT close that gap (tiny inputs pick
+    // different AQE plans and never push the hot loops into C2). So
+    // warm at the MEASURED scale with the query that subsumes the
+    // heavy kernel classes: dedup_multisignal covers shingling,
+    // PPJoin candidates, merge-walk verify, cosine bucketing, and the
+    // label-propagation loop; entry() covers the join/agg paths.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    try SparkEntry.queries("dedup_clusters")(spark, "/root/testdata/sf0.001").count()
+    try SparkEntry.queries("dedup_multisignal")(spark, sfDir).count()
     catch { case _: Throwable => () }
     spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiler: time (and optionally explain) one registered query.
+  *
+  * `sbt "runMain graft.RunOne <name> [sfDir] [--explain] [--reps N]"`
+  *
+  * Mirrors Bench's session config so a number measured here predicts
+  * the per-query number in BENCH_r{N}.json. Repetitions clear the
+  * cache between runs (like Bench does between queries) so the
+  * steady-state rep isolates query cost from JIT/classload warmup.
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    val name = pos.headOption.getOrElse(sys.error("usage: RunOne <query> [sfDir]"))
+    val sfDir = pos.lift(1).getOrElse("/root/testdata/sf0.1")
+    val explain = args.contains("--explain")
+    val reps = args.sliding(2).collectFirst {
+      case Array("--reps", n) => n.toInt }.getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+    if (explain) fn(spark, sfDir).explain("formatted")
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      spark.catalog.clearCache()
+      println(f"[runone] rep=$i $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.3fs")
+    }
+    spark.stop()
+  }
+}

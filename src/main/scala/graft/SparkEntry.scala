@@ -768,21 +768,33 @@ object SparkEntry {
     }),
 
     // market-basket pair mining: parts co-purchased in the same order,
-    // kept above a support threshold. ONE shuffle on the order key;
-    // the within-order pair blowup is line_count², bounded by order
-    // size (~7 lines), never a corpus self-join — then a partial-agg
-    // count on the (part_a, part_b) pair key
-    "basket_pairs" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(b, Seq("l_orderkey"))
-        .where(col("part_a") < col("part_b"))
-        .groupBy(col("part_a"), col("part_b"))
-        .agg(count(lit(1)).as("support"))
-        .where(col("support") >= 3)
-    }),
+    // kept above a support threshold. ONE shuffle collects each
+    // order's basket; pair generation is row-local over the sorted
+    // basket array (bounded by order size ~7, never a corpus
+    // self-join), and pair counts partial-agg before the pair-keyed
+    // shuffle
+    "basket_pairs" -> ((s, dir) =>
+      Corpus.basketPairs(t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 3L)),
+
+    // pairwise source-overlap matrix: exact Jaccard between sources'
+    // distinct shingle vocabularies — the "are these two crawls the
+    // same sites?" gate run before mixture weights are chosen. Corpus
+    // collapses to distinct (source, 8-byte shingle hash) in the scan
+    // stage; per-hash join blowup bounded by nSources²
+    "source_overlap" -> ((s, dir) =>
+      Corpus.sourceOverlap(t(s, dir, "documents"), "source", "text", 3)),
+
+    // corpus bigram LM table: top continuations by count with exact
+    // integer-ratio conditional probability; row-local bigram
+    // generation, vocabulary-bounded aggs, TakeOrderedAndProject top-k
+    "bigram_condprob" -> ((s, dir) =>
+      TextAnalysis.bigramCondProb(t(s, dir, "documents"), "text", 5L, 50)),
+
+    // daily-volume anomaly gate: days where an event type's count is
+    // ≥2 population σ from its mean — moments from exact integer
+    // Σc/Σc² so the flagged set is parallelism-independent
+    "event_daily_anomaly" -> ((s, dir) =>
+      Temporal.dailyAnomaly(t(s, dir, "events"), "ts", "event_type", 2.0)),
 
     // deterministic integer PageRank over the co-purchase graph: ranks
     // in integer micro-units, per-edge contribution = rank div outdeg,
@@ -792,17 +804,16 @@ object SparkEntry {
     // that promise). Per iteration: one src-keyed join + one dst-keyed
     // partial-agg shuffle; localCheckpoint cuts lineage
     "graph_pagerank" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
-      val pairs = a.join(b, Seq("l_orderkey"))
-        .where(col("pa") < col("pb"))
-        .groupBy(col("pa"), col("pb"))
-        .agg(count(lit(1)).as("support"))
-        .where(col("support") >= 3)
+      val pairs = Corpus
+        .basketPairs(t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 3L)
+        .select(col("part_a").as("pa"), col("part_b").as("pb"))
+      // persist the EDGE LIST, not just the joined contrib base: edges
+      // feed deg, the contrib join, and the rank init — unpersisted,
+      // the expensive basket-pairs subplan above would run 3x (it
+      // dominated this query's bench time before the pin)
       val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
         .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       val contribBase = edges.join(deg, Seq("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2733,6 +2744,51 @@ object SparkEntry {
          FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          GROUP BY 1, 2 HAVING count(*) >= 3""",
+
+    "source_overlap" ->
+      """WITH t AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT source, CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END sh FROM t),
+         e AS (SELECT DISTINCT source, sh
+               FROM (SELECT source, unnest(sh) AS sh FROM s)),
+         sz AS (SELECT source, count(*) AS n FROM e GROUP BY 1),
+         i AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+               FROM e a JOIN e b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+         SELECT source_a, source_b, za.n AS n_a, zb.n AS n_b, n_inter,
+           floor(n_inter::DOUBLE / (za.n + zb.n - n_inter) * 1000000 + 0.5) / 1000000
+             AS jaccard
+         FROM i JOIN sz za ON source_a = za.source JOIN sz zb ON source_b = zb.source""",
+
+    "bigram_condprob" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+               FROM t WHERE len(toks) >= 2),
+         c AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n_bigram FROM b GROUP BY 1, 2),
+         p AS (SELECT w1, sum(n_bigram)::BIGINT AS n_prefix FROM c GROUP BY 1)
+         SELECT c.w1, c.w2, n_bigram, n_prefix,
+           floor(n_bigram::DOUBLE / n_prefix * 1000000 + 0.5) / 1000000 AS condprob
+         FROM c JOIN p USING (w1) WHERE n_bigram >= 5
+         ORDER BY n_bigram DESC, w1, w2 LIMIT 50""",
+
+    "event_daily_anomaly" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+                      count(*) AS n_events
+                    FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, count(*) AS n_days, sum(n_events)::BIGINT AS s1,
+                  sum(n_events * n_events)::BIGINT AS s2 FROM d GROUP BY 1),
+         j AS (SELECT d.event_type, day, n_events,
+                 s1::DOUBLE / n_days AS mean,
+                 (s2::DOUBLE - s1::DOUBLE * s1 / n_days) / n_days AS variance
+               FROM d JOIN st USING (event_type))
+         SELECT event_type, day, n_events,
+           floor((n_events::DOUBLE - mean) / sqrt(variance) * 10000 + 0.5) / 10000 AS z
+         FROM j WHERE variance > 0
+           AND abs((n_events::DOUBLE - mean) / sqrt(variance)) >= 2.0""",
 
     "graph_pagerank" -> {
       def it(prev: String, cur: String) =

@@ -419,6 +419,75 @@ object Corpus {
     * Mirrors the reference's chunk-level recurrence checks done with a
     * shared seen-set dict; on Spark the "seen set" is the groupBy.
     */
+  /** Co-occurrence pair mining (market-basket shape): unordered item
+    * pairs that appear in ≥ minSupport groups. ONE shuffle collects
+    * each group's distinct items (collect_set, partial-aggregable);
+    * pair generation is then ROW-LOCAL over the sorted basket array —
+    * bounded by basket size², never a corpus self-join — and the pair
+    * counts partial-agg before the second (pair-keyed) shuffle. The
+    * previous self-join-on-group-key plan pushed every generated pair
+    * row through an exchange before counting; this one puts only
+    * (group → basket) rows and combined pair counts on the wire.
+    */
+  def basketPairs(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      minSupport: Long): DataFrame = {
+    df.groupBy(col(groupCol))
+      .agg(array_sort(collect_set(col(itemCol))).as("p"))
+      .where(size(col("p")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(p) - 2),
+          |  i -> transform(sequence(i + 1, size(p) - 1),
+          |    j -> struct(p[i] AS part_a, p[j] AS part_b))))""".stripMargin)).as("bg"))
+      .select(col("bg.part_a").as("part_a"), col("bg.part_b").as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
+
+  /** Pairwise source-overlap matrix: exact Jaccard between each pair
+    * of sources' DISTINCT shingle vocabularies — the corpus-curation
+    * question "how much of source B is already in source A?" answered
+    * before mixing weights are chosen (two crawls of the same sites
+    * should be merged, not double-weighted).
+    *
+    * 100 TB path: the corpus collapses to one row per distinct
+    * (source, shingle-hash) in its scan stage — 8-byte hashes, never
+    * text — and the intersection self-join's per-hash blowup is
+    * bounded by nSources² (a constant: corpora have tens of sources,
+    * not millions). Per-source set sizes are a vocabulary-bounded agg
+    * that broadcasts back onto the pair counts. Jaccard is a ratio of
+    * exact integers under the half-up floor protocol, so any engine
+    * reproduces it bit-exactly.
+    */
+  def sourceOverlap(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      shingleSize: Int): DataFrame = {
+    // persisted: feeds the size agg AND both sides of the pair join
+    val e = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(groupCol).as("g"),
+        explode(Dedup.hashedShingleSet(col(textCol), shingleSize)).as("sh"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = e.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = e.select(col("g").as("source_a"), col("sh"))
+      .join(e.select(col("g").as("source_b"), col("sh")), "sh")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("g").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_inter"),
+        (floor(col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")) * 1000000 + lit(0.5)) / 1000000)
+          .as("jaccard"))
+  }
+
   def shingleNovelty(
       df: DataFrame,
       idCol: String,

@@ -148,6 +148,49 @@ object Temporal {
     aggs.foldLeft(df) { case (acc, (name, a)) => acc.withColumn(name, a.over(w)) }
   }
 
+  /** Daily-volume anomaly detection: days whose event count sits more
+    * than `zThreshold` population standard deviations from that event
+    * type's daily mean — the monitoring query that catches a broken
+    * collector (volume cliff) or a bot burst (volume spike) before
+    * the data poisons downstream aggregates.
+    *
+    * Scale shape: the log collapses to (type, day) counts in one
+    * keyed shuffle; per-type moments are a tiny second agg over the
+    * daily table carrying EXACT integer Σc and Σc² (order-independent
+    * — float accumulation would make the flagged set
+    * parallelism-dependent at the |z| boundary), broadcast back onto
+    * the daily rows for a row-local z-test. Mean/variance/z derive
+    * from the exact integers via identical IEEE expressions on any
+    * engine; z is emitted under the half-up floor protocol.
+    */
+  def dailyAnomaly(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      zThreshold: Double): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("event_type"),
+        expr(s"$tsCol DIV 86400000000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("mean", col("s1").cast("double") / col("n_days"))
+      .withColumn("variance",
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n_days"))
+          / col("n_days"))
+      .where(col("variance") > 0)
+      .withColumn("z",
+        (col("n_events").cast("double") - col("mean")) / sqrt(col("variance")))
+      .where(abs(col("z")) >= zThreshold)
+      .select(col("event_type"), col("day"), col("n_events"),
+        (floor(col("z") * 10000 + lit(0.5)) / 10000).as("z"))
+  }
+
   /** Ordered conversion funnel: per user, step k counts only if its
     * first qualifying event is at or after the first qualifying time
     * of step k−1 (the standard "view → click → purchase" definition).

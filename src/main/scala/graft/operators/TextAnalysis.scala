@@ -208,6 +208,44 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term"))
       .limit(k)
 
+  /** Corpus bigram language-model statistics: the top-k adjacent-token
+    * pairs with their conditional continuation probability
+    * P(w2 | w1) = c(w1 w2) / Σ_w c(w1 w), kept above a count floor —
+    * the table behind "most predictable continuations" quality checks
+    * and cheap n-gram LM scoring.
+    *
+    * Scale shape: bigram generation is row-local (index-zip over the
+    * token array, no explode-then-self-join), pair counts
+    * partial-aggregate into a vocabulary²-bounded table, and the
+    * prefix totals — one row per w1 — re-aggregate FROM THE PAIR
+    * COUNTS (never a second corpus pass) and broadcast back. The
+    * final top-k compiles to TakeOrderedAndProject (per-partition
+    * k-heap, no global sort); the probability is a ratio of exact
+    * integers under the half-up floor protocol.
+    */
+  def bigramCondProb(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long,
+      k: Int): DataFrame = {
+    val bi = df.select(tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""".stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = counts.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_prefix"))
+    counts.join(broadcast(prefix), "w1")
+      .where(col("n_bigram") >= minCount)
+      .select(col("w1"), col("w2"), col("n_bigram"), col("n_prefix"),
+        (floor(col("n_bigram").cast("double") / col("n_prefix") * 1000000 + lit(0.5))
+          / 1000000).as("condprob"))
+      .orderBy(col("n_bigram").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Per-document top-k terms by TF-IDF (integer-scaled, so the score
     * is bit-reproducible on any engine: idf = (nDocs*1000) div df in
     * exact integer arithmetic, score = tf * idf — no logarithms).

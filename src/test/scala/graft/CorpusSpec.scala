@@ -256,6 +256,30 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(1L, 2L), s"tie-break must favor smaller ids: $kept")
   }
 
+  test("basketPairs counts unordered co-occurring pairs above support") {
+    val orders = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 20L), // duplicate item collapses
+      (3L, 20L), (3L, 10L),            // order within group irrelevant
+      (4L, 10L), (4L, 20L),
+      (5L, 99L)                        // singleton basket: no pairs
+    ).toDF("ok", "item")
+    val got = Corpus.basketPairs(orders, "ok", "item", 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 20L, 4L)), s"got $got")
+  }
+
+  test("sourceOverlap: identical sources have jaccard 1, disjoint sources absent") {
+    val docs = Seq(
+      (1L, "a b c d e", "s1"), (2L, "a b c d e", "s2"), // identical vocab
+      (3L, "x y z w v", "s3")                           // disjoint
+    ).toDF("doc_id", "text", "source")
+    val got = Corpus.sourceOverlap(docs, "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(5))).toSet
+    assert(got == Set(("s1", "s2", 1.0)),
+      s"only the overlapping pair appears, at jaccard 1: $got")
+  }
+
   test("cluster-keyed splits keep every near-dup family in one split") {
     val docs500 = docs
     val labels = graft.operators.Dedup.clusters(

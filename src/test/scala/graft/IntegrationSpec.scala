@@ -63,6 +63,21 @@ class IntegrationSpec extends SparkSpec {
     assert(ctx("even_count") == 4L && ctx("odd_count") == 5L)
   }
 
+  test("bigramCondProb: conditional probabilities ratio exact counts, top-k deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"),
+      (4L, "the cat sat")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bigramCondProb(docs, "text", 1L, 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // "the" starts all 4 docs: 3x "the cat", 1x "the dog"
+    assert(got(("the", "cat")) == ((3L, 4L, 0.75)), s"got $got")
+    assert(got(("the", "dog")) == ((1L, 4L, 0.25)))
+    // "cat" continues 2x to "sat", 1x to "ran" -> 2/3 rounded half-up at 1e-6
+    assert(got(("cat", "sat")) == ((2L, 3L, 0.666667)))
+  }
+
   test("full document pipeline: dedup -> quality filter -> language split (LLM pipeline shape)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val toks = graft.operators.TextAnalysis.tokens(col("text"))

@@ -153,6 +153,20 @@ class TemporalSpec extends SparkSpec {
     assert(out == Seq(1L), s"only the in-range fact row joins: $out")
   }
 
+  test("dailyAnomaly flags only days beyond the z threshold, types with zero variance dropped") {
+    val day = 86400000000000L // ns
+    // type A: nine quiet days of 10 events, one day of 100 -> spike z≈3
+    val quiet = (0 until 9).flatMap(d => (0 until 10).map(i =>
+      (s"A", d * day + i)))
+    val spike = (0 until 100).map(i => ("A", 9L * day + i))
+    // type B: constant volume -> variance 0, never flagged
+    val flat = (0 until 5).flatMap(d => (0 until 7).map(i => ("B", d * day + i)))
+    val e = (quiet ++ spike ++ flat).toDF("event_type", "ts")
+    val got = Temporal.dailyAnomaly(e, "ts", "event_type", 2.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", 9L, 100L)), s"only the spike day flags: $got")
+  }
+
   test("funnel: step k only counts first occurrence at/after step k-1's first time") {
     val e = Seq(
       (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full conversion
