@@ -678,6 +678,11 @@ object SparkEntry {
     "repetition_stats" -> ((s, dir) =>
       Corpus.repetitionStats(t(s, dir, "documents"), "doc_id", "text", 2)),
 
+    // lexical diversity per doc: Simpson index + effective vocabulary
+    // from exact integer Σc² — row-local one-pass kernel, zero shuffle
+    "token_diversity" -> ((s, dir) =>
+      Corpus.tokenDiversity(t(s, dir, "documents"), "doc_id", "text")),
+
     // global-quantile quality gate: keep docs at/above the corpus-wide
     // p75 of BPE-ish token count — one scalar agg broadcast into a
     // row-local filter, corpus never shuffled or ranked
@@ -2324,6 +2329,21 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
            count(*) AS n_distinct, max(c) AS max_repeat
          FROM c GROUP BY doc_id""",
+
+    "token_diversity" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS c
+               FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+         a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
+                 sum(c * c)::BIGINT AS sum_sq
+               FROM c GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_distinct, sum_sq,
+           floor((1 - sum_sq::DOUBLE / (n_tokens * n_tokens)) * 1000000 + 0.5) / 1000000
+             AS simpson,
+           floor((n_tokens * n_tokens)::DOUBLE / sum_sq * 10000 + 0.5) / 10000
+             AS effective_vocab
+         FROM a""",
 
     // interpolated-quantile threshold: quantile_cont matches Spark's
     // percentile() definition (index p·(n−1), linear interpolation)

@@ -80,9 +80,10 @@ object VectorExprs {
   def quantizeI8(vec: Column): Column =
     GraftBridge.column(QuantizeI8(GraftBridge.expression(vec)))
 
-  /** struct(n_shingles, n_distinct, max_repeat) of a token array's
-    * n-gram shingle multiset — per-doc repetition stats without a
-    * single shuffled row.
+  /** struct(n_shingles, n_distinct, max_repeat, sum_sq) of a token
+    * array's n-gram shingle multiset — per-doc repetition and
+    * diversity stats (sum_sq = Σ count² feeds the Simpson index)
+    * without a single shuffled row.
     */
   def shingleStats(tokens: Column, n: Int): Column =
     GraftBridge.column(ShingleStats(GraftBridge.expression(tokens), n))
@@ -532,7 +533,8 @@ case class ShingleStats(child: Expression, n: Int)
   override def dataType: DataType = StructType(Seq(
     StructField("n_shingles", LongType, nullable = false),
     StructField("n_distinct", LongType, nullable = false),
-    StructField("max_repeat", LongType, nullable = false)))
+    StructField("max_repeat", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     ExprChecks.requireArray(child.dataType, StringType, "shingle_stats")
@@ -547,7 +549,7 @@ case class ShingleStats(child: Expression, n: Int)
     // TextAnalysis.shingles and the oracle's [''])
     if (m == 0)
       return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](1L, 1L, 1L))
+        Array[Any](1L, 1L, 1L, 1L))
     val tokenBytes = new Array[Array[Byte]](m)
     var i = 0
     while (i < m) {
@@ -571,18 +573,22 @@ case class ShingleStats(child: Expression, n: Int)
       w += 1
     }
     java.util.Arrays.sort(hs)
-    // run-scan: equal shingles are adjacent after the sort
+    // run-scan: equal shingles are adjacent after the sort. sum_sq
+    // (Σ run²) is the Simpson-diversity numerator — it rides along in
+    // the same pass for free
     var distinct = 1L
     var maxRun = 1L
     var run = 1L
+    var sumSq = 0L
     i = 1
     while (i < count) {
       if (hs(i) == hs(i - 1)) { run += 1; if (run > maxRun) maxRun = run }
-      else { distinct += 1; run = 1 }
+      else { distinct += 1; sumSq += run * run; run = 1 }
       i += 1
     }
+    sumSq += run * run
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](count.toLong, distinct, maxRun))
+      Array[Any](count.toLong, distinct, maxRun, sumSq))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

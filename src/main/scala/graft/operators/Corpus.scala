@@ -295,6 +295,36 @@ object Corpus {
         col("s.n_distinct").as("n_distinct"),
         col("s.max_repeat").as("max_repeat"))
 
+  /** Per-document lexical diversity via the Simpson index:
+    * simpson = 1 − Σc²/n² over the doc's token counts (probability two
+    * random token draws differ), and effective_vocab = n²/Σc² (the
+    * vocabulary size a uniform distribution would need for the same
+    * concentration) — the quality signal that separates natural prose
+    * from keyword-stuffed or template text at equal length.
+    *
+    * Entirely row-local (the one-pass ShingleStats kernel at n=1
+    * carries Σc² out of its run-scan), ZERO shuffled rows — and the
+    * index is a ratio of exact integers, so both sides of the oracle
+    * divide the same numbers. Docs with no tokens are dropped (no
+    * distribution to measure), matching the oracle's empty unnest.
+    */
+  def tokenDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col(idCol),
+        graft.functions.VectorExprs.shingleStats(col("toks"), 1).as("s"))
+      .select(col(idCol),
+        col("s.n_shingles").as("n_tokens"),
+        col("s.n_distinct").as("n_distinct"),
+        col("s.sum_sq").as("sum_sq"),
+        (floor((lit(1) - col("s.sum_sq").cast("double")
+          / (col("s.n_shingles") * col("s.n_shingles"))) * 1000000 + lit(0.5)) / 1000000)
+          .as("simpson"),
+        (floor((col("s.n_shingles") * col("s.n_shingles")).cast("double")
+          / col("s.sum_sq") * 10000 + lit(0.5)) / 10000)
+          .as("effective_vocab"))
+
   /** Boilerplate scoring: the fraction of each doc's distinct n-gram
     * shingles that are corpus-frequent (present in ≥ minDocs docs) —
     * the token-stream analogue of C4's repeated-line stripping
@@ -455,30 +485,30 @@ object Corpus {
     *
     * 100 TB path: the corpus collapses to one row per distinct
     * (source, shingle-hash) in its scan stage — 8-byte hashes, never
-    * text — and the intersection self-join's per-hash blowup is
-    * bounded by nSources² (a constant: corpora have tens of sources,
-    * not millions). Per-source set sizes are a vocabulary-bounded agg
-    * that broadcasts back onto the pair counts. Jaccard is a ratio of
-    * exact integers under the half-up floor protocol, so any engine
-    * reproduces it bit-exactly.
+    * text. Intersection counts are [[basketPairs]] with the roles
+    * flipped (group = shingle hash, item = source): one hash-keyed
+    * shuffle collects each shingle's source set, the ≤nSources² pair
+    * blowup is row-local, and pair counts partial-agg — no self-join
+    * re-shuffling the vocabulary twice. Per-source set sizes are a
+    * vocabulary-bounded agg that broadcasts back onto the pair
+    * counts. Jaccard is a ratio of exact integers under the half-up
+    * floor protocol, so any engine reproduces it bit-exactly.
     */
   def sourceOverlap(
       df: DataFrame,
       groupCol: String,
       textCol: String,
       shingleSize: Int): DataFrame = {
-    // persisted: feeds the size agg AND both sides of the pair join
+    // persisted: feeds the size agg AND the intersection counts
     val e = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(groupCol).as("g"),
         explode(Dedup.hashedShingleSet(col(textCol), shingleSize)).as("sh"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = e.groupBy(col("g")).agg(count(lit(1)).as("n"))
-    val inter = e.select(col("g").as("source_a"), col("sh"))
-      .join(e.select(col("g").as("source_b"), col("sh")), "sh")
-      .where(col("source_a") < col("source_b"))
-      .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val inter = basketPairs(e, "sh", "g", 1L)
+      .select(col("part_a").as("source_a"), col("part_b").as("source_b"),
+        col("support").as("n_inter"))
     inter
       .join(broadcast(sizes.select(col("g").as("source_a"), col("n").as("n_a"))), "source_a")
       .join(broadcast(sizes.select(col("g").as("source_b"), col("n").as("n_b"))), "source_b")

@@ -163,22 +163,37 @@ object Temporal {
     * from the exact integers via identical IEEE expressions on any
     * engine; z is emitted under the half-up floor protocol.
     */
-  def dailyAnomaly(
-      events: DataFrame,
-      tsCol: String,
-      typeCol: String,
-      zThreshold: Double): DataFrame = {
-    val daily = events
+  /** (event_type, day, n_events) daily counts — day = ns-epoch DIV,
+    * the shared time bucketing of [[dailyAnomaly]] and its streaming
+    * mirror. One keyed shuffle, log never re-scanned downstream.
+    */
+  def dailyCounts(events: DataFrame, tsCol: String, typeCol: String): DataFrame =
+    events
       .select(col(typeCol).as("event_type"),
         expr(s"$tsCol DIV 86400000000000").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stats = daily.groupBy(col("event_type"))
+
+  /** Per-type daily-volume moments as EXACT integers (n_days, Σc, Σc²)
+    * — the broadcastable stats table both the batch gate and the
+    * streaming scorer derive mean/variance from. Integer sums are
+    * order-independent, so the |z| boundary can't flip with
+    * parallelism.
+    */
+  def dailyStats(daily: DataFrame): DataFrame =
+    daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("n_events")).as("s1"),
         sum(col("n_events") * col("n_events")).as("s2"))
-    daily.join(broadcast(stats), "event_type")
+
+  /** Row-local z-test over (…, n_events, n_days, s1, s2) rows: derive
+    * mean/variance from the exact integer moments via fixed IEEE
+    * expressions, keep |z| ≥ threshold, emit z under the half-up floor
+    * protocol. Shared verbatim by batch and streaming so they cannot
+    * diverge.
+    */
+  private[graft] def zFlag(joined: DataFrame, zThreshold: Double): DataFrame =
+    joined
       .withColumn("mean", col("s1").cast("double") / col("n_days"))
       .withColumn("variance",
         (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n_days"))
@@ -187,6 +202,15 @@ object Temporal {
       .withColumn("z",
         (col("n_events").cast("double") - col("mean")) / sqrt(col("variance")))
       .where(abs(col("z")) >= zThreshold)
+
+  def dailyAnomaly(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      zThreshold: Double): DataFrame = {
+    val daily = dailyCounts(events, tsCol, typeCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    zFlag(daily.join(broadcast(dailyStats(daily)), "event_type"), zThreshold)
       .select(col("event_type"), col("day"), col("n_events"),
         (floor(col("z") * 10000 + lit(0.5)) / 10000).as("z"))
   }

@@ -261,6 +261,38 @@ object Streams {
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
+  /** Streaming daily-volume anomaly gate — the unbounded mirror of
+    * [[graft.operators.Temporal.dailyAnomaly]] in the lambda shape:
+    * the per-type volume moments come from the BATCH side
+    * ([[graft.operators.Temporal.dailyStats]] over the accumulated
+    * history — in production a persisted table refreshed between
+    * runs), the stream maintains one watermarked tumbling day-window
+    * count per type, and each closed window is z-scored row-locally
+    * against the static stats via the SAME shared expression the
+    * batch gate uses, so the two sides cannot diverge.
+    *
+    * State: one count per (type, open day window), evicted at
+    * watermark — O(types) live state regardless of volume.
+    */
+  def dailyAnomalyStream(
+      events: DataFrame,
+      stats: DataFrame,
+      eventTimeCol: String,
+      typeCol: String,
+      zThreshold: Double): DataFrame = {
+    val daily = events
+      .withWatermark(eventTimeCol, "1 day")
+      .groupBy(col(typeCol).as("event_type"),
+        window(col(eventTimeCol), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        expr("unix_micros(w.start) DIV 86400000000").as("day"), col("n_events"))
+    graft.operators.Temporal
+      .zFlag(daily.join(broadcast(stats), "event_type"), zThreshold)
+      .select(col("event_type"), col("day"), col("n_events"),
+        (floor(col("z") * 10000 + lit(0.5)) / 10000).as("z"))
+  }
+
   /** Stream → noop-style sink for tests/benchmarks: process all
     * available data once and stop (Trigger.AvailableNow semantics via
     * processAllAvailable on a memory sink).

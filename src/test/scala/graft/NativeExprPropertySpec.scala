@@ -51,14 +51,15 @@ class NativeExprPropertySpec extends SparkSpec {
     * hashing at all), so the test also covers hash injectivity on
     * real multisets.
     */
-  private def refShingleStats(text: String, n: Int): (Long, Long, Long) = {
+  private def refShingleStats(text: String, n: Int): (Long, Long, Long, Long) = {
     val toks = text.split(" ").filter(_.nonEmpty)
     val windows =
       if (toks.isEmpty) Seq("")
       else if (toks.length >= n) toks.sliding(n).map(_.mkString(" ")).toSeq
       else Seq(toks.mkString(" "))
     val counts = windows.groupBy(identity).map(_._2.size.toLong)
-    (windows.size.toLong, counts.size.toLong, counts.max)
+    (windows.size.toLong, counts.size.toLong, counts.max,
+      counts.map(c => c * c).sum)
   }
 
   test("ShingleStats matches string-level multiplicity stats on 100 random docs") {
@@ -68,8 +69,11 @@ class NativeExprPropertySpec extends SparkSpec {
       .select(col("id"),
         VectorExprs.shingleStats(
           graft.operators.TextAnalysis.tokens(col("text")), 2).as("s"))
-      .select(col("id"), col("s.n_shingles"), col("s.n_distinct"), col("s.max_repeat"))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      .select(col("id"), col("s.n_shingles"), col("s.n_distinct"), col("s.max_repeat"),
+        col("s.sum_sq"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
     docs.foreach { case (id, text) =>
       assert(got(id) == refShingleStats(text, 2), s"doc $id: '$text'")
     }

@@ -257,4 +257,18 @@ class StreamingEquivalenceSpec extends SparkSpec {
       (id, m, streamed.get(id)) }
     assert(diffs.isEmpty, s"${diffs.size} diverging matches, e.g. ${diffs.take(3)}")
   }
+
+  test("dailyAnomalyStream (AvailableNow) == batch dailyAnomaly flagged days") {
+    import graft.operators.Temporal
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // batch gate, and the batch-side stats table the stream scores against
+    val batch = Temporal.dailyAnomaly(raw, "ts", "event_type", 1.0)
+      .select(col("event_type"), col("day"), col("n_events"), col("z"))
+    val stats = Temporal.dailyStats(Temporal.dailyCounts(raw, "ts", "event_type"))
+    val streamed = Streams.dailyAnomalyStream(
+      eventsStream, stats, "event_time", "event_type", 1.0)
+    Streams.runToMemoryAvailableNow(streamed, "eq_anomaly", OutputMode.Complete())
+    assert(rowSet(spark.table("eq_anomaly")) == rowSet(batch),
+      "streaming anomaly gate diverged from batch")
+  }
 }
