@@ -440,6 +440,13 @@ object SparkEntry {
       Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text", 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
 
+    // measured minhash recall vs exact PPJoin ground truth at 0.6 —
+    // the threshold where band recall is NOT provably ~1; the oracle
+    // replays the SplitMix64 permutations and FNV shingle hashes
+    // bit-exactly, so even WHICH pairs slip is verified
+    "minhash_recall_eval" -> ((s, dir) =>
+      Dedup.minHashRecallEval(t(s, dir, "documents"), "doc_id", "text", 0.6)),
+
     // incremental near-dup: the daily batch (doc_id%10=0) banded
     // against the corpus index (%10≠0) — never corpus×corpus; at
     // t=0.8 the 32×4 band miss probability (≈5e-8) makes the exact
@@ -1995,6 +2002,51 @@ object SparkEntry {
            CASE WHEN n_exact = 0 THEN 1.0
                 ELSE floor(n_hit::DOUBLE / n_exact * 10000 + 0.5) / 10000 END AS recall
          FROM t, h""",
+
+    // Replays the native banded MinHash bit-exactly: shingle hash =
+    // FNV-1a over the shingle text plus trailing separator (the
+    // kernel's per-token `(h^0x20)*prime` IS the FNV-1a step on a
+    // space byte), folded mod P with Scala floorMod semantics; the
+    // 128 permutation (a,b) pairs are the kernel's own SplitMix64
+    // stream embedded as literals; candidates = ≥1 of 32 four-slot
+    // bands equal; recall = caught/exact at threshold 0.6.
+    "minhash_recall_eval" -> {
+      val (mas, mbs) = graft.functions.MinHashSig.coeffs(128)
+      val mp = graft.functions.MinHashSig.P
+      val minsSql = (0 until 128)
+        .map(j => s"min((${mas(j)} * h + ${mbs(j)}) % $mp) AS m$j").mkString(", ")
+      val bandEq = (0 until 32).map(b =>
+        (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}")
+          .mkString("(", " AND ", ")")).mkString(" OR ")
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                     FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         hs AS (SELECT doc_id,
+                  ((((CASE WHEN hu >= '9223372036854775808'::HUGEINT
+                       THEN hu - '18446744073709551616'::HUGEINT ELSE hu END)
+                     % $mp) + $mp) % $mp)::BIGINT AS h
+                FROM (SELECT doc_id, ${duckFnv("(g || ' ')")} AS hu
+                      FROM (SELECT doc_id, unnest(sh) AS g FROM s))),
+         sig AS (SELECT doc_id, $minsSql FROM hs GROUP BY doc_id),
+         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)),
+         jac AS (SELECT x.id_a, x.id_b FROM cand x
+                 JOIN s sa ON sa.doc_id = x.id_a JOIN s sb ON sb.doc_id = x.id_b
+                 WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6),
+         ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)
+         SELECT (SELECT count(*) FROM ex)::BIGINT AS n_exact,
+           (SELECT count(*) FROM jac)::BIGINT AS n_lsh,
+           CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 1.0
+                ELSE floor((SELECT count(*) FROM jac)::DOUBLE
+                  / (SELECT count(*) FROM ex) * 10000 + 0.5) / 10000 END AS recall"""
+    },
 
     // Replays the native SimHash64: FNV-1a per DISTINCT token (hash
     // values are a pure function of the token bytes, so hashing the

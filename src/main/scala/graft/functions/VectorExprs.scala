@@ -173,12 +173,18 @@ case class DotProduct(left: Expression, right: Expression)
   * a fixed SplitMix64 walk so signatures are stable across runs,
   * clusters, and releases.
   */
-case class MinHashSig(child: Expression, numHashes: Int)
-    extends UnaryExpression {
+object MinHashSig {
+  /** Mersenne prime modulus of the permutation family. */
+  final val P: Long = 2147483647L
 
-  private val P: Long = 2147483647L
-
-  @transient private lazy val (as, bs): (Array[Long], Array[Long]) = {
+  /** The (a, b) coefficients of the `numHashes` universal-hash
+    * permutations, generated by a fixed-seed SplitMix64 stream —
+    * EXPOSED so the DuckDB oracle can embed the exact same constants
+    * as SQL literals and replay every signature bit-exactly
+    * (`minhash_recall_eval`). Single source of truth: the kernel
+    * reads the same arrays.
+    */
+  def coeffs(numHashes: Int): (Array[Long], Array[Long]) = {
     var x = 0x9E3779B97F4A7C15L
     def next(): Long = {
       x += 0xBF58476D1CE4E5B9L
@@ -189,6 +195,15 @@ case class MinHashSig(child: Expression, numHashes: Int)
     }
     (Array.fill(numHashes)(next()), Array.fill(numHashes)(next()))
   }
+}
+
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  private val P: Long = MinHashSig.P
+
+  @transient private lazy val (as, bs): (Array[Long], Array[Long]) =
+    MinHashSig.coeffs(numHashes)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

@@ -234,6 +234,40 @@ object Dedup {
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
+  /** Measured recall of the deployed banded-MinHash near-dup path
+    * against exact PPJoin ground truth at the SAME threshold — the
+    * text-side counterpart of `Similarity.lshRecallEval`, and the
+    * number that justifies (or vetoes) running minhash below the
+    * provably-safe 0.8 threshold: at 0.6 with 32×4 bands, theory says
+    * ~1.2% of boundary pairs slip; this measures the actual figure on
+    * the actual corpus.
+    *
+    * Both sides are full-scale scalable plans (PPJoin prefix index,
+    * band equi-join) — no sampling needed, unlike the embedding
+    * harness where exact ground truth means all-pairs cosine. Output
+    * is one row (n_exact, n_lsh, recall) from two exact integer
+    * counts. Oracle-checkable bit-exactly because the SplitMix64
+    * permutation coefficients are embedded in the oracle SQL
+    * ([[graft.functions.MinHashSig.coeffs]]) and the FNV shingle
+    * hash replays in unsigned mod-2⁶⁴ arithmetic.
+    */
+  def minHashRecallEval(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val nExact = ngramJaccardPairs(df, idCol, textCol, threshold)
+      .agg(count(lit(1)).as("n_exact"))
+    val nLsh = minHashNearDups(df, idCol, textCol, threshold)
+      .agg(count(lit(1)).as("n_lsh"))
+    nExact.crossJoin(nLsh)
+      .select(col("n_exact"), col("n_lsh"),
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(floor(col("n_lsh").cast("double") / col("n_exact") * 10000
+            + lit(0.5)) / 10000)
+          .as("recall"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via a prefix-filtered
     * inverted shingle index (PPJoin-style, no MinHash approximation,
     * no cartesian).
