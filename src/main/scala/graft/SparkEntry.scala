@@ -580,6 +580,16 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang_pred"))),
 
+    // langid EVAL: confusion matrix of the heuristic against labels —
+    // approximations ship with numbers (the recall-harness principle
+    // applied to classification); one vocabulary-bounded agg
+    "langid_confusion" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.langId(TextAnalysis.tokens(col("text"))).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))),
+
     "text_quality" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       t(s, dir, "documents").select(
@@ -2240,6 +2250,22 @@ object SparkEntry {
            WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
            WHEN s_de >= s_fr THEN 'de'
            ELSE 'fr' END AS lang_pred FROM sc""",
+
+    "langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         sc AS (SELECT doc_id, lang,
+           len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
+           len(list_filter(toks, t -> t IN ('el','la','de','que','y'))) AS s_es,
+           len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+           len(list_filter(toks, t -> t IN ('le','les','et','est','une'))) AS s_fr
+           FROM t),
+         p AS (SELECT lang, CASE
+           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+           WHEN s_de >= s_fr THEN 'de'
+           ELSE 'fr' END AS lang_pred FROM sc)
+         SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2""",
 
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text,
