@@ -818,6 +818,16 @@ object SparkEntry {
     "event_daily_anomaly" -> ((s, dir) =>
       Temporal.dailyAnomaly(t(s, dir, "events"), "ts", "event_type", 2.0)),
 
+    // exact triangle count over the co-purchase graph via
+    // degree-ordered orientation: wedges only leave each triangle's
+    // minimum-(deg,id) vertex, so the join blowup is O(Σ outdeg²) =
+    // O(m^1.5) instead of hub-degree² — the clustering-coefficient
+    // numerator at graph scale
+    "graph_triangles" -> ((s, dir) =>
+      operators.Graph.triangles(
+        Corpus.basketPairs(t(s, dir, "lineitem"), "l_orderkey", "l_partkey", 2L)
+          .select(col("part_a").as("u"), col("part_b").as("v")))),
+
     // deterministic integer PageRank over the co-purchase graph: ranks
     // in integer micro-units, per-edge contribution = rank div outdeg,
     // damping as integer (85·s) div 100 — every operation is an
@@ -2887,6 +2897,22 @@ object SparkEntry {
            floor((n_events::DOUBLE - mean) / sqrt(variance) * 10000 + 0.5) / 10000 AS z
          FROM j WHERE variance > 0
            AND abs((n_events::DOUBLE - mean) / sqrt(variance)) >= 2.0""",
+
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+               FROM li a JOIN li b
+                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+         d AS (SELECT node, count(*) AS deg
+               FROM (SELECT u AS node FROM p UNION ALL SELECT v FROM p) GROUP BY 1),
+         o AS (SELECT CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.u ELSE p.v END AS s,
+                 CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.v ELSE p.u END AS t
+               FROM p JOIN d da ON da.node = p.u JOIN d db ON db.node = p.v),
+         w AS (SELECT o1.t AS x, o2.t AS y
+               FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t)
+         SELECT count(*)::BIGINT AS n_triangles FROM w
+         WHERE EXISTS (SELECT 1 FROM p WHERE p.u = w.x AND p.v = w.y)""",
 
     "graph_pagerank" -> {
       def it(prev: String, cur: String) =

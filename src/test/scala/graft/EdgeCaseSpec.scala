@@ -125,4 +125,38 @@ class EdgeCaseSpec extends SparkSpec {
     assert(pq.where(col("dist2") > 0).count() == 0,
       "each of 2 vectors must code to itself exactly when both seed the codebook")
   }
+
+  test("round-5b operators tolerate empty and degenerate inputs") {
+    import graft.operators.{Corpus, Temporal, TextAnalysis}
+    // empty / singleton baskets produce no pairs, not failures
+    assert(Corpus.basketPairs(
+      Seq.empty[(Long, Long)].toDF("g", "i"), "g", "i", 1L).count() == 0)
+    assert(Corpus.basketPairs(
+      Seq((1L, 7L)).toDF("g", "i"), "g", "i", 1L).count() == 0)
+    // one source: no pairs to overlap
+    assert(Corpus.sourceOverlap(
+      Seq((1L, "a b c d", "s")).toDF("doc_id", "text", "source"),
+      "source", "text", 3).count() == 0)
+    // all docs single-token: no bigrams
+    assert(TextAnalysis.bigramCondProb(
+      Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text"), "text", 1L, 10).count() == 0)
+    // empty log and single-day types (variance 0) flag nothing
+    assert(Temporal.dailyAnomaly(
+      Seq.empty[(String, Long)].toDF("event_type", "ts"), "ts", "event_type", 2.0)
+      .count() == 0)
+    assert(Temporal.dailyAnomaly(
+      Seq(("A", 5L), ("A", 6L)).toDF("event_type", "ts"), "ts", "event_type", 2.0)
+      .count() == 0)
+    // diversity drops token-less docs; uniform doc has simpson = 1 - 1/n
+    val div = Corpus.tokenDiversity(
+      Seq((1L, "a b c d"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(div.length == 1 && div.head.getLong(0) == 1L)
+    assert(div.head.getDouble(4) == 0.75, s"uniform 4-token simpson: ${div.head}")
+    // recall harness on a corpus with zero near-dup pairs: vacuous recall 1
+    val rec = Dedup.minHashRecallEval(
+      Seq((1L, "a b c d e"), (2L, "v w x y z")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.6).collect().head
+    assert(rec.getLong(0) == 0L && rec.getDouble(2) == 1.0, s"got $rec")
+  }
 }
