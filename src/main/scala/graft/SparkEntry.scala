@@ -575,6 +575,34 @@ object SparkEntry {
     "embed_centroids" -> ((s, dir) =>
       Embeddings.centroids(t(s, dir, "embeddings"), "embedding", "label")),
 
+    // embedding-space regression test between snapshots (vec_id
+    // parity stands in for old/new crawls): per-label centroid cosine
+    // + L2 shift, exact integer component sums, dim-ordered row-local
+    // folds — deterministic at any parallelism
+    "embed_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Embeddings.centroidDrift(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 =!= 0),
+        "embedding", "label")
+    }),
+
+    // dedup burden per source: which sources pay the near-dup tax —
+    // docs in ≥1 minhash@0.8 pair (band miss ≈5e-8, so the exact-SQL
+    // oracle is sound), rolled up as an exact-integer rate
+    "neardup_rate_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.8)
+      val members = pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      docs.join(members.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), count(col("hit")).as("n_near_dup"))
+        .select(col("source"), col("n_docs"), col("n_near_dup"),
+          (floor(col("n_near_dup").cast("double") / col("n_docs") * 10000 + lit(0.5))
+            / 10000).as("dup_rate"))
+    }),
+
     // ---- §2b: text analysis -----------------------------------------
     "text_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -2245,6 +2273,56 @@ object SparkEntry {
                  CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT) AS c_e6 FROM x)
          SELECT label, dim, count(*) AS n, CAST(sum(c_e6) AS BIGINT) AS sum_e6
          FROM c GROUP BY label, dim""",
+
+    "embed_drift" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+         x AS (SELECT label, vec_id % 2 AS snap, e, unnest(generate_series(1, len(e))) AS i
+               FROM v),
+         c AS (SELECT label, snap, i - 1 AS dim,
+                 CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT) AS c_e6 FROM x),
+         g AS (SELECT label, snap, dim, count(*) AS n, sum(c_e6)::BIGINT AS s
+               FROM c GROUP BY 1, 2, 3),
+         j AS (SELECT a.label, a.dim, a.n AS n_a, b.n AS n_b,
+                 a.s::DOUBLE / a.n / 1000000 AS m_a, b.s::DOUBLE / b.n / 1000000 AS m_b
+               FROM g a JOIN g b ON a.label = b.label AND a.dim = b.dim
+                 AND a.snap = 0 AND b.snap = 1),
+         l AS (SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
+                 list_sort(list(struct_pack(dim := dim, m_a := m_a, m_b := m_b))) AS ds
+               FROM j GROUP BY label),
+         f AS (SELECT label, n_a, n_b,
+                 list_reduce(list_prepend(0.0, list_transform(ds, x -> x.m_a * x.m_b)),
+                   (a, b) -> a + b) AS dot,
+                 list_reduce(list_prepend(0.0, list_transform(ds, x -> x.m_a * x.m_a)),
+                   (a, b) -> a + b) AS na2,
+                 list_reduce(list_prepend(0.0, list_transform(ds, x -> x.m_b * x.m_b)),
+                   (a, b) -> a + b) AS nb2,
+                 list_reduce(list_prepend(0.0,
+                     list_transform(ds, x -> (x.m_a - x.m_b) * (x.m_a - x.m_b))),
+                   (a, b) -> a + b) AS l2
+               FROM l)
+         SELECT label, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           floor(dot / sqrt(na2) / sqrt(nb2) * 1000000 + 0.5) / 1000000 AS cosine,
+           floor(sqrt(l2) * 1000000 + 0.5) / 1000000 AS l2_shift
+         FROM f""",
+
+    "neardup_rate_by_source" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         m AS (SELECT DISTINCT doc_id FROM
+                 (SELECT id_a AS doc_id FROM p UNION ALL SELECT id_b FROM p))
+         SELECT d.source, count(*) AS n_docs,
+           count(m.doc_id) AS n_near_dup,
+           floor(count(m.doc_id)::DOUBLE / count(*) * 10000 + 0.5) / 10000 AS dup_rate
+         FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+         GROUP BY d.source""",
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks

@@ -84,6 +84,44 @@ object Embeddings {
       .agg(count(lit(1)).as("n"), sum(col("c_e6")).as("sum_e6"))
   }
 
+  /** Per-group centroid drift between two corpus snapshots — cosine
+    * between the old and new centroid plus the L2 shift, per label:
+    * the embedding-space regression test run after a re-crawl or an
+    * encoder upgrade, before the new vectors replace the index.
+    *
+    * Determinism: per-dim centroid components derive from
+    * [[centroids]]' EXACT integer sums; the cross-dim reductions
+    * (dot, norms, Δ²) fold a dim-sorted per-label array row-locally,
+    * so float accumulation order is fixed on any engine at any
+    * parallelism. Per-label state is one dims-length array — KBs.
+    */
+  def centroidDrift(
+      dfA: DataFrame,
+      dfB: DataFrame,
+      vecCol: String,
+      groupCol: String): DataFrame = {
+    def cents(df: DataFrame, n: String, s: String) =
+      centroids(df, vecCol, groupCol)
+        .select(col(groupCol), col("dim"), col("n").as(n), col("sum_e6").as(s))
+    val j = cents(dfA, "n_a", "s_a").join(cents(dfB, "n_b", "s_b"), Seq(groupCol, "dim"))
+      .select(col(groupCol), col("dim"), col("n_a"), col("n_b"),
+        (col("s_a").cast("double") / col("n_a") / 1000000).as("m_a"),
+        (col("s_b").cast("double") / col("n_b") / 1000000).as("m_b"))
+    def fold(body: String) =
+      expr(s"aggregate(ds, cast(0.0 as double), (acc, x) -> acc + $body)")
+    j.groupBy(col(groupCol))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sort_array(collect_list(struct(col("dim"), col("m_a"), col("m_b")))).as("ds"))
+      .withColumn("dot", fold("x.m_a * x.m_b"))
+      .withColumn("na2", fold("x.m_a * x.m_a"))
+      .withColumn("nb2", fold("x.m_b * x.m_b"))
+      .withColumn("l2", fold("(x.m_a - x.m_b) * (x.m_a - x.m_b)"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        (floor(col("dot") / sqrt(col("na2")) / sqrt(col("nb2")) * 1000000 + lit(0.5))
+          / 1000000).as("cosine"),
+        (floor(sqrt(col("l2")) * 1000000 + lit(0.5)) / 1000000).as("l2_shift"))
+  }
+
   /** Product-quantization encode: each vector splits into `nSub`
     * contiguous sub-vectors; each sub-vector is coded as its nearest
     * centroid in a per-subspace codebook of `nCodes` entries — dims·4

@@ -127,7 +127,7 @@ class EdgeCaseSpec extends SparkSpec {
   }
 
   test("round-5b operators tolerate empty and degenerate inputs") {
-    import graft.operators.{Corpus, Temporal, TextAnalysis}
+    import graft.operators.{Corpus, Embeddings, Temporal, TextAnalysis}
     // empty / singleton baskets produce no pairs, not failures
     assert(Corpus.basketPairs(
       Seq.empty[(Long, Long)].toDF("g", "i"), "g", "i", 1L).count() == 0)
@@ -158,5 +158,11 @@ class EdgeCaseSpec extends SparkSpec {
       Seq((1L, "a b c d e"), (2L, "v w x y z")).toDF("doc_id", "text"),
       "doc_id", "text", 0.6).collect().head
     assert(rec.getLong(0) == 0L && rec.getDouble(2) == 1.0, s"got $rec")
+    // identical snapshots: drift cosine exactly 1, L2 shift exactly 0
+    val snap = Seq((1, Array(0.6f, -0.2f, 0.1f)), (2, Array(0.3f, 0.4f, -0.5f)))
+      .toDF("label", "embedding").withColumn("label", lit(7))
+    val drift = Embeddings.centroidDrift(snap, snap, "embedding", "label")
+      .collect().head
+    assert(drift.getDouble(3) == 1.0 && drift.getDouble(4) == 0.0, s"got $drift")
   }
 }
