@@ -286,7 +286,7 @@ object Corpus {
     * across cores when the input is a single unsplittable row group.)
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Dedup.rebalance(df)
       .select(col(idCol),
         graft.functions.VectorExprs
           .shingleStats(TextAnalysis.tokens(col(textCol)), n).as("s"))
@@ -309,7 +309,7 @@ object Corpus {
     * distribution to measure), matching the oracle's empty unnest.
     */
   def tokenDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    Dedup.rebalance(df)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) > 0)
       .select(col(idCol),
@@ -344,7 +344,7 @@ object Corpus {
       textCol: String,
       shingleSize: Int,
       minDocs: Long): DataFrame = {
-    val sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sets = Dedup.rebalance(df)
       .select(col(idCol),
         Dedup.hashedShingleSet(col(textCol), shingleSize).as("hs"))
       .withColumn("n_shingles", size(col("hs")).cast("long"))
@@ -500,7 +500,7 @@ object Corpus {
       textCol: String,
       shingleSize: Int): DataFrame = {
     // persisted: feeds the size agg AND the intersection counts
-    val e = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val e = Dedup.rebalance(df)
       .select(col(groupCol).as("g"),
         explode(Dedup.hashedShingleSet(col(textCol), shingleSize)).as("sh"))
       .distinct()
@@ -523,7 +523,7 @@ object Corpus {
       idCol: String,
       textCol: String,
       shingleSize: Int): DataFrame = {
-    val sets = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sets = Dedup.rebalance(df)
       .select(col(idCol),
         Dedup.hashedShingleSet(col(textCol), shingleSize).as("hs"))
       .withColumn("n_shingles", size(col("hs")).cast("long"))

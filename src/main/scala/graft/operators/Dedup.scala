@@ -17,13 +17,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Spread CPU-bound per-row stages (shingling, signatures) across
-    * the cluster regardless of source file layout — a single
-    * unsplittable row group must not serialize the compute. Cheap
-    * relative to the kernels it parallelizes; near-no-op when the
-    * source is already well partitioned.
+    * the cluster when the source layout would serialize them — a
+    * single unsplittable row group must not pin the compute to one
+    * core. CONDITIONAL: a well-split source (a 100 TB corpus has
+    * ~10⁵–10⁶ input splits) passes through untouched — an
+    * unconditional repartition here would round-robin the entire
+    * corpus text through a shuffle for nothing. The partition probe
+    * is plan-time only (no job).
     */
-  private def rebalance(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private[operators] def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Exact dedup: one survivor (min id) per distinct content. Grouping
     * is by 64-bit content hash so the shuffle carries 8 bytes per row,

@@ -46,7 +46,7 @@ object Similarity {
     // precompute per-vector squared norms once: the pairwise kernel is
     // then a single dot product instead of three; rebalance so an
     // unsplittable single-row-group source can't serialize the O(n²) loop
-    val v = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val v = Dedup.rebalance(df)
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
     val a = v.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
@@ -114,7 +114,7 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       signDims: Int = 4): DataFrame = {
-    val v = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val v = Dedup.rebalance(df)
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
       .withColumn("bucket", signBucket(col("v"), signDims))
@@ -181,7 +181,7 @@ object Similarity {
       nBits: Int = 8,
       nTables: Int = 3): DataFrame = {
     require(nTables * nBits <= 63, "packed sign bits must fit one long")
-    val v = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val v = Dedup.rebalance(df)
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("allbits",
         graft.functions.VectorExprs.hyperplaneBucket(col("v"), nTables * nBits))
