@@ -840,6 +840,23 @@ object SparkEntry {
     "bigram_condprob" -> ((s, dir) =>
       TextAnalysis.bigramCondProb(t(s, dir, "documents"), "text", 5L, 50)),
 
+    // per-doc surprisal under the corpus's own bigram LM: conditional
+    // bits frozen once per (w1,w2) as integer micro-bits, so the
+    // per-doc mean is an order-independent integer sum
+    "doc_perplexity" -> ((s, dir) =>
+      TextAnalysis.docPerplexity(t(s, dir, "documents"), "doc_id", "text")),
+
+    // CCNet-style head/middle/tail terciles per language by LM
+    // surprisal: two broadcast percentile cutoffs per lang, bucket
+    // assignment in the scan stage — no ntile window, no per-lang sort
+    "quality_buckets" -> ((s, dir) => {
+      val ppl = TextAnalysis.docPerplexity(t(s, dir, "documents"), "doc_id", "text")
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(ppl, "doc_id")
+        .select(col("doc_id"), col("lang"), col("avg_bits"))
+      Corpus.qualityBuckets(scored, "doc_id", "lang", "avg_bits")
+    }),
+
     // daily-volume anomaly gate: days where an event type's count is
     // ≥2 population σ from its mean — moments from exact integer
     // Σc/Σc² so the flagged set is parallelism-independent
@@ -2960,6 +2977,50 @@ object SparkEntry {
            floor(n_bigram::DOUBLE / n_prefix * 1000000 + 0.5) / 1000000 AS condprob
          FROM c JOIN p USING (w1) WHERE n_bigram >= 5
          ORDER BY n_bigram DESC, w1, w2 LIMIT 50""",
+
+    "doc_perplexity" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+               FROM t WHERE len(toks) >= 2),
+         bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+         c AS (SELECT w1, w2, count(*) AS n_bigram FROM bb GROUP BY 1, 2),
+         p AS (SELECT w1, sum(n_bigram)::BIGINT AS n_prefix FROM c GROUP BY 1),
+         lm AS (SELECT c.w1, c.w2,
+                  floor(-log2(n_bigram::DOUBLE / n_prefix) * 1000000 + 0.5)::BIGINT
+                    AS ubits
+                FROM c JOIN p USING (w1))
+         SELECT doc_id, count(*) AS n_bigrams,
+           floor(sum(ubits)::DOUBLE / count(*) + 0.5) / 1000000 AS avg_bits
+         FROM bb JOIN lm USING (w1, w2) GROUP BY doc_id""",
+
+    "quality_buckets" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+               FROM t WHERE len(toks) >= 2),
+         bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+         c AS (SELECT w1, w2, count(*) AS n_bigram FROM bb GROUP BY 1, 2),
+         p AS (SELECT w1, sum(n_bigram)::BIGINT AS n_prefix FROM c GROUP BY 1),
+         lm AS (SELECT c.w1, c.w2,
+                  floor(-log2(n_bigram::DOUBLE / n_prefix) * 1000000 + 0.5)::BIGINT
+                    AS ubits
+                FROM c JOIN p USING (w1)),
+         ppl AS (SELECT doc_id, floor(sum(ubits)::DOUBLE / count(*) + 0.5) / 1000000
+                   AS avg_bits
+                 FROM bb JOIN lm USING (w1, w2) GROUP BY doc_id),
+         s AS (SELECT d.doc_id, d.lang, avg_bits
+               FROM documents d JOIN ppl ON d.doc_id = ppl.doc_id),
+         thr AS (SELECT lang, quantile_cont(avg_bits, 1.0 / 3) AS t1,
+                   quantile_cont(avg_bits, 2.0 / 3) AS t2
+                 FROM s GROUP BY lang)
+         SELECT s.doc_id, s.lang, avg_bits,
+           CASE WHEN avg_bits <= t1 THEN 'head'
+                WHEN avg_bits <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM s JOIN thr USING (lang)""",
 
     "event_daily_anomaly" ->
       """WITH d AS (SELECT event_type, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,

@@ -540,4 +540,34 @@ object Corpus {
         (floor(coalesce(col("n_novel"), lit(0L)).cast("double")
           / col("n_shingles") * 10000 + lit(0.5)) / 10000).as("novelty"))
   }
+
+  /** CCNet-style quality bucketing: split each language's documents
+    * into head / middle / tail terciles by a quality score (lower =
+    * better, e.g. [[TextAnalysis.docPerplexity]] bits). Downstream
+    * mixture recipes then sample head-heavy per language.
+    *
+    * Scale shape: NOT an ntile window — ranking a 100 TB corpus per
+    * language is a per-language total sort. Instead the two tercile
+    * cutoffs collapse to one row per language (exact interpolated
+    * percentile, partial-aggregable) and broadcast back as a map-side
+    * probe; each document then buckets itself by two comparisons in
+    * the scan stage. Same two-phase shape as [[quantileFilter]],
+    * grouped by language.
+    *
+    * @return (id, lang, score, bucket) with bucket ∈ head|middle|tail
+    */
+  def qualityBuckets(
+      scored: DataFrame,
+      idCol: String,
+      langCol: String,
+      scoreCol: String): DataFrame = {
+    val thr = scored.groupBy(col(langCol))
+      .agg(expr(s"percentile($scoreCol, 1.0D / 3)").as("t1"),
+        expr(s"percentile($scoreCol, 2.0D / 3)").as("t2"))
+    scored.join(broadcast(thr), langCol)
+      .select(col(idCol), col(langCol), col(scoreCol),
+        when(col(scoreCol) <= col("t1"), lit("head"))
+          .when(col(scoreCol) <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }

@@ -277,4 +277,53 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf").cast("long").as("tf"),
         col("score").cast("long").as("score"), col("rank").cast("long").as("rank"))
   }
+
+  /** Per-document predictability under the corpus's OWN bigram LM —
+    * the CCNet-style quality signal: documents whose token transitions
+    * are typical of the corpus score low (predictable, fluent),
+    * boilerplate/gibberish scores high. Reported as average bits per
+    * bigram, avg(-log2 P(w2|w1)) with P = c(w1 w2) / c(w1 ·).
+    * Self-scoring means every document bigram exists in the counts
+    * table, so no smoothing is needed and the score is total.
+    *
+    * Scale shape: bigram generation is row-local (index-zip, no
+    * self-join); the LM collapses to a vocabulary²-bounded table where
+    * each conditional surprisal is frozen ONCE as an integer
+    * micro-bits value — floor(-log2 p · 10⁶ + ½) — so the per-doc
+    * aggregation is an exact integer sum, reproducible under any
+    * partitioning / merge order (a double sum of logs would be
+    * order-dependent and unhashable). The corpus text is scanned
+    * twice (counts pass, scoring pass) rather than caching
+    * corpus-scale bigrams — recompute is CPU-only and cheaper than
+    * spilling ~corpus-sized state at 100 TB. The scoring join keys on
+    * (w1, w2) hashes: shuffle volume is bounded by doc-bigram
+    * instances, with the LM side vocabulary-bounded.
+    *
+    * Reference anchor: quality gating ahead of dedup is the pipeline
+    * stage laygo users script by hand (transformer.py:229 map +
+    * :245 filter chains); this packages the standard LM-based filter.
+    *
+    * @return (id, n_bigrams, avg_bits) — one row per doc with ≥2 tokens
+    */
+  def docPerplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = Dedup.rebalance(df)
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""".stripMargin)).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
+    val prefix = counts.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_prefix"))
+    val lm = counts.join(broadcast(prefix), "w1")
+      .select(col("w1"), col("w2"),
+        floor(-log2(col("n_bigram").cast("double") / col("n_prefix")) * 1000000
+          + lit(0.5)).cast("long").as("ubits"))
+    bi.join(lm, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ubits")).as("s"))
+      .select(col(idCol), col("n_bigrams"),
+        (floor(col("s").cast("double") / col("n_bigrams") + lit(0.5)) / 1000000)
+          .as("avg_bits"))
+  }
 }

@@ -78,6 +78,36 @@ class IntegrationSpec extends SparkSpec {
     assert(got(("cat", "sat")) == ((2L, 3L, 0.666667)))
   }
 
+  test("docPerplexity: micro-bit surprisal matches hand-computed LM exactly") {
+    import spark.implicits._
+    // LM over both docs: c(a,b)=2 c(b,a)=1 c(a,c)=1; c(a,.)=3 c(b,.)=1
+    // ubits: (a,b) -log2(2/3)*1e6 -> 584963; (b,a) log2(1)=0 -> 0;
+    //        (a,c) -log2(1/3)*1e6 -> 1584963
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.docPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc1: (584963*2 + 0)/3 = 389975.33 -> half-up floor 389975
+    assert(got(1L) == ((3L, 0.389975)), s"got $got")
+    assert(got(2L) == ((1L, 1.584963)))
+    // single-token and empty docs carry no bigram: absent, not NaN
+    val edge = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.docPerplexity(edge, "doc_id", "text").isEmpty)
+  }
+
+  test("qualityBuckets: tercile cutoffs per language, degenerate lang goes head") {
+    import spark.implicits._
+    val scored = (Seq.tabulate(6)(i => (i + 1L, "en", (i + 1).toDouble)) :+
+      ((9L, "fr", 9.0))).toDF("doc_id", "lang", "score")
+    val got = graft.operators.Corpus.qualityBuckets(scored, "doc_id", "lang", "score")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // en cutoffs: t1 = 2.667, t2 = 4.333 (interpolated percentile)
+    assert(got(1L) == "head" && got(2L) == "head", s"got $got")
+    assert(got(3L) == "middle" && got(4L) == "middle")
+    assert(got(5L) == "tail" && got(6L) == "tail")
+    // a single-doc language is its own cutoff: head, deterministically
+    assert(got(9L) == "head")
+  }
+
   test("full document pipeline: dedup -> quality filter -> language split (LLM pipeline shape)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val toks = graft.operators.TextAnalysis.tokens(col("text"))
