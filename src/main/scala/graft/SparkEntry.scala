@@ -840,6 +840,18 @@ object SparkEntry {
     "bigram_condprob" -> ((s, dir) =>
       TextAnalysis.bigramCondProb(t(s, dir, "documents"), "text", 5L, 50)),
 
+    // filter-funnel report: per-gate drop counts + pass count in ONE
+    // corpus scan (row-local kernels, sum-of-CASEs, stack unpivot)
+    "corpus_gate" -> ((s, dir) =>
+      Corpus.corpusGate(t(s, dir, "documents"), "doc_id", "text", "lang",
+        30, 0.6, 2L)),
+
+    // upper-triangular feature covariance (first 16 dims): row-local
+    // pair products in integer 1e-8 units, d²-bounded shuffle,
+    // broadcast mean centering — the PCA/whitening/drift statistic
+    "embed_covariance" -> ((s, dir) =>
+      Embeddings.covarianceMatrix(t(s, dir, "embeddings"), "embedding", 16)),
+
     // per-doc surprisal under the corpus's own bigram LM: conditional
     // bits frozen once per (w1,w2) as integer micro-bits, so the
     // per-doc mean is an order-independent integer sum
@@ -2977,6 +2989,65 @@ object SparkEntry {
            floor(n_bigram::DOUBLE / n_prefix * 1000000 + 0.5) / 1000000 AS condprob
          FROM c JOIN p USING (w1) WHERE n_bigram >= 5
          ORDER BY n_bigram DESC, w1, w2 LIMIT 50""",
+
+    "corpus_gate" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+                      list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         m AS (SELECT doc_id, lang, len(toks) AS n,
+             len(list_filter(toks,
+               x -> x IN ('the','a','of','and','is','to','in','it','that','for'))) AS stops,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+               greatest(length(text), 1) AS digit_ratio,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
+             len(list_filter(toks, t -> t IN ('el','la','de','que','y'))) AS s_es,
+             len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+             len(list_filter(toks, t -> t IN ('le','les','et','est','une'))) AS s_fr
+           FROM t),
+         r AS (SELECT doc_id, max(c) AS mr FROM (
+                 SELECT doc_id, gm, count(*) AS c FROM (
+                   SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+                     THEN list_transform(generate_series(1, len(toks) - 1),
+                            i -> array_to_string(toks[i:i+1], ' '))
+                     ELSE [array_to_string(toks, ' ')] END) AS gm FROM t)
+                 GROUP BY doc_id, gm)
+               GROUP BY doc_id),
+         f AS (SELECT m.doc_id,
+             n < 30 AS f_short,
+             least(1.0, greatest(0.0, 0.2 + 0.01 * n
+               + stops::DOUBLE / greatest(n, 1) - 5.0 * digit_ratio)) < 0.6 AS f_quality,
+             mr > 2 AS f_repeat,
+             (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                   WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                   WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) <> lang AS f_lang
+           FROM m JOIN r ON m.doc_id = r.doc_id)
+         SELECT 'too_short' AS rule, count(*) FILTER (f_short)::BIGINT AS n_docs FROM f
+         UNION ALL SELECT 'low_quality', count(*) FILTER (f_quality)::BIGINT FROM f
+         UNION ALL SELECT 'repetitive', count(*) FILTER (f_repeat)::BIGINT FROM f
+         UNION ALL SELECT 'off_language', count(*) FILTER (f_lang)::BIGINT FROM f
+         UNION ALL SELECT 'pass', count(*) FILTER (NOT f_short AND NOT f_quality
+           AND NOT f_repeat AND NOT f_lang)::BIGINT FROM f""",
+
+    "embed_covariance" ->
+      """WITH v AS (SELECT embedding AS e FROM embeddings),
+         pr AS (SELECT unnest(flatten(list_transform(generate_series(1, 16), i ->
+                  list_transform(generate_series(i, 16), j ->
+                    struct_pack(i := i - 1, j := j - 1,
+                      p := floor(e[i]::DOUBLE * e[j]::DOUBLE * 100000000 + 0.5)::BIGINT)))))
+                  AS s
+                FROM v),
+         m AS (SELECT s.i AS i, s.j AS j, count(*) AS n, sum(s.p)::BIGINT AS sp
+               FROM pr GROUP BY 1, 2),
+         d AS (SELECT s.i AS i, sum(s.x)::BIGINT AS sx FROM (
+                 SELECT unnest(list_transform(generate_series(1, 16), k ->
+                   struct_pack(i := k - 1,
+                     x := floor(e[k]::DOUBLE * 10000 + 0.5)::BIGINT))) AS s
+                 FROM v) GROUP BY 1)
+         SELECT m.i::BIGINT AS i, m.j::BIGINT AS j, n,
+           floor((sp::DOUBLE / 100000000 / n
+             - (di.sx::DOUBLE / 10000 / n) * (dj.sx::DOUBLE / 10000 / n)) * 1000000
+             + 0.5) / 1000000 AS cov
+         FROM m JOIN d di ON m.i = di.i JOIN d dj ON m.j = dj.i""",
 
     "doc_perplexity" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks

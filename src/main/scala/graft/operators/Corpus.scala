@@ -570,4 +570,47 @@ object Corpus {
           .when(col(scoreCol) <= col("t2"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
+
+  /** Filter-funnel report: how many documents each standard quality
+    * gate would drop, plus the count passing every gate — the summary
+    * a pipeline prints before committing a corpus drop. Rules: too
+    * short (token count), low composite quality, repeated-bigram spam
+    * (max shingle multiplicity), and language-label disagreement with
+    * the n-gram language-ID. A doc can trip several rules; `pass`
+    * counts docs tripping none.
+    *
+    * Scale shape: every rule is row-local (native one-pass kernels —
+    * shingleStats needs no explode), so the whole report is ONE corpus
+    * scan reduced by a sum-of-CASEs partial agg to a single row,
+    * unpivoted via stack. Nothing but five counters crosses the wire.
+    */
+  def corpusGate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      minTokens: Int,
+      minQuality: Double,
+      maxRepeat: Long): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val flags = Dedup.rebalance(df).select(
+      (size(toks) < minTokens).as("f_short"),
+      (TextAnalysis.qualityScore(col(textCol), toks) < minQuality).as("f_quality"),
+      (graft.functions.VectorExprs.shingleStats(toks, 2)
+        .getField("max_repeat") > maxRepeat).as("f_repeat"),
+      (TextAnalysis.langId(toks) =!= col(langCol)).as("f_lang"))
+    flags.agg(
+      sum(when(col("f_short"), 1).otherwise(0)).cast("long").as("ns"),
+      sum(when(col("f_quality"), 1).otherwise(0)).cast("long").as("nq"),
+      sum(when(col("f_repeat"), 1).otherwise(0)).cast("long").as("nr"),
+      sum(when(col("f_lang"), 1).otherwise(0)).cast("long").as("nl"),
+      sum(when(!col("f_short") && !col("f_quality") && !col("f_repeat")
+        && !col("f_lang"), 1).otherwise(0)).cast("long").as("np"))
+      .selectExpr("""stack(5,
+        'too_short', ns,
+        'low_quality', nq,
+        'repetitive', nr,
+        'off_language', nl,
+        'pass', np) AS (rule, n_docs)""")
+  }
 }

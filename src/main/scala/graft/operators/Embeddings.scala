@@ -171,4 +171,46 @@ object Embeddings {
       .select(col(idCol), col("subspace").cast("long").as("subspace"),
         col("w.code").as("code"), round(col("w.dist2"), 6).as("dist2"))
   }
+
+  /** Upper-triangular feature covariance over the first `dims`
+    * embedding dimensions — the d²-bounded statistic behind PCA /
+    * whitening / drift monitors. cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ] with
+    * both moment sums accumulated as scaled integers (products in
+    * 10⁻⁸ units, means in 10⁻⁴ units), so the reduction is
+    * order-independent and the reported covariance is bit-identical
+    * at any parallelism — a raw double Σxᵢxⱼ over 10⁹ vectors would
+    * hash differently run to run.
+    *
+    * Scale shape: the d(d+1)/2 products per vector are generated
+    * row-local (nested transform, no self-join) and partial-aggregate
+    * map-side, so the shuffle carries d² rows per partition — never
+    * corpus-scale. The mean table (d rows) broadcasts back twice for
+    * the centering term. Long-overflow headroom: |x|≲1 ⇒ products
+    * ≲10⁸ each, 2⁶³/10⁸ ≈ 9·10¹⁰ vectors before saturation.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    val pairs = df.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${dims - 1}), i ->
+         |  transform(sequence(i, ${dims - 1}), j ->
+         |    struct(i AS i, j AS j,
+         |      CAST(floor(CAST($vecCol[i] AS DOUBLE) * CAST($vecCol[j] AS DOUBLE)
+         |        * 100000000D + 0.5D) AS BIGINT) AS p))))""".stripMargin)).as("s"))
+      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
+    val mom = pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"))
+    val means = df.select(explode(expr(
+      s"""transform(sequence(0, ${dims - 1}), k ->
+         |  struct(k AS i,
+         |    CAST(floor(CAST($vecCol[k] AS DOUBLE) * 10000D + 0.5D) AS BIGINT)
+         |      AS x))""".stripMargin)).as("s"))
+      .groupBy(col("s.i").as("i")).agg(sum(col("s.x")).as("sx"))
+    mom
+      .join(broadcast(means), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("sx").as("sy"))), Seq("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"), col("n"),
+        (floor((col("sp").cast("double") / 100000000L / col("n")
+          - (col("sx").cast("double") / 10000 / col("n"))
+            * (col("sy").cast("double") / 10000 / col("n"))) * 1000000 + lit(0.5))
+          / 1000000).as("cov"))
+  }
 }

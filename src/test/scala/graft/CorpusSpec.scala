@@ -280,6 +280,40 @@ class CorpusSpec extends SparkSpec {
       s"only the overlapping pair appears, at jaccard 1: $got")
   }
 
+  test("corpusGate: each rule counts exactly the docs that trip it") {
+    // letter-only pads: digits would trip the digit-ratio quality penalty
+    val pad = (p: String, n: Int) =>
+      Seq.tabulate(n)(i => s"$p${('a' + i).toChar}").mkString(" ")
+    val d = Seq(
+      // 30 tokens, 5 stopwords -> quality 0.6667, en label: passes all
+      (1L, "the a of and is " + pad("u", 25), "en"),
+      // 5 tokens: too_short AND low_quality (0.25); es pred == label
+      (2L, "el la de que y", "es"),
+      // "x z" bigram x3 -> repetitive; no stopwords -> quality 0.5
+      // (not "x y": bare "y" is a Spanish marker and would flip langid)
+      (3L, "x z x z x z " + pad("v", 24), "en"),
+      // en-marker text labeled fr -> off_language
+      (4L, "the a of and is " + pad("w", 25), "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = Corpus.corpusGate(d, "doc_id", "text", "lang", 30, 0.6, 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("too_short" -> 1L, "low_quality" -> 2L, "repetitive" -> 1L,
+      "off_language" -> 1L, "pass" -> 1L), s"got $got")
+  }
+
+  test("covarianceMatrix: upper triangle matches hand-computed moments") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f)),
+      (2L, Array(3.0f, 6.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Embeddings.covarianceMatrix(vecs, "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // E[x0]=2, E[x1]=4; E[x0^2]=5, E[x0x1]=10, E[x1^2]=20
+    assert(got == Map((0L, 0L) -> ((2L, 1.0)), (0L, 1L) -> ((2L, 2.0)),
+      (1L, 1L) -> ((2L, 4.0))), s"got $got")
+  }
+
   test("cluster-keyed splits keep every near-dup family in one split") {
     val docs500 = docs
     val labels = graft.operators.Dedup.clusters(
