@@ -561,10 +561,15 @@ object Corpus {
       idCol: String,
       langCol: String,
       scoreCol: String): DataFrame = {
-    val thr = scored.groupBy(col(langCol))
+    // persisted: the (id, lang, score) projection feeds the cutoff agg
+    // AND the bucket join — without it the (possibly expensive) scoring
+    // subtree upstream runs twice. Slim rows: 3 columns, never the text.
+    val s = scored.select(col(idCol), col(langCol), col(scoreCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = s.groupBy(col(langCol))
       .agg(expr(s"percentile($scoreCol, 1.0D / 3)").as("t1"),
         expr(s"percentile($scoreCol, 2.0D / 3)").as("t2"))
-    scored.join(broadcast(thr), langCol)
+    s.join(broadcast(thr), langCol)
       .select(col(idCol), col(langCol), col(scoreCol),
         when(col(scoreCol) <= col("t1"), lit("head"))
           .when(col(scoreCol) <= col("t2"), lit("middle"))

@@ -313,9 +313,14 @@ object TextAnalysis {
         """transform(sequence(1, size(toks) - 1),
           |  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""".stripMargin)).as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // prefix totals as an unordered window sum OVER THE COUNTS TABLE
+    // (vocab²-bounded, no sort frame): deriving them with a groupBy
+    // would re-aggregate a second copy of the counts subtree — a third
+    // corpus scan — since nothing here is persisted
     val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
-    val prefix = counts.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_prefix"))
-    val lm = counts.join(broadcast(prefix), "w1")
+    val wPrefix = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val lm = counts
+      .withColumn("n_prefix", sum(col("n_bigram")).over(wPrefix))
       .select(col("w1"), col("w2"),
         floor(-log2(col("n_bigram").cast("double") / col("n_prefix")) * 1000000
           + lit(0.5)).cast("long").as("ubits"))

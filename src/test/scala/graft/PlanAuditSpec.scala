@@ -188,6 +188,23 @@ class PlanAuditSpec extends SparkSpec {
     budgets2Check(budgets)
   }
 
+  test("round-5c pins: LM scoring, gate report, covariance within shuffle budget") {
+    // quality_buckets self-joins its persisted scoring table; a stale
+    // cache registration from an earlier suite's instance of the same
+    // query makes the cutoff branch miss cache substitution after
+    // attribute dedup, printing a second scoring subtree. Pin against
+    // the fresh-session plan, which is what the driver executes.
+    spark.catalog.clearCache()
+    budgets2Check(Map(
+      "corpus_gate" -> 0,       // one scan, sum-of-CASEs to a single row
+      "doc_perplexity" -> 3,    // bigram counts + prefix re-agg + doc agg;
+                                // LM probe side broadcasts
+      "quality_buckets" -> 4,   // perplexity's 3 + per-lang cutoff agg;
+                                // cutoffs broadcast back
+      "embed_covariance" -> 3)) // moment agg + the two d-row mean aggs;
+                                // centering joins broadcast
+  }
+
   test("round-4 joins: boilerplate broadcast probe, q7/q10 shapes") {
     val bp = plan("boilerplate_score")
     assert(bp.contains("BroadcastHashJoin"), s"frequent-set probe not broadcast:\n$bp")
@@ -297,8 +314,10 @@ class PlanAuditSpec extends SparkSpec {
   private def budgets2Check(budgets: Map[String, Int]): Unit =
     budgets.foreach { case (name, budget) =>
       val p = plan(name)
-      val n = "Exchange hashpartitioning".r.findAllIn(p).size +
-        "Exchange rangepartitioning".r.findAllIn(p).size
+      // dedupe by plan_id: a persisted subtree's plan prints once per
+      // occurrence but its exchanges execute once
+      val n = "Exchange (hash|range)partitioning[^\\n]*plan_id=(\\d+)".r
+        .findAllMatchIn(p).map(_.group(2)).toSet.size
       assert(n <= budget, s"$name: $n shuffles (budget $budget):\n$p")
     }
 }
