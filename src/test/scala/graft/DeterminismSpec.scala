@@ -19,7 +19,11 @@ class DeterminismSpec extends SparkSpec {
     "contrastive_triplets", // Lehmer negatives + top-1 positives
     "ann_ivf_pq",           // prune + integer coarse score + rerank
     "mixture_epochs",       // broadcast factors + sequence explode
-    "orders_rfm")           // percentile thresholds + labels
+    "orders_rfm",           // percentile thresholds + labels
+    "doc_perplexity",       // log2 frozen to integer micro-bits
+    "quality_buckets",      // per-lang percentile cutoffs + buckets
+    "corpus_gate",          // sum-of-CASEs over row-local kernels
+    "embed_covariance")     // scaled-integer moment sums
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir)
