@@ -604,13 +604,16 @@ object Corpus {
       (graft.functions.VectorExprs.shingleStats(toks, 2)
         .getField("max_repeat") > maxRepeat).as("f_repeat"),
       (TextAnalysis.langId(toks) =!= col(langCol)).as("f_lang"))
+    // coalesce: sum over an EMPTY corpus is NULL, and the report's
+    // contract is a count — zero, not null
+    def cnt(c: Column) = coalesce(sum(when(c, 1).otherwise(0)), lit(0)).cast("long")
     flags.agg(
-      sum(when(col("f_short"), 1).otherwise(0)).cast("long").as("ns"),
-      sum(when(col("f_quality"), 1).otherwise(0)).cast("long").as("nq"),
-      sum(when(col("f_repeat"), 1).otherwise(0)).cast("long").as("nr"),
-      sum(when(col("f_lang"), 1).otherwise(0)).cast("long").as("nl"),
-      sum(when(!col("f_short") && !col("f_quality") && !col("f_repeat")
-        && !col("f_lang"), 1).otherwise(0)).cast("long").as("np"))
+      cnt(col("f_short")).as("ns"),
+      cnt(col("f_quality")).as("nq"),
+      cnt(col("f_repeat")).as("nr"),
+      cnt(col("f_lang")).as("nl"),
+      cnt(!col("f_short") && !col("f_quality") && !col("f_repeat")
+        && !col("f_lang")).as("np"))
       .selectExpr("""stack(5,
         'too_short', ns,
         'low_quality', nq,

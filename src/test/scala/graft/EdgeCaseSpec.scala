@@ -165,4 +165,32 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().head
     assert(drift.getDouble(3) == 1.0 && drift.getDouble(4) == 0.0, s"got $drift")
   }
+
+  test("round-5c operators tolerate empty and degenerate inputs") {
+    import graft.operators.{Corpus, Embeddings, TextAnalysis}
+    // no bigrams anywhere: empty LM, empty result — not a crash
+    assert(TextAnalysis.docPerplexity(emptyDocs, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.docPerplexity(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+    // gate over an empty corpus: all five rules report zero
+    val gate = Corpus.corpusGate(
+      emptyDocs.withColumn("lang", lit("en")), "doc_id", "text", "lang", 30, 0.6, 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gate.size == 5 && gate.values.forall(_ == 0L), s"got $gate")
+    // buckets over one lang with identical scores: everything is head
+    val same = Seq((1L, "en", 2.0), (2L, "en", 2.0), (3L, "en", 2.0))
+      .toDF("doc_id", "lang", "score")
+    val b = Corpus.qualityBuckets(same, "doc_id", "lang", "score")
+      .collect().map(_.getString(3))
+    assert(b.length == 3 && b.forall(_ == "head"), s"got ${b.toSeq}")
+    // covariance of an empty table: no rows (never divide-by-zero)
+    assert(Embeddings.covarianceMatrix(
+      Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      "embedding", 4).count() == 0)
+    // covariance of a single vector: zero variance on the diagonal
+    val one = Embeddings.covarianceMatrix(
+      Seq((1L, Array(0.5f, -0.5f))).toDF("vec_id", "embedding"), "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(one.values.forall(math.abs(_) < 1e-4), s"got $one")
+  }
 }
