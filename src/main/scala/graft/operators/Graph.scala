@@ -30,7 +30,12 @@ object Graph {
     * @return one row: n_triangles
     */
   def triangles(pairs: DataFrame): DataFrame = {
+    // persisted: the edge list feeds the degree agg, the orientation
+    // join, AND the closing-edge probe — without this the (possibly
+    // expensive) upstream pair-mining subtree runs three times. Slim
+    // rows: two node ids per edge.
     val es = pairs.select(col("u"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = es.select(col("u").as("node"))
       .unionByName(es.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
