@@ -899,9 +899,13 @@ object SparkEntry {
       // persist the EDGE LIST, not just the joined contrib base: edges
       // feed deg, the contrib join, and the rank init — unpersisted,
       // the expensive basket-pairs subplan above would run 3x (it
-      // dominated this query's bench time before the pin)
-      val edges = pairs.select(col("pa").as("src"), col("pb").as("dst"))
-        .unionByName(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+      // dominated this query's bench time before the pin). Both
+      // orientations come from ONE pass (a union of two selects would
+      // mine the baskets twice before the persist materializes)
+      val edges = pairs.select(explode(array(
+        struct(col("pa").as("src"), col("pb").as("dst")),
+        struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       val contribBase = edges.join(deg, Seq("src"))

@@ -353,8 +353,13 @@ object Dedup {
     * @return (id, cluster) where cluster = min id of the component
     */
   def clusters(pairs: DataFrame, ids: DataFrame, idCol: String, maxIters: Int = 10): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both orientations from ONE pass over the pair table: a union of
+    // two selects would compute the (expensive — PPJoin, LSH) pair
+    // subtree twice before the persist ever materializes
+    val edges = pairs.select(explode(array(
+      struct(col("id_a").as("src"), col("id_b").as("dst")),
+      struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // propagate over the PAIR SUBGRAPH only: a node in no near-dup pair
     // can never change label, and at corpus scale near-dup pairs touch
