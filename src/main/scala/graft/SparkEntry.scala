@@ -840,6 +840,12 @@ object SparkEntry {
     "bigram_condprob" -> ((s, dir) =>
       TextAnalysis.bigramCondProb(t(s, dir, "documents"), "text", 5L, 50)),
 
+    // per-source distinct-token estimate via linear counting on the
+    // deterministic FNV hash: m-bounded sketch shuffle, exact side
+    // carried to measure the estimate's error
+    "cardinality_sketch" -> ((s, dir) =>
+      Corpus.distinctSketch(t(s, dir, "documents"), "source", "text", 4096)),
+
     // filter-funnel report: per-gate drop counts + pass count in ONE
     // corpus scan (row-local kernels, sum-of-CASEs, stack unpivot)
     "corpus_gate" -> ((s, dir) =>
@@ -2128,6 +2134,24 @@ object SparkEntry {
                 ELSE floor((SELECT count(*) FROM jac)::DOUBLE
                   / (SELECT count(*) FROM ex) * 10000 + 0.5) / 10000 END AS recall"""
     },
+
+    // Replays the sketch bit-exactly: FNV-1a per distinct token (the
+    // vocabulary-once-then-join trick below), low-bits slot, linear-
+    // counting MLE under the half-up floor protocol
+    "cardinality_sketch" ->
+      s"""WITH t AS (SELECT source AS g, unnest(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS tok FROM documents),
+         vocab AS (SELECT DISTINCT tok FROM t),
+         hashed AS (SELECT tok, (${duckFnv("tok")} % 4096)::BIGINT AS slot FROM vocab),
+         sl AS (SELECT g, count(DISTINCT slot) AS v_filled
+                FROM (SELECT DISTINCT g, tok FROM t) d JOIN hashed USING (tok)
+                GROUP BY g),
+         ex AS (SELECT g, count(DISTINCT tok) AS n_exact FROM t GROUP BY g)
+         SELECT ex.g AS source, n_exact, v_filled,
+           CASE WHEN v_filled < 4096
+             THEN floor(-4096 * ln(1 - v_filled::DOUBLE / 4096) + 0.5)::BIGINT
+             ELSE NULL END AS n_est
+         FROM ex JOIN sl USING (g)""",
 
     // Replays the native SimHash64: FNV-1a per DISTINCT token (hash
     // values are a pure function of the token bytes, so hashing the

@@ -70,6 +70,14 @@ object VectorExprs {
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
 
+  /** FNV-1a 64 of a single token. Identity: SimHash of a singleton is
+    * the hash itself (each bit's lone vote reproduces the bit), so
+    * this reuses the codegen'd [[SimHash64]] kernel — and the DuckDB
+    * replay of the dedup_simhash oracle applies verbatim.
+    */
+  def tokenHash64(tok: Column): Column =
+    simhash64(org.apache.spark.sql.functions.array(tok))
+
   /** Unit-normalized copy of an array<double> vector (zero → zero). */
   def l2Normalize(vec: Column): Column =
     GraftBridge.column(L2Normalize(GraftBridge.expression(vec)))

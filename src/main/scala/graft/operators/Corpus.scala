@@ -621,4 +621,45 @@ object Corpus {
         'off_language', nl,
         'pass', np) AS (rule, n_docs)""")
   }
+
+  /** Per-group distinct-token cardinality estimate via linear
+    * (bitmap) counting, evaluated against the exact count — the
+    * fixed-size-sketch answer to COUNT(DISTINCT) at corpus scale,
+    * shipped with its measured error like every approximation here.
+    * Each token hashes (FNV-1a, the engine's deterministic hash with
+    * a bit-exact SQL replay) into one of `m` slots; with v slots
+    * occupied the maximum-likelihood estimate is −m·ln(1 − v/m).
+    *
+    * Scale shape: the sketch side map-side partial-aggregates to ≤ m
+    * rows per group per partition, so the shuffle is m-bounded no
+    * matter the corpus — THE point versus exact distinct, whose
+    * shuffle carries the vocabulary. (The exact side here exists to
+    * measure the estimate and is itself vocabulary-bounded.) All
+    * arithmetic before the final ln is exact integers; the estimate
+    * freezes under the half-up floor protocol. A saturated bitmap
+    * (v = m) has no finite estimate and reports NULL.
+    *
+    * @return (group, n_exact, v_filled, n_est) per group
+    */
+  def distinctSketch(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      m: Int = 4096): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    val toks = Dedup.rebalance(df).select(col(groupCol).as("g"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val slots = toks.select(col("g"),
+      graft.functions.VectorExprs.tokenHash64(col("tok"))
+        .bitwiseAND(lit((m - 1).toLong)).as("slot"))
+      .distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("v_filled"))
+    val exact = toks.distinct().groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
+    exact.join(slots, Seq("g"))
+      .select(col("g").as(groupCol), col("n_exact"), col("v_filled"),
+        when(col("v_filled") < m,
+          floor(lit(-m) * log(lit(1.0) - col("v_filled").cast("double") / m) + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(null)).as("n_est"))
+  }
 }

@@ -314,6 +314,28 @@ class CorpusSpec extends SparkSpec {
       (1L, 1L) -> ((2L, 4.0))), s"got $got")
   }
 
+  test("distinctSketch: linear-counting estimate brackets the exact count") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s1"),
+      (2L, "alpha beta zeta", "s1"),    // overlaps s1's vocab
+      (3L, "solo", "s2")                // single token: estimate exact
+    ).toDF("doc_id", "text", "source")
+    val got = Corpus.distinctSketch(d, "source", "text", 4096)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val (n1, v1, e1) = got("s1")
+    assert(n1 == 6L, s"s1 distinct tokens: $got")
+    assert(v1 <= n1 && e1 >= v1, s"sketch invariants violated: $got")
+    // 6 tokens in 4096 slots: no collision on this fixed vocab, and the
+    // MLE correction is < 0.5, so the estimate is exact
+    assert(e1 == 6L, s"got $got")
+    assert(got("s2") == ((1L, 1L, 1L)), s"got $got")
+    // saturated bitmap (m=1, any token fills it) has no finite estimate
+    val sat = Corpus.distinctSketch(d, "source", "text", 1)
+      .collect().map(r => r.getString(0) -> r.isNullAt(3)).toMap
+    assert(sat.values.forall(identity), s"saturated sketch must be NULL: $sat")
+  }
+
   test("cluster-keyed splits keep every near-dup family in one split") {
     val docs500 = docs
     val labels = graft.operators.Dedup.clusters(
