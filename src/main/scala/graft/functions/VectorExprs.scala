@@ -107,7 +107,7 @@ object VectorExprs {
   * cross-engine-deterministic hash contract used by ShingleSet and
   * SimHash64.
   */
-private[functions] object Fnv {
+private[graft] object Fnv {
   final val Offset = 0xcbf29ce484222325L
   final val Prime  = 0x100000001b3L
   def mixBytes(h0: Long, bs: Array[Byte]): Long = {

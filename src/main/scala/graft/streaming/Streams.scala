@@ -293,6 +293,43 @@ object Streams {
         (floor(col("z") * 10000 + lit(0.5)) / 10000).as("z"))
   }
 
+  /** Streaming linear-counting distinct sketch — bounded-state
+    * streaming COUNT(DISTINCT): the only per-group state is the m-bit
+    * slot bitmap (m/8 bytes; 512 B at m = 4096), never the value set,
+    * so state stays O(m) on an unbounded stream. Hash, slot selection,
+    * and the −m·ln(1 − v/m) MLE are the exact arithmetic of the batch
+    * [[graft.operators.Corpus.distinctSketch]] (equivalence-tested).
+    * Emits the updated (group, v_filled, n_est) after each batch;
+    * n_est is None once the bitmap saturates (the batch NULL).
+    */
+  def distinctSketchStream(
+      toks: Dataset[(String, String)],
+      m: Int): Dataset[(String, Long, Option[Long])] = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    import toks.sparkSession.implicits._
+    val words = math.max(m / 64, 1)
+    toks.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, Option[Long])](
+        GroupStateTimeout.NoTimeout) {
+        case (g, rows, state: GroupState[Array[Long]]) =>
+          val bm = state.getOption.getOrElse(new Array[Long](words))
+          rows.foreach { case (_, tok) =>
+            val h = graft.functions.Fnv.mixBytes(graft.functions.Fnv.Offset,
+              tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val slot = (h & (m - 1)).toInt
+            bm(slot >> 6) |= 1L << (slot & 63)
+          }
+          state.update(bm)
+          var v = 0L
+          var i = 0
+          while (i < words) { v += java.lang.Long.bitCount(bm(i)); i += 1 }
+          val est =
+            if (v < m) Some(math.floor(-m * math.log(1.0 - v.toDouble / m) + 0.5).toLong)
+            else None
+          (g, v, est)
+      }
+  }
+
   /** Stream → noop-style sink for tests/benchmarks: process all
     * available data once and stop (Trigger.AvailableNow semantics via
     * processAllAvailable on a memory sink).

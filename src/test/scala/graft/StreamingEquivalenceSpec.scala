@@ -271,4 +271,27 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(rowSet(spark.table("eq_anomaly")) == rowSet(batch),
       "streaming anomaly gate diverged from batch")
   }
+
+  test("distinctSketchStream (AvailableNow) == batch distinctSketch") {
+    val docsSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = graft.sources.Sources.streamParquet(spark, sfDir, docsSchema)
+      .where(col("doc_id").isNotNull && col("text").isNotNull
+        && col("source").isNotNull)
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .as[(String, String)]
+    val out = Streams.distinctSketchStream(stream, 4096)
+      .toDF("source", "v_filled", "n_est")
+    Streams.runToMemoryAvailableNow(out, "eq_sketch", OutputMode.Update())
+    // the bitmap only fills, so each group's final state is its max-v row
+    val streamed = spark.table("eq_sketch")
+      .groupBy(col("source"))
+      .agg(max(struct(col("v_filled"), col("n_est"))).as("s"))
+      .select(col("source"), col("s.v_filled"), col("s.n_est"))
+    val batch = graft.operators.Corpus.distinctSketch(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "source", "text", 4096)
+      .select(col("source"), col("v_filled"), col("n_est"))
+    assert(rowSet(streamed) == rowSet(batch),
+      "streaming sketch diverged from batch linear counting")
+  }
 }
