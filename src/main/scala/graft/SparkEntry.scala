@@ -846,6 +846,12 @@ object SparkEntry {
     "cardinality_sketch" -> ((s, dir) =>
       Corpus.distinctSketch(t(s, dir, "documents"), "source", "text", 4096)),
 
+    // Count-Min frequency sketch vs exact counts for the top-20
+    // tokens: d×w counter table (order-independent sums — the only
+    // deterministic CMS variant), min-over-rows estimate
+    "freq_sketch" -> ((s, dir) =>
+      TextAnalysis.freqSketchEval(t(s, dir, "documents"), "text", 4, 1024, 20)),
+
     // filter-funnel report: per-gate drop counts + pass count in ONE
     // corpus scan (row-local kernels, sum-of-CASEs, stack unpivot)
     "corpus_gate" -> ((s, dir) =>
@@ -2133,6 +2139,30 @@ object SparkEntry {
            CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 1.0
                 ELSE floor((SELECT count(*) FROM jac)::DOUBLE
                   / (SELECT count(*) FROM ex) * 10000 + 0.5) / 10000 END AS recall"""
+    },
+
+    // Replays the CMS bit-exactly: FNV token hash reduced into [0,p),
+    // the engine's SplitMix64 permutation constants inlined per row,
+    // counter sums, min-over-rows estimate
+    "freq_sketch" -> {
+      val (cas, cbs) = graft.functions.MinHashSig.coeffs(4)
+      val cp = graft.functions.MinHashSig.P
+      val rows = (0 until 4).map(i => s"($i, ${cas(i)}, ${cbs(i)})").mkString(", ")
+      s"""WITH t AS (SELECT unnest(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS tok FROM documents),
+         c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+         h AS (SELECT tok, n,
+                 ((((CASE WHEN hu >= '9223372036854775808'::HUGEINT
+                      THEN hu - '18446744073709551616'::HUGEINT ELSE hu END)
+                    % $cp) + $cp) % $cp)::BIGINT AS hh
+               FROM (SELECT tok, n, ${duckFnv("tok")} AS hu FROM c)),
+         sg AS (SELECT tok, n, p.i AS i, ((p.a * hh + p.b) % $cp) % 1024 AS slot
+                FROM h CROSS JOIN (VALUES $rows) AS p(i, a, b)),
+         cms AS (SELECT i, slot, sum(n)::BIGINT AS c FROM sg GROUP BY 1, 2),
+         topk AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 20)
+         SELECT topk.tok, topk.n::BIGINT AS n_exact, min(cms.c) AS n_est
+         FROM topk JOIN sg USING (tok) JOIN cms USING (i, slot)
+         GROUP BY 1, 2"""
     },
 
     // Replays the sketch bit-exactly: FNV-1a per distinct token (the

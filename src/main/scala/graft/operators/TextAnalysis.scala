@@ -278,6 +278,52 @@ object TextAnalysis {
         col("score").cast("long").as("score"), col("rank").cast("long").as("rank"))
   }
 
+  /** Count-Min frequency sketch evaluated against exact counts: token
+    * frequency estimation whose serving state is d·w counters (e.g.
+    * 4×1024 longs = 32 KB) instead of the vocabulary — the sketch a
+    * pipeline keeps when the term table itself is too hot or too big.
+    * Each token maps to one counter per row via the engine's MinHash
+    * permutations ((aᵢ·h + bᵢ) mod p over the FNV token hash — already
+    * bit-exactly replayable in SQL); a counter is the SUM of counts of
+    * all tokens landing there, so the sketch is order-independent and
+    * deterministic (unlike conservative-update or SpaceSaving
+    * variants, whose state depends on merge order). The estimate for
+    * a token is the min over its d counters — always ≥ the exact
+    * count. Reported for the top-k exact tokens so the overestimate
+    * is measured, not hoped about.
+    *
+    * Scale shape: the corpus leaves the scan once as token counts
+    * (vocabulary-bounded, persisted — they feed the sketch build, the
+    * top-k, and the probe); the sketch build shuffles ≤ d·w rows after
+    * map-side partial sums; top-k compiles to TakeOrderedAndProject.
+    *
+    * @return (tok, n_exact, n_est) for the top-k tokens by exact count
+    */
+  def freqSketchEval(
+      df: DataFrame,
+      textCol: String,
+      d: Int,
+      w: Int,
+      k: Int): DataFrame = {
+    import graft.functions.VectorExprs
+    val cnts = Dedup.rebalance(df)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigd = cnts.select(col("tok"), col("n"),
+      posexplode(VectorExprs.minhashSig(
+        array(VectorExprs.tokenHash64(col("tok"))), d)).as(Seq("i", "perm")))
+      .select(col("tok"), col("n"), col("i"), (col("perm") % w).as("slot"))
+    val cms = sigd.groupBy(col("i"), col("slot")).agg(sum(col("n")).as("c"))
+    val topk = cnts.orderBy(col("n").desc, col("tok")).limit(k)
+    topk
+      .join(sigd.select(col("tok"), col("i"), col("slot")), Seq("tok"))
+      .join(cms, Seq("i", "slot"))
+      .groupBy(col("tok"), col("n"))
+      .agg(min(col("c")).as("n_est"))
+      .select(col("tok"), col("n").as("n_exact"), col("n_est"))
+  }
+
   /** Per-document predictability under the corpus's OWN bigram LM —
     * the CCNet-style quality signal: documents whose token transitions
     * are typical of the corpus score low (predictable, fluent),

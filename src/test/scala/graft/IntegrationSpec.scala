@@ -78,6 +78,24 @@ class IntegrationSpec extends SparkSpec {
     assert(got(("cat", "sat")) == ((2L, 3L, 0.666667)))
   }
 
+  test("freqSketchEval: estimates dominate exact counts; wide sketch is exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x x y y z"), (2L, "x y w v"), (3L, "x q r s t u")
+    ).toDF("doc_id", "text")
+    // wide sketch (1024 slots, 9 tokens): no collisions, estimate exact
+    val wide = graft.operators.TextAnalysis.freqSketchEval(docs, "text", 4, 1024, 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(wide("x") == ((5L, 5L)) && wide("y") == ((3L, 3L)), s"got $wide")
+    assert(wide.values.forall { case (ex, est) => est == ex },
+      s"collision in a 1024-slot sketch over 9 tokens: $wide")
+    // cramped sketch (4 slots): estimates still DOMINATE exact counts
+    val tight = graft.operators.TextAnalysis.freqSketchEval(docs, "text", 2, 4, 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(tight.forall { case (ex, est) => est >= ex },
+      s"CMS must never underestimate: ${tight.toSeq}")
+  }
+
   test("docPerplexity: micro-bit surprisal matches hand-computed LM exactly") {
     import spark.implicits._
     // LM over both docs: c(a,b)=2 c(b,a)=1 c(a,c)=1; c(a,.)=3 c(b,.)=1
