@@ -852,6 +852,13 @@ object SparkEntry {
     "freq_sketch" -> ((s, dir) =>
       TextAnalysis.freqSketchEval(t(s, dir, "documents"), "text", 4, 1024, 20)),
 
+    // histogram quantile sketch vs exact percentiles: 1024 fixed bins
+    // (one-bin-width error by construction), integer-count cumulative
+    // walk on the bounded table, exact side measured alongside
+    "quantile_sketch" -> ((s, dir) =>
+      Corpus.quantileSketch(t(s, dir, "orders"), "o_totalprice", 65536L, 1024,
+        Seq(0.5, 0.9, 0.99))),
+
     // filter-funnel report: per-gate drop counts + pass count in ONE
     // corpus scan (row-local kernels, sum-of-CASEs, stack unpivot)
     "corpus_gate" -> ((s, dir) =>
@@ -2140,6 +2147,22 @@ object SparkEntry {
                 ELSE floor((SELECT count(*) FROM jac)::DOUBLE
                   / (SELECT count(*) FROM ex) * 10000 + 0.5) / 10000 END AS recall"""
     },
+
+    "quantile_sketch" ->
+      """WITH b AS (SELECT least(floor(o_totalprice * 100 + 0.5)::BIGINT // 65536, 1023)
+                      AS bin FROM orders),
+         hist AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+         cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                   AS cum FROM hist),
+         tot AS (SELECT sum(c)::BIGINT AS n FROM hist),
+         ex AS (SELECT quantile_cont(floor(o_totalprice * 100 + 0.5)::BIGINT,
+                  [0.5, 0.9, 0.99]) AS exs FROM orders),
+         ranks AS (SELECT v.i AS qi, v.q AS q, ceil(v.q * n)::BIGINT AS rank
+                   FROM tot CROSS JOIN (VALUES (1, 0.5), (2, 0.9), (3, 0.99)) AS v(i, q))
+         SELECT q, rank, ((min(bin) + 1) * 65536)::DOUBLE / 100 AS est_upper,
+           floor(exs[qi] / 100 * 10000 + 0.5) / 10000 AS exact
+         FROM cum JOIN ranks ON cum >= rank CROSS JOIN ex
+         GROUP BY qi, q, rank, exs""",
 
     // Replays the CMS bit-exactly: FNV token hash reduced into [0,p),
     // the engine's SplitMix64 permutation constants inlined per row,

@@ -641,6 +641,54 @@ object Corpus {
     *
     * @return (group, n_exact, v_filled, n_est) per group
     */
+  /** Histogram quantile sketch vs exact percentiles: approximate
+    * quantiles from a fixed-width bin histogram — nBins counters of
+    * state no matter the corpus (exact percentile's aggregation state
+    * carries the observed values). The estimate for quantile q is the
+    * upper edge of the first bin whose cumulative count reaches
+    * ceil(q·n); the error bound is one bin width by construction, and
+    * the exact interpolated percentile rides along (on integer cents,
+    * the engine's proven cross-engine-exact percentile path) so the
+    * error is measured.
+    *
+    * Scale shape: one corpus scan partial-aggregates to ≤ nBins rows;
+    * the cumulative walk and rank probe run on that bounded table (the
+    * single-partition window is fine THERE — nBins rows, not corpus
+    * rows; the rank probe is a broadcast of |qs| rows against nBins).
+    * All sketch arithmetic is integer counts — bit-exact anywhere.
+    *
+    * @return (q, rank, est_upper, exact) per requested quantile
+    */
+  def quantileSketch(
+      df: DataFrame,
+      valCol: String,
+      binWidthCents: Long,
+      nBins: Int,
+      qs: Seq[Double]): DataFrame = {
+    val hist = df.select(
+      least(expr(s"CAST(floor($valCol * 100 + 0.5D) AS BIGINT) div $binWidthCents"),
+        lit(nBins - 1L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ranks = hist.agg(sum(col("c")).as("n"))
+      .select(posexplode(array(qs.map(lit): _*)).as(Seq("qi", "q")), col("n"))
+      .select(col("qi"), col("q"), ceil(col("q") * col("n")).cast("long").as("rank"))
+    val exact = df.agg(expr(
+      s"percentile(CAST(floor($valCol * 100 + 0.5D) AS BIGINT), array(${qs.mkString("D, ")}D))")
+      .as("exs"))
+    cum.join(broadcast(ranks), col("cum") >= col("rank"))
+      .groupBy(col("qi"), col("q"), col("rank"))
+      .agg(min(col("bin")).as("bin"))
+      .crossJoin(broadcast(exact))
+      .select(col("q"), col("rank"),
+        (((col("bin") + 1) * binWidthCents).cast("double") / 100).as("est_upper"),
+        (floor(element_at(col("exs"), col("qi") + 1) / 100 * 10000 + lit(0.5)) / 10000)
+          .as("exact"))
+  }
+
   def distinctSketch(
       df: DataFrame,
       groupCol: String,

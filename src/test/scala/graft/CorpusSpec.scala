@@ -336,6 +336,21 @@ class CorpusSpec extends SparkSpec {
     assert(sat.values.forall(identity), s"saturated sketch must be NULL: $sat")
   }
 
+  test("quantileSketch: bin-edge estimate within one bin of the exact percentile") {
+    val d = (1 to 100).map(v => (v.toLong, v.toDouble)).toDF("id", "price")
+    // $10 bins: median rank 50 lands in bin 5 (values 50..59) -> edge $60;
+    // exact interpolated median of 1..100 is 50.5
+    val got = Corpus.quantileSketch(d, "price", 1000L, 16, Seq(0.5, 0.99))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got(0.5) == ((50L, 60.0, 50.5)), s"got $got")
+    assert(got(0.99) == ((99L, 100.0, 99.01)), s"got $got")
+    got.values.foreach { case (_, est, exact) =>
+      assert(est >= exact && est - exact <= 10.0,
+        s"estimate must bracket exact within one bin: $got")
+    }
+  }
+
   test("cluster-keyed splits keep every near-dup family in one split") {
     val docs500 = docs
     val labels = graft.operators.Dedup.clusters(
