@@ -192,5 +192,10 @@ class EdgeCaseSpec extends SparkSpec {
       Seq((1L, Array(0.5f, -0.5f))).toDF("vec_id", "embedding"), "embedding", 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
     assert(one.values.forall(math.abs(_) < 1e-4), s"got $one")
+    // sketches over empty inputs: empty results, no division-by-zero
+    assert(TextAnalysis.freqSketchEval(emptyDocs, "text", 4, 1024, 10).count() == 0)
+    assert(Corpus.quantileSketch(
+      Seq.empty[(Long, Double)].toDF("id", "price"), "price", 1000L, 16,
+      Seq(0.5)).count() == 0)
   }
 }
