@@ -479,8 +479,24 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val textPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6)
         .select(col("id_a"), col("id_b"))
-      val vecPairs = Similarity.nearDupCosineBucketed(
-        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, signDims = 4)
+      val vecPairs = Similarity.nearDupCosineBanded(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusters(textPairs.unionByName(vecPairs).distinct(), docs, "doc_id")
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
+    // production-shaped multisignal variant: the text channel is the
+    // banded MinHash path (the 100 TB input — band equi-join on 8-byte
+    // signatures) instead of exact PPJoin; same clustering downstream.
+    // The oracle replays the SplitMix64 permutations bit-exactly, so
+    // even WHICH boundary pairs the bands miss is verified.
+    "dedup_multisignal_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val textPairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.6)
+        .select(col("id_a"), col("id_b"))
+      val vecPairs = Similarity.nearDupCosineBanded(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .select(col("id_a"), col("id_b"))
       Dedup.clusters(textPairs.unionByName(vecPairs).distinct(), docs, "doc_id")
         .select(col("id").as("doc_id"), col("cluster"))
@@ -496,16 +512,27 @@ object SparkEntry {
     }),
 
     // ---- §2b: similarity --------------------------------------------
-    // Graded scale path: deterministic axis-sign LSH buckets (SQL-
-    // expressible — `embedding[i] > 0` — so DuckDB replays the exact
-    // candidate generation), exact cosine verify within buckets. The
-    // plan is a bucket equi-join: O(n) shuffle rows, never all-pairs.
-    // The O(n²) exact variant (nearDupCosineExact) is a spec-only
-    // verification tool (SimilaritySpec recall cross-check).
+    // Graded scale path: SELF-SCALING hyperplane-LSH bands — bit count
+    // from the corpus size (lshPlanBits: expected bucket ≤ 64 rows at
+    // ANY n; 3 bits here, 24 bits at 10⁹ rows), 6 OR-ed tables for
+    // recall, exact cosine verify on bucket collisions only. Candidates
+    // ≈ tables·n·64/2 — linear in n, never n²/2^const. The oracle
+    // replays the integer bits-from-n rule AND the ±1 sign matrix, so
+    // the exact candidate set is verified; lsh_recall_eval_deployed
+    // measures recall at this exact operating point. The O(n²) exact
+    // variant (nearDupCosineExact) is a spec-only verification tool.
     "neardup_cosine_bucketed" -> ((s, dir) =>
-      Similarity.nearDupCosineBucketed(t(s, dir, "embeddings"), "vec_id", "embedding",
-        0.4, signDims = 4)
+      Similarity.nearDupCosineBanded(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    // measured recall of the DEPLOYED banded config (auto bits, 6
+    // tables) vs exact ground truth on the id%2 sample — the number
+    // that prices the graded parameters (LSH recall at near-orthogonal
+    // thresholds is the honest cost of sub-quadratic candidates)
+    "lsh_recall_eval_deployed" -> ((s, dir) =>
+      Similarity.bandedRecallEval(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0.4, 64, 6, 2)),
 
     "ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1651,6 +1678,58 @@ object SparkEntry {
     s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(e)),
        i -> e[i] * (${duckHyperplaneArr(bit, dims)})[i])), (acc, x) -> acc + x)"""
 
+  /** The full ±1 hyperplane sign matrix (maxBits × dims) as one DuckDB
+    * list-of-lists literal — single source of truth
+    * `VectorExprs.hyperplaneSign`, row b = hyperplane b of the global
+    * stream, so a DYNAMIC bit count (the bits-from-n rule) can index
+    * it at replay time where the per-bit [[duckHyperplaneArr]] embeds
+    * a static bit.
+    */
+  private def duckSignMatrix(maxBits: Int, dims: Int): String =
+    (0 until maxBits).map(b => (0 until dims).map(d =>
+      if (graft.functions.VectorExprs.hyperplaneSign(b, d) > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  /** Integer replay of `Similarity.lshPlanBits(n, 64)` from m =
+    * ⌈n/64⌉: smallest nb with 2^nb ≥ m, min 1 — a CASE chain (no log2
+    * floats, no engine-specific bit functions). The sign-matrix
+    * literal carries 48 rows (8 bits × 6 tables), good to n = 16384;
+    * beyond that the oracle errors loudly instead of replaying wrong.
+    */
+  private val duckBandedNb: String =
+    """CASE WHEN m <= 2 THEN 1 WHEN m <= 4 THEN 2 WHEN m <= 8 THEN 3
+       WHEN m <= 16 THEN 4 WHEN m <= 32 THEN 5 WHEN m <= 64 THEN 6
+       WHEN m <= 128 THEN 7 WHEN m <= 256 THEN 8
+       ELSE CAST(error('banded oracle sign matrix supports at most 8 bits per table') AS INTEGER) END"""
+
+  /** CTE block replaying `Similarity.nearDupCosineBanded(_, _, _, thr,
+    * 64, 6)` bit-exactly on top of a caller-supplied
+    * `v(vec_id, e DOUBLE[])` CTE: bits-from-count rule (bpar), sign
+    * matrix (bsgm), per-table bucket as the sign-bit sum of
+    * index-order-folded projections (bbv — table t reads matrix rows
+    * t·nb+1 .. t·nb+nb, matching the kernel's bitOffset = t·nBits),
+    * candidate pairs from per-table bucket equality (bcand), exact
+    * cosine on candidates (bpairs, unthresholded — callers filter).
+    */
+  private def duckBandedCtes(nTables: Int = 6): String =
+    s"""bpar AS (SELECT $duckBandedNb AS nb
+                 FROM (SELECT (count(*) + 63) // 64 AS m FROM v)),
+       bsgm AS (SELECT ${duckSignMatrix(48, 64)} AS sm),
+       bbv AS (SELECT vec_id, e, tt.tbl,
+                 list_sum(list_transform(generate_series(1, nb),
+                   j -> CASE WHEN list_reduce(list_prepend(0.0,
+                               list_transform(generate_series(1, len(e)),
+                                 i -> e[i] * sm[tbl * nb + j][i])), (acc, x) -> acc + x) > 0
+                             THEN 2 ** (j - 1) ELSE 0 END))::BIGINT AS bucket
+               FROM v, bsgm, bpar, generate_series(0, ${nTables - 1}) tt(tbl)),
+       bcand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM bbv a JOIN bbv b
+                   ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+                 GROUP BY 1, 2),
+       bpairs AS (SELECT c.id_a, c.id_b, ${duckCos("va.e", "vb.e")} AS cs
+                  FROM bcand c JOIN v va ON va.vec_id = c.id_a
+                  JOIN v vb ON vb.vec_id = c.id_b)"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approx ANN, simhash with engine-native hashing) → rows-only check.
@@ -1954,8 +2033,8 @@ object SparkEntry {
          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id""",
 
     // dedup_clusters' reach CTE over the UNION of the text-pair and
-    // cosine-pair predicates (both replayed exactly as in their own
-    // oracles)
+    // banded-cosine-pair predicates (both replayed exactly as in their
+    // own oracles)
     "dedup_multisignal" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
                     FROM documents),
@@ -1968,20 +2047,56 @@ object SparkEntry {
                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
          v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         bv AS (SELECT vec_id, e,
-                  (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END) +
-                  (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END) +
-                  (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END) +
-                  (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END) AS bucket FROM v),
-         vp AS (SELECT a.vec_id AS ia, b.vec_id AS ib
-               FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-               WHERE ${duckCos("a.e", "b.e")} >= 0.4),
+         ${duckBandedCtes()},
+         vp AS (SELECT id_a AS ia, id_b AS ib FROM bpairs WHERE cs >= 0.4),
          p AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM vp),
          e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
          reach(a, b) AS (SELECT a, b FROM e
            UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
          SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id""",
+
+    // minhash-fed multisignal: the text channel is the banded-MinHash
+    // candidate set verified at 0.6 — the SplitMix64 permutations and
+    // 32×4 band-equality predicate replayed as in minhash_recall_eval
+    // — unioned with the banded-cosine channel, same reach CTE.
+    "dedup_multisignal_lsh" -> {
+      val (mas, mbs) = graft.functions.MinHashSig.coeffs(128)
+      val mp = graft.functions.MinHashSig.P
+      val minsSql = (0 until 128)
+        .map(j => s"min((${mas(j)} * h + ${mbs(j)}) % $mp) AS m$j").mkString(", ")
+      val bandEq = (0 until 32).map(b =>
+        (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}")
+          .mkString("(", " AND ", ")")).mkString(" OR ")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         hs AS (SELECT doc_id,
+                  ((((CASE WHEN hu >= '9223372036854775808'::HUGEINT
+                       THEN hu - '18446744073709551616'::HUGEINT ELSE hu END)
+                     % $mp) + $mp) % $mp)::BIGINT AS h
+                FROM (SELECT doc_id, ${duckFnv("(g || ' ')")} AS hu
+                      FROM (SELECT doc_id, unnest(sh) AS g FROM s))),
+         sig AS (SELECT doc_id, $minsSql FROM hs GROUP BY doc_id),
+         mcand AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+                   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)),
+         tp AS (SELECT x.ia, x.ib FROM mcand x
+                JOIN s sa ON sa.doc_id = x.ia JOIN s sb ON sb.doc_id = x.ib
+                WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                  / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${duckBandedCtes()},
+         vp AS (SELECT id_a AS ia, id_b AS ib FROM bpairs WHERE cs >= 0.4),
+         p AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM vp),
+         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+         reach(a, b) AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
+         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id"""
+    },
 
     // same reach CTE as dedup_clusters; survivor = longest member
     // (ties to min id) via a deterministic per-cluster window
@@ -2009,17 +2124,34 @@ object SparkEntry {
          SELECT w.cluster, w.doc_id, w.n_chars, m.n_members
          FROM w JOIN m USING (cluster) WHERE rn = 1""",
 
+    // Replays the self-scaling banded path exactly: bits from the
+    // integer count rule, the ±1 sign matrix as a literal, per-table
+    // index-order-folded projections — so the candidate SET (not just
+    // the verified pairs) is pinned by the hash match.
     "neardup_cosine_bucketed" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         bv AS (SELECT vec_id, e,
-                  (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END) +
-                  (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END) +
-                  (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END) +
-                  (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END) AS bucket FROM v),
-         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 ${duckCos("a.e", "b.e")} AS c
-               FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.4""",
+         ${duckBandedCtes()}
+         SELECT id_a, id_b, round(cs, 6) AS cosine FROM bpairs WHERE cs >= 0.4""",
+
+    // Deployed-parameter recall harness replay: exact pairs on the
+    // id%2 sample, banded pairs via the same bits-from-n + sign-matrix
+    // CTEs, recall from the two exact integer counts.
+    "lsh_recall_eval_deployed" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${duckBandedCtes()},
+         lshp AS (SELECT id_a, id_b FROM bpairs WHERE cs >= 0.4),
+         sv AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+         ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sv a JOIN sv b ON a.vec_id < b.vec_id
+                WHERE ${duckCos("a.e", "b.e")} >= 0.4),
+         h AS (SELECT count(*) AS n_hit FROM ex
+               WHERE EXISTS (SELECT 1 FROM lshp
+                             WHERE lshp.id_a = ex.id_a AND lshp.id_b = ex.id_b)),
+         t AS (SELECT count(*) AS n_exact FROM ex)
+         SELECT (SELECT nb FROM bpar)::BIGINT AS n_bits, n_exact, n_hit,
+           CASE WHEN n_exact = 0 THEN 1.0
+                ELSE floor(n_hit::DOUBLE / n_exact * 10000 + 0.5) / 10000 END AS recall
+         FROM t, h""",
 
     // Replays the native hyperplane bucketing exactly: the ±1 sign
     // matrix is embedded as literals (same SplitMix64 derivation as

@@ -56,6 +56,15 @@ object VectorExprs {
   def hyperplaneBucket(vec: Column, nBits: Int): Column =
     GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), nBits))
 
+  /** Like [[hyperplaneBucket]] but over hyperplanes `bitOffset` ..
+    * `bitOffset + nBits - 1` of the same deterministic sign stream —
+    * table t of a multi-table LSH uses offset t·nBits, so the table
+    * count is not capped by the 63 bits one packed long can hold
+    * (24-bit buckets × 6 tables = 144 distinct hyperplanes).
+    */
+  def hyperplaneBucketAt(vec: Column, nBits: Int, bitOffset: Int): Column =
+    GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), nBits, bitOffset))
+
   /** The deterministic ±1 hyperplane component for (bit, dim) used by
     * [[HyperplaneBucket]] — public so an external oracle can embed the
     * identical sign matrix and replay the bucketing exactly.
@@ -367,7 +376,7 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   * (bit, dim)). One native pass over the vector replaces an
   * nBits×dims element_at expression tree.
   */
-case class HyperplaneBucket(child: Expression, nBits: Int)
+case class HyperplaneBucket(child: Expression, nBits: Int, bitOffset: Int = 0)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
@@ -377,7 +386,10 @@ case class HyperplaneBucket(child: Expression, nBits: Int)
   protected override def nullSafeEval(input: Any): Any =
     compute(input.asInstanceOf[ArrayData])
 
-  /** Kernel body, also the codegen target (primitive long — unboxed). */
+  /** Kernel body, also the codegen target (primitive long — unboxed).
+    * Bit i of the bucket is the sign of the projection onto hyperplane
+    * `bitOffset + i` of the global deterministic sign stream.
+    */
   def compute(v: ArrayData): Long = {
     val dims = v.numElements()
     var bucket = 0L
@@ -385,7 +397,7 @@ case class HyperplaneBucket(child: Expression, nBits: Int)
     while (bit < nBits) {
       var proj = 0.0
       var d = 0
-      while (d < dims) { proj += v.getDouble(d) * sign(bit, d); d += 1 }
+      while (d < dims) { proj += v.getDouble(d) * sign(bitOffset + bit, d); d += 1 }
       if (proj > 0) bucket |= (1L << bit)
       bit += 1
     }

@@ -64,12 +64,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!exchangeLines.contains("text#"), s"raw text shuffled:\n$exchangeLines")
   }
 
-  test("neardup_cosine_bucketed: bucket equi-join, no nested-loop/cartesian") {
-    val p = plan("neardup_cosine_bucketed")
-    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"), s"no equi-join on bucket:\n$p")
+  test("banded cosine near-dup: (tbl, bucket) equi-join, no nested-loop/cartesian") {
+    // the graded self-scaling path AND the minhash-fed multisignal
+    // variant: candidate generation must be a hash/sort-merge join on
+    // the per-table bucket key — all-pairs is never materialized
+    for (q <- Seq("neardup_cosine_bucketed", "dedup_multisignal_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: nested loop:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+        p.contains("BroadcastHashJoin"), s"$q: no equi-join on bucket:\n$p")
+    }
   }
 
   test("ann_ivf: cell assignment is a scan-stage argmax — no window over n×k rows") {

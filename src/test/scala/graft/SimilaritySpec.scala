@@ -80,6 +80,57 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.subsetOf(exact), s"false positives: ${multi.diff(exact)}")
   }
 
+  test("lshPlanBits: bucket-size-bounded bits at every scale") {
+    // the graded scale rule: smallest nBits with 2^nBits >= ceil(n/B)
+    assert(Similarity.lshPlanBits(500, 64) == 3)    // sf0.01: 8 buckets
+    assert(Similarity.lshPlanBits(2000, 64) == 5)   // sf0.1: 32 buckets
+    assert(Similarity.lshPlanBits(64, 64) == 1)     // degenerate floor
+    assert(Similarity.lshPlanBits(0, 64) == 1)
+    assert(Similarity.lshPlanBits(1L << 30, 1024) == 20)  // 1B rows -> 20 bits
+    assert(Similarity.lshPlanBits(100L * (1L << 30), 1024) == 27) // ~100B rows
+    // exact power boundary: 2^nb == m must not round up
+    assert(Similarity.lshPlanBits(512, 64) == 3)
+    assert(Similarity.lshPlanBits(513, 64) == 4)
+  }
+
+  test("banded near-dup: no false positives, recall measured at deployed params") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = key(Similarity.nearDupCosineBanded(emb, "vec_id", "embedding", 0.4))
+    val exact = key(Similarity.nearDupCosineExact(emb, "vec_id", "embedding", 0.4))
+    // verify step is exact: every emitted pair is a true near-dup
+    assert(banded.subsetOf(exact), s"false positives: ${banded.diff(exact)}")
+    assert(banded.nonEmpty, "deployed config found no pairs at all")
+    // the deployed-parameter harness agrees with a direct recount
+    val r = Similarity.bandedRecallEval(emb, "vec_id", "embedding", 0.4, 64, 6, 2)
+      .collect().head
+    assert(r.getAs[Long]("n_bits") == Similarity.lshPlanBits(emb.count(), 64))
+    assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_exact"))
+    assert(r.getAs[Double]("recall") > 0.0)
+  }
+
+  test("hyperplane bitOffset selects distinct tables from the global sign stream") {
+    // table t at offset t*nBits must reproduce the bit-slice of one
+    // packed wide call — the identity the banded operator relies on
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    val v = emb.select(col("vec_id"),
+      Similarity.asDouble(col("embedding")).as("v"))
+    val nb = 8
+    val cols = graft.functions.VectorExprs.hyperplaneBucket(col("v"), 3 * nb).as("packed") +:
+      (0 until 3).map(t =>
+        graft.functions.VectorExprs.hyperplaneBucketAt(col("v"), nb, t * nb)
+          .as(s"t$t"))
+    val checked = v.select(cols: _*)
+    checked.collect().foreach { r =>
+      val packed = r.getAs[Long]("packed")
+      (0 until 3).foreach { t =>
+        assert(r.getAs[Long](s"t$t") == ((packed >> (t * nb)) & ((1L << nb) - 1)),
+          s"table $t bucket != packed bit-slice")
+      }
+    }
+  }
+
   test("IVF+PQ two-stage: well-formed top-k, candidates confined to probed cells") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val out = Similarity.annIvfPq(
