@@ -11,6 +11,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // explicit AQE skew-join handling, same contract as Verify
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm JIT/classloading/codegen so the first measured query isn't
@@ -26,13 +29,25 @@ object Bench {
     try SparkEntry.queries("dedup_multisignal")(spark, sfDir).count()
     catch { case _: Throwable => () }
     spark.catalog.clearCache()
+    // median-of-3 per query: a single pass is dominated by scheduler /
+    // co-tenant noise (observed 12x on individual queries between runs
+    // of the SAME commit — r5 driver vs builder snapshots), which
+    // drowns the round-over-round regression signal. Three passes with
+    // the cache cleared between them (so every pass pays the full
+    // plan, not an InMemoryRelation substitution) and the median taken
+    // is robust to one bad pass in either direction.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // release intermediates persisted inside operators so cached
-      // blocks don't accumulate across the 40+ query sweep
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until passes).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // release intermediates persisted inside operators so cached
+        // blocks don't accumulate across the sweep or between passes
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      // lower median: passes=3 -> median, 2 -> best-of-2, 1 -> the pass
+      name -> times((times.length - 1) / 2)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double): String = {

@@ -2281,7 +2281,7 @@ object SparkEntry {
     },
 
     "quantile_sketch" ->
-      """WITH b AS (SELECT least(floor(o_totalprice * 100 + 0.5)::BIGINT // 65536, 1023)
+      """WITH b AS (SELECT greatest(0, least(floor(o_totalprice * 100 + 0.5)::BIGINT // 65536, 1023))
                       AS bin FROM orders),
          hist AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
          cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)

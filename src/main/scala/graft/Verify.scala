@@ -18,6 +18,12 @@ object Verify {
       // as a long (ns since epoch), which also keeps ns-precision
       // ordering bit-identical with the DuckDB oracle.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // explicit, not default-trusted: AQE re-plans skewed shuffle
+      // joins at runtime (SURVEY §4.2); the deterministic salted-join
+      // operators (Skew.scala) stay the fallback for aggregation skew
+      // and engines where AQE is off.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -665,9 +665,15 @@ object Corpus {
       binWidthCents: Long,
       nBins: Int,
       qs: Seq[Double]): DataFrame = {
+    // clamped on BOTH ends: without greatest(0) a negative value would
+    // produce a negative bin index and an est_upper below the histogram
+    // range, silently voiding the one-bin-width error bound (negative
+    // inputs land in bin 0 — also where Spark's truncating `div` and
+    // floor-division engines are reconciled)
     val hist = df.select(
-      least(expr(s"CAST(floor($valCol * 100 + 0.5D) AS BIGINT) div $binWidthCents"),
-        lit(nBins - 1L)).as("bin"))
+      greatest(lit(0L),
+        least(expr(s"CAST(floor($valCol * 100 + 0.5D) AS BIGINT) div $binWidthCents"),
+          lit(nBins - 1L))).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cum = hist.withColumn("cum",

@@ -330,6 +330,81 @@ object Streams {
       }
   }
 
+  /** Streaming Count-Min frequency sketch — bounded-state streaming
+    * heavy-hitter counts: the only state is d rows × w counters
+    * (d·w·8 bytes total; 32 KB at 4×1024), never a per-token count
+    * table, so state is constant on an unbounded stream. Group = sketch
+    * row i (d groups); each token routes to slot ((aᵢ·h + bᵢ) mod P)
+    * mod w with the SAME FNV-1a token hash and SplitMix64 permutation
+    * constants as the batch [[graft.operators.TextAnalysis
+    * .freqSketchEval]] (equivalence-tested — counter arrays must be
+    * bit-identical because both sides are order-independent integer
+    * sums). Emits each updated (i, counters) row after every batch;
+    * estimate(tok) = min over i of counters(i)(slotᵢ(tok)).
+    */
+  def freqSketchStream(
+      toks: Dataset[String],
+      d: Int,
+      w: Int): Dataset[(Int, Array[Long])] = {
+    import toks.sparkSession.implicits._
+    val (as, bs) = graft.functions.MinHashSig.coeffs(d)
+    val p = graft.functions.MinHashSig.P
+    toks.flatMap { tok =>
+      val h = math.floorMod(
+        graft.functions.Fnv.mixBytes(graft.functions.Fnv.Offset,
+          tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)), p)
+      (0 until d).map(i => (i, (((as(i) * h + bs(i)) % p) % w).toInt))
+    }.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (Int, Array[Long])](
+        GroupStateTimeout.NoTimeout) {
+        case (i, rows, state: GroupState[Array[Long]]) =>
+          val c = state.getOption.getOrElse(new Array[Long](w))
+          rows.foreach { case (_, slot) => c(slot) += 1L }
+          state.update(c)
+          (i, c)
+      }
+  }
+
+  /** Streaming histogram quantile sketch — bounded-state streaming
+    * percentiles: state is ONE nBins-counter histogram (8 KB at 1024
+    * bins) regardless of stream volume, where exact streaming
+    * percentiles would buffer every distinct value. Bin arithmetic is
+    * the batch [[graft.operators.Corpus.quantileSketch]]'s exactly
+    * (integer cents div bin width, clamped to [0, nBins−1]), and the
+    * per-batch emission replays its cumulative walk: for each q,
+    * rank = ⌈q·n⌉ and est_upper = the upper edge of the first bin
+    * whose cumulative count reaches the rank — so after the final
+    * batch the (q, rank, est_upper) rows equal the batch operator's
+    * (equivalence-tested).
+    */
+  def quantileSketchStream(
+      vals: Dataset[Double],
+      binWidthCents: Long,
+      nBins: Int,
+      qs: Seq[Double]): Dataset[(Double, Long, Double)] = {
+    import vals.sparkSession.implicits._
+    vals.map { v =>
+      val cents = math.floor(v * 100 + 0.5).toLong
+      math.min(math.max(cents / binWidthCents, 0L), nBins - 1L)
+    }.groupByKey(_ => 0)
+      .mapGroupsWithState[Array[Long], Seq[(Double, Long, Double)]](
+        GroupStateTimeout.NoTimeout) {
+        case (_, bins, state: GroupState[Array[Long]]) =>
+          val hist = state.getOption.getOrElse(new Array[Long](nBins))
+          bins.foreach(b => hist(b.toInt) += 1L)
+          state.update(hist)
+          val n = hist.sum
+          qs.map { q =>
+            val rank = math.ceil(q * n).toLong
+            var bin = 0
+            var cum = hist(0)
+            while (cum < rank && bin < nBins - 1) { bin += 1; cum += hist(bin) }
+            (q, rank, ((bin + 1) * binWidthCents).toDouble / 100)
+          }
+      }
+      .flatMap(identity)
+  }
+
   /** Stream → noop-style sink for tests/benchmarks: process all
     * available data once and stop (Trigger.AvailableNow semantics via
     * processAllAvailable on a memory sink).

@@ -77,6 +77,16 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew-join handling is on by configuration (SURVEY §4.2)") {
+    // the graded sessions (Verify/Bench/tests) set these EXPLICITLY —
+    // a Spark default flip must fail here, not silently change the
+    // runtime skew story. Salted-join operators (skew_salted_join,
+    // skew_two_phase) remain the deterministic fallback for
+    // aggregation skew, which AQE's join splitting does not cover.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true")
+  }
+
   test("ann_ivf: cell assignment is a scan-stage argmax — no window over n×k rows") {
     // the only Window in the plan is the final per-query top-k rank;
     // assignment and probing must not sort corpus×cells rows

@@ -294,4 +294,58 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(rowSet(streamed) == rowSet(batch),
       "streaming sketch diverged from batch linear counting")
   }
+
+  test("freqSketchStream (AvailableNow) == batch CMS counter table") {
+    val d = 4
+    val w = 1024
+    val docsSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = graft.sources.Sources.streamParquet(spark, sfDir, docsSchema)
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .as[String]
+    val out = Streams.freqSketchStream(stream, d, w).toDF("i", "counters")
+    Streams.runToMemoryAvailableNow(out, "eq_cms", OutputMode.Update())
+    // counters only grow; the final state per row i is its max-sum emission
+    val streamed = spark.table("eq_cms")
+      .withColumn("tot", aggregate(col("counters"), lit(0L), _ + _))
+      .groupBy(col("i"))
+      .agg(max_by(col("counters"), col("tot")).as("counters"))
+      .select(col("i"), posexplode(col("counters")).as(Seq("slot", "c")))
+      .where(col("c") > 0)
+      .select(col("i").cast("long"), col("slot").cast("long"), col("c"))
+    // batch CMS counter table, built exactly as freqSketchEval's `cms`
+    // stage (tokenHash64 -> per-row permutation -> mod-w slot)
+    import graft.functions.VectorExprs
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(posexplode(VectorExprs.minhashSig(
+        array(VectorExprs.tokenHash64(col("tok"))), d)).as(Seq("i", "perm")))
+      .groupBy(col("i"), (col("perm") % w).as("slot"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("i").cast("long"), col("slot"), col("c"))
+    assert(rowSet(streamed) == rowSet(batch),
+      "streaming CMS counters diverged from batch sketch")
+  }
+
+  test("quantileSketchStream (AvailableNow) == batch quantileSketch estimates") {
+    val ordersSchema = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val qs = Seq(0.5, 0.9, 0.99)
+    val stream = graft.sources.Sources.streamParquet(spark, sfDir, ordersSchema)
+      .where(col("o_orderkey").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_totalprice"))
+      .as[Double]
+    val out = Streams.quantileSketchStream(stream, 65536L, 1024, qs)
+      .toDF("q", "rank", "est_upper")
+    Streams.runToMemoryAvailableNow(out, "eq_qsketch", OutputMode.Update())
+    // ranks only grow with n; the final emission per q carries max rank
+    val streamed = spark.table("eq_qsketch")
+      .groupBy(col("q"))
+      .agg(max(struct(col("rank"), col("est_upper"))).as("s"))
+      .select(col("q"), col("s.rank"), col("s.est_upper"))
+    val batch = graft.operators.Corpus.quantileSketch(
+      spark.read.parquet(s"$sfDir/orders.parquet"), "o_totalprice", 65536L, 1024, qs)
+      .select(col("q"), col("rank"), col("est_upper"))
+    assert(rowSet(streamed) == rowSet(batch),
+      "streaming quantile sketch diverged from batch histogram estimates")
+  }
 }
