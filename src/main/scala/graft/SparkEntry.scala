@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Caching.TrackedDf
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -674,12 +675,20 @@ object SparkEntry {
       TextAnalysis.topTerms(t(s, dir, "documents"), "text", 20)),
 
     // ---- §2b: multimodal plumbing -----------------------------------
+    // REAL container headers round-tripped: the synthetic tables carry
+    // no media bytes, so the query manufactures valid PNG/JPEG headers
+    // (dimensions derived from row fields), then the partition-parallel
+    // JVM parser (IHDR read / generic JPEG marker walk) must invert
+    // them — the oracle recomputes the expected fields from the source
+    // columns, so any parse or construction bug breaks the hash
     "multimodal_meta" -> ((s, dir) => {
-      val bin = Multimodal.utf8Payload(col("text"))
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        octet_length(bin).cast("long").as("n_bytes"),
-        ascii(col("text")).cast("long").as("head_byte"))
+      val w = (lit(16) + col("doc_id") % 1904).cast("int")
+      val h = (lit(16) + col("n_chars") % 1064).cast("int")
+      val payload = when(col("doc_id") % 2 === 0,
+        Multimodal.pngPayload(w, h)).otherwise(Multimodal.jpegPayload(w, h))
+      Multimodal.imageMeta(
+        t(s, dir, "documents").select(col("doc_id"), payload.as("payload")),
+        "doc_id", "payload")
     }),
 
     "multimodal_frames" -> ((s, dir) =>
@@ -763,6 +772,16 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens")),
         "n_bpe_tokens", 0.75)),
+
+    // bounded-state variant of the quantile gate: threshold from the
+    // 1024-bin histogram sketch (nBins counters of agg state at ANY
+    // corpus size vs exact percentile's per-distinct-value state);
+    // exact quantile rides along so thr_err is measured in-query
+    "quantile_gate_sketch" -> ((s, dir) =>
+      Corpus.quantileFilterSketch(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens")),
+        "n_bpe_tokens", 0.75, 100L, 1024)),
 
     // context-window preparation: overlapping token chunks (w=64, s=48)
     // — row-local explode+slice, no shuffle, bounded blowup n/s
@@ -952,10 +971,10 @@ object SparkEntry {
         struct(col("pa").as("src"), col("pb").as("dst")),
         struct(col("pb").as("src"), col("pa").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
       val contribBase = edges.join(deg, Seq("src"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persistTracked
       var rank = edges.select(col("src").as("node")).distinct()
         .select(col("node"), lit(1000000L).as("r"))
         .localCheckpoint(false)
@@ -2628,9 +2647,15 @@ object SparkEntry {
            (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
          FROM documents""",
 
+    // expected fields recomputed from the SOURCE columns — the Spark
+    // side must construct the headers and parse them back to match
     "multimodal_meta" ->
-      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
-         ascii(text)::BIGINT AS head_byte FROM documents""",
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+         (16 + doc_id % 1904)::BIGINT AS width,
+         (16 + n_chars % 1064)::BIGINT AS height,
+         (CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 51 END)::BIGINT AS n_bytes
+         FROM documents""",
 
     "multimodal_frames" ->
       """SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx,
@@ -2762,6 +2787,28 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, n_bpe_tokens FROM s
          WHERE n_bpe_tokens >= (SELECT quantile_cont(n_bpe_tokens, 0.75) FROM s)""",
+
+    // histogram threshold replay: same clamped integer bins, cumulative
+    // walk to rank = ceil(q*n), est threshold = upper bin edge; exact
+    // quantile_cont rides along for the measured error columns
+    "quantile_gate_sketch" ->
+      """WITH s AS (SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+               AS n_bpe_tokens
+           FROM documents),
+         b AS (SELECT greatest(0, least(floor(n_bpe_tokens * 100 + 0.5)::BIGINT // 100, 1023))
+                 AS bin FROM s),
+         hist AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
+         cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM hist),
+         tot AS (SELECT sum(c)::BIGINT AS n FROM hist),
+         est AS (SELECT ((min(bin) + 1) * 100)::DOUBLE / 100 AS thr_est
+                 FROM cum, tot WHERE cum >= ceil(0.75 * n)),
+         ex AS (SELECT floor(quantile_cont(floor(n_bpe_tokens * 100 + 0.5)::BIGINT, 0.75)
+                  / 100 * 10000 + 0.5) / 10000 AS thr_exact FROM s)
+         SELECT doc_id, n_bpe_tokens, thr_est, thr_exact,
+           floor((thr_est - thr_exact) * 10000 + 0.5) / 10000 AS thr_err
+         FROM s, est, ex WHERE n_bpe_tokens >= thr_est""",
 
     "chunk_sliding" ->
       """WITH t AS (SELECT doc_id,

@@ -41,6 +41,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop operator-persisted intermediates between queries — the
+      // 140+-query sweep would otherwise accumulate cached blocks
+      graft.operators.Caching.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caching.TrackedDf
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -158,6 +159,40 @@ object Corpus {
     val keep =
       if (keepUpper) col(scoreCol) >= col("__thr") else col(scoreCol) < col("__thr")
     df.crossJoin(broadcast(thr)).where(keep).drop("__thr")
+  }
+
+  /** [[quantileFilter]] with BOUNDED aggregation state — the 100 TB
+    * path when the score column's cardinality is unbounded: exact
+    * `percentile`'s partial-agg state carries one entry per distinct
+    * value (fine for integer cents/token counts, unbounded for
+    * free-form doubles), while the histogram sketch carries exactly
+    * `nBins` counters per partition no matter the corpus. The gate
+    * threshold is the sketch's q-quantile estimate (the upper edge of
+    * the rank bin — within one bin width of the true quantile by
+    * construction), broadcast back into a row-local filter exactly
+    * like [[quantileFilter]]; the corpus is never shuffled or ranked.
+    *
+    * "Measure, don't guess": the exact interpolated quantile rides
+    * along ([[quantileSketch]]'s measurement convention) and every
+    * output row carries (thr_est, thr_exact, thr_err) — the error is
+    * part of the result, not a claim. At true scale drop the exact
+    * side; it exists to price the approximation.
+    */
+  def quantileFilterSketch(
+      df: DataFrame,
+      scoreCol: String,
+      q: Double,
+      binWidthCents: Long,
+      nBins: Int,
+      keepUpper: Boolean = true): DataFrame = {
+    require(q > 0 && q < 1, "q must be in (0,1)")
+    val thr = quantileSketch(df, scoreCol, binWidthCents, nBins, Seq(q))
+      .select(col("est_upper").as("thr_est"), col("exact").as("thr_exact"))
+    val keep =
+      if (keepUpper) col(scoreCol) >= col("thr_est") else col(scoreCol) < col("thr_est")
+    df.crossJoin(broadcast(thr)).where(keep)
+      .withColumn("thr_err",
+        floor((col("thr_est") - col("thr_exact")) * 10000 + lit(0.5)) / 10000)
   }
 
   /** Sliding-window chunking: split each document into fixed-size
@@ -348,7 +383,7 @@ object Corpus {
       .select(col(idCol),
         Dedup.hashedShingleSet(col(textCol), shingleSize).as("hs"))
       .withColumn("n_shingles", size(col("hs")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val frequent = sets.select(explode(col("hs")).as("sh"))
       .groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDocs)
@@ -504,7 +539,7 @@ object Corpus {
       .select(col(groupCol).as("g"),
         explode(Dedup.hashedShingleSet(col(textCol), shingleSize)).as("sh"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val sizes = e.groupBy(col("g")).agg(count(lit(1)).as("n"))
     val inter = basketPairs(e, "sh", "g", 1L)
       .select(col("part_a").as("source_a"), col("part_b").as("source_b"),
@@ -527,7 +562,7 @@ object Corpus {
       .select(col(idCol),
         Dedup.hashedShingleSet(col(textCol), shingleSize).as("hs"))
       .withColumn("n_shingles", size(col("hs")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val novel = sets.select(col(idCol), explode(col("hs")).as("sh"))
       .groupBy(col("sh")).agg(min(col(idCol)).as("first_doc"))
       .groupBy(col("first_doc").as(idCol))
@@ -565,7 +600,7 @@ object Corpus {
     // AND the bucket join — without it the (possibly expensive) scoring
     // subtree upstream runs twice. Slim rows: 3 columns, never the text.
     val s = scored.select(col(idCol), col(langCol), col(scoreCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val thr = s.groupBy(col(langCol))
       .agg(expr(s"percentile($scoreCol, 1.0D / 3)").as("t1"),
         expr(s"percentile($scoreCol, 2.0D / 3)").as("t2"))
@@ -675,7 +710,7 @@ object Corpus {
         least(expr(s"CAST(floor($valCol * 100 + 0.5D) AS BIGINT) div $binWidthCents"),
           lit(nBins - 1L))).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val cum = hist.withColumn("cum",
       sum(col("c")).over(Window.orderBy(col("bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

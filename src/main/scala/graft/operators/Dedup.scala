@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caching.TrackedDf
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -22,12 +23,21 @@ object Dedup {
     * core. CONDITIONAL: a well-split source (a 100 TB corpus has
     * ~10⁵–10⁶ input splits) passes through untouched — an
     * unconditional repartition here would round-robin the entire
-    * corpus text through a shuffle for nothing. The partition probe
-    * is plan-time only (no job).
+    * corpus text through a shuffle for nothing.
+    *
+    * The probe reads `queryExecution.toRdd` partition counts: physical
+    * planning only (no job, no InternalRow→Row conversion layer), but
+    * it IS a non-AQE plan of the subtree per call — keep rebalance at
+    * source boundaries, not inside loops. Known blind spot, accepted:
+    * a source with many partitions of which only one is POPULATED
+    * (partition-count ≥ target but data skewed) passes through
+    * untouched; downstream exchanges + AQE skew handling own that
+    * case, and the salted-join operators (Skew.scala) are the explicit
+    * fallback.
     */
   private[operators] def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** Exact dedup: one survivor (min id) per distinct content. Grouping
@@ -178,7 +188,7 @@ object Dedup {
     val sets = rebalance(df).select(
       col(idCol),
       hashedShingleSet(col(textCol), shingleSize).as("shingle_set"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val sigs = sets.select(
       col(idCol),
       minHashSignature(col("shingle_set"), numHashes).as("sig"))
@@ -216,7 +226,7 @@ object Dedup {
     def sets(df: DataFrame) = rebalance(df).select(
       col(idCol),
       hashedShingleSet(col(textCol), shingleSize).as("shingle_set"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     def banded(s: DataFrame) = bandKeys(
       s.select(col(idCol), minHashSignature(col("shingle_set"), numHashes).as("sig")),
       idCol, "sig", bands, rowsPerBand)
@@ -302,7 +312,7 @@ object Dedup {
       // prefix length n - ceil(t*n) + 1
       .withColumn("prefix_len",
         (col("set_size") - ceil(col("set_size") * threshold) + 1).cast("int"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val inv = sets.select(
       col(idCol),
       col("set_size"),
@@ -360,7 +370,7 @@ object Dedup {
       struct(col("id_a").as("src"), col("id_b").as("dst")),
       struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     // propagate over the PAIR SUBGRAPH only: a node in no near-dup pair
     // can never change label, and at corpus scale near-dup pairs touch
     // a sliver of the documents — iterating all ids would put the whole

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caching.TrackedDf
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -35,7 +36,7 @@ object Graph {
     // expensive) upstream pair-mining subtree runs three times. Slim
     // rows: two node ids per edge.
     val es = pairs.select(col("u"), col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val deg = es.select(col("u").as("node"))
       .unionByName(es.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -48,7 +49,7 @@ object Graph {
     val o = keyed.select(
       when(uFirst, col("u")).otherwise(col("v")).as("s"),
       when(uFirst, col("v")).otherwise(col("u")).as("t"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val wedges = o.as("o1").join(o.as("o2"),
       col("o1.s") === col("o2.s") && col("o1.t") < col("o2.t"))
       .select(col("o1.t").as("x"), col("o2.t").as("y"))

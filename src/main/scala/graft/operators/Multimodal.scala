@@ -27,6 +27,114 @@ object Multimodal {
     */
   def utf8Payload(text: Column): Column = encode(text, "UTF-8")
 
+  /** Big-endian byte strings as expressions — building blocks for
+    * REAL container headers over the synthetic tables (the tables
+    * carry no media bytes, so the pipeline manufactures valid PNG/JPEG
+    * headers from row fields and the parser must invert them — a
+    * round-trip any header-parse bug fails).
+    */
+  private def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  private def be16(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+
+  /** A minimal REAL PNG header: 8-byte signature + IHDR chunk (length,
+    * type, 4-byte big-endian width/height, bit depth 8, color type 6,
+    * deflate/adaptive/non-interlaced). 33 bytes. CRC is a fixed
+    * placeholder — header parsers (including [[parseImageMeta]]) read
+    * fields, not checksums; a full encoder would fill it.
+    */
+  def pngPayload(width: Column, height: Column): Column =
+    concat(
+      unhex(lit("89504E470D0A1A0A")),      // signature
+      unhex(lit("0000000D49484452")),      // IHDR length 13 + type
+      be32(width), be32(height),
+      unhex(lit("0806000000")),            // depth 8, RGBA, std methods
+      unhex(lit("DEADBEEF")))              // CRC placeholder
+
+  /** A minimal REAL JPEG/JFIF header stream: SOI, APP0 (JFIF 1.1),
+    * a COM segment (so parsers must WALK markers, not assume a fixed
+    * SOF offset), SOF0 with big-endian height/width and 3 components,
+    * EOI. 51 bytes.
+    */
+  def jpegPayload(width: Column, height: Column): Column =
+    concat(
+      unhex(lit("FFD8")),                              // SOI
+      unhex(lit("FFE000104A46494600010100000100010000")), // APP0/JFIF, len 16
+      unhex(lit("FFFE0008677261667421")),              // COM len 8: "graft!"
+      unhex(lit("FFC0001108")), be16(height), be16(width),
+      unhex(lit("03011100021101031101")),              // 3 components
+      unhex(lit("FFD9")))                              // EOI
+
+  /** Pure-JVM container header parse — no codec library: PNG width/
+    * height from the IHDR chunk; JPEG from a generic marker walk to
+    * the first SOF frame header (C0–CF minus the non-frame C4/C8/CC),
+    * skipping padding FF bytes and arbitrary intervening segments
+    * (APPn/COM/quant tables) by their declared lengths. Returns
+    * (kind, width, height); unparseable payloads are
+    * ("unknown", 0, 0) — malformed media at corpus scale is data, not
+    * an exception.
+    */
+  def parseImageMeta(bytes: Array[Byte]): (String, Long, Long) = {
+    def u8(i: Int): Int = bytes(i) & 0xFF
+    def u16(i: Int): Long = ((u8(i) << 8) | u8(i + 1)).toLong
+    def u32(i: Int): Long = (u16(i) << 16) | u16(i + 2)
+    // kind by container magic (same prefixes as [[sniffKind]]); dims
+    // 0 when the header is truncated or malformed past the magic
+    if (bytes.length >= 4 &&
+      u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4E && u8(3) == 0x47) {
+      // full signature + first chunk must be IHDR: width/height are
+      // its first 8 bytes
+      if (bytes.length >= 24 &&
+        u8(4) == 0x0D && u8(5) == 0x0A && u8(6) == 0x1A && u8(7) == 0x0A &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R')
+        ("png", u32(16), u32(20))
+      else ("png", 0L, 0L)
+    } else if (bytes.length >= 3 && u8(0) == 0xFF && u8(1) == 0xD8 && u8(2) == 0xFF) {
+      var i = 2
+      while (i + 3 < bytes.length) {
+        if (u8(i) != 0xFF) return ("jpeg", 0L, 0L) // desynced stream
+        var j = i
+        while (j < bytes.length && u8(j) == 0xFF) j += 1 // padding FFs
+        if (j >= bytes.length) return ("jpeg", 0L, 0L)
+        val marker = u8(j)
+        if (marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          // SOF: len(2), precision(1), height(2), width(2)
+          if (j + 8 < bytes.length) return ("jpeg", u16(j + 6), u16(j + 4))
+          return ("jpeg", 0L, 0L)
+        }
+        if (marker == 0xD9 || marker == 0xDA) return ("jpeg", 0L, 0L) // EOI/SOS: no SOF seen
+        if (j + 2 >= bytes.length) return ("jpeg", 0L, 0L)
+        i = j + 1 + u16(j + 1).toInt // skip segment by declared length
+      }
+      ("jpeg", 0L, 0L)
+    } else ("unknown", 0L, 0L)
+  }
+
+  /** Parsed (not synthetic) media metadata via the partition-parallel
+    * decode path: one parser per task streaming over binary rows —
+    * the [[extractFeatures]] plumbing with [[parseImageMeta]] as the
+    * per-payload step. Output: (id, kind, width, height, n_bytes).
+    */
+  def imageMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx   = df.schema.fieldIndex(idCol)
+    val binIdx  = df.schema.fieldIndex(binCol)
+    val outType = StructType(Seq(
+      idField,
+      StructField("kind", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("n_bytes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val (kind, w, h) = parseImageMeta(bytes)
+        Row(r.get(idIdx), kind, w, h, bytes.length.toLong)
+      }
+    }(enc)
+  }
+
   /** Container sniffing from magic bytes — pure expressions, runs in
     * the scan stage. Recognizes PNG/JPEG/RIFF(WAV-AVI)/MP4-ftyp.
     */
@@ -78,15 +186,15 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB decoder: deterministic fake features from the payload bytes.
-    * Replace the body with a real codec at deployment; the signature
-    * (bytes in, kind + fixed-dim float features out) is the contract.
+  /** PIXEL-DECODE stub: container kind comes from the REAL header
+    * parse ([[parseImageMeta]]); only the byte→feature step is a
+    * deterministic stand-in for a codec the container cannot ship.
+    * Replace the feature body with a real decoder at deployment; the
+    * signature (bytes in, kind + fixed-dim float features out) is the
+    * contract.
     */
   def decodeStub(bytes: Array[Byte], featureDim: Int): (String, Array[Float]) = {
-    val kind =
-      if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 0x50) "png"
-      else if (bytes.length >= 3 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
-      else "unknown"
+    val kind = parseImageMeta(bytes)._1
     val feat = new Array[Float](featureDim)
     var i = 0
     while (i < bytes.length) {

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caching.TrackedDf
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -186,7 +187,7 @@ object Similarity {
       .withColumn("allbits",
         graft.functions.VectorExprs.hyperplaneBucket(col("v"), nTables * nBits))
       .withColumn("nrm", norm2(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val mask = (1L << nBits) - 1
     val tableBuckets = (0 until nTables).map(tb =>
       shiftright(col("allbits"), tb * nBits).bitwiseAND(lit(mask)))
@@ -253,7 +254,7 @@ object Similarity {
     val v = Dedup.rebalance(df)
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val tableBuckets = (0 until nTables).map(tb =>
       graft.functions.VectorExprs.hyperplaneBucketAt(col("v"), nBits, tb * nBits))
     val banded = v.select(col(idCol),
@@ -293,7 +294,7 @@ object Similarity {
     val sample = df.where(pmod(col(idCol), lit(sampleMod)) === 0)
     val exact = nearDupCosineExact(sample, idCol, vecCol, threshold)
       .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val banded = nearDupCosineBanded(df, idCol, vecCol, threshold, targetBucketRows, nTables)
       .select(col("id_a").as("la"), col("id_b").as("lb"))
     val hit = exact
@@ -333,7 +334,7 @@ object Similarity {
     val sample = df.where(pmod(col(idCol), lit(sampleMod)) === 0)
     val exact = nearDupCosineExact(sample, idCol, vecCol, threshold)
       .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val lsh = nearDupCosineLsh(df, idCol, vecCol, threshold, dims, nBits)
       .select(col("id_a").as("la"), col("id_b").as("lb"))
     val hit = exact
@@ -387,7 +388,7 @@ object Similarity {
       k: Int,
       iters: Int = 5): DataFrame = {
     val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     var cents = c.orderBy(col("vid")).limit(k)
       .select(row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("vid"))).as("cell_id"),
@@ -533,7 +534,7 @@ object Similarity {
     require(dims % nSub == 0, "dims must divide into equal subspaces")
     val subDim = dims / nSub
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     // ---- IVF stage: untrained lowest-id cells, scan-stage assignment
     val cents = c.orderBy(col("neighbor_id")).limit(nCells)

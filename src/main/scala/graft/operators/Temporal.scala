@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caching.TrackedDf
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -209,7 +210,7 @@ object Temporal {
       typeCol: String,
       zThreshold: Double): DataFrame = {
     val daily = dailyCounts(events, tsCol, typeCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     zFlag(daily.join(broadcast(dailyStats(daily)), "event_type"), zThreshold)
       .select(col("event_type"), col("day"), col("n_events"),
         (floor(col("z") * 10000 + lit(0.5)) / 10000).as("z"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Caching.TrackedDf
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -154,7 +155,7 @@ object TextAnalysis {
     // vocabulary projection (first occurrences win — deterministic)
     val docTokens = df.select(col(idCol).as("doc"),
       explode(slice(array_distinct(tokens(col(textCol))), 1, maxTokensPerDoc)).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     // corpus size stays IN the plan (single-row broadcast cross-join):
     // building this operator must not trigger a Spark job (SURVEY §4
     // rule 1 — no materialization inside operators)
@@ -235,7 +236,7 @@ object TextAnalysis {
           |  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""".stripMargin)).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val counts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_bigram"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val prefix = counts.groupBy(col("w1")).agg(sum(col("n_bigram")).as("n_prefix"))
     counts.join(broadcast(prefix), "w1")
       .where(col("n_bigram") >= minCount)
@@ -309,7 +310,7 @@ object TextAnalysis {
     val cnts = Dedup.rebalance(df)
       .select(explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val sigd = cnts.select(col("tok"), col("n"),
       posexplode(VectorExprs.minhashSig(
         array(VectorExprs.tokenHash64(col("tok"))), d)).as(Seq("i", "perm")))

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.Caching.TrackedDf
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -241,7 +242,7 @@ object Streams {
       .select(col("id_new"), col("set_a"), col("bh_new"),
         posexplode(col("bh_new")).as(Seq("band", "band_sig")))
     val c = withBands(corpus, "id_old", "set_b", "bh_old")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
       .select(col("id_old"), col("set_b"), col("bh_old"),
         posexplode(col("bh_old")).as(Seq("band", "band_sig")))
     val firstMatch = !exists(

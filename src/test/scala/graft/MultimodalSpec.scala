@@ -53,6 +53,55 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.toSeq == Seq((0L, 0L), (1L, 25L), (2L, 50L), (3L, 75L)))
   }
 
+  test("parseImageMeta reads real PNG IHDR dimensions") {
+    // genuine header bytes of a 1920x1080 RGBA PNG (signature + IHDR)
+    val png = bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x07, 0x80,   // width  1920
+      0x00, 0x00, 0x04, 0x38,   // height 1080
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00)
+    assert(Multimodal.parseImageMeta(png) == ("png", 1920L, 1080L))
+    // truncated past the magic: kind survives, dims do not
+    assert(Multimodal.parseImageMeta(png.take(10)) == ("png", 0L, 0L))
+  }
+
+  test("parseImageMeta walks JPEG markers to SOF (baseline and progressive)") {
+    def seg(marker: Int, payload: Int*): Seq[Int] =
+      Seq(0xFF, marker, (payload.length + 2) >> 8, (payload.length + 2) & 0xFF) ++ payload
+    val dims = Seq(0x08, 0x01, 0x00, 0x02, 0x80, 0x03) // prec, h=256, w=640, 3 comps
+    // SOF0 after APP0 + COM + DQT — the walk must skip by lengths
+    val baseline = bytes((Seq(0xFF, 0xD8) ++
+      seg(0xE0, 0x4A, 0x46, 0x49, 0x46, 0x00) ++
+      seg(0xFE, 0x68, 0x69) ++
+      seg(0xDB, 0x00, 0x01, 0x02) ++
+      seg(0xC0, dims: _*) ++ Seq(0xFF, 0xD9)): _*)
+    assert(Multimodal.parseImageMeta(baseline) == ("jpeg", 640L, 256L))
+    // progressive (SOF2 = 0xC2) parses identically
+    val progressive = bytes((Seq(0xFF, 0xD8) ++
+      seg(0xE1, 0x45, 0x78, 0x69, 0x66) ++
+      seg(0xC2, dims: _*)): _*)
+    assert(Multimodal.parseImageMeta(progressive) == ("jpeg", 640L, 256L))
+    // DHT (C4) is NOT a frame header and must be skipped, not parsed
+    val withDht = bytes((Seq(0xFF, 0xD8) ++
+      seg(0xC4, 0x00, 0x11, 0x22, 0x33, 0x44, 0x55) ++
+      seg(0xC0, dims: _*)): _*)
+    assert(Multimodal.parseImageMeta(withDht) == ("jpeg", 640L, 256L))
+    // EOI before any SOF: jpeg kind, no dims; garbage: unknown
+    assert(Multimodal.parseImageMeta(bytes(0xFF, 0xD8, 0xFF, 0xD9)) == ("jpeg", 0L, 0L))
+    assert(Multimodal.parseImageMeta("not an image".getBytes) == ("unknown", 0L, 0L))
+  }
+
+  test("constructed payloads round-trip through imageMeta (the query contract)") {
+    val df = Seq((2L, 800, 600), (3L, 33, 47)).toDF("id", "w", "h")
+      .select(col("id"),
+        when(col("id") % 2 === 0, Multimodal.pngPayload(col("w"), col("h")))
+          .otherwise(Multimodal.jpegPayload(col("w"), col("h"))).as("payload"))
+    val out = Multimodal.imageMeta(df, "id", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(out == Set((2L, "png", 800L, 600L, 33L), (3L, "jpeg", 33L, 47L, 51L)))
+  }
+
   test("utf8 payload round-trips through binary column") {
     val df = Seq((1L, "héllo wörld")).toDF("id", "text")
     val back = df.select(decode(Multimodal.utf8Payload(col("text")), "UTF-8").as("t"))
