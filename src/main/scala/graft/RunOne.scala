@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
-    val pos = args.filterNot(_.startsWith("--"))
+    // drop flags AND their values ("--reps 3" must not leak "3" into
+    // the positional sfDir slot)
+    val pos = args.zipWithIndex.filterNot { case (a, i) =>
+      a.startsWith("--") || (i > 0 && args(i - 1) == "--reps")
+    }.map(_._1)
     val name = pos.headOption.getOrElse(sys.error("usage: RunOne <query> [sfDir]"))
     val sfDir = pos.lift(1).getOrElse("/root/testdata/sf0.1")
     val explain = args.contains("--explain")

@@ -220,6 +220,17 @@ class PlanAuditSpec extends SparkSpec {
                                 // centering joins broadcast
   }
 
+  test("round-6 pins: sketch gate and banded near-dup shuffle budgets") {
+    spark.catalog.clearCache()
+    budgets2Check(Map(
+      "quantile_gate_sketch" -> 1, // histogram agg only; cum walk runs on
+                                   // the nBins-bounded single partition,
+                                   // threshold row broadcasts back
+      "neardup_cosine_bucketed" -> 5)) // band explode self-join + pair
+                                   // dedup + two id joins against the
+                                   // persisted vector table
+  }
+
   test("round-4 joins: boilerplate broadcast probe, q7/q10 shapes") {
     val bp = plan("boilerplate_score")
     assert(bp.contains("BroadcastHashJoin"), s"frequent-set probe not broadcast:\n$bp")
