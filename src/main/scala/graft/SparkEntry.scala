@@ -535,6 +535,16 @@ object SparkEntry {
       Similarity.bandedRecallEval(t(s, dir, "embeddings"), "vec_id", "embedding",
         0.4, 64, 6, 2)),
 
+    // semantic (embedding-space) decontamination: max cosine vs the
+    // broadcast-packed benchmark computed row-locally in the scan
+    // stage — zero shuffle, the shingle gate's paraphrase-proof twin
+    "decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticContamination(
+        emb.where(col("vec_id") >= 10), emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", 0.35)
+    }),
+
     "ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.annTopKBruteForce(
@@ -922,6 +932,14 @@ object SparkEntry {
     // per-doc mean is an order-independent integer sum
     "doc_perplexity" -> ((s, dir) =>
       TextAnalysis.docPerplexity(t(s, dir, "documents"), "doc_id", "text")),
+
+    // DSIR importance weights: target-LM vs corpus-LM log-ratio per
+    // doc (target = English subcorpus), log-ratios frozen once per
+    // bigram as integer micro-bits — the data-selection tilt toward a
+    // target domain, as an order-independent integer sum
+    "dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en")),
 
     // CCNet-style head/middle/tail terciles per language by LM
     // surprisal: two broadcast percentile cutoffs per lang, bucket
@@ -2172,6 +2190,18 @@ object SparkEntry {
                 ELSE floor(n_hit::DOUBLE / n_exact * 10000 + 0.5) / 10000 END AS recall
          FROM t, h""",
 
+    // max over bit-identical per-pair cosines is order-independent,
+    // so the aggregate max equals the packed-array row-local max
+    "decontaminate_semantic" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         bench AS (SELECT vec_id, e FROM v WHERE vec_id < 10),
+         corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 10),
+         m AS (SELECT c.vec_id, max(${duckCos("c.e", "b.e")}) AS mc
+               FROM corp c CROSS JOIN bench b GROUP BY c.vec_id)
+         SELECT vec_id, floor(mc * 1000000 + 0.5) / 1000000 AS max_cos,
+           mc >= 0.35 AS contaminated
+         FROM m""",
+
     // Replays the native hyperplane bucketing exactly: the ±1 sign
     // matrix is embedded as literals (same SplitMix64 derivation as
     // the kernel), and each projection folds in index order, so the
@@ -3324,6 +3354,31 @@ object SparkEntry {
                 FROM c JOIN p USING (w1))
          SELECT doc_id, count(*) AS n_bigrams,
            floor(sum(ubits)::DOUBLE / count(*) + 0.5) / 1000000 AS avg_bits
+         FROM bb JOIN lm USING (w1, w2) GROUP BY doc_id""",
+
+    // add-one-smoothed target/corpus LM log-ratio, frozen per bigram
+    // as micro-bits (same libm-double protocol as doc_perplexity),
+    // doc weight = integer sum
+    "dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
+                      list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         b AS (SELECT doc_id, is_t, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+               FROM t WHERE len(toks) >= 2),
+         bb AS (SELECT doc_id, is_t, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+         c AS (SELECT w1, w2, count(*) AS n_all,
+                 coalesce(sum(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS n_t
+               FROM bb GROUP BY 1, 2),
+         tot AS (SELECT sum(n_all)::BIGINT AS nn_all, sum(n_t)::BIGINT AS nn_t,
+                   count(*)::BIGINT AS vocab FROM c),
+         lm AS (SELECT w1, w2,
+                  floor((log2((n_t + 1)::DOUBLE / (nn_t + vocab))
+                       - log2((n_all + 1)::DOUBLE / (nn_all + vocab)))
+                    * 1000000 + 0.5)::BIGINT AS rbits
+                FROM c, tot)
+         SELECT doc_id, count(*) AS n_bigrams, sum(rbits)::BIGINT AS dsir_mbits,
+           sum(rbits) > 0 AS target_like
          FROM bb JOIN lm USING (w1, w2) GROUP BY doc_id""",
 
     "quality_buckets" ->

@@ -348,6 +348,43 @@ object Similarity {
           + lit(0.5)) / 10000).as("recall"))
   }
 
+  /** Semantic benchmark decontamination — the embedding-side
+    * complement of [[Corpus.contamination]]'s shingle overlap: a
+    * paraphrased or translated eval item shares no n-grams with its
+    * source but still sits next to it in embedding space, so modern
+    * pipelines gate on BOTH signals. Per corpus document: the max
+    * cosine against ANY benchmark vector, and the flag at `threshold`.
+    *
+    * 100 TB path: eval sets are tiny (KBs of vectors vs TBs of
+    * corpus), so the ENTIRE benchmark packs into one broadcast row
+    * (the IVF packed-centroid pattern) and the max-cosine is a
+    * row-local `transform` + `array_max` in the scan stage — ZERO
+    * shuffle, no corpus×bench row materialization, no join. Cosines
+    * fold in fixed index order (the native dot kernel), so the max —
+    * and therefore the flag — is bit-reproducible in any engine.
+    *
+    * @return (id, max_cos, contaminated) one row per corpus vector
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val bench = benchmark
+      .select(col(idCol).as("bid"), asDouble(col(vecCol)).as("bv"))
+      .agg(sort_array(collect_list(struct(col("bid"), col("bv")))).as("bench"))
+    corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .crossJoin(broadcast(bench))
+      .select(col(idCol),
+        array_max(transform(col("bench"),
+          b => cosine(col("v"), b.getField("bv")))).as("mc"))
+      .select(col(idCol),
+        (floor(col("mc") * 1000000 + lit(0.5)) / 1000000).as("max_cos"),
+        (col("mc") >= threshold).as("contaminated"))
+  }
+
   /** Lloyd's k-means over the corpus (deterministic seeding: the k
     * lowest-id vectors). Fully distributed: assignment is a broadcast
     * argmin, centroid update explodes dimensions and averages per

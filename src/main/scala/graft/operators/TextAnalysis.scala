@@ -378,4 +378,62 @@ object TextAnalysis {
         (floor(col("s").cast("double") / col("n_bigrams") + lit(0.5)) / 1000000)
           .as("avg_bits"))
   }
+
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * per document, the log-likelihood ratio of a TARGET-domain n-gram
+    * LM over the general-corpus LM — positive means "looks like the
+    * target domain", and resampling ∝ the ratio tilts a raw crawl
+    * toward the target distribution. Features are adjacent-token
+    * bigrams with add-one smoothing over the shared corpus vocabulary
+    * (a bigram unseen in the target must penalize, not crash).
+    *
+    * Exactness protocol: each bigram's log-ratio is frozen ONCE in the
+    * vocab²-bounded LM table as integer micro-bits —
+    * floor((log2((c_t+1)/(N_t+V)) − log2((c_all+1)/(N_all+V)))·10⁶+½)
+    * — so the per-doc weight is an order-independent INTEGER sum,
+    * reproducible at any parallelism (a float log-sum would be
+    * merge-order-dependent and unhashable).
+    *
+    * Scale shape (the docPerplexity proven plan): bigram generation is
+    * a row-local zip; both LM counts live in ONE vocab²-bounded table
+    * (target counts as a conditional sum in the same agg — the target
+    * corpus is a subset, not a second scan); the three global totals
+    * reduce to a single broadcast row; scoring joins doc bigrams to
+    * the LM on (w1, w2). The corpus is scanned twice (counts, score),
+    * never cached at corpus scale.
+    *
+    * @param targetPred row predicate defining the target domain
+    * @return (id, n_bigrams, dsir_mbits, target_like) — dsir_mbits is
+    *         the summed micro-bits log-ratio; target_like = sum > 0
+    */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column): DataFrame = {
+    val bi = Dedup.rebalance(df)
+      .select(col(idCol), targetPred.as("is_t"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col(idCol), col("is_t"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""".stripMargin)).as("bg"))
+      .select(col(idCol), col("is_t"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_all"),
+        coalesce(sum(when(col("is_t"), 1L).otherwise(0L)), lit(0L)).as("n_t"))
+    val totals = counts.agg(
+      sum(col("n_all")).as("nn_all"), sum(col("n_t")).as("nn_t"),
+      count(lit(1)).as("vocab"))
+    val lm = counts.crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"),
+        floor((log2((col("n_t") + 1).cast("double") / (col("nn_t") + col("vocab")))
+          - log2((col("n_all") + 1).cast("double") / (col("nn_all") + col("vocab"))))
+          * 1000000 + lit(0.5)).cast("long").as("rbits"))
+    bi.join(lm, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("rbits")).as("dsir_mbits"))
+      .select(col(idCol), col("n_bigrams"), col("dsir_mbits"),
+        (col("dsir_mbits") > 0).as("target_like"))
+  }
 }

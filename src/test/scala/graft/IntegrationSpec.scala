@@ -112,6 +112,43 @@ class IntegrationSpec extends SparkSpec {
     assert(graft.operators.TextAnalysis.docPerplexity(edge, "doc_id", "text").isEmpty)
   }
 
+  test("dsirWeights: target-domain docs score positive, off-domain negative") {
+    import spark.implicits._
+    // disjoint vocabularies: target bigrams are frequent in-target and
+    // absent elsewhere, so the smoothed log-ratio must split by sign
+    val docs = Seq(
+      (1L, "t", "x y x y x y"), (2L, "t", "x y x y"),
+      (3L, "c", "p q p q p q"), (4L, "c", "p q p q")).toDF("doc_id", "d", "text")
+    val got = graft.operators.TextAnalysis
+      .dsirWeights(docs, "doc_id", "text", col("d") === "t")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L)._2 && got(2L)._2, s"target docs not target_like: $got")
+    assert(!got(3L)._2 && !got(4L)._2, s"off-domain docs flagged: $got")
+    assert(got(1L)._1 > 0 && got(3L)._1 < 0)
+    // weights are deterministic integers (rerun identical)
+    val again = graft.operators.TextAnalysis
+      .dsirWeights(docs, "doc_id", "text", col("d") === "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == got.map { case (k, v) => k -> v._1 })
+  }
+
+  test("semanticContamination: flags only corpus vectors near a benchmark vector") {
+    import spark.implicits._
+    val bench = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.95f, 0.05f, 0.0f)),  // near bench 1
+      (11L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal
+      (12L, Array(-1.0f, 0.0f, 0.0f))    // opposite
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .semanticContamination(corpus, bench, "vec_id", "embedding", 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got(10L)._2, s"near-duplicate of benchmark not flagged: $got")
+    assert(!got(11L)._2 && !got(12L)._2, s"unrelated vectors flagged: $got")
+    assert(got(11L)._1 == 0.0 && got(12L)._1 == -1.0)
+  }
+
   test("qualityBuckets: tercile cutoffs per language, degenerate lang goes head") {
     import spark.implicits._
     val scored = (Seq.tabulate(6)(i => (i + 1L, "en", (i + 1).toDouble)) :+
