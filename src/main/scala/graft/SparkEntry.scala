@@ -461,6 +461,12 @@ object SparkEntry {
         .select(col("id_new"), col("id_old"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // Lee-et-al-style duplicated-span stats: positioned 16-token
+    // window hashes (8-byte FNV, text never shuffled), hash-keyed dup
+    // count, exact interval-union coverage in closed integer form
+    "substring_dup_stats" -> ((s, dir) =>
+      Dedup.substringDupStats(t(s, dir, "documents"), "doc_id", "text", 16)),
+
     // clustering input is the EXACT Jaccard pair set (PPJoin), not
     // minhash: LSH recall at threshold 0.6 is ~98.8% per pair, which
     // would make the recursive-CTE oracle only data-dependently green;
@@ -2025,6 +2031,38 @@ object SparkEntry {
                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
                FROM s a JOIN s b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.6""",
+
+    // positioned 16-token windows grouped by shingle TEXT (the
+    // injective-in-practice FNV equivalence every shingle oracle
+    // uses); coverage = win + Σ min(win, Δpos) over sorted starts —
+    // exact interval union in closed integer form
+    "substring_dup_stats" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         sh AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, unnest(
+                  CASE WHEN len(toks) >= 16
+                    THEN list_transform(generate_series(1, len(toks) - 15),
+                           i -> struct_pack(pos := (i - 1)::BIGINT,
+                                            s := array_to_string(toks[i:i+15], ' ')))
+                    ELSE [struct_pack(pos := 0::BIGINT, s := array_to_string(toks, ' '))]
+                  END) AS w FROM t),
+         ww AS (SELECT doc_id, n_tokens, w.pos AS pos, w.s AS s FROM sh),
+         dup AS (SELECT s FROM (SELECT s, count(*) AS c FROM ww GROUP BY s) WHERE c >= 2),
+         dp AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                  count(*) AS n_dup_windows, list_sort(list(pos)) AS ps
+                FROM ww WHERE s IN (SELECT s FROM dup) GROUP BY doc_id),
+         cov AS (SELECT doc_id, n_dup_windows,
+                   least(16, n_tokens)
+                   + coalesce(list_sum(list_transform(generate_series(2, len(ps)),
+                       i -> least(least(16, n_tokens), ps[i] - ps[i-1]))), 0) AS covered
+                 FROM dp),
+         tot AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                   count(*) AS n_windows FROM ww GROUP BY doc_id)
+         SELECT t.doc_id, t.n_tokens, t.n_windows,
+           coalesce(c.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           floor(coalesce(c.covered, 0)::DOUBLE / greatest(t.n_tokens, 1) * 10000 + 0.5)
+             / 10000 AS dup_token_frac
+         FROM tot t LEFT JOIN cov c USING (doc_id)""",
 
     "dedup_minhash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks

@@ -449,6 +449,71 @@ object Dedup {
         col(s"winner.$scoreCol").as(scoreCol), col("n_members"))
   }
 
+  /** Exact duplicated-SPAN statistics — the window-level view behind
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2021): suffix-array substring dedup re-expressed as
+    * positioned fixed-width window hashes, the shape that distributes
+    * (a suffix array over 100 TB does not). Per document: how many of
+    * its `window`-token windows occur ≥2 times corpus-wide, and the
+    * FRACTION OF ITS TOKENS covered by at least one duplicated window
+    * — the number that decides between dropping the doc and slicing
+    * the span.
+    *
+    * Coverage is exact interval union in closed form: with window
+    * starts sorted, each window past the first adds
+    * min(window, pᵢ − pᵢ₋₁) new tokens, so union size =
+    * win + Σ min(win, Δp) — pure integer arithmetic over the per-doc
+    * sorted position array, no fold state, replayable in any engine.
+    *
+    * Scale shape: positioned window hashes are (id, pos, 8-byte FNV)
+    * rows — text never on the wire; duplicate detection is one
+    * hash-keyed count; the position join and the per-doc position
+    * collect are id/hash-keyed shuffles. Per-doc position arrays are
+    * bounded by doc length (windows ≪ tokens), never corpus-sized.
+    *
+    * @return (id, n_tokens, n_windows, n_dup_windows, dup_token_frac)
+    */
+  def substringDupStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int): DataFrame = {
+    val base = rebalance(df).select(
+      col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode(TextAnalysis.shingles(col("toks"), window)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("n_tokens"), col("pos").cast("long").as("pos"),
+        graft.functions.VectorExprs.tokenHash64(col("sh")).as("h"))
+      .persistTracked
+    val dupHashes = base.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= 2)
+      .select(col("h"))
+    val winEff = least(lit(window.toLong), col("n_tokens"))
+    val perDoc = base.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+      // Spark's sequence(2, 1) DESCENDS instead of being empty, so the
+      // single-window doc must bypass the Δp sum explicitly
+      .withColumn("covered",
+        winEff + when(size(col("ps")) >= 2, aggregate(
+          transform(sequence(lit(2), size(col("ps"))),
+            i => least(winEff,
+              element_at(col("ps"), i) - element_at(col("ps"), i - 1))),
+          lit(0L), (acc, x) => acc + x)).otherwise(lit(0L)))
+    base.groupBy(col(idCol), col("n_tokens"))
+      .agg(count(lit(1)).as("n_windows"))
+      .join(perDoc.select(col(idCol), col("n_dup_windows"), col("covered")),
+        Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (floor(coalesce(col("covered"), lit(0L)).cast("double")
+          / greatest(col("n_tokens"), lit(1L))
+          * 10000 + lit(0.5)) / 10000).as("dup_token_frac"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** 64-bit SimHash per doc: each token's hash votes ±1 on 64 bit

@@ -14,6 +14,26 @@ class DedupSpec extends SparkSpec {
     (5L, "unrelated words describing window functions and watermark semantics now")
   ).toDF("doc_id", "text")
 
+  test("substringDupStats: interval-union coverage matches hand computation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),       // shares "a b c","b c d" with doc 2
+      (2L, "a b c d x"),
+      (3L, "z z z z z z z"),   // 5 identical windows: within-doc dups
+      (4L, "q r s")            // single unique whole window
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.substringDupStats(docs, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // docs 1/2: dup windows at pos 0,1 -> covered = 3 + min(3,1) = 4 of 5
+    assert(got(1L) == ((5L, 3L, 2L, 0.8)), s"got $got")
+    assert(got(2L) == ((5L, 3L, 2L, 0.8)))
+    // doc 3: ps=[0..4] -> covered = 3 + 4*1 = 7 of 7
+    assert(got(3L) == ((7L, 5L, 5L, 1.0)))
+    assert(got(4L) == ((3L, 1L, 0L, 0.0)))
+  }
+
   test("exact dedup keeps one survivor per distinct content") {
     val out = Dedup.exact(docs, "doc_id", "text")
       .select("doc_id", "n_copies").collect()
