@@ -226,9 +226,16 @@ class PlanAuditSpec extends SparkSpec {
       "quantile_gate_sketch" -> 1, // histogram agg only; cum walk runs on
                                    // the nBins-bounded single partition,
                                    // threshold row broadcasts back
-      "neardup_cosine_bucketed" -> 5)) // band explode self-join + pair
+      "neardup_cosine_bucketed" -> 5, // band explode self-join + pair
                                    // dedup + two id joins against the
                                    // persisted vector table
+      "decontaminate_semantic" -> 0, // corpus NEVER shuffled: bench
+                                   // packs to one broadcast row, max
+                                   // cosine is scan-stage row-local
+      "dsir_weights" -> 5,         // vocab²-bounded LM aggs + the
+                                   // (w1,w2) scoring join + doc agg
+      "substring_dup_stats" -> 6)) // window-hash count + semi join +
+                                   // per-doc position collect + totals
   }
 
   test("round-4 joins: boilerplate broadcast probe, q7/q10 shapes") {
