@@ -198,4 +198,47 @@ class EdgeCaseSpec extends SparkSpec {
       Seq.empty[(Long, Double)].toDF("id", "price"), "price", 1000L, 16,
       Seq(0.5)).count() == 0)
   }
+
+  test("round-6 operators tolerate empty and degenerate inputs") {
+    import graft.operators.Corpus
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // banded near-dup on an empty corpus: count()=0 -> 1-bit plan, no rows
+    assert(Similarity.nearDupCosineBanded(
+      emptyVecs, "vec_id", "embedding", 0.4).count() == 0)
+    // a single vector can never pair with itself
+    assert(Similarity.nearDupCosineBanded(
+      Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 0.4).count() == 0)
+    // recall harness on empty: n_exact=0 reports recall 1.0 by contract
+    val r = Similarity.bandedRecallEval(
+      emptyVecs, "vec_id", "embedding", 0.4, 64, 6, 2).collect().head
+    assert(r.getAs[Long]("n_exact") == 0L && r.getAs[Double]("recall") == 1.0)
+    // semantic contamination with an EMPTY benchmark: max over an
+    // empty packed array is null -> flag must be null-safe-false rows,
+    // or no rows at all; either way it must not throw
+    val sc = Similarity.semanticContamination(
+      Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      emptyVecs, "vec_id", "embedding", 0.5)
+    assert(sc.where(col("contaminated")).count() == 0)
+    // substring stats on empty / sub-window docs
+    assert(Dedup.substringDupStats(emptyDocs, "doc_id", "text", 16).count() == 0)
+    val tiny = Dedup.substringDupStats(
+      Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(tiny == Map(1L -> 1.0, 2L -> 1.0), s"got $tiny") // whole-doc dup
+    // sketch-gated quantile filter: empty corpus -> no rows, no NPE
+    assert(Corpus.quantileFilterSketch(
+      Seq.empty[(Long, Double)].toDF("id", "score"), "score", 0.75, 100L, 64)
+      .count() == 0)
+    // DSIR with an EMPTY target partition: add-one smoothing makes the
+    // target LM uniform, so common corpus bigrams score negative (and
+    // rare ones may legitimately score positive — uniform beats the
+    // corpus LM on its own tail). One row per scoreable doc, no crash;
+    // the doc made of the most common bigram must be negative.
+    val d = TextAnalysis.dsirWeights(
+      Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text"),
+      "doc_id", "text", lit(false))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(d.size == 2 && d(2L) < 0, s"got $d")
+  }
 }
