@@ -196,4 +196,36 @@ class NativeExprPropertySpec extends SparkSpec {
       assert(math.abs(qi / s - x) <= 0.5 / s + 1e-12, s"component $x -> $qi")
     }
   }
+
+  test("parseImageMeta never throws on arbitrary bytes (1000 fuzz cases)") {
+    // a header parser fed corpus-scale binary columns will see every
+    // possible byte soup; malformed media must be data, not exceptions
+    import graft.operators.Multimodal
+    (0 until 1000).foreach { i =>
+      val len = rnd.nextInt(64)
+      val bs = new Array[Byte](len)
+      rnd.nextBytes(bs)
+      // bias half the cases toward magic prefixes so the PNG/JPEG
+      // branches (not just the unknown fallthrough) get fuzzed
+      if (i % 4 == 0 && len >= 4) {
+        bs(0) = 0x89.toByte; bs(1) = 0x50; bs(2) = 0x4E; bs(3) = 0x47
+      } else if (i % 4 == 1 && len >= 3) {
+        bs(0) = 0xFF.toByte; bs(1) = 0xD8.toByte; bs(2) = 0xFF.toByte
+      }
+      val (kind, w, h) = Multimodal.parseImageMeta(bs)
+      assert(Set("png", "jpeg", "unknown")(kind))
+      assert(w >= 0 && h >= 0, s"negative dims on case $i")
+    }
+  }
+
+  test("hyperplaneBucketAt on random vectors: bit b at offset o == global bit o+b") {
+    (0 until 50).foreach { _ =>
+      val v = Array.fill(16)(rnd.nextDouble() * 2 - 1)
+      val row = Seq(Tuple1(v)).toDF("v").select(
+        VectorExprs.hyperplaneBucket(col("v"), 40).as("wide"),
+        VectorExprs.hyperplaneBucketAt(col("v"), 8, 17).as("slice"))
+        .collect().head
+      assert(row.getLong(1) == ((row.getLong(0) >> 17) & 0xFFL))
+    }
+  }
 }
