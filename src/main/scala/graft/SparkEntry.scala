@@ -541,6 +541,17 @@ object SparkEntry {
       Similarity.bandedRecallEval(t(s, dir, "embeddings"), "vec_id", "embedding",
         0.4, 64, 6, 2)),
 
+    // incremental banded cosine: the daily batch (vec_id%10=0) banded
+    // against the corpus index (%10≠0) — never corpus×corpus; bits
+    // follow the CORPUS size, the side that grows
+    "neardup_cosine_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.nearDupCosineBandedIncremental(
+        emb.where(col("vec_id") % 10 === 0), emb.where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", 0.4)
+        .select(col("id_new"), col("id_old"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // semantic (embedding-space) decontamination: max cosine vs the
     // broadcast-packed benchmark computed row-locally in the scan
     // stage — zero shuffle, the shingle gate's paraphrase-proof twin
@@ -1754,9 +1765,9 @@ object SparkEntry {
     * candidate pairs from per-table bucket equality (bcand), exact
     * cosine on candidates (bpairs, unthresholded — callers filter).
     */
-  private def duckBandedCtes(nTables: Int = 6): String =
+  private def duckBandedCtes(nTables: Int = 6, countWhere: String = ""): String =
     s"""bpar AS (SELECT $duckBandedNb AS nb
-                 FROM (SELECT (count(*) + 63) // 64 AS m FROM v)),
+                 FROM (SELECT (count(*) + 63) // 64 AS m FROM v $countWhere)),
        bsgm AS (SELECT ${duckSignMatrix(48, 64)} AS sm),
        bbv AS (SELECT vec_id, e, tt.tbl,
                  list_sum(list_transform(generate_series(1, nb),
@@ -2227,6 +2238,22 @@ object SparkEntry {
            CASE WHEN n_exact = 0 THEN 1.0
                 ELSE floor(n_hit::DOUBLE / n_exact * 10000 + 0.5) / 10000 END AS recall
          FROM t, h""",
+
+    // batch×corpus banded replay: bits from the CORPUS-side count,
+    // candidates only across the new/old boundary — the oracle pins
+    // that no corpus×corpus (or batch×batch) pair can ever appear
+    "neardup_cosine_incremental" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${duckBandedCtes(6, "WHERE vec_id % 10 <> 0")},
+         icand AS (SELECT a.vec_id AS id_new, b.vec_id AS id_old
+                   FROM bbv a JOIN bbv b
+                     ON a.tbl = b.tbl AND a.bucket = b.bucket
+                     AND a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+                   GROUP BY 1, 2),
+         ip AS (SELECT c.id_new, c.id_old, ${duckCos("va.e", "vb.e")} AS cs
+                FROM icand c JOIN v va ON va.vec_id = c.id_new
+                JOIN v vb ON vb.vec_id = c.id_old)
+         SELECT id_new, id_old, round(cs, 6) AS cosine FROM ip WHERE cs >= 0.4""",
 
     // max over bit-identical per-pair cosines is order-independent,
     // so the aggregate max equals the packed-array row-local max

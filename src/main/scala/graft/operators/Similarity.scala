@@ -273,6 +273,53 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Incremental banded cosine near-dup: each NEW vector against the
+    * accumulated CORPUS, never corpus×corpus — the daily-increment
+    * shape of [[Dedup.minHashNearDupsIncremental]] on the embedding
+    * channel. Bucket bits follow the CORPUS size (the side that
+    * grows; at deployment the corpus's (tbl, bucket) keys are the
+    * persisted index and its row count comes from catalog stats), so
+    * re-indexing cost and bucket sizes stay bounded as the corpus
+    * accumulates. Shuffle rows are (8-byte id, tbl, bucket) —
+    * O((new + corpus)·tables); exact cosine verify touches only
+    * bucket collisions.
+    *
+    * @return (id_new, id_old, cosine) — every near-dup link from the
+    *         batch into the corpus (a batch vector may hit many)
+    */
+  def nearDupCosineBandedIncremental(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      targetBucketRows: Long = 64,
+      nTables: Int = 6): DataFrame = {
+    val nBits = lshPlanBits(corpusDf.count(), targetBucketRows)
+    def prep(df: DataFrame) = Dedup.rebalance(df)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .persistTracked
+    def banded(v: DataFrame, as: String) = {
+      val tableBuckets = (0 until nTables).map(tb =>
+        graft.functions.VectorExprs.hyperplaneBucketAt(col("v"), nBits, tb * nBits))
+      v.select(col(idCol).as(as),
+        posexplode(array(tableBuckets: _*)).as(Seq("tbl", "bucket")))
+    }
+    val nv = prep(newDf)
+    val cv = prep(corpusDf)
+    val cands = banded(nv, "id_new")
+      .join(banded(cv, "id_old"), Seq("tbl", "bucket"))
+      .select("id_new", "id_old")
+      .distinct()
+    cands
+      .join(nv.select(col(idCol).as("id_new"), col("v").as("va"), col("nrm").as("na")), "id_new")
+      .join(cv.select(col(idCol).as("id_old"), col("v").as("vb"), col("nrm").as("nb")), "id_old")
+      .withColumn("cosine", dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_new"), col("id_old"), col("cosine"))
+  }
+
   /** Measured recall of [[nearDupCosineBanded]] AT ITS DEPLOYED
     * PARAMETERS against exact ground truth on a deterministic bounded
     * sample (id % sampleMod == 0 — the same harness contract as

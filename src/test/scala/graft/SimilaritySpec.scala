@@ -110,6 +110,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("recall") > 0.0)
   }
 
+  test("incremental banded near-dup links only across the batch/corpus boundary") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val batch = emb.where(col("vec_id") % 10 === 0)
+    val corpus = emb.where(col("vec_id") % 10 =!= 0)
+    val links = Similarity.nearDupCosineBandedIncremental(
+      batch, corpus, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(links.nonEmpty, "no cross links found at 0.3")
+    links.foreach { case (n, o) =>
+      assert(n % 10 == 0 && o % 10 != 0, s"within-side pair ($n,$o) leaked")
+    }
+    // every emitted link is a true near-dup (exact verify)
+    val exact = Similarity.nearDupCosineExact(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => Set(r.getLong(0), r.getLong(1))).toSet
+    links.foreach { case (n, o) =>
+      assert(exact.contains(Set(n, o)), s"false positive ($n,$o)")
+    }
+  }
+
   test("hyperplane bitOffset selects distinct tables from the global sign stream") {
     // table t at offset t*nBits must reproduce the bit-slice of one
     // packed wide call — the identity the banded operator relies on
