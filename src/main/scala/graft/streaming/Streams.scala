@@ -262,6 +262,59 @@ object Streams {
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
+  /** Streaming incremental cosine near-dup — the embedding-channel
+    * twin of [[incrementalNearDupStream]], mirroring the batch
+    * [[graft.operators.Similarity.nearDupCosineBandedIncremental]]:
+    * each micro-batch of new vectors joins the STATIC corpus
+    * hyperplane band index (stream-static equi-join on (tbl, bucket)),
+    * exact cosine verify on collisions. STATELESS exactly-once pair
+    * emission: a pair colliding in several tables is emitted only from
+    * its FIRST matching table — both sides carry their full bucket
+    * arrays, so "no earlier table matched" is a row-local predicate,
+    * not a stateful distinct.
+    *
+    * `nBits` comes from the corpus size via
+    * [[graft.operators.Similarity.lshPlanBits]] — the caller derives
+    * it once per index build (a stream cannot count the corpus).
+    */
+  def incrementalCosineNearDupStream(
+      newVecs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int,
+      nTables: Int = 6): DataFrame = {
+    import graft.operators.Similarity
+    def withBuckets(df: DataFrame, idAs: String, vAs: String, bAs: String) = {
+      val tableBuckets = (0 until nTables).map(tb =>
+        graft.functions.VectorExprs.hyperplaneBucketAt(
+          Similarity.asDouble(col(vecCol)), nBits, tb * nBits))
+      df.select(col(idCol).as(idAs),
+        Similarity.asDouble(col(vecCol)).as(vAs),
+        array(tableBuckets: _*).as(bAs))
+    }
+    val s = withBuckets(newVecs, "id_new", "va", "bk_new")
+      .select(col("id_new"), col("va"), col("bk_new"),
+        posexplode(col("bk_new")).as(Seq("tbl", "bucket")))
+    val c = withBuckets(corpus, "id_old", "vb", "bk_old")
+      .persistTracked
+      .select(col("id_old"), col("vb"), col("bk_old"),
+        posexplode(col("bk_old")).as(Seq("tbl", "bucket")))
+    // tbl is 0-based, slice length `tbl` = tables strictly before it
+    val firstMatch = !exists(
+      zip_with(
+        slice(col("bk_new"), lit(1), col("tbl")),
+        slice(col("bk_old"), lit(1), col("tbl")),
+        (x, y) => x === y),
+      b => b)
+    s.join(c, Seq("tbl", "bucket"))
+      .where(firstMatch)
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_new"), col("id_old"), col("cosine"))
+  }
+
   /** Streaming daily-volume anomaly gate — the unbounded mirror of
     * [[graft.operators.Temporal.dailyAnomaly]] in the lambda shape:
     * the per-type volume moments come from the BATCH side

@@ -295,6 +295,23 @@ class StreamingEquivalenceSpec extends SparkSpec {
       "streaming sketch diverged from batch linear counting")
   }
 
+  test("incrementalCosineNearDupStream (AvailableNow) == batch banded incremental") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") % 10 =!= 0)
+    val nBits = graft.operators.Similarity.lshPlanBits(corpus.count(), 64)
+    val embSchema = emb.schema
+    val stream = graft.sources.Sources.streamParquet(spark, sfDir, embSchema)
+      .where(col("vec_id").isNotNull && col("embedding").isNotNull
+        && col("vec_id") % 10 === 0)
+    val out = Streams.incrementalCosineNearDupStream(
+      stream, corpus, "vec_id", "embedding", 0.3, nBits)
+    Streams.runToMemoryAvailableNow(out, "eq_coslinks", OutputMode.Append())
+    val batch = graft.operators.Similarity.nearDupCosineBandedIncremental(
+      emb.where(col("vec_id") % 10 === 0), corpus, "vec_id", "embedding", 0.3)
+    assert(rowSet(spark.table("eq_coslinks")) == rowSet(batch),
+      "streaming cosine links diverged from batch incremental")
+  }
+
   test("freqSketchStream (AvailableNow) == batch CMS counter table") {
     val d = 4
     val w = 1024
