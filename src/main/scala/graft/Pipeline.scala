@@ -62,6 +62,23 @@ final class Pipeline private (
     next(repart.persist(StorageLevel.MEMORY_AND_DISK))
   }
 
+  /** `buffer` with laygo's second knob (pipeline.py:221
+    * `buffer(size, batch_size)`): `batchRows` bounds the rows per
+    * buffered chunk. On Spark "chunk" = partition, so the partition
+    * count derives from the ACTUAL row count — persist first, take the
+    * count off the materialized buffer (one cached-scan job, the cost
+    * laygo's eager queue fill also pays), then rebalance to
+    * ceil(rows / batchRows) partitions capped at `numPartitions`
+    * (the queue-depth knob) when both are given.
+    */
+  def buffer(numPartitions: Int, batchRows: Long): Pipeline = {
+    require(batchRows >= 1, "batchRows must be at least 1")
+    val buffered = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val parts = ((buffered.count() + batchRows - 1) / batchRows).toInt.max(1)
+    val target = if (numPartitions > 0) math.min(parts, numPartitions) else parts
+    next(buffered.repartition(target))
+  }
+
   // ---- terminal sinks (pipeline.py:264-365) -------------------------
 
   /** Materialize to the driver — laygo `to_list` (pipeline.py:280).

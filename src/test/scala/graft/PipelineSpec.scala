@@ -102,6 +102,18 @@ class PipelineSpec extends SparkSpec {
     p.toDF.unpersist()
   }
 
+  test("buffer(size, batchRows) bounds rows per chunk (pipeline.py:221 second knob)") {
+    // 100 rows at 25/batch -> 4 partitions; queue-depth cap wins below
+    val p = Pipeline((1 to 100).toDF("x")).buffer(0, 25L)
+    assert(p.toDF.rdd.getNumPartitions == 4, "ceil(rows/batchRows) partitions")
+    assert(p.toList()._1.size == 100)
+    val capped = Pipeline((1 to 100).toDF("x")).buffer(2, 25L)
+    assert(capped.toDF.rdd.getNumPartitions == 2, "numPartitions caps the chunk count")
+    // batch larger than the data: one chunk, never zero
+    assert(Pipeline((1 to 3).toDF("x")).buffer(0, 1000L)
+      .toDF.rdd.getNumPartitions == 1)
+  }
+
   test("apply with raw function (test_pipeline: apply callable)") {
     val out = Pipeline((1 to 4).toDF("x"))
       .apply((df: org.apache.spark.sql.DataFrame) => df.where(col("x") > 2))
