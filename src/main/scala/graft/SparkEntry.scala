@@ -509,6 +509,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // dedup audit report: family-size histogram + removable-doc mass
+    // per size class — two fixed-width keyed aggs over the label table
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = Dedup.clusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6), docs, "doc_id")
+      Dedup.clusterSizeReport(labels)
+    }),
+
     // keep the BEST copy of each duplicate family: longest doc wins,
     // ties to smallest id (partial-aggregable argmax, no window)
     "cluster_survivors" -> ((s, dir) => {
@@ -2183,6 +2192,30 @@ object SparkEntry {
          SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id"""
     },
+
+    // same reach CTE as dedup_clusters; family sizes re-aggregated by
+    // size class with exact integer doc/removable mass
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+         reach(a, b) AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
+                 FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id),
+         m AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
+         SELECT cluster_size, count(*) AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_docs,
+           ((cluster_size - 1) * count(*))::BIGINT AS n_removable
+         FROM m GROUP BY cluster_size""",
 
     // same reach CTE as dedup_clusters; survivor = longest member
     // (ties to min id) via a deterministic per-cluster window

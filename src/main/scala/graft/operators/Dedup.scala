@@ -424,6 +424,30 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id").cast("long")).as("cluster"))
   }
 
+  /** Dedup audit report: the near-dup FAMILY-SIZE distribution — for
+    * each cluster size, how many families and how many documents, plus
+    * the removal each size class contributes (size − 1 per family).
+    * This is the one-page number a dedup run ships with: how much of
+    * the corpus is duplicate mass, and whether it sits in a few huge
+    * families (mirror farms — worth a targeted rule) or a long tail of
+    * pairs.
+    *
+    * Scale shape: two cluster-keyed/size-keyed aggregations over the
+    * (id, cluster) label table — fixed-width rows only, output bounded
+    * by the number of DISTINCT family sizes (≪ corpus).
+    *
+    * @return (cluster_size, n_clusters, n_docs, n_removable) ordered
+    *         output left to the caller/sink
+    */
+  def clusterSizeReport(labels: DataFrame): DataFrame =
+    labels.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+
   /** Survivor per near-dup cluster: the member with the highest
     * `scoreCol` (ties to the smallest id — fully deterministic). This
     * is [[clusters]]' downstream decision step: exact dedup keeps

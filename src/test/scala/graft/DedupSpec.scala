@@ -34,6 +34,20 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((3L, 1L, 0L, 0.0)))
   }
 
+  test("clusterSizeReport: family-size histogram with exact removable mass") {
+    import spark.implicits._
+    // families: {1,2,3} (size 3), {7,8} (size 2), singletons 10, 11
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      10L -> 10L, 11L -> 11L).toDF("id", "cluster")
+    val got = graft.operators.Dedup.clusterSizeReport(labels)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 0L)),   // 2 singleton families, nothing removable
+      2L -> ((1L, 2L, 1L)),
+      3L -> ((1L, 3L, 2L))), s"got $got")
+  }
+
   test("exact dedup keeps one survivor per distinct content") {
     val out = Dedup.exact(docs, "doc_id", "text")
       .select("doc_id", "n_copies").collect()
