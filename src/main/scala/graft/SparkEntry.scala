@@ -481,7 +481,9 @@ object SparkEntry {
     // multi-signal dedup: one cluster graph over BOTH channels — text
     // n-gram Jaccard pairs ∪ embedding cosine pairs (vec_id == doc_id)
     // — so a doc caught by either signal joins the family; same
-    // log-convergence label propagation downstream
+    // log-convergence label propagation downstream. NO distinct() on
+    // the union: min-label propagation is idempotent to duplicate
+    // edges, and the dedup shuffle of the full pair set bought nothing
     "dedup_multisignal" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val textPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.6)
@@ -489,7 +491,7 @@ object SparkEntry {
       val vecPairs = Similarity.nearDupCosineBanded(
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .select(col("id_a"), col("id_b"))
-      Dedup.clusters(textPairs.unionByName(vecPairs).distinct(), docs, "doc_id")
+      Dedup.clusters(textPairs.unionByName(vecPairs), docs, "doc_id")
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
@@ -505,7 +507,7 @@ object SparkEntry {
       val vecPairs = Similarity.nearDupCosineBanded(
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
         .select(col("id_a"), col("id_b"))
-      Dedup.clusters(textPairs.unionByName(vecPairs).distinct(), docs, "doc_id")
+      Dedup.clusters(textPairs.unionByName(vecPairs), docs, "doc_id")
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
