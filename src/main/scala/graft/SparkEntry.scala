@@ -776,6 +776,11 @@ object SparkEntry {
       Corpus.packSequences(t(s, dir, "documents"), "doc_id", "text", 512L, 4)
         .select(col("doc_id"), col("shard"), col("n_tokens"), col("pack_id"))),
 
+    // shard-assembly QA: pack-fill decile histogram over the same
+    // packing — ≤11 exact-integer rows out of one (shard, pack) agg
+    "pack_fill_report" -> ((s, dir) =>
+      Corpus.packFillReport(t(s, dir, "documents"), "doc_id", "text", 512L, 4)),
+
     // exact-dedup survivor ROWS (min-id winner with full payload)
     "dedup_survivors" -> ((s, dir) =>
       Corpus.dedupSurvivors(t(s, dir, "documents"), "doc_id", "text")
@@ -2848,6 +2853,22 @@ object SparkEntry {
          WHERE ((doc_id * 48271 + 11) % 2147483647) % 1000 <
            CASE lang WHEN 'en' THEN 800 WHEN 'es' THEN 500 WHEN 'de' THEN 500
                      WHEN 'fr' THEN 300 WHEN 'zh' THEN 100 ELSE 1000 END""",
+
+    // pack CTE re-aggregated: (shard, pack) totals -> clamped fill
+    // decile histogram, all exact integers
+    "pack_fill_report" ->
+      """WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
+           FROM documents),
+         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
+         pk AS (SELECT shard, (cum - n_tokens) // 512 AS pack_id,
+                  sum(n_tokens) AS pack_tokens, count(*) AS n_docs
+                FROM c GROUP BY 1, 2)
+         SELECT least(pack_tokens * 10 // 512, 10)::BIGINT AS fill_decile,
+           count(*) AS n_packs, sum(n_docs)::BIGINT AS n_docs,
+           sum(pack_tokens)::BIGINT AS total_tokens
+         FROM pk GROUP BY 1""",
 
     "pack_sequences" ->
       """WITH t AS (SELECT doc_id, doc_id % 4 AS shard,

@@ -90,6 +90,34 @@ object Corpus {
       .drop("cum")
   }
 
+  /** Shard-assembly QA report for [[packSequences]]: the pack-fill
+    * distribution — for each fill decile (pack token total vs the
+    * target budget, clamped at ≥100%: a pack can exceed target by up
+    * to one straddling document), how many packs, documents, and
+    * tokens land there. Near-empty tail packs and chronically
+    * underfilled deciles are the signal to retune targetTokens or
+    * nShards before shards ship.
+    *
+    * Scale shape: one (shard, pack) aggregation over packSequences'
+    * windowed output, re-aggregated to ≤11 decile rows — all exact
+    * integer arithmetic.
+    *
+    * @return (fill_decile, n_packs, n_docs, total_tokens)
+    */
+  def packFillReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetTokens: Long,
+      nShards: Int): DataFrame =
+    packSequences(df, idCol, textCol, targetTokens, nShards)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("n_tokens")).as("pack_tokens"), count(lit(1)).as("n_docs"))
+      .groupBy(expr(s"least(pack_tokens * 10 div ${targetTokens}L, 10)")
+        .as("fill_decile"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("n_docs")).as("n_docs"),
+        sum(col("pack_tokens")).as("total_tokens"))
+
   /** Exact-dedup SURVIVOR ROWS (not just ids): one full row per
     * distinct content, the min-id winner. The aggregation carries each
     * group's payload once via min_by over the content-hash groups —

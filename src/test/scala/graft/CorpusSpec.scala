@@ -367,4 +367,20 @@ class CorpusSpec extends SparkSpec {
     assert(perCluster.exists(_.getLong(2) > 1L),
       "test corpus should contain at least one multi-doc family")
   }
+
+  test("packFillReport: deciles from hand-packed fixture, straddler clamps at 10") {
+    import spark.implicits._
+    // one shard (ids ≡ 0 mod 1): tokens 6,6,6 at target 10 →
+    // cum 6,12,18; pack = (cum−6) div 10 → packs 0,0,1:
+    // pack0 = 12 tokens (fill 120% → decile 10, 2 docs),
+    // pack1 = 6 tokens (decile 6, 1 doc)
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "g h i j k l"), (3L, "m n o p q r"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Corpus
+      .packFillReport(docs, "doc_id", "text", 10L, 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(10L -> ((1L, 2L, 12L)), 6L -> ((1L, 1L, 6L))), s"got $got")
+  }
 }
