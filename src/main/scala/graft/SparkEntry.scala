@@ -511,6 +511,27 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // incremental clustering: yesterday's corpus labels (a persisted
+    // table in production — here derived in-query) + today's links
+    // (batch-internal + batch×corpus minhash at 0.8, where band
+    // recall makes the exact oracle sound) → labels for ALL docs.
+    // The oracle IS the full recompute over every pair, so the green
+    // hash proves incremental == from-scratch.
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val batch = docs.where(col("doc_id") % 10 === 0)
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      val prev = Dedup.clusters(
+        Dedup.minHashNearDups(corpus, "doc_id", "text", 0.8)
+          .select(col("id_a"), col("id_b")), corpus, "doc_id")
+      val cross = Dedup.minHashNearDupsIncremental(batch, corpus, "doc_id", "text", 0.8)
+        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+      val within = Dedup.minHashNearDups(batch, "doc_id", "text", 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clustersIncremental(prev, cross.unionByName(within), docs, "doc_id")
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
     // dedup audit report: family-size histogram + removable-doc mass
     // per size class — two fixed-width keyed aggs over the label table
     "dedup_cluster_sizes" -> ((s, dir) => {
@@ -2199,6 +2220,27 @@ object SparkEntry {
          SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id"""
     },
+
+    // THE FULL RECOMPUTE at 0.8 over every pair — deliberately not the
+    // incremental composition: a green hash proves the engine's
+    // incremental path (prev labels as star edges + delta links)
+    // equals clustering from scratch
+    "dedup_clusters_incremental" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
+         p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+         reach(a, b) AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
+         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id""",
 
     // same reach CTE as dedup_clusters; family sizes re-aggregated by
     // size class with exact integer doc/removable mass

@@ -424,6 +424,34 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id").cast("long")).as("cluster"))
   }
 
+  /** Incremental connected components — the daily-clustering shape:
+    * YESTERDAY's label table plus TODAY's new pair links, without
+    * re-mining or re-propagating the accumulated corpus graph. Each
+    * prior label becomes one star edge (member → its cluster
+    * representative); stars preserve components and min-labels
+    * exactly, so clustering (stars ∪ new links) equals a full
+    * recompute over (old pairs ∪ new pairs) — the equivalence the
+    * oracle checks by BEING the full recompute. Star components have
+    * depth 1, so propagation converges in O(1) extra rounds over the
+    * new links' depth.
+    *
+    * 100 TB path: the label table is the persisted artifact (8-byte
+    * id pairs); the expensive pair mining runs only on the increment
+    * (batch-internal + batch×corpus, cf. the incremental near-dup
+    * operators) — corpus-internal pairs are never recomputed.
+    */
+  def clustersIncremental(
+      prevLabels: DataFrame, // (id, cluster)
+      newPairs: DataFrame,   // (id_a, id_b)
+      ids: DataFrame,
+      idCol: String,
+      maxIters: Int = 10): DataFrame = {
+    val starEdges = prevLabels.where(col("id") =!= col("cluster"))
+      .select(col("id").as("id_a"), col("cluster").as("id_b"))
+    clusters(starEdges.unionByName(newPairs.select(col("id_a"), col("id_b"))),
+      ids, idCol, maxIters)
+  }
+
   /** Dedup audit report: the near-dup FAMILY-SIZE distribution — for
     * each cluster size, how many families and how many documents, plus
     * the removal each size class contributes (size − 1 per family).

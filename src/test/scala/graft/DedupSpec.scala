@@ -34,6 +34,21 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) == ((3L, 1L, 0L, 0.0)))
   }
 
+  test("clustersIncremental: delta links merge prior families without re-mining") {
+    import spark.implicits._
+    // yesterday: families {1,2,3} and {7,8}; singletons 10, 20
+    val prev = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      10L -> 10L, 20L -> 20L).toDF("id", "cluster")
+    // today: 20 joins {7,8}; a bridge 3-7 merges the two families
+    val newPairs = Seq((7L, 20L), (3L, 7L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 7L, 8L, 10L, 20L).toDF("doc_id")
+    val got = graft.operators.Dedup
+      .clustersIncremental(prev, newPairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 8L -> 1L,
+      20L -> 1L, 10L -> 10L), s"got $got")
+  }
+
   test("clusterSizeReport: family-size histogram with exact removable mass") {
     import spark.implicits._
     // families: {1,2,3} (size 3), {7,8} (size 2), singletons 10, 11
