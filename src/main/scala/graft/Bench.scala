@@ -37,12 +37,21 @@ object Bench {
     // plan, not an InMemoryRelation substitution) and the median taken
     // is robust to one bad pass in either direction.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // provenance: co-tenant load is the dominant noise source (±25%
+    // observed between runs of the same commit), so the snapshot
+    // carries the 1-min load average at start and end plus the pass
+    // count — a reader can judge how much to trust a given number
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadAvg()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (0 until passes).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        // release intermediates persisted inside operators so cached
-        // blocks don't accumulate across the sweep or between passes
+        // release intermediates persisted inside operators: unpersist
+        // AND drop the registry's strong refs (clearCache alone would
+        // leave the IdentityHashMap growing across the 151×3 sweep)
+        graft.operators.Caching.release()
         spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }.sorted
@@ -60,10 +69,10 @@ object Bench {
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
     }
-    // full-precision record for humans/judge
+    // full-precision record for humans/judge, with noise context
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    },"sf":"$sfDir"}"""
+    },"sf":"$sfDir","passes":$passes,"agg":"median","load_avg_start":$loadStart,"load_avg_end":${loadAvg()}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

@@ -1781,17 +1781,25 @@ object SparkEntry {
       if (graft.functions.VectorExprs.hyperplaneSign(b, d) > 0) "1.0" else "-1.0")
       .mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** Bits-per-table ceiling the banded oracle can replay: CASE chain
+    * and sign matrix are both GENERATED from this one constant, so the
+    * two can never disagree. 16 bits covers n = 64·2¹⁶ ≈ 4.2M
+    * embedding rows — far past any verify scale (the r6 hardcoded
+    * 8-bit/48-row literal silently coupled verify coverage to tables
+    * ≤ 16384 rows); beyond the ceiling the oracle still errors loudly
+    * instead of replaying wrong.
+    */
+  private val duckBandedMaxBits: Int = 16
+
   /** Integer replay of `Similarity.lshPlanBits(n, 64)` from m =
-    * ⌈n/64⌉: smallest nb with 2^nb ≥ m, min 1 — a CASE chain (no log2
-    * floats, no engine-specific bit functions). The sign-matrix
-    * literal carries 48 rows (8 bits × 6 tables), good to n = 16384;
-    * beyond that the oracle errors loudly instead of replaying wrong.
+    * ⌈n/64⌉: smallest nb with 2^nb ≥ m, min 1 — a generated CASE
+    * chain (no log2 floats, no engine-specific bit functions).
     */
   private val duckBandedNb: String =
-    """CASE WHEN m <= 2 THEN 1 WHEN m <= 4 THEN 2 WHEN m <= 8 THEN 3
-       WHEN m <= 16 THEN 4 WHEN m <= 32 THEN 5 WHEN m <= 64 THEN 6
-       WHEN m <= 128 THEN 7 WHEN m <= 256 THEN 8
-       ELSE CAST(error('banded oracle sign matrix supports at most 8 bits per table') AS INTEGER) END"""
+    (1 to duckBandedMaxBits)
+      .map(b => s"WHEN m <= ${1L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE CAST(error('banded oracle sign matrix supports at most " +
+        s"$duckBandedMaxBits bits per table') AS INTEGER) END")
 
   /** CTE block replaying `Similarity.nearDupCosineBanded(_, _, _, thr,
     * 64, 6)` bit-exactly on top of a caller-supplied
@@ -1805,7 +1813,7 @@ object SparkEntry {
   private def duckBandedCtes(nTables: Int = 6, countWhere: String = ""): String =
     s"""bpar AS (SELECT $duckBandedNb AS nb
                  FROM (SELECT (count(*) + 63) // 64 AS m FROM v $countWhere)),
-       bsgm AS (SELECT ${duckSignMatrix(48, 64)} AS sm),
+       bsgm AS (SELECT ${duckSignMatrix(nTables * duckBandedMaxBits, 64)} AS sm),
        bbv AS (SELECT vec_id, e, tt.tbl,
                  list_sum(list_transform(generate_series(1, nb),
                    j -> CASE WHEN list_reduce(list_prepend(0.0,

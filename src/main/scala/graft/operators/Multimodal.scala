@@ -129,8 +129,13 @@ object Multimodal {
     df.mapPartitions { it =>
       it.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val (kind, w, h) = parseImageMeta(bytes)
-        Row(r.get(idIdx), kind, w, h, bytes.length.toLong)
+        // NULL payload is data, not an exception — same contract as a
+        // malformed header: ("unknown", 0, 0) with zero length
+        if (bytes == null) Row(r.get(idIdx), "unknown", 0L, 0L, 0L)
+        else {
+          val (kind, w, h) = parseImageMeta(bytes)
+          Row(r.get(idIdx), kind, w, h, bytes.length.toLong)
+        }
       }
     }(enc)
   }

@@ -238,10 +238,12 @@ object Similarity {
     * why [[bandedRecallEval]] ships alongside: the deployed
     * (bits, tables) point is MEASURED, not guessed.
     *
-    * `df.count()` prices the corpus once (at deployment read row count
-    * from catalog statistics instead); each table's bucket is one
-    * native kernel pass at bit offset t·nBits, so tables are not
-    * limited by 64-bit packing.
+    * The convenience wrapper prices the corpus with one `df.count()`
+    * job; the deployed path supplies the row count from catalog
+    * statistics via [[nearDupCosineBandedWithStats]], so NO job runs
+    * at plan-build time. Each table's bucket is one native kernel pass
+    * at bit offset t·nBits, so tables are not limited by 64-bit
+    * packing.
     */
   def nearDupCosineBanded(
       df: DataFrame,
@@ -249,8 +251,26 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       targetBucketRows: Long = 64,
+      nTables: Int = 6): DataFrame =
+    nearDupCosineBandedWithStats(df, idCol, vecCol, threshold,
+      df.count(), targetBucketRows, nTables)
+
+  /** [[nearDupCosineBanded]] with the corpus row count supplied by the
+    * caller (catalog statistics / a metastore row count / yesterday's
+    * manifest) — the deployment form: bucket bits still follow the
+    * corpus size via [[lshPlanBits]], but plan construction runs ZERO
+    * Spark jobs (asserted by PlanAuditSpec), so the operator composes
+    * into larger lazy plans without materializing anything early.
+    */
+  def nearDupCosineBandedWithStats(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nRows: Long,
+      targetBucketRows: Long = 64,
       nTables: Int = 6): DataFrame = {
-    val nBits = lshPlanBits(df.count(), targetBucketRows)
+    val nBits = lshPlanBits(nRows, targetBucketRows)
     val v = Dedup.rebalance(df)
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
@@ -294,8 +314,25 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       targetBucketRows: Long = 64,
+      nTables: Int = 6): DataFrame =
+    nearDupCosineBandedIncrementalWithStats(newDf, corpusDf, idCol, vecCol,
+      threshold, corpusDf.count(), targetBucketRows, nTables)
+
+  /** [[nearDupCosineBandedIncremental]] with the corpus row count
+    * supplied from statistics — at deployment the corpus's row count
+    * is a property of the persisted index, so the daily increment
+    * plans with ZERO jobs at construction (PlanAuditSpec pins this).
+    */
+  def nearDupCosineBandedIncrementalWithStats(
+      newDf: DataFrame,
+      corpusDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      corpusRows: Long,
+      targetBucketRows: Long = 64,
       nTables: Int = 6): DataFrame = {
-    val nBits = lshPlanBits(corpusDf.count(), targetBucketRows)
+    val nBits = lshPlanBits(corpusRows, targetBucketRows)
     def prep(df: DataFrame) = Dedup.rebalance(df)
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
@@ -337,12 +374,16 @@ object Similarity {
       targetBucketRows: Long,
       nTables: Int,
       sampleMod: Int): DataFrame = {
-    val nBits = lshPlanBits(df.count(), targetBucketRows)
+    // count the corpus ONCE: the same n prices the reported bit count
+    // and the banded operator (threaded via the stats overload)
+    val n = df.count()
+    val nBits = lshPlanBits(n, targetBucketRows)
     val sample = df.where(pmod(col(idCol), lit(sampleMod)) === 0)
     val exact = nearDupCosineExact(sample, idCol, vecCol, threshold)
       .select(col("id_a"), col("id_b"))
       .persistTracked
-    val banded = nearDupCosineBanded(df, idCol, vecCol, threshold, targetBucketRows, nTables)
+    val banded = nearDupCosineBandedWithStats(df, idCol, vecCol, threshold,
+      n, targetBucketRows, nTables)
       .select(col("id_a").as("la"), col("id_b").as("lb"))
     val hit = exact
       .join(banded, col("id_a") === col("la") && col("id_b") === col("lb"), "left_semi")

@@ -160,6 +160,75 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("cosine family with supplied stats: zero jobs at plan build") {
+    // the deployed banded path prices LSH bits from catalog statistics
+    // (nearDupCosineBandedWithStats / ...IncrementalWithStats) — plan
+    // construction must run NO Spark job; only the counting convenience
+    // wrappers are allowed their one count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        { jobs.incrementAndGet(); () }
+    }
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.schema // parquet footer read outside the measured region
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.nearDupCosineBandedWithStats(
+        emb, "vec_id", "embedding", 0.4, nRows = 2000L)
+        .queryExecution.executedPlan
+      Similarity.nearDupCosineBandedIncrementalWithStats(
+        emb.where(col("vec_id") % 10 === 0), emb.where(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", 0.4, corpusRows = 1800L)
+        .queryExecution.executedPlan
+      Thread.sleep(500) // let async listener events drain
+      assert(jobs.get() == 0,
+        s"stats-supplied banded plan build ran ${jobs.get()} Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Logical-plan collector for windows with an EMPTY partition spec —
+    * the single-partition-sort hazard class. Works on the analyzed
+    * plan so AQE wrapping is irrelevant.
+    */
+  private def globalWindows(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }.size
+
+  test("GLOBAL SWEEP: empty-partition windows only over provably bounded inputs") {
+    // A Window with no PARTITION BY executes on ONE partition — fine
+    // over a k-row seed, fatal over a corpus. Whitelist of queries
+    // whose global windows are bounded by construction; any NEW query
+    // that sneaks in an unbounded global sort fails this sweep.
+    val bounded = Map(
+      // histogram-quantile walks: cumulative sum over nBins fixed bins
+      "quantile_sketch" -> "nBins-bounded histogram rows",
+      "quantile_gate_sketch" -> "nBins-bounded histogram rows",
+      // anchor index: row_number over the anchor table, which is
+      // ≪ corpus by the operator's contract (sampled anchors)
+      "contrastive_triplets" -> "nAnchors-bounded anchor table"
+    )
+    val actual = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        if (globalWindows(SparkEntry.queries(name)(spark, sfDir)) > 0) Some(name) else None
+      } catch { case e: Throwable => Some(s"$name (plan build failed: ${e.getMessage})") }
+    }.toSet
+    // exact equality: an unwhitelisted global window fails (the scale
+    // hazard), and a stale whitelist row fails too (keeps the list honest)
+    assert(actual == bounded.keySet,
+      s"empty-partition window set drifted: unexpected=${actual -- bounded.keySet}, " +
+        s"stale whitelist=${bounded.keySet -- actual}")
+    // the collector itself must catch a real unbounded global window,
+    // or the sweep is vacuously green
+    val scratch = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("l_orderkey"))))
+    assert(globalWindows(scratch) == 1, "collector failed to flag an unbounded global window")
+  }
+
   test("shuffle-count regression pins: headline queries stay within budget") {
     // number of shuffle exchanges is the scale-defining property of a
     // plan; a change that adds one should fail loudly here
