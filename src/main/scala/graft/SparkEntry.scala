@@ -755,6 +755,19 @@ object SparkEntry {
         t(s, dir, "documents").withColumn("payload", Multimodal.utf8Payload(col("text"))),
         "doc_id", "payload", 4)),
 
+    // FULL pixel decode (not just headers): construct a real BMP
+    // 24-bit (even ids: LE headers, bottom-up rows, BGR, padded
+    // stride) or PPM P6 (odd ids: comment-bearing ASCII header) per
+    // doc from its id, decode it back, and emit exact-integer plain +
+    // position-weighted per-channel sums. The pixel formula
+    // (id + 3p + c) mod 256 has a closed form the oracle replays, and
+    // the weighted sums are order-sensitive — a decoder that misreads
+    // row order, channel order, or stride padding fails the hash.
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.pixelStats(
+        Multimodal.syntheticImages(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "img")),
+
     // ---- §2b: PII scan / semi-structured / temporal -----------------
     "text_pii" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -2841,6 +2854,25 @@ object SparkEntry {
          (16 + n_chars % 1064)::BIGINT AS height,
          (CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 51 END)::BIGINT AS n_bytes
          FROM documents""",
+
+    // closed-form replay of the construct→decode round trip: dims from
+    // the id, channel c's sums over logical pixel order p = 0..n_pix-1
+    // of (doc_id + 3p + c) mod 256, plain and (p+1)-weighted
+    "multimodal_decode" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS kind,
+         (2 + doc_id % 7)::BIGINT AS width,
+         (2 + doc_id % 5)::BIGINT AS height,
+         ((2 + doc_id % 7) * (2 + doc_id % 5))::BIGINT AS n_pix,
+         list_sum(list_transform(px, p -> (doc_id + 3*p + 0) % 256))::BIGINT AS r_sum,
+         list_sum(list_transform(px, p -> (doc_id + 3*p + 1) % 256))::BIGINT AS g_sum,
+         list_sum(list_transform(px, p -> (doc_id + 3*p + 2) % 256))::BIGINT AS b_sum,
+         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 0) % 256)))::BIGINT AS r_wsum,
+         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 1) % 256)))::BIGINT AS g_wsum,
+         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 2) % 256)))::BIGINT AS b_wsum
+         FROM (SELECT doc_id,
+                 generate_series(0, (2 + doc_id % 7) * (2 + doc_id % 5) - 1) AS px
+               FROM documents)""",
 
     "multimodal_frames" ->
       """SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx,

@@ -140,6 +140,220 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- real pixel decode (uncompressed containers) ------------------
+  // Header parsing (PNG/JPEG above) proves metadata extraction; these
+  // two decoders retire the PIXEL stub for the containers a pure JVM
+  // can fully decode without a codec library: BMP 24-bit (little-endian
+  // header, bottom-up OR top-down rows, BGR order, 4-byte row padding)
+  // and PPM P6 (whitespace/comment-tolerant ASCII header, RGB rows).
+  // Compressed formats (PNG deflate, JPEG DCT) stay behind the stub —
+  // at deployment they bind to a codec; the decode CONTRACT and the
+  // distribution plumbing are identical.
+
+  /** Decoded raster: row-major TOP-DOWN interleaved RGB values
+    * (0–255), regardless of the container's storage order — the
+    * decoder owns the normalization (BMP bottom-up flip, BGR→RGB).
+    */
+  final case class DecodedImage(kind: String, width: Int, height: Int, rgb: Array[Int])
+
+  /** Decode an uncompressed raster payload. None for anything this
+    * decoder can't FULLY decode (other containers, compressed BMP,
+    * non-24-bit, truncated pixel data) — malformed media is data.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+    if (bytes == null || bytes.length < 2) None
+    else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp24(bytes)
+    else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm6(bytes)
+    else None
+
+  private def decodeBmp24(b: Array[Byte]): Option[DecodedImage] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def i32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (b.length < 54) return None
+    val dataOff = i32(10)          // pixel array offset — READ, not assumed
+    if (i32(14) < 40) return None  // need at least BITMAPINFOHEADER
+    val w = i32(18)
+    val hRaw = i32(22)             // negative height = top-down storage
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0 || u16(26) != 1 || u16(28) != 24 || i32(30) != 0)
+      return None                  // 24-bit uncompressed only
+    val stride = (w * 3 + 3) & ~3  // rows pad to 4-byte boundaries
+    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > b.length) return None
+    val out = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      var src = dataOff + srcRow * stride
+      var dst = y * w * 3
+      var x = 0
+      while (x < w) {              // stored B,G,R → logical R,G,B
+        out(dst) = u8(src + 2); out(dst + 1) = u8(src + 1); out(dst + 2) = u8(src)
+        x += 1; src += 3; dst += 3
+      }
+      y += 1
+    }
+    Some(DecodedImage("bmp", w, h, out))
+  }
+
+  private def decodePpm6(b: Array[Byte]): Option[DecodedImage] = {
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < b.length) {
+        val c = b(i) & 0xFF
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 } // comment to EOL
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+        else go = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1; any = true
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv != 255) return None // 8-bit-per-channel only
+    i += 1 // exactly ONE whitespace byte separates maxval from pixels
+    if (i + w.toLong * h * 3 > b.length) return None
+    val out = new Array[Int](w * h * 3)
+    var p = 0
+    while (p < out.length) { out(p) = b(i + p) & 0xFF; p += 1 }
+    Some(DecodedImage("ppm", w, h, out))
+  }
+
+  /** Deterministic pixel value for synthetic test images: channel c of
+    * logical pixel p of image `id` is (id + 3p + c) mod 256 — position-
+    * AND channel-sensitive, with a closed form any SQL engine can
+    * replay, so a round-trip catches row-order and channel-order bugs,
+    * not just byte loss.
+    */
+  def syntheticPixel(id: Long, p: Int, c: Int): Int =
+    (((id + 3L * p + c) % 256 + 256) % 256).toInt
+
+  /** A REAL BMP 24-bit file for image `id`: little-endian headers,
+    * bottom-up rows, BGR order, padded stride — everything a decoder
+    * must invert.
+    */
+  def bmpPayloadBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val size = 54 + stride * h
+    val b = new Array[Byte](size)
+    def putI32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    def putU16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    b(0) = 'B'; b(1) = 'M'; putI32(2, size); putI32(10, 54)
+    putI32(14, 40); putI32(18, w); putI32(22, h) // positive h: bottom-up
+    putU16(26, 1); putU16(28, 24); putI32(30, 0); putI32(34, stride * h)
+    var y = 0
+    while (y < h) {
+      val off = 54 + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val p = y * w + x
+        b(off + x * 3) = syntheticPixel(id, p, 2).toByte     // B
+        b(off + x * 3 + 1) = syntheticPixel(id, p, 1).toByte // G
+        b(off + x * 3 + 2) = syntheticPixel(id, p, 0).toByte // R
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** A REAL PPM P6 file for image `id`, with a header comment so the
+    * decoder's comment skipping is exercised on every row.
+    */
+  def ppmPayloadBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val hdr = s"P6\n# graft synthetic\n$w $h\n255\n".getBytes("US-ASCII")
+    val b = new Array[Byte](hdr.length + w * h * 3)
+    System.arraycopy(hdr, 0, b, 0, hdr.length)
+    var p = 0
+    while (p < w * h) {
+      b(hdr.length + p * 3) = syntheticPixel(id, p, 0).toByte
+      b(hdr.length + p * 3 + 1) = syntheticPixel(id, p, 1).toByte
+      b(hdr.length + p * 3 + 2) = syntheticPixel(id, p, 2).toByte
+      p += 1
+    }
+    b
+  }
+
+  /** Construct per-row synthetic raster payloads from an id column:
+    * even ids get BMP, odd get PPM; dims derive from the id (w = 2 +
+    * id%7, h = 2 + id%5). Partition-parallel byte building — the write
+    * half of the construct→decode round trip the oracle pins.
+    */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("img", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        val w = (2 + id % 7).toInt
+        val h = (2 + id % 5).toInt
+        val img = if (id % 2 == 0) bmpPayloadBytes(id, w, h) else ppmPayloadBytes(id, w, h)
+        Row(r.get(idIdx), img)
+      }
+    }(enc)
+  }
+
+  /** Full-decode pixel statistics via the partition-parallel path: per
+    * payload the plain AND position-weighted per-channel sums in exact
+    * integers (wsum_c = Σ (p+1)·v(p,c) over logical top-down order).
+    * Plain sums are permutation-invariant — they'd pass a decoder that
+    * shuffled rows; the weighted sums would not, which is what makes
+    * the round-trip a real decode test. Undecodable payloads emit
+    * ("unknown", zeros): corpus-scale media errors are data.
+    */
+  def pixelStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outType = StructType(Seq(
+      idField,
+      StructField("kind", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("n_pix", LongType),
+      StructField("r_sum", LongType), StructField("g_sum", LongType),
+      StructField("b_sum", LongType),
+      StructField("r_wsum", LongType), StructField("g_wsum", LongType),
+      StructField("b_wsum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        decodeImage(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(img) =>
+            val sums = new Array[Long](3)
+            val wsums = new Array[Long](3)
+            val n = img.width * img.height
+            var p = 0
+            while (p < n) {
+              var c = 0
+              while (c < 3) {
+                val v = img.rgb(p * 3 + c).toLong
+                sums(c) += v; wsums(c) += (p + 1L) * v
+                c += 1
+              }
+              p += 1
+            }
+            Row(r.get(idIdx), img.kind, img.width.toLong, img.height.toLong,
+              n.toLong, sums(0), sums(1), sums(2), wsums(0), wsums(1), wsums(2))
+          case None =>
+            Row(r.get(idIdx), "unknown", 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }(enc)
+  }
+
   /** Container sniffing from magic bytes — pure expressions, runs in
     * the scan stage. Recognizes PNG/JPEG/RIFF(WAV-AVI)/MP4-ftyp.
     */

@@ -102,6 +102,71 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Set((2L, "png", 800L, 600L, 33L), (3L, "jpeg", 33L, 47L, 51L)))
   }
 
+  test("decodeImage: BMP bottom-up and top-down storage yield the same logical raster") {
+    val id = 42L; val w = 5; val h = 3
+    val bottomUp = Multimodal.bmpPayloadBytes(id, w, h)
+    val up = Multimodal.decodeImage(bottomUp).get
+    assert(up.kind == "bmp" && up.width == w && up.height == h)
+    // logical pixel p channel c must equal the synthetic formula —
+    // proves the decoder undid the bottom-up flip AND the BGR order
+    for (p <- 0 until w * h; c <- 0 until 3)
+      assert(up.rgb(p * 3 + c) == Multimodal.syntheticPixel(id, p, c),
+        s"pixel $p channel $c")
+    // craft the TOP-DOWN variant of the same image: negate height,
+    // store rows in logical order; decode must be identical
+    val topDown = bottomUp.clone()
+    val negH = -h
+    topDown(22) = negH.toByte; topDown(23) = (negH >> 8).toByte
+    topDown(24) = (negH >> 16).toByte; topDown(25) = (negH >> 24).toByte
+    val stride = (w * 3 + 3) & ~3
+    for (y <- 0 until h; i <- 0 until stride)
+      topDown(54 + y * stride + i) = bottomUp(54 + (h - 1 - y) * stride + i)
+    val down = Multimodal.decodeImage(topDown).get
+    assert(down.rgb.toSeq == up.rgb.toSeq, "top-down decode differs from bottom-up")
+  }
+
+  test("decodeImage: PPM P6 with header comment; malformed payloads are None") {
+    val id = 7L; val w = 4; val h = 6
+    val img = Multimodal.decodeImage(Multimodal.ppmPayloadBytes(id, w, h)).get
+    assert(img.kind == "ppm" && img.width == w && img.height == h)
+    for (p <- 0 until w * h; c <- 0 until 3)
+      assert(img.rgb(p * 3 + c) == Multimodal.syntheticPixel(id, p, c))
+    // malformed class: None, never a throw
+    assert(Multimodal.decodeImage(null).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImage("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Multimodal.bmpPayloadBytes(1L, 4, 4).take(40)).isEmpty)
+    assert(Multimodal.decodeImage("P6\n4 4\n255".getBytes).isEmpty) // truncated pixels
+    assert(Multimodal.decodeImage("P6\n4 4\n65535\n".getBytes).isEmpty) // 16-bit maxval
+    // fuzz: random byte soup must decode to None or a valid raster
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 0 until 200) {
+      val soup = Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte)
+      soup.take(2) match {
+        case _ => Multimodal.decodeImage(soup) // must not throw
+      }
+    }
+  }
+
+  test("pixelStats: weighted sums catch a row-order bug plain sums would miss") {
+    // decode a 1-image frame and check both sum families against the
+    // closed form the oracle uses
+    val df = Seq(Tuple1(10L)).toDF("doc_id")
+    val out = Multimodal.pixelStats(
+      Multimodal.syntheticImages(df, "doc_id"), "doc_id", "img").collect().head
+    val id = 10L; val w = (2 + id % 7).toInt; val h = (2 + id % 5).toInt; val n = w * h
+    def sum(c: Int) = (0 until n).map(p => Multimodal.syntheticPixel(id, p, c).toLong).sum
+    def wsum(c: Int) = (0 until n).map(p => (p + 1L) * Multimodal.syntheticPixel(id, p, c)).sum
+    assert(out.getString(1) == "bmp" && out.getLong(2) == w && out.getLong(3) == h)
+    assert((out.getLong(5), out.getLong(6), out.getLong(7)) == ((sum(0), sum(1), sum(2))))
+    assert((out.getLong(8), out.getLong(9), out.getLong(10)) == ((wsum(0), wsum(1), wsum(2))))
+    // null payload through the full operator: unknown row, no throw
+    val withNull = Seq((1L, Array[Byte](1, 2, 3)), (2L, null))
+      .toDF("doc_id", "img")
+    val rows = Multimodal.pixelStats(withNull, "doc_id", "img").collect()
+    assert(rows.forall(_.getString(1) == "unknown"))
+  }
+
   test("utf8 payload round-trips through binary column") {
     val df = Seq((1L, "héllo wörld")).toDF("id", "text")
     val back = df.select(decode(Multimodal.utf8Payload(col("text")), "UTF-8").as("t"))
