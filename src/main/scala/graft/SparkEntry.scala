@@ -1553,6 +1553,22 @@ object SparkEntry {
       Skew.twoPhaseSum(t(s, dir, "lineitem"), col("l_partkey"), col("l_quantity"), 8)
         .select(col("k"), round(col("total"), 2).as("total"))),
 
+    // hub-skew stress: every 5th orderkey collapses onto order 1, so
+    // ONE join key holds ~20% of the fact side — the heavy-tailed
+    // shape that puts a single shuffle partition hours behind at
+    // 100 TB. The declarative plan leaves mitigation to the engine:
+    // AQE's OptimizeSkewedJoin splits the hub partition at runtime
+    // (PlanAuditSpec proves the mechanism ENGAGES on exactly this
+    // query, not just that the config is set); Skew.saltedJoin is the
+    // deterministic fallback, proven equivalent on the same data.
+    "join_skew_hub" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("hub_key",
+        when(col("l_orderkey") % 5 === 0, lit(1L)).otherwise(col("l_orderkey")))
+      li.join(t(s, dir, "orders"), col("hub_key") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // approximate scale-path variant: recall < 1 by LSH construction,
     // but the hyperplane sign matrix is deterministic, so the oracle
     // replays the identical bucketing and the result is hash-checked
@@ -3411,6 +3427,12 @@ object SparkEntry {
     "skew_two_phase" ->
       """SELECT l_partkey AS k, round(sum(l_quantity), 2) AS total
          FROM lineitem GROUP BY l_partkey""",
+
+    "join_skew_hub" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN orders
+           ON (CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE l_orderkey END) = o_orderkey
+         GROUP BY o_orderstatus""",
 
     "group_boxplot" ->
       """WITH li AS (SELECT l_returnflag,

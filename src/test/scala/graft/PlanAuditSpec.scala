@@ -229,6 +229,77 @@ class PlanAuditSpec extends SparkSpec {
     assert(globalWindows(scratch) == 1, "collector failed to flag an unbounded global window")
   }
 
+  test("AQE skew-join split ENGAGES on the hub-skewed join (not just configured)") {
+    // join_skew_hub puts ~20% of lineitem on one key. Production
+    // defaults only call a partition skewed past 256MB — right for a
+    // cluster, unreachable at test scale — so scale the thresholds to
+    // the data (the MECHANISM under test is identical) and force the
+    // sort-merge path the way a >broadcast-threshold dim would at
+    // 100 TB. The final adaptive plan must carry the skew=true SMJ.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption.flatMap(Option(_))).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // with P partitions the hub partition holds ~(0.8/P + 0.2) of the
+      // rows vs a 0.8/P median — at P=16 that is a 5× bulge, the same
+      // relative shape a 1000-partition production shuffle would show
+      conf.set("spark.sql.shuffle.partitions", "16")
+      // pin the JOIN subplan (the skewed stage): a downstream
+      // re-aggregation can veto the split via the no-extra-shuffle
+      // cost check, which is an AQE scheduling choice, not the
+      // mechanism under test
+      val dir = "/root/testdata/sf0.01"
+      // AQE splits a skewed reduce partition along MAPPER boundaries —
+      // a single-file local scan has ONE map task and is unsplittable
+      // by construction (at 100 TB there are ~10⁵ mappers). Repartition
+      // the inputs so the shuffle has many mappers, as production would.
+      val li = spark.read.parquet(s"$dir/lineitem.parquet").repartition(16)
+        .withColumn("hub_key",
+          when(col("l_orderkey") % 5 === 0, lit(1L)).otherwise(col("l_orderkey")))
+      val df = li.join(spark.read.parquet(s"$dir/orders.parquet").repartition(16),
+        col("hub_key") === col("o_orderkey"))
+      // skew decisions happen at RUNTIME, and on THIS QueryExecution —
+      // df.count() would plan (and finalize) a different one
+      val qe = df.queryExecution
+      qe.toRdd.count()
+      val p = qe.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin did not split the hub partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("saltedJoin equals the plain join on the hub-skewed data (deterministic fallback)") {
+    // same hub data as join_skew_hub: the salted operator must produce
+    // the identical aggregate the AQE path produces
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet").withColumn("hub_key",
+      when(col("l_orderkey") % 5 === 0, lit(1L)).otherwise(col("l_orderkey")))
+    val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("hub_key"), col("o_orderstatus"))
+    def agg(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = agg(graft.operators.Skew.saltedJoin(li, dim, "hub_key", saltFactor = 8))
+    val plain = agg(li.join(dim, Seq("hub_key")))
+    assert(salted == plain, s"salted=$salted plain=$plain")
+  }
+
   test("shuffle-count regression pins: headline queries stay within budget") {
     // number of shuffle exchanges is the scale-defining property of a
     // plan; a change that adds one should fail loudly here
