@@ -459,6 +459,86 @@ object Streams {
       .flatMap(identity)
   }
 
+  /** Streaming incremental clustering — the unbounded mirror of
+    * [[graft.operators.Dedup.clustersIncremental]], closing the daily
+    * label-maintenance loop: the (id, cluster) label table is the
+    * persisted BATCH-side artifact, link mining runs per micro-batch
+    * (batch-internal pairs + batch×accumulated-corpus, the same banded
+    * operators the batch twin uses), and star-edge maintenance folds
+    * the new links into the labels without ever re-mining or
+    * re-propagating the accumulated graph.
+    *
+    * Why foreachBatch and not a pure streaming plan: label propagation
+    * is iterative and GLOBAL (a link can merge two old families), which
+    * no watermark-bounded streaming state can express. The star-edge
+    * theorem (each prior label = one depth-1 edge, components and
+    * min-labels preserved exactly — Dedup.clustersIncremental) makes
+    * the per-batch job BOUNDED: propagation converges in O(1) rounds
+    * over the increment's link depth, and applied inductively per
+    * micro-batch it equals a full recompute over everything seen — the
+    * equivalence StreamingEquivalenceSpec proves against the
+    * oracle-checked batch clustering.
+    *
+    * State lives in two lineage-cut tables (8-byte id pairs for
+    * labels, the corpus index side), localCheckpointed per batch so
+    * the plan does not grow with stream length; operator-internal
+    * persists are released after each batch's labels materialize.
+    */
+  final class IncrementalClusterState(
+      corpus0: DataFrame,
+      labels0: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32) {
+    import graft.operators.{Caching, Dedup}
+    private var corpus = corpus0.select(col(idCol), col(textCol)).localCheckpoint()
+    @volatile private var labelsDf = labels0.localCheckpoint()
+    /** Current (id, cluster) — the persisted daily artifact. */
+    def labels: DataFrame = labelsDf
+
+    def processBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      val b = batch.select(col(idCol), col(textCol)).localCheckpoint()
+      if (b.isEmpty) return
+      val cross = Dedup.minHashNearDupsIncremental(
+        b, corpus, idCol, textCol, threshold, shingleSize, numHashes, bands)
+        .select(col("id_new").as("id_a"), col("id_old").as("id_b"))
+      val within = Dedup.minHashNearDups(
+        b, idCol, textCol, threshold, shingleSize, numHashes, bands)
+        .select(col("id_a"), col("id_b"))
+      val allIds = corpus.select(col(idCol)).unionByName(b.select(col(idCol)))
+      // eager localCheckpoint materializes the new labels BEFORE the
+      // miners' tracked persists are dropped
+      labelsDf = Dedup.clustersIncremental(
+        labelsDf, cross.unionByName(within), allIds, idCol).localCheckpoint()
+      corpus = corpus.unionByName(b).localCheckpoint()
+      Caching.release()
+    }
+  }
+
+  /** Wire a stream of new documents into an [[IncrementalClusterState]]:
+    * returns the state handle plus the configured writer — caller
+    * `.start()`s it and reads `state.labels` between/after batches.
+    */
+  def incrementalClusterStream(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      labels0: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 32): (IncrementalClusterState, org.apache.spark.sql.streaming.DataStreamWriter[Row]) = {
+    val st = new IncrementalClusterState(
+      corpus, labels0, idCol, textCol, threshold, shingleSize, numHashes, bands)
+    val w = newDocs.writeStream
+      .foreachBatch((b: Dataset[Row], id: Long) => st.processBatch(b, id))
+    (st, w)
+  }
+
   /** Stream → noop-style sink for tests/benchmarks: process all
     * available data once and stop (Trigger.AvailableNow semantics via
     * processAllAvailable on a memory sink).

@@ -185,6 +185,58 @@ class StreamingEquivalenceSpec extends SparkSpec {
       "streaming incremental near-dup diverged from the batch operator")
   }
 
+  test("incrementalClusterStream (micro-batched) == full batch recompute") {
+    // the daily loop, streamed: labels + corpus index accumulate across
+    // micro-batches; final labels must equal a ONE-SHOT full recompute
+    // over everything seen — the same equivalence the batch twin's
+    // oracle proves (dedup_clusters_incremental), extended inductively
+    // across batches. Links between docs in DIFFERENT micro-batches are
+    // the hard case (batch2 × batch1 rides the accumulated index).
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val streamRows = docs.where(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val prev = Dedup.clusters(
+      Dedup.minHashNearDups(corpus, "doc_id", "text", 0.8)
+        .select(col("id_a"), col("id_b")), corpus, "doc_id")
+    // plant exact copies of one corpus doc in BOTH micro-batches:
+    // guarantees a corpus×batch1 link AND a batch2×batch1 link
+    // (identical text ⇒ identical signature ⇒ certain band collision,
+    // jaccard 1.0), so the hard paths provably fire regardless of the
+    // organic near-dup structure at this sf
+    val seedText = corpus.where(col("doc_id") === 1).select("text")
+      .collect().head.getString(0)
+    val (o1, o2) = streamRows.splitAt(streamRows.length / 2)
+    val b1 = o1 :+ ((900001L, seedText))
+    val b2 = o2 :+ ((900002L, seedText))
+    val planted = Seq((900001L, seedText), (900002L, seedText))
+      .toDF("doc_id", "text")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val (st, writer) = Streams.incrementalClusterStream(
+      in.toDS().toDF("doc_id", "text"), corpus, prev, "doc_id", "text", 0.8)
+    val q = writer.start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val allDocs = docs.select(col("doc_id"), col("text")).unionByName(planted)
+    val full = Dedup.clusters(
+      Dedup.minHashNearDups(allDocs, "doc_id", "text", 0.8)
+        .select(col("id_a"), col("id_b")), allDocs, "doc_id")
+    assert(rowSet(st.labels) == rowSet(full),
+      "streaming incremental clustering diverged from the full recompute")
+    // non-vacuity: both planted copies landed in doc 1's family, whose
+    // label is a corpus id — a merge that needed the accumulated index
+    val byId = st.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(900001L) == byId(900002L) && byId(900002L) < 900001L,
+      s"planted duplicates not merged into the corpus family: ${byId(900001L)}, ${byId(900002L)}")
+  }
+
   test("Transformer map/filter over a file stream (AvailableNow) == batch") {
     val t = Transformer.identity
       .filter(col("event_type") === "purchase")
