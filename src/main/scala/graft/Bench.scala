@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       // explicit AQE skew-join handling, same contract as Verify
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -44,19 +45,39 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (0 until passes).map { _ =>
+    // a throwing query must NOT be recorded as a (tiny) time — the r7
+    // driver run hit exactly that: seven analysis-failed queries showed
+    // up as implausible 2-9ms entries instead of errors. Failed passes
+    // go to `errors` (first message kept) and are excluded from the
+    // median; a query with zero successful passes is excluded from
+    // `queries` entirely and surfaces in the errors map + stdout count.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val results: Map[String, Double] = SparkEntry.queries.flatMap { case (name, fn) =>
+      val times = (0 until passes).flatMap { i =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            if (!errors.contains(name))
+              errors(name) = (e.getClass.getSimpleName + ": " +
+                String.valueOf(e.getMessage).replaceAll("\\s+", " ")).take(200)
+            false
+          }
         // release intermediates persisted inside operators: unpersist
         // AND drop the registry's strong refs (clearCache alone would
-        // leave the IdentityHashMap growing across the 151×3 sweep)
+        // leave the IdentityHashMap growing across the 153×3 sweep)
         graft.operators.Caching.release()
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // pass 0 is the cold run for this query (data cache cleared by
+        // the previous query; only JIT/codegen carry over) — record it
+        // next to the median so cache-amortization is visible
+        if (ok && i == 0) coldTimes(name) = dt
+        if (ok) Some(dt) else None
       }.sorted
       // lower median: passes=3 -> median, 2 -> best-of-2, 1 -> the pass
-      name -> times((times.length - 1) / 2)
+      if (times.isEmpty) None else Some(name -> times((times.length - 1) / 2))
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double): String = {
@@ -67,11 +88,22 @@ object Bench {
     def line(rs: Seq[(String, Double)], omitted: Int): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om,"sf":"$sfDir"}"""
+      val er = if (errors.nonEmpty) s""","errors":${errors.size}""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$om$er,"sf":"$sfDir"}"""
     }
-    // full-precision record for humans/judge, with noise context
+    def jmap(m: Iterable[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // full-precision record for humans/judge, with noise context:
+    // per-query medians, cold (first-pass) times, pass count, load
+    // averages, and any failed queries with their first error message
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      jmap(results.map { case (k, v) => k -> v.toString })
+    },"queries_cold":${
+      jmap(coldTimes.map { case (k, v) => k -> v.toString })
+    },"errors":${
+      jmap(errors.map { case (k, v) => k -> jstr(v) })
     },"sf":"$sfDir","passes":$passes,"agg":"median","load_avg_start":$loadStart,"load_avg_end":${loadAvg()}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")

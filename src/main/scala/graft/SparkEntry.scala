@@ -321,10 +321,11 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => {
       val order = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       val run   = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // ts arrives as long ns (nanosAsLong); integer-div to µs matches
-      // DuckDB's truncating ns→µs timestamp cast.
-      t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("value"), expr("ts div 1000").as("tus"))
+      // epoch-µs event time, robust to ns-long vs timestamp[us] parquet
+      // encodings (Temporal.epochUs); matches the oracle's epoch_us.
+      val ev = t(s, dir, "events")
+      ev.select(col("user_id"), col("event_id"), col("value"),
+          Temporal.epochUs(ev, "ts").as("tus"))
         .withColumn("is_new",
           when(lag(col("tus"), 1).over(order).isNull ||
             col("tus") - lag(col("tus"), 1).over(order) > 1800000000L, 1).otherwise(0))
@@ -340,9 +341,10 @@ object SparkEntry {
     // windowed formulation, so the match is deterministic by
     // construction (ties on click ts broken by largest event_id).
     "asof_join" -> ((s, dir) => {
-      val e = t(s, dir, "events")
+      val ev = t(s, dir, "events")
+      val e = ev
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("tus"), col("value"))
+          Temporal.epochUs(ev, "ts").as("tus"), col("value"))
       val purchases = e.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("tus"), col("value"))
       val clicks = e.where(col("event_type") === "click")
@@ -357,9 +359,10 @@ object SparkEntry {
     // forward direction: each purchase matched to the NEXT click at or
     // after it — same one-shuffle window walk, frame flipped
     "asof_join_forward" -> ((s, dir) => {
-      val e = t(s, dir, "events")
+      val ev = t(s, dir, "events")
+      val e = ev
         .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("tus"), col("value"))
+          Temporal.epochUs(ev, "ts").as("tus"), col("value"))
       val purchases = e.where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("tus"), col("value"))
       val clicks = e.where(col("event_type") === "click")
@@ -390,8 +393,9 @@ object SparkEntry {
     // 2-decimal doubles), so the running sums hash-match bit-exactly
     // regardless of either engine's frame evaluation order.
     "window_time_range" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tus"),
+      val ev = t(s, dir, "events")
+      val e = ev
+        .select(col("event_id"), col("user_id"), Temporal.epochUs(ev, "ts").as("tus"),
           floor(col("value") * 100 + lit(0.5)).as("cents"))
       Temporal.trailingRange(e, "user_id", "tus", 3600000000L,
         "trailing_n" -> count(lit(1)),
@@ -403,8 +407,9 @@ object SparkEntry {
     // Ordered conversion funnel over the event log: all joins/aggs
     // keyed on user_id (one shuffle reused across steps).
     "events_funnel" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+      val ev = t(s, dir, "events")
+      val e = ev
+        .select(col("user_id"), col("event_type"), Temporal.epochUs(ev, "ts").as("tus"))
       Temporal.funnel(e, "user_id", "event_type", "tus",
         Seq("view", "click", "purchase"))
     }),
@@ -1175,9 +1180,10 @@ object SparkEntry {
     // derive array-locally from that row (per-user state is bounded by
     // active days, KBs at worst), then one cell agg — never a
     // self-join of the event log, never a third pass
-    "events_retention" -> ((s, dir) =>
-      t(s, dir, "events")
-        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+    "events_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev
+        .select(col("user_id"), Temporal.epochDay(ev, "ts").as("day"))
         .groupBy(col("user_id")).agg(collect_set(col("day")).as("days"))
         .withColumn("cohort_day", array_min(col("days")))
         .select(col("user_id"),
@@ -1185,7 +1191,8 @@ object SparkEntry {
           explode(array_distinct(transform(col("days"),
             d => ((d - col("cohort_day")) / lit(7)).cast("long")))).as("week_offset"))
         .groupBy(col("cohort_week"), col("week_offset"))
-        .agg(count(lit(1)).as("n_users"))),
+        .agg(count(lit(1)).as("n_users"))
+    }),
 
     // distribution windows: percent_rank / cume_dist are ratios of
     // small exact integers — bit-identical across engines; ordering

@@ -23,6 +23,33 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Event time as epoch MICROSECONDS, robust to the physical encoding
+    * of the timestamp column: parquet timestamp[ns] read as a raw long
+    * under `spark.sql.legacy.parquet.nanosAsLong`, or a native
+    * timestamp[us]/timestamp_ntz column. Both readings of the same
+    * instant yield the same Long (ns div 1000 == unix_micros), so
+    * queries built on this are encoding-independent — and match a
+    * DuckDB oracle's `epoch_us(ts::TIMESTAMP)` bit-exactly. Sessions
+    * pin `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast is a
+    * no-op on the underlying micros.
+    */
+  def epochUs(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000")
+      case _ => expr(s"unix_micros(cast($tsCol AS TIMESTAMP))")
+    }
+
+  /** Epoch DAY bucket (floor of epochUs / 86 400 000 000) under the
+    * same encoding independence as [[epochUs]].
+    */
+  def epochDay(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"$tsCol DIV 86400000000000")
+      case _ =>
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) DIV 86400000000")
+    }
+
   /** As-of join: for each left row, the most recent right row with
     * `right.tsCol <= left.tsCol` and equal key (a LEFT OUTER as-of:
     * unmatched left rows survive with nulls). Ties on the right
@@ -164,14 +191,14 @@ object Temporal {
     * from the exact integers via identical IEEE expressions on any
     * engine; z is emitted under the half-up floor protocol.
     */
-  /** (event_type, day, n_events) daily counts — day = ns-epoch DIV,
+  /** (event_type, day, n_events) daily counts — day = [[epochDay]],
     * the shared time bucketing of [[dailyAnomaly]] and its streaming
     * mirror. One keyed shuffle, log never re-scanned downstream.
     */
   def dailyCounts(events: DataFrame, tsCol: String, typeCol: String): DataFrame =
     events
       .select(col(typeCol).as("event_type"),
-        expr(s"$tsCol DIV 86400000000000").as("day"))
+        epochDay(events, tsCol).as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"))
 

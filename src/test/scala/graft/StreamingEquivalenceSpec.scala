@@ -24,18 +24,24 @@ class StreamingEquivalenceSpec extends SparkSpec {
   private lazy val eventsSchema =
     spark.read.parquet(s"$sfDir/events.parquet").schema
 
-  /** Stream over the sf dir restricted to events rows, with the ns-long
-    * ts column converted to an event-time timestamp (same expression the
-    * batch side uses, so values are bit-identical).
+  /** Stream over the sf dir restricted to events rows, with the ts
+    * column (ns-long or native timestamp — Temporal.epochUs adapts)
+    * converted to an event-time timestamp (same expression the batch
+    * side uses, so values are bit-identical).
     */
-  private def eventsStream: DataFrame =
-    Sources.streamParquet(spark, sfDir, eventsSchema)
+  private def eventsStream: DataFrame = {
+    val raw = Sources.streamParquet(spark, sfDir, eventsSchema)
+    raw
       .where(col("event_type").isNotNull)
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("event_time",
+        timestamp_micros(graft.operators.Temporal.epochUs(raw, "ts")))
+  }
 
-  private def eventsBatch: DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("event_time", timestamp_micros((col("ts") / 1000).cast("long")))
+  private def eventsBatch: DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.withColumn("event_time",
+      timestamp_micros(graft.operators.Temporal.epochUs(raw, "ts")))
+  }
 
   test("windowedAgg (AvailableNow) == batch tumbling-window aggregate") {
     val streamed = Streams.windowedAgg(eventsStream, "event_time", "1 hour", "1 day",
@@ -111,7 +117,8 @@ class StreamingEquivalenceSpec extends SparkSpec {
   test("funnelStream (micro-batched) == brute-force min-chain == events_funnel counts") {
     val steps = Seq("view", "click", "purchase")
     val evs = eventsBatch.where(col("event_type").isin(steps: _*))
-      .select(col("user_id"), expr("ts div 1000").as("tus"), col("event_type"))
+      .select(col("user_id"), unix_micros(col("event_time")).as("tus"),
+        col("event_type"))
       .collect().map(r => Streams.FunnelIn(r.getLong(0), r.getLong(1),
         steps.indexOf(r.getString(2))))
       .sortBy(r => (r.ts, r.user, r.step))
@@ -267,9 +274,9 @@ class StreamingEquivalenceSpec extends SparkSpec {
 
   test("asofJoinStream (two in-order micro-batches) == batch Temporal.asofJoin") {
     implicit val sqlCtx = spark.sqlContext
-    val e = spark.read.parquet(s"$sfDir/events.parquet")
+    val e = eventsBatch
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("tus"), col("value"))
+        unix_micros(col("event_time")).as("tus"), col("value"))
     val purchases = e.where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("tus"), col("value"))
     val clicks = e.where(col("event_type") === "click")

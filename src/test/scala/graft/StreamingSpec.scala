@@ -99,10 +99,10 @@ class StreamingSpec extends SparkSpec {
     // table schemas, so non-event files surface as null event_type rows
     Sources.streamParquet(spark, "/root/testdata/sf0.001", schema)
       .where(org.apache.spark.sql.functions.col("event_type").isNotNull)
-    // ts arrives as ns-long (nanosAsLong); convert for event-time windows
+    // ts encoding (ns-long vs native timestamp) adapts via Temporal.epochUs
     val withTs = stream.withColumn("event_time",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000).cast("long")))
+        graft.operators.Temporal.epochUs(stream, "ts")))
     val agg = Streams.windowedAgg(withTs, "event_time", "1 hour", "1 day",
       Seq(org.apache.spark.sql.functions.col("event_type")),
       Seq(org.apache.spark.sql.functions.count(

@@ -11,9 +11,11 @@ class TemporalSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private lazy val events = spark.read.parquet(s"$sfDir/events.parquet")
-    .select(col("event_id"), col("user_id"), col("event_type"),
-      expr("ts div 1000").as("tus"), col("value"))
+  private lazy val events = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.select(col("event_id"), col("user_id"), col("event_type"),
+      graft.operators.Temporal.epochUs(raw, "ts").as("tus"), col("value"))
+  }
 
   test("asofJoin matches a brute-force most-recent-prior scan") {
     val left = events.where(col("event_type") === "purchase")
