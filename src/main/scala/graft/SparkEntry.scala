@@ -773,6 +773,16 @@ object SparkEntry {
         Multimodal.syntheticImages(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "img")),
 
+    // PNG is NOT stubbed: java.util.zip IS zlib, so construct real
+    // compressed PNGs (per-row filters cycling through all five types)
+    // and fully decode them back — chunk walk, CRC32 verify, inflate,
+    // unfilter. Same closed-form position-weighted oracle as above;
+    // only entropy-coded JPEG remains a documented decode stub.
+    "multimodal_png_decode" -> ((s, dir) =>
+      Multimodal.pixelStats(
+        Multimodal.syntheticPngImages(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "img")),
+
     // ---- §2b: PII scan / semi-structured / temporal -----------------
     "text_pii" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -2895,6 +2905,22 @@ object SparkEntry {
          list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 2) % 256)))::BIGINT AS b_wsum
          FROM (SELECT doc_id,
                  generate_series(0, (2 + doc_id % 7) * (2 + doc_id % 5) - 1) AS px
+               FROM documents)""",
+
+    "multimodal_png_decode" ->
+      """SELECT doc_id,
+         'png' AS kind,
+         (2 + doc_id % 6)::BIGINT AS width,
+         (2 + doc_id % 5)::BIGINT AS height,
+         ((2 + doc_id % 6) * (2 + doc_id % 5))::BIGINT AS n_pix,
+         list_sum(list_transform(px, p -> (doc_id + 3*p + 0) % 256))::BIGINT AS r_sum,
+         list_sum(list_transform(px, p -> (doc_id + 3*p + 1) % 256))::BIGINT AS g_sum,
+         list_sum(list_transform(px, p -> (doc_id + 3*p + 2) % 256))::BIGINT AS b_sum,
+         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 0) % 256)))::BIGINT AS r_wsum,
+         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 1) % 256)))::BIGINT AS g_wsum,
+         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 2) % 256)))::BIGINT AS b_wsum
+         FROM (SELECT doc_id,
+                 generate_series(0, (2 + doc_id % 6) * (2 + doc_id % 5) - 1) AS px
                FROM documents)""",
 
     "multimodal_frames" ->

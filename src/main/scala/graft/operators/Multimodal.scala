@@ -164,6 +164,7 @@ object Multimodal {
     if (bytes == null || bytes.length < 2) None
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp24(bytes)
     else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm6(bytes)
+    else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') decodePng(bytes)
     else None
 
   private def decodeBmp24(b: Array[Byte]): Option[DecodedImage] = {
@@ -226,6 +227,110 @@ object Multimodal {
     Some(DecodedImage("ppm", w, h, out))
   }
 
+  /** REAL PNG decode in pure JVM — `java.util.zip.Inflater` IS zlib,
+    * so "no codec libs in the container" stops at entropy-coded
+    * formats (JPEG), not at PNG. Supports the mainline raster case:
+    * bit depth 8, color type 2 (RGB) or 6 (RGBA, alpha dropped),
+    * non-interlaced. The decoder does everything a real one must:
+    * chunk walk with CRC32 verification, multi-IDAT concatenation,
+    * zlib inflate, and per-row reversal of all five PNG filters
+    * (None/Sub/Up/Average/Paeth). Anything else — interlace, palette,
+    * 16-bit, bad CRC, truncated stream — is data, not an exception:
+    * None.
+    */
+  private def decodePng(b: Array[Byte]): Option[DecodedImage] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (b.length < 45) return None // sig + IHDR + empty IDAT + IEND
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    var i = 0
+    while (i < 8) { if (u8(i) != sig(i)) return None; i += 1 }
+    var w = 0; var h = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 8
+    var sawIend = false
+    val crc = new java.util.zip.CRC32()
+    while (!sawIend) {
+      if (pos + 12 > b.length) return None
+      val len = u32(pos)
+      if (len > Int.MaxValue - 12 || pos + 12 + len > b.length) return None
+      val ctype = new String(b, pos + 4, 4, "US-ASCII")
+      crc.reset()
+      crc.update(b, pos + 4, 4 + len.toInt)
+      if (crc.getValue != u32(pos + 8 + len.toInt)) return None
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = u32(pos + 8).toInt; h = u32(pos + 12).toInt
+          val depth = u8(pos + 16); colorType = u8(pos + 17)
+          val interlace = u8(pos + 20)
+          if (w <= 0 || h <= 0 || depth != 8 || interlace != 0 ||
+            (colorType != 2 && colorType != 6)) return None
+        case "IDAT" => idat.write(b, pos + 8, len.toInt)
+        case "IEND" => sawIend = true
+        case _      => () // ancillary chunks (tEXt, pHYs, …) skip by length
+      }
+      pos += 12 + len.toInt
+    }
+    if (colorType < 0) return None
+    val bpp = if (colorType == 6) 4 else 3 // bytes per pixel
+    val rowBytes = w * bpp
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // reverse per-row filters in place over `cur`/`prev` unfiltered rows
+    val out = new Array[Int](w * h * 3)
+    val prev = new Array[Int](rowBytes)
+    val cur = new Array[Int](rowBytes)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (rowBytes + 1)) & 0xFF
+      if (f > 4) return None
+      val base = y * (rowBytes + 1) + 1
+      var x = 0
+      while (x < rowBytes) {
+        val v = raw(base + x) & 0xFF
+        val a = if (x >= bpp) cur(x - bpp) else 0      // left
+        val bb = prev(x)                               // up
+        val c = if (x >= bpp) prev(x - bpp) else 0     // up-left
+        val recon = f match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + bb
+          case 3 => v + ((a + bb) >> 1)
+          case 4 => // Paeth predictor
+            val p = a + bb - c
+            val pa = math.abs(p - a); val pb = math.abs(p - bb)
+            val pc = math.abs(p - c)
+            v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c)
+        }
+        cur(x) = recon & 0xFF
+        x += 1
+      }
+      var px = 0
+      while (px < w) {
+        out((y * w + px) * 3) = cur(px * bpp)
+        out((y * w + px) * 3 + 1) = cur(px * bpp + 1)
+        out((y * w + px) * 3 + 2) = cur(px * bpp + 2)
+        px += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    Some(DecodedImage("png", w, h, out))
+  }
+
   /** Deterministic pixel value for synthetic test images: channel c of
     * logical pixel p of image `id` is (id + 3p + c) mod 256 — position-
     * AND channel-sensitive, with a closed form any SQL engine can
@@ -267,6 +372,82 @@ object Multimodal {
     b
   }
 
+  /** A REAL compressed PNG for image `id`: RGB (color type 2), bit
+    * depth 8, zlib-deflated IDAT, correct CRC32 on every chunk, plus a
+    * tEXt ancillary chunk so the decoder's skip path runs on every
+    * payload. Row y is filtered with type (id + y) mod 5 applied
+    * FORWARD — a decoder that mis-reverses any of None/Sub/Up/Average/
+    * Paeth produces wrong pixels and fails the closed-form oracle.
+    * Deflate byte output may vary across zlib builds; decoded pixels
+    * (what the oracle pins) never do.
+    */
+  def pngPayloadBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rowBytes = w * 3
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    val prev = new Array[Int](rowBytes)
+    val cur = new Array[Int](rowBytes)
+    var y = 0
+    while (y < h) {
+      val f = (((id + y) % 5 + 5) % 5).toInt
+      raw(y * (rowBytes + 1)) = f.toByte
+      var x = 0
+      while (x < rowBytes) {
+        cur(x) = syntheticPixel(id, y * w + x / 3, x % 3)
+        val a = if (x >= 3) cur(x - 3) else 0
+        val b = prev(x)
+        val c = if (x >= 3) prev(x - 3) else 0
+        val filtered = f match {
+          case 0 => cur(x)
+          case 1 => cur(x) - a
+          case 2 => cur(x) - b
+          case 3 => cur(x) - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            cur(x) - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (rowBytes + 1) + 1 + x) = (filtered & 0xFF).toByte
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowBytes)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val compressed =
+      try {
+        defl.setInput(raw); defl.finish()
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+        buf.toByteArray
+      } finally defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def chunk(ctype: String, data: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] = Array(
+        (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      out.write(be32(data.length.toLong), 0, 4)
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >> 24).toByte; ihdr(1) = (w >> 16).toByte
+    ihdr(2) = (w >> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >> 24).toByte; ihdr(5) = (h >> 16).toByte
+    ihdr(6) = (h >> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2 // depth 8, RGB
+    chunk("IHDR", ihdr)
+    chunk("tEXt", "Software graft".getBytes("US-ASCII"))
+    chunk("IDAT", compressed)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** A REAL PPM P6 file for image `id`, with a header comment so the
     * decoder's comment skipping is exercised on every row.
     */
@@ -301,6 +482,25 @@ object Multimodal {
         val h = (2 + id % 5).toInt
         val img = if (id % 2 == 0) bmpPayloadBytes(id, w, h) else ppmPayloadBytes(id, w, h)
         Row(r.get(idIdx), img)
+      }
+    }(enc)
+  }
+
+  /** Construct per-row REAL compressed PNGs from an id column (dims
+    * from the id: w = 2 + id%6, h = 2 + id%5 — h reaches 5, so every
+    * filter type appears within single images, and the (id+y) mod 5
+    * phase covers all five across the table at any h). The write half
+    * of the PNG construct→inflate→unfilter round trip.
+    */
+  def syntheticPngImages(df: DataFrame, idCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("img", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        Row(r.get(idIdx), pngPayloadBytes(id, (2 + id % 6).toInt, (2 + id % 5).toInt))
       }
     }(enc)
   }

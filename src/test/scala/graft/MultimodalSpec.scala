@@ -167,6 +167,48 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getString(1) == "unknown"))
   }
 
+  test("decodePng: full inflate+unfilter round trip, every filter type") {
+    // h = 7 rows with filter (id+y) mod 5 ⇒ all five filter types
+    // appear inside ONE image; pixels must come back exactly
+    val id = 3L; val w = 5; val h = 7
+    val png = Multimodal.pngPayloadBytes(id, w, h)
+    val img = Multimodal.decodeImage(png).get
+    assert(img.kind == "png" && img.width == w && img.height == h)
+    for (p <- 0 until w * h; c <- 0 until 3)
+      assert(img.rgb(p * 3 + c) == Multimodal.syntheticPixel(id, p, c),
+        s"pixel $p channel $c mis-decoded")
+  }
+
+  test("decodePng: corruption is data — bad CRC, truncation, bad filter") {
+    val png = Multimodal.pngPayloadBytes(7L, 4, 4)
+    assert(Multimodal.decodeImage(png).isDefined)
+    // flip one IDAT payload byte: chunk CRC must catch it
+    val corrupt = png.clone()
+    corrupt(45) = (corrupt(45) ^ 0x01).toByte
+    assert(Multimodal.decodeImage(corrupt).isEmpty, "CRC verify must reject")
+    // truncate mid-IDAT
+    assert(Multimodal.decodeImage(png.take(png.length - 20)).isEmpty)
+    // header-only PNG (multimodal_meta's placeholder-CRC payload): None
+    val headerOnly = spark.range(1).select(
+      Multimodal.pngPayload(lit(4), lit(4)).as("b")).collect().head.getAs[Array[Byte]](0)
+    assert(Multimodal.decodeImage(headerOnly).isEmpty)
+  }
+
+  test("pixelStats over synthetic PNGs matches the closed-form oracle") {
+    val df = Seq(Tuple1(11L), Tuple1(24L), Tuple1(102L)).toDF("doc_id")
+    val rows = Multimodal.pixelStats(
+      Multimodal.syntheticPngImages(df, "doc_id"), "doc_id", "img").collect()
+    rows.foreach { out =>
+      val id = out.getLong(0)
+      val w = (2 + id % 6).toInt; val h = (2 + id % 5).toInt; val n = w * h
+      def sum(c: Int) = (0 until n).map(p => Multimodal.syntheticPixel(id, p, c).toLong).sum
+      def wsum(c: Int) = (0 until n).map(p => (p + 1L) * Multimodal.syntheticPixel(id, p, c)).sum
+      assert(out.getString(1) == "png" && out.getLong(2) == w && out.getLong(3) == h)
+      assert((out.getLong(5), out.getLong(6), out.getLong(7)) == ((sum(0), sum(1), sum(2))))
+      assert((out.getLong(8), out.getLong(9), out.getLong(10)) == ((wsum(0), wsum(1), wsum(2))))
+    }
+  }
+
   test("utf8 payload round-trips through binary column") {
     val df = Seq((1L, "héllo wörld")).toDF("id", "text")
     val back = df.select(decode(Multimodal.utf8Payload(col("text")), "UTF-8").as("t"))
