@@ -45,7 +45,7 @@ def main():
     bad = [r for r in rows if r[4] == "SUPER-LINEAR"]
     gated = [r for r in rows if r[4] in ("ok", "SUPER-LINEAR")]
     lines = []
-    lines.append("# SCALING — measured sf0.1 -> sf1 exponents (round 7)")
+    lines.append("# SCALING — measured sf0.1 -> sf1 exponents")
     lines.append("")
     def ld(d, k):
         v = d.get(k)
@@ -55,7 +55,8 @@ def main():
         f"{ld(lo, 'load_avg_start')}->{ld(lo, 'load_avg_end')}) vs "
         f"`{hi_path}` (total {hi['value']:.1f}s, load "
         f"{ld(hi, 'load_avg_start')}->{ld(hi, 'load_avg_end')}), "
-        f"both median-of-{lo.get('passes', '?')} on the same box, "
+        f"median-of-{lo.get('passes', '?')} vs median-of-"
+        f"{hi.get('passes', '?')} on the same box, "
         f"scale ratio {ratio:g}x. Exponent = log(t_hi/t_lo)/log({ratio:g}); "
         f"1.0 = linear; gate at {ALPHA_GATE} (n log n tolerance). Queries "
         f"under {FLOOR_SEC}s at sf0.1 are overhead-bound (fixed per-query "
