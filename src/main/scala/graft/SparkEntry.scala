@@ -783,6 +783,16 @@ object SparkEntry {
         Multimodal.syntheticPngImages(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "img")),
 
+    // audio is real too: WAV/PCM is uncompressed, so construct genuine
+    // RIFF/WAVE clips (mono AND stereo, ancillary LIST chunk) and decode
+    // them back — chunk walk, fmt validation, s16le samples; exact
+    // integer per-channel plain + position-weighted sums, closed-form
+    // oracle. Entropy-coded audio (MP3/AAC) would be the stub tier.
+    "multimodal_wav_decode" -> ((s, dir) =>
+      Multimodal.audioStats(
+        Multimodal.syntheticAudio(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "wav")),
+
     // ---- §2b: PII scan / semi-structured / temporal -----------------
     "text_pii" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -2921,6 +2931,24 @@ object SparkEntry {
          list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 2) % 256)))::BIGINT AS b_wsum
          FROM (SELECT doc_id,
                  generate_series(0, (2 + doc_id % 6) * (2 + doc_id % 5) - 1) AS px
+               FROM documents)""",
+
+    // channel c of frame s is ((doc_id + 7s + 3c) mod 65536) - 32768;
+    // mono clips (even ids) report zeros for channel 1
+    "multimodal_wav_decode" ->
+      """SELECT doc_id,
+         (1 + doc_id % 2)::BIGINT AS channels,
+         8000::BIGINT AS sample_rate,
+         (40 + doc_id % 60)::BIGINT AS n_frames,
+         list_sum(list_transform(fr, s -> (doc_id + 7*s) % 65536 - 32768))::BIGINT AS c0_sum,
+         (CASE WHEN doc_id % 2 = 1
+            THEN list_sum(list_transform(fr, s -> (doc_id + 7*s + 3) % 65536 - 32768))
+            ELSE 0 END)::BIGINT AS c1_sum,
+         list_sum(list_transform(fr, s -> (s + 1) * ((doc_id + 7*s) % 65536 - 32768)))::BIGINT AS c0_wsum,
+         (CASE WHEN doc_id % 2 = 1
+            THEN list_sum(list_transform(fr, s -> (s + 1) * ((doc_id + 7*s + 3) % 65536 - 32768)))
+            ELSE 0 END)::BIGINT AS c1_wsum
+         FROM (SELECT doc_id, generate_series(0, 40 + doc_id % 60 - 1) AS fr
                FROM documents)""",
 
     "multimodal_frames" ->

@@ -554,6 +554,157 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- audio: REAL WAV/PCM decode (uncompressed, pure JVM) ----------
+
+  /** Decoded PCM audio: interleaved signed 16-bit samples. */
+  final case class DecodedAudio(channels: Int, sampleRate: Int,
+      samples: Array[Int])
+
+  /** Deterministic sample value for synthetic audio: frame s, channel c
+    * of clip `id` is ((id + 7s + 3c) mod 65536) − 32768 — position- and
+    * channel-sensitive with a closed form any SQL engine replays, same
+    * protocol as [[syntheticPixel]].
+    */
+  def syntheticSample(id: Long, s: Int, c: Int): Int =
+    ((((id + 7L * s + 3L * c) % 65536 + 65536) % 65536) - 32768).toInt
+
+  /** A REAL RIFF/WAVE file for clip `id`: fmt chunk (PCM, 16-bit,
+    * little-endian), a LIST ancillary chunk so the decoder's skip path
+    * runs on every payload, then interleaved sample data.
+    */
+  def wavPayloadBytes(id: Long, nFrames: Int, channels: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nFrames * channels * 2
+    val listData = "INFOISFT".getBytes("US-ASCII") // minimal LIST body
+    val riffLen = 4 + (8 + 16) + (8 + listData.length) + (8 + dataLen)
+    val b = new Array[Byte](8 + riffLen)
+    var i = 0
+    def putAscii(s: String): Unit = { val t = s.getBytes("US-ASCII"); System.arraycopy(t, 0, b, i, t.length); i += t.length }
+    def putU32(v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte; b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte; i += 4 }
+    def putU16(v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte; i += 2 }
+    putAscii("RIFF"); putU32(riffLen); putAscii("WAVE")
+    putAscii("fmt "); putU32(16)
+    putU16(1); putU16(channels); putU32(sampleRate)
+    putU32(sampleRate * channels * 2); putU16(channels * 2); putU16(16)
+    putAscii("LIST"); putU32(listData.length)
+    System.arraycopy(listData, 0, b, i, listData.length); i += listData.length
+    putAscii("data"); putU32(dataLen)
+    var s = 0
+    while (s < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val v = syntheticSample(id, s, c)
+        b(i) = v.toByte; b(i + 1) = (v >> 8).toByte; i += 2
+        c += 1
+      }
+      s += 1
+    }
+    b
+  }
+
+  /** REAL WAV decode: RIFF chunk walk (even-byte padding rule,
+    * ancillary chunks skipped by length), fmt validation, interleaved
+    * 16-bit little-endian PCM. None for compressed formats, other bit
+    * depths, or truncated data — malformed media is data.
+    */
+  def decodeWav(b: Array[Byte]): Option[DecodedAudio] = {
+    if (b == null || b.length < 44) return None
+    def u8(i: Int): Int = b(i) & 0xFF
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    def ascii(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+    var pos = 12
+    var channels = -1; var rate = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+      val ctype = ascii(pos)
+      val len = u32(pos + 4)
+      if (len > Int.MaxValue - 8 || pos + 8 + len > b.length) return None
+      ctype match {
+        case "fmt " =>
+          if (len < 16) return None
+          if (u16(pos + 8) != 1 || u16(pos + 22) != 16) return None // PCM s16le only
+          channels = u16(pos + 10); rate = u32(pos + 12).toInt
+          if (channels < 1 || channels > 8 || rate <= 0) return None
+        case "data" => dataOff = pos + 8; dataLen = len.toInt
+        case _      => () // LIST/fact/… skip by declared length
+      }
+      pos += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
+    }
+    if (channels < 0 || dataOff < 0) return None
+    val n = dataLen / 2
+    if (n % channels != 0) return None
+    val out = new Array[Int](n)
+    var s = 0
+    while (s < n) {
+      out(s) = (u16(dataOff + s * 2) << 16) >> 16 // sign-extend
+      s += 1
+    }
+    Some(DecodedAudio(channels, rate, out))
+  }
+
+  /** Construct per-row synthetic WAV clips from an id column: frames =
+    * 40 + id%60, channels = 1 + id%2 (mono and stereo both exercised).
+    */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("wav", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        Row(r.get(idIdx),
+          wavPayloadBytes(id, (40 + id % 60).toInt, (1 + id % 2).toInt))
+      }
+    }(enc)
+  }
+
+  /** Full-decode audio statistics: per clip the exact-integer plain and
+    * position-weighted per-channel sums over the first two channels
+    * (mono clips report zeros for channel 1), same order-sensitivity
+    * rationale as [[pixelStats]]. Undecodable payloads emit zeros with
+    * channels = 0.
+    */
+  def audioStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outType = StructType(Seq(
+      idField,
+      StructField("channels", LongType),
+      StructField("sample_rate", LongType),
+      StructField("n_frames", LongType),
+      StructField("c0_sum", LongType), StructField("c1_sum", LongType),
+      StructField("c0_wsum", LongType), StructField("c1_wsum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        decodeWav(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(a) =>
+            val frames = a.samples.length / a.channels
+            val sums = new Array[Long](2); val wsums = new Array[Long](2)
+            var s = 0
+            while (s < frames) {
+              var c = 0
+              val cMax = math.min(a.channels, 2)
+              while (c < cMax) {
+                val v = a.samples(s * a.channels + c).toLong
+                sums(c) += v; wsums(c) += (s + 1L) * v
+                c += 1
+              }
+              s += 1
+            }
+            Row(r.get(idIdx), a.channels.toLong, a.sampleRate.toLong,
+              frames.toLong, sums(0), sums(1), wsums(0), wsums(1))
+          case None =>
+            Row(r.get(idIdx), 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }(enc)
+  }
+
   /** Container sniffing from magic bytes — pure expressions, runs in
     * the scan stage. Recognizes PNG/JPEG/RIFF(WAV-AVI)/MP4-ftyp.
     */

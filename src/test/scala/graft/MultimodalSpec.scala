@@ -209,6 +209,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeWav: RIFF chunk walk, mono and stereo s16le round trip") {
+    for (id <- Seq(4L, 7L)) { // even = mono, odd = stereo
+      val ch = (1 + id % 2).toInt; val frames = 10
+      val wav = Multimodal.wavPayloadBytes(id, frames, ch)
+      val a = Multimodal.decodeWav(wav).get
+      assert(a.channels == ch && a.sampleRate == 8000)
+      assert(a.samples.length == frames * ch)
+      for (s <- 0 until frames; c <- 0 until ch)
+        assert(a.samples(s * ch + c) == Multimodal.syntheticSample(id, s, c))
+    }
+    // negative samples survive the sign extension
+    assert(Multimodal.syntheticSample(0L, 0, 0) == -32768)
+    val a0 = Multimodal.decodeWav(Multimodal.wavPayloadBytes(0L, 3, 1)).get
+    assert(a0.samples(0) == -32768)
+  }
+
+  test("decodeWav: malformed audio is data, not an exception") {
+    val wav = Multimodal.wavPayloadBytes(3L, 8, 2)
+    assert(Multimodal.decodeWav(wav.take(30)).isEmpty)            // truncated header
+    assert(Multimodal.decodeWav(wav.take(wav.length - 4)).isEmpty) // truncated data
+    val nonPcm = wav.clone(); nonPcm(20) = 3                       // IEEE-float format tag
+    assert(Multimodal.decodeWav(nonPcm).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxAVI LIST".getBytes).isEmpty) // not WAVE
+  }
+
+  test("audioStats matches the closed-form oracle for mono and stereo") {
+    val rows = Multimodal.audioStats(
+      Multimodal.syntheticAudio(Seq(Tuple1(6L), Tuple1(13L)).toDF("doc_id"), "doc_id"),
+      "doc_id", "wav").collect()
+    rows.foreach { out =>
+      val id = out.getLong(0)
+      val ch = (1 + id % 2).toInt; val n = (40 + id % 60).toInt
+      def sum(c: Int) = if (c >= ch) 0L
+        else (0 until n).map(s => Multimodal.syntheticSample(id, s, c).toLong).sum
+      def wsum(c: Int) = if (c >= ch) 0L
+        else (0 until n).map(s => (s + 1L) * Multimodal.syntheticSample(id, s, c)).sum
+      assert(out.getLong(1) == ch && out.getLong(2) == 8000L && out.getLong(3) == n)
+      assert((out.getLong(4), out.getLong(5)) == ((sum(0), sum(1))))
+      assert((out.getLong(6), out.getLong(7)) == ((wsum(0), wsum(1))))
+    }
+  }
+
   test("utf8 payload round-trips through binary column") {
     val df = Seq((1L, "héllo wörld")).toDF("id", "text")
     val back = df.select(decode(Multimodal.utf8Payload(col("text")), "UTF-8").as("t"))
