@@ -30,8 +30,23 @@ object SparkEntry {
     // cycles sessions doesn't pin their state (live sessions keep theirs)
     tableCache.keys.filter(k => (k._1 ne s) && k._1.sparkContext.isStopped)
       .foreach(tableCache.remove)
-    tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"),
-      s.read.parquet(s"$dir/$name.parquet"))
+    tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"), {
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      // drift insurance (the round-7 events-encoding lesson): the
+      // vector kernels are typed array<float>, so a driver-side
+      // regeneration of embeddings as array<double> would break every
+      // similarity/ANN query at ANALYSIS time. Normalize on read —
+      // a no-op (no cast node) when the schema is already float.
+      raw.schema.fields.find(_.name == "embedding") match {
+        case Some(f) if f.dataType ==
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, true) ||
+            f.dataType == org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, false) =>
+          raw.withColumn("embedding", col("embedding").cast("array<float>"))
+        case _ => raw
+      }
+    })
   }
 
   /** Bit-deterministic half-up rounding: floor(x·10ⁿ + 0.5)/10ⁿ uses

@@ -92,6 +92,20 @@ class EventTimeEncodingSpec extends SparkSpec {
     }
   }
 
+  test("embeddings drift insurance: array<double> regeneration still analyzes") {
+    // same drift class as the events-ts incident: vector kernels are
+    // typed array<float>; the table reader must normalize a
+    // double-element regeneration instead of failing at analysis time
+    val d = java.nio.file.Files.createTempDirectory("emb_dbl").toString
+    Seq((1L, Array(3.0, 4.0), 0), (2L, Array(0.0, 5.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = SparkEntry.queries("embed_normalize")(spark, d).collect()
+    assert(out.length == 4) // 2 vectors x 2 dims
+    val norms = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(norms(1L) - 5.0) < 1e-6)
+  }
+
   test("dailyCounts handles both encodings and a pre-derived long column") {
     val ns = spark.read.parquet(s"$nsDir/events.parquet")
     val us = spark.read.parquet(s"$usDir/events.parquet")
