@@ -382,17 +382,32 @@ object Multimodal {
     * (what the oracle pins) never do.
     */
   def pngPayloadBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Int](w * h * 3)
+    var i = 0
+    while (i < rgb.length) { rgb(i) = syntheticPixel(id, i / 3, i % 3); i += 1 }
+    encodePng(w, h, rgb, y => (((id + y) % 5 + 5) % 5).toInt)
+  }
+
+  /** General PNG encoder over an arbitrary RGB raster (the construct
+    * half [[pngPayloadBytes]] specializes); `filterFor(y)` picks the
+    * filter type applied forward to row y. Public so fuzz tests can
+    * round-trip arbitrary content through [[decodePng]].
+    */
+  def encodePng(w: Int, h: Int, rgb: Array[Int],
+      filterFor: Int => Int): Array[Byte] = {
+    require(rgb.length == w * h * 3, "rgb must be w*h*3 channel values")
     val rowBytes = w * 3
     val raw = new Array[Byte]((rowBytes + 1) * h)
     val prev = new Array[Int](rowBytes)
     val cur = new Array[Int](rowBytes)
     var y = 0
     while (y < h) {
-      val f = (((id + y) % 5 + 5) % 5).toInt
+      val f = filterFor(y)
+      require(f >= 0 && f <= 4, s"filter $f out of range")
       raw(y * (rowBytes + 1)) = f.toByte
       var x = 0
       while (x < rowBytes) {
-        cur(x) = syntheticPixel(id, y * w + x / 3, x % 3)
+        cur(x) = rgb(y * rowBytes + x) & 0xFF
         val a = if (x >= 3) cur(x - 3) else 0
         val b = prev(x)
         val c = if (x >= 3) prev(x - 3) else 0
@@ -574,7 +589,26 @@ object Multimodal {
     */
   def wavPayloadBytes(id: Long, nFrames: Int, channels: Int,
       sampleRate: Int = 8000): Array[Byte] = {
-    val dataLen = nFrames * channels * 2
+    val samples = new Array[Int](nFrames * channels)
+    var s = 0
+    while (s < nFrames) {
+      var c = 0
+      while (c < channels) {
+        samples(s * channels + c) = syntheticSample(id, s, c); c += 1
+      }
+      s += 1
+    }
+    encodeWav(samples, channels, sampleRate)
+  }
+
+  /** General WAV encoder over arbitrary interleaved s16 samples (the
+    * construct half [[wavPayloadBytes]] specializes). Public so fuzz
+    * tests can round-trip arbitrary content through [[decodeWav]].
+    */
+  def encodeWav(samples: Array[Int], channels: Int,
+      sampleRate: Int): Array[Byte] = {
+    require(samples.length % channels == 0, "samples must interleave evenly")
+    val dataLen = samples.length * 2
     val listData = "INFOISFT".getBytes("US-ASCII") // minimal LIST body
     val riffLen = 4 + (8 + 16) + (8 + listData.length) + (8 + dataLen)
     val b = new Array[Byte](8 + riffLen)
@@ -590,13 +624,9 @@ object Multimodal {
     System.arraycopy(listData, 0, b, i, listData.length); i += listData.length
     putAscii("data"); putU32(dataLen)
     var s = 0
-    while (s < nFrames) {
-      var c = 0
-      while (c < channels) {
-        val v = syntheticSample(id, s, c)
-        b(i) = v.toByte; b(i + 1) = (v >> 8).toByte; i += 2
-        c += 1
-      }
+    while (s < samples.length) {
+      val v = samples(s)
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte; i += 2
       s += 1
     }
     b

@@ -251,6 +251,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: arbitrary rasters round-trip through PNG encode/decode") {
+    // 150 random (dims, content, filter-choice) cases — the decoder
+    // must invert the encoder for content with no structure at all,
+    // not just the closed-form synthetic images
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 150) {
+      val w = 1 + rnd.nextInt(12); val h = 1 + rnd.nextInt(12)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val filters = Array.fill(h)(rnd.nextInt(5))
+      val png = Multimodal.encodePng(w, h, rgb, y => filters(y))
+      val img = Multimodal.decodeImage(png)
+        .getOrElse(fail(s"trial $trial: failed to decode w=$w h=$h filters=${filters.toSeq}"))
+      assert(img.width == w && img.height == h)
+      assert(img.rgb.sameElements(rgb),
+        s"trial $trial: pixel mismatch w=$w h=$h filters=${filters.toSeq}")
+    }
+  }
+
+  test("fuzz: arbitrary PCM clips round-trip through WAV encode/decode") {
+    val rnd = new scala.util.Random(8138102L)
+    for (trial <- 0 until 150) {
+      val ch = 1 + rnd.nextInt(4)
+      val frames = 1 + rnd.nextInt(200)
+      val samples = Array.fill(frames * ch)(rnd.nextInt(65536) - 32768)
+      val rate = 1 + rnd.nextInt(48000)
+      val wav = Multimodal.encodeWav(samples, ch, rate)
+      val a = Multimodal.decodeWav(wav)
+        .getOrElse(fail(s"trial $trial: failed to decode ch=$ch frames=$frames"))
+      assert(a.channels == ch && a.sampleRate == rate)
+      assert(a.samples.sameElements(samples),
+        s"trial $trial: sample mismatch ch=$ch frames=$frames")
+    }
+  }
+
   test("utf8 payload round-trips through binary column") {
     val df = Seq((1L, "héllo wörld")).toDF("id", "text")
     val back = df.select(decode(Multimodal.utf8Payload(col("text")), "UTF-8").as("t"))
