@@ -798,6 +798,15 @@ object SparkEntry {
         Multimodal.syntheticPngImages(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "img")),
 
+    // video completes the set: an uncompressed AVI is a RIFF container
+    // (the WAV walk) of DIB rasters (the BMP row rules), so REAL frame
+    // extraction needs no codec either — one output row per decoded
+    // frame, the shape downstream frame sampling/dedup consumes.
+    "multimodal_avi_frames" -> ((s, dir) =>
+      Multimodal.videoFrameStats(
+        Multimodal.syntheticVideos(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "avi")),
+
     // audio is real too: WAV/PCM is uncompressed, so construct genuine
     // RIFF/WAVE clips (mono AND stereo, ancillary LIST chunk) and decode
     // them back — chunk walk, fmt validation, s16le samples; exact
@@ -2947,6 +2956,25 @@ object SparkEntry {
          FROM (SELECT doc_id,
                  generate_series(0, (2 + doc_id % 6) * (2 + doc_id % 5) - 1) AS px
                FROM documents)""",
+
+    // channel c of pixel p in frame f is (doc_id + 5f + 3p + c) mod 256
+    "multimodal_avi_frames" ->
+      """WITH fr AS (SELECT doc_id,
+                unnest(generate_series(0, (2 + doc_id % 4) - 1)) AS f
+              FROM documents),
+         px AS (SELECT doc_id, f,
+                  generate_series(0, (2 + doc_id % 5) * (2 + doc_id % 3) - 1) AS ps
+                FROM fr)
+         SELECT doc_id, f AS frame_idx,
+           (2 + doc_id % 5)::BIGINT AS width,
+           (2 + doc_id % 3)::BIGINT AS height,
+           list_sum(list_transform(ps, p -> (doc_id + 5*f + 3*p + 0) % 256))::BIGINT AS r_sum,
+           list_sum(list_transform(ps, p -> (doc_id + 5*f + 3*p + 1) % 256))::BIGINT AS g_sum,
+           list_sum(list_transform(ps, p -> (doc_id + 5*f + 3*p + 2) % 256))::BIGINT AS b_sum,
+           list_sum(list_transform(ps, p -> (p + 1) * ((doc_id + 5*f + 3*p + 0) % 256)))::BIGINT AS r_wsum,
+           list_sum(list_transform(ps, p -> (p + 1) * ((doc_id + 5*f + 3*p + 1) % 256)))::BIGINT AS g_wsum,
+           list_sum(list_transform(ps, p -> (p + 1) * ((doc_id + 5*f + 3*p + 2) % 256)))::BIGINT AS b_wsum
+         FROM px""",
 
     // channel c of frame s is ((doc_id + 7s + 3c) mod 65536) - 32768;
     // mono clips (even ids) report zeros for channel 1

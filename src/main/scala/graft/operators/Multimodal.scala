@@ -735,6 +735,196 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- video: REAL AVI frame extraction (uncompressed DIB, pure JVM)
+
+  /** Deterministic pixel for synthetic video: channel c of pixel p in
+    * frame f of clip `id` is (id + 5f + 3p + c) mod 256 — frame-,
+    * position- and channel-sensitive with a closed SQL form.
+    */
+  def syntheticVideoPixel(id: Long, f: Int, p: Int, c: Int): Int =
+    (((id + 5L * f + 3L * p + c) % 256 + 256) % 256).toInt
+
+  /** A REAL (minimal, spec-shaped) AVI for clip `id`: RIFF/'AVI ' with
+    * an hdrl LIST (avih main header + one 'vids'/DIB stream: strh +
+    * BITMAPINFOHEADER strf, 24-bit BI_RGB) and a movi LIST of '00db'
+    * frames stored as bottom-up BGR DIB rows with 4-byte-padded stride
+    * — the same raster rules a BMP decoder must invert, per frame.
+    */
+  def aviPayloadBytes(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val frameLen = stride * h
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Array[Byte] =
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def u16(v: Int): Array[Byte] = Array(v.toByte, (v >> 8).toByte)
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // avih: µs/frame, maxBytesPerSec, padding, flags, TOTALFRAMES,
+    // initial, streams, bufSize, WIDTH, HEIGHT, 4 reserved
+    val avih = Array.concat(u32(40000), u32(frameLen * 25), u32(0), u32(0),
+      u32(nFrames), u32(0), u32(1), u32(frameLen), u32(w), u32(h),
+      u32(0), u32(0), u32(0), u32(0))
+    val strh = Array.concat(ascii("vids"), ascii("DIB "), u32(0), u16(0),
+      u16(0), u32(0), u32(1), u32(25), u32(0), u32(nFrames),
+      u32(frameLen), u32(0), u32(0), u32(0), u16(0), u16(0))
+    val strf = Array.concat(u32(40), u32(w), u32(h), u16(1), u16(24),
+      u32(0) /* BI_RGB */, u32(frameLen), u32(0), u32(0), u32(0), u32(0))
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      Array.concat(ascii(ctype), u32(data.length), data, pad)
+    }
+    def list(ltype: String, body: Array[Byte]): Array[Byte] =
+      Array.concat(ascii("LIST"), u32(body.length + 4), ascii(ltype), body)
+    val strl = list("strl", Array.concat(chunk("strh", strh), chunk("strf", strf)))
+    val hdrl = list("hdrl", Array.concat(chunk("avih", avih), strl))
+    val frames = (0 until nFrames).map { f =>
+      val d = new Array[Byte](frameLen)
+      var y = 0
+      while (y < h) {
+        val off = (h - 1 - y) * stride // bottom-up rows
+        var x = 0
+        while (x < w) {
+          val p = y * w + x
+          d(off + x * 3) = syntheticVideoPixel(id, f, p, 2).toByte     // B
+          d(off + x * 3 + 1) = syntheticVideoPixel(id, f, p, 1).toByte // G
+          d(off + x * 3 + 2) = syntheticVideoPixel(id, f, p, 0).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", d)
+    }
+    val movi = list("movi", Array.concat(frames: _*))
+    val body = Array.concat(ascii("AVI "), hdrl, movi)
+    out.write(ascii("RIFF"), 0, 4)
+    out.write(u32(body.length), 0, 4)
+    out.write(body, 0, body.length)
+    out.toByteArray
+  }
+
+  /** REAL AVI frame extraction: RIFF walk to hdrl (avih dims, strf
+    * must be 24-bit BI_RGB), then every '00db'/'00dc' chunk in the
+    * movi LIST decoded as a bottom-up BGR DIB raster. None for
+    * compressed streams, other bit depths, or frame-size mismatches.
+    */
+  def decodeAviFrames(b: Array[Byte]): Option[Seq[DecodedImage]] = {
+    if (b == null || b.length < 24) return None
+    def u8(i: Int): Int = b(i) & 0xFF
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long = u16(i).toLong | (u16(i + 2).toLong << 16)
+    def ascii(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (ascii(0) != "RIFF" || ascii(8) != "AVI ") return None
+    var w = -1; var h = -1; var bitCount = -1; var compression = -1L
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DecodedImage]
+    // recursive chunk walk; LIST bodies contain sub-chunks after the
+    // 4-byte list type
+    def walk(start: Int, end: Int): Boolean = { // false = structural error
+      var pos = start
+      while (pos + 8 <= end) {
+        val ctype = ascii(pos)
+        val len = u32(pos + 4)
+        if (len > Int.MaxValue - 8 || pos + 8 + len > end) return false
+        val dataOff = pos + 8
+        ctype match {
+          case "LIST" =>
+            if (len < 4) return false
+            if (!walk(dataOff + 4, dataOff + len.toInt)) return false
+          case "avih" =>
+            if (len < 40) return false
+            w = u32(dataOff + 32).toInt; h = u32(dataOff + 36).toInt
+            if (w <= 0 || h <= 0) return false
+          case "strf" =>
+            if (len >= 20) {
+              bitCount = u16(dataOff + 14); compression = u32(dataOff + 16)
+            }
+          case "00db" | "00dc" =>
+            if (w <= 0 || bitCount != 24 || compression != 0L) return false
+            val stride = (w * 3 + 3) & ~3
+            if (len.toInt != stride * h) return false
+            val rgb = new Array[Int](w * h * 3)
+            var y = 0
+            while (y < h) {
+              val src = dataOff + (h - 1 - y) * stride
+              var x = 0
+              while (x < w) {
+                val dst = (y * w + x) * 3
+                rgb(dst) = u8(src + x * 3 + 2)     // R
+                rgb(dst + 1) = u8(src + x * 3 + 1) // G
+                rgb(dst + 2) = u8(src + x * 3)     // B
+                x += 1
+              }
+              y += 1
+            }
+            frames += DecodedImage("avi", w, h, rgb)
+          case _ => () // idx1 / JUNK / … skip by length
+        }
+        pos = dataOff + len.toInt + (len.toInt & 1) // RIFF even padding
+      }
+      true
+    }
+    if (!walk(12, b.length)) return None
+    if (frames.isEmpty) None else Some(frames.toSeq)
+  }
+
+  /** Construct per-row synthetic AVI clips: frames = 2 + id%4,
+    * w = 2 + id%5, h = 2 + id%3.
+    */
+  def syntheticVideos(df: DataFrame, idCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("avi", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        Row(r.get(idIdx), aviPayloadBytes(id,
+          (2 + id % 5).toInt, (2 + id % 3).toInt, (2 + id % 4).toInt))
+      }
+    }(enc)
+  }
+
+  /** Frame EXPLODE with per-frame pixel statistics: one output row per
+    * decoded frame — the video shape (a clip is a sequence of rasters,
+    * and downstream sampling/dedup operates on frame rows). Exact
+    * integer plain + position-weighted channel sums per frame, same
+    * order-sensitivity rationale as [[pixelStats]]. Undecodable clips
+    * contribute zero rows.
+    */
+  def videoFrameStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outType = StructType(Seq(
+      idField,
+      StructField("frame_idx", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("r_sum", LongType), StructField("g_sum", LongType),
+      StructField("b_sum", LongType),
+      StructField("r_wsum", LongType), StructField("g_wsum", LongType),
+      StructField("b_wsum", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeAviFrames(r.getAs[Array[Byte]](binIdx)).getOrElse(Seq.empty)
+          .iterator.zipWithIndex.map { case (img, f) =>
+            val sums = new Array[Long](3); val wsums = new Array[Long](3)
+            val n = img.width * img.height
+            var p = 0
+            while (p < n) {
+              var c = 0
+              while (c < 3) {
+                val v = img.rgb(p * 3 + c).toLong
+                sums(c) += v; wsums(c) += (p + 1L) * v
+                c += 1
+              }
+              p += 1
+            }
+            Row(r.get(idIdx), f.toLong, img.width.toLong, img.height.toLong,
+              sums(0), sums(1), sums(2), wsums(0), wsums(1), wsums(2))
+          }
+      }
+    }(enc)
+  }
+
   /** Container sniffing from magic bytes — pure expressions, runs in
     * the scan stage. Recognizes PNG/JPEG/RIFF(WAV-AVI)/MP4-ftyp.
     */

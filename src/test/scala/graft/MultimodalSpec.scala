@@ -251,6 +251,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeAviFrames: frame-exact extraction, bottom-up BGR, stride pad") {
+    val id = 9L; val w = 5; val h = 3; val n = 4 // w=5 -> padded stride
+    val frames = Multimodal.decodeAviFrames(
+      Multimodal.aviPayloadBytes(id, w, h, n)).get
+    assert(frames.length == n)
+    frames.zipWithIndex.foreach { case (img, f) =>
+      assert(img.width == w && img.height == h)
+      for (p <- 0 until w * h; c <- 0 until 3)
+        assert(img.rgb(p * 3 + c) == Multimodal.syntheticVideoPixel(id, f, p, c),
+          s"frame $f pixel $p channel $c")
+    }
+  }
+
+  test("decodeAviFrames: malformed video is data, not an exception") {
+    val avi = Multimodal.aviPayloadBytes(5L, 4, 4, 3)
+    assert(Multimodal.decodeAviFrames(avi.take(60)).isEmpty)  // truncated
+    val compressed = avi.clone()
+    // strf biCompression lives after 'strf' len + 16 bytes; flip it
+    val strfOff = avi.indexOfSlice("strf".getBytes)
+    compressed(strfOff + 8 + 16) = 1 // BI_RLE8
+    assert(Multimodal.decodeAviFrames(compressed).isEmpty)
+    assert(Multimodal.decodeAviFrames("RIFFxxxxWAVEfmt ".getBytes).isEmpty)
+  }
+
+  test("videoFrameStats explodes one row per frame, oracle closed form") {
+    val rows = Multimodal.videoFrameStats(
+      Multimodal.syntheticVideos(Seq(Tuple1(7L), Tuple1(10L)).toDF("doc_id"), "doc_id"),
+      "doc_id", "avi").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc(7L).length == (2 + 7 % 4) && byDoc(10L).length == (2 + 10 % 4))
+    rows.foreach { out =>
+      val id = out.getLong(0); val f = out.getLong(1).toInt
+      val w = (2 + id % 5).toInt; val h = (2 + id % 3).toInt; val n = w * h
+      def sum(c: Int) = (0 until n).map(p =>
+        Multimodal.syntheticVideoPixel(id, f, p, c).toLong).sum
+      def wsum(c: Int) = (0 until n).map(p =>
+        (p + 1L) * Multimodal.syntheticVideoPixel(id, f, p, c)).sum
+      assert(out.getLong(2) == w && out.getLong(3) == h)
+      assert((out.getLong(4), out.getLong(5), out.getLong(6)) == ((sum(0), sum(1), sum(2))))
+      assert((out.getLong(7), out.getLong(8), out.getLong(9)) == ((wsum(0), wsum(1), wsum(2))))
+    }
+  }
+
   test("fuzz: arbitrary rasters round-trip through PNG encode/decode") {
     // 150 random (dims, content, filter-choice) cases — the decoder
     // must invert the encoder for content with no structure at all,
