@@ -294,6 +294,60 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodePng: RGBA (color type 6) decodes with alpha dropped") {
+    // hand-build a 2x2 RGBA PNG, filter 0 rows: pixel p has
+    // rgb = (10p, 10p+1, 10p+2), alpha = 200+p (must be dropped)
+    val w = 2; val h = 2
+    val raw = new Array[Byte]((w * 4 + 1) * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = y * w + x
+      val off = y * (w * 4 + 1) + 1 + x * 4
+      raw(off) = (10 * p).toByte; raw(off + 1) = (10 * p + 1).toByte
+      raw(off + 2) = (10 * p + 2).toByte; raw(off + 3) = (200 + p).toByte
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val buf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](1024)
+    while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    def chunk(t: String, d: Array[Byte]): Unit = {
+      def be32(v: Long): Array[Byte] =
+        Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      out.write(be32(d.length.toLong)); out.write(t.getBytes("US-ASCII"))
+      out.write(d)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t.getBytes("US-ASCII")); crc.update(d)
+      out.write(be32(crc.getValue))
+    }
+    val ihdr = Array[Byte](0, 0, 0, w.toByte, 0, 0, 0, h.toByte, 8, 6, 0, 0, 0)
+    chunk("IHDR", ihdr); chunk("IDAT", buf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    val img = Multimodal.decodeImage(out.toByteArray).get
+    assert(img.width == w && img.height == h)
+    for (p <- 0 until w * h; c <- 0 until 3)
+      assert(img.rgb(p * 3 + c) == 10 * p + c, s"pixel $p channel $c")
+  }
+
+  test("decode operators tolerate empty and degenerate inputs") {
+    val empty = spark.emptyDataFrame.withColumn("doc_id", lit(0L)).limit(0)
+      .select(col("doc_id"))
+    assert(Multimodal.pixelStats(
+      Multimodal.syntheticPngImages(empty, "doc_id"), "doc_id", "img").count() == 0)
+    assert(Multimodal.audioStats(
+      Multimodal.syntheticAudio(empty, "doc_id"), "doc_id", "wav").count() == 0)
+    assert(Multimodal.videoFrameStats(
+      Multimodal.syntheticVideos(empty, "doc_id"), "doc_id", "avi").count() == 0)
+    // garbage payloads: stats rows degrade, frame rows vanish, no throw
+    val junk = Seq((1L, Array[Byte](1, 2, 3, 4)), (2L, null))
+      .toDF("doc_id", "bin")
+    assert(Multimodal.audioStats(junk, "doc_id", "bin")
+      .collect().forall(_.getLong(1) == 0L))
+    assert(Multimodal.videoFrameStats(junk, "doc_id", "bin").count() == 0)
+  }
+
   test("fuzz: arbitrary rasters round-trip through PNG encode/decode") {
     // 150 random (dims, content, filter-choice) cases — the decoder
     // must invert the encoder for content with no structure at all,
