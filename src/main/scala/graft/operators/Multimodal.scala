@@ -275,8 +275,19 @@ object Multimodal {
     }
     if (colorType < 0) return None
     val bpp = if (colorType == 6) 4 else 3 // bytes per pixel
-    val rowBytes = w * bpp
-    val raw = new Array[Byte]((rowBytes + 1) * h)
+    // Claimed dims must survive Int arithmetic AND be plausible against
+    // the actual IDAT payload (zlib expands at most ~1032:1) BEFORE any
+    // allocation — a CRC-valid header claiming w=h=100000 is malformed
+    // data, not a multi-GB allocation request or an overflow throw.
+    // bound w*h FIRST: it cannot overflow a Long (both < 2^31), and
+    // once it is ≤ Int.MaxValue/4 no later size product can overflow
+    if (w.toLong * h > Int.MaxValue / 4) return None
+    val rowBytesL = w.toLong * bpp
+    val rawLenL = (rowBytesL + 1L) * h
+    if (rawLenL > Int.MaxValue || w.toLong * h * 3L > Int.MaxValue) return None
+    if (rawLenL > idat.size().toLong * 1032L + 4096L) return None
+    val rowBytes = rowBytesL.toInt
+    val raw = new Array[Byte](rawLenL.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -457,7 +468,7 @@ object Multimodal {
     ihdr(6) = (h >> 8).toByte; ihdr(7) = h.toByte
     ihdr(8) = 8; ihdr(9) = 2 // depth 8, RGB
     chunk("IHDR", ihdr)
-    chunk("tEXt", "Software graft".getBytes("US-ASCII"))
+    chunk("tEXt", "Software\u0000graft".getBytes("US-ASCII"))
     chunk("IDAT", compressed)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
@@ -609,7 +620,13 @@ object Multimodal {
       sampleRate: Int): Array[Byte] = {
     require(samples.length % channels == 0, "samples must interleave evenly")
     val dataLen = samples.length * 2
-    val listData = "INFOISFT".getBytes("US-ASCII") // minimal LIST body
+    // Well-formed LIST/INFO body: an ISFT sub-chunk with its own
+    // id + size + NUL-terminated data, as external validators expect.
+    val isft = "graft\u0000".getBytes("US-ASCII")
+    val listData = new Array[Byte](4 + 8 + isft.length)
+    System.arraycopy("INFOISFT".getBytes("US-ASCII"), 0, listData, 0, 8)
+    listData(8) = isft.length.toByte // LE u32 size; high bytes stay 0
+    System.arraycopy(isft, 0, listData, 12, isft.length)
     val riffLen = 4 + (8 + 16) + (8 + listData.length) + (8 + dataLen)
     val b = new Array[Byte](8 + riffLen)
     var i = 0
@@ -814,6 +831,7 @@ object Multimodal {
     def ascii(i: Int): String = new String(b, i, 4, "US-ASCII")
     if (ascii(0) != "RIFF" || ascii(8) != "AVI ") return None
     var w = -1; var h = -1; var bitCount = -1; var compression = -1L
+    var lastStrhType = "" // fccType of the most recent strh in this strl
     val frames = scala.collection.mutable.ArrayBuffer.empty[DecodedImage]
     // recursive chunk walk; LIST bodies contain sub-chunks after the
     // 4-byte list type
@@ -832,14 +850,25 @@ object Multimodal {
             if (len < 40) return false
             w = u32(dataOff + 32).toInt; h = u32(dataOff + 36).toInt
             if (w <= 0 || h <= 0) return false
+          case "strh" =>
+            lastStrhType = if (len >= 4) ascii(dataOff) else ""
           case "strf" =>
-            if (len >= 20) {
+            // only the FIRST video stream's format applies — a later
+            // audio strl (strf = WAVEFORMATEX) must not overwrite it
+            if (lastStrhType == "vids" && bitCount < 0 && len >= 20) {
               bitCount = u16(dataOff + 14); compression = u32(dataOff + 16)
             }
           case "00db" | "00dc" =>
             if (w <= 0 || bitCount != 24 || compression != 0L) return false
-            val stride = (w * 3 + 3) & ~3
-            if (len.toInt != stride * h) return false
+            // dims from avih are attacker-controlled: bound w*h first
+            // (cannot overflow a Long), then every later size product
+            // fits — malformed dims are data, not an overflow throw
+            if (w.toLong * h > Int.MaxValue / 4) return false
+            val strideL = (w.toLong * 3 + 3) & ~3L
+            if (strideL * h > Int.MaxValue || w.toLong * h * 3L > Int.MaxValue)
+              return false
+            val stride = strideL.toInt
+            if (len != strideL * h) return false
             val rgb = new Array[Int](w * h * 3)
             var y = 0
             while (y < h) {

@@ -35,7 +35,13 @@ object Temporal {
     */
   def epochUs(df: DataFrame, tsCol: String): Column =
     df.schema(tsCol).dataType match {
-      case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000")
+      // FLOOR division, not `div` (which truncates toward zero): for
+      // pre-1970 instants the raw-ns path must round down like the
+      // timestamp[us] path does, or the two encodings diverge.
+      // (x - pmod(x, d)) is the largest multiple of d ≤ x, so the
+      // quotient is exact floor division in pure integer arithmetic.
+      case org.apache.spark.sql.types.LongType =>
+        expr(s"($tsCol - pmod($tsCol, 1000)) div 1000")
       case _ => expr(s"unix_micros(cast($tsCol AS TIMESTAMP))")
     }
 
@@ -45,9 +51,10 @@ object Temporal {
   def epochDay(df: DataFrame, tsCol: String): Column =
     df.schema(tsCol).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        expr(s"$tsCol DIV 86400000000000")
+        expr(s"($tsCol - pmod($tsCol, 86400000000000)) div 86400000000000")
       case _ =>
-        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) DIV 86400000000")
+        expr("(unix_micros(cast(" + tsCol + " AS TIMESTAMP)) - " +
+          s"pmod(unix_micros(cast($tsCol AS TIMESTAMP)), 86400000000)) div 86400000000")
     }
 
   /** As-of join: for each left row, the most recent right row with

@@ -81,6 +81,23 @@ class EventTimeEncodingSpec extends SparkSpec {
     assert(m(9L) == ((3 * 86400000000L, 3L)))
   }
 
+  test("pre-1970 instants floor (not truncate) in both encodings") {
+    // 59 µs BEFORE the day-(-1) boundary: floor puts it in day -2;
+    // truncate-toward-zero (`div`) would claim day -1 — and diverge
+    // from DuckDB's bucketing and the timestamp[us] path
+    val us = -86400000000L - 59L
+    val nsDf = Seq((1L, us * 1000L)).toDF("id", "ts")
+    val usDf = Seq((1L, us)).toDF("id", "u")
+      .withColumn("ts", expr("cast(timestamp_micros(u) AS TIMESTAMP_NTZ)")).drop("u")
+    val a = nsDf.select(Temporal.epochUs(nsDf, "ts"), Temporal.epochDay(nsDf, "ts")).head
+    val b = usDf.select(Temporal.epochUs(usDf, "ts"), Temporal.epochDay(usDf, "ts")).head
+    assert(a.getLong(0) == us && b.getLong(0) == us)
+    assert(a.getLong(1) == -2L && b.getLong(1) == -2L)
+    // a raw ns value that is NOT a whole µs still floors
+    val oddNs = Seq((1L, -1500L)).toDF("id", "ts")
+    assert(oddNs.select(Temporal.epochUs(oddNs, "ts")).head.getLong(0) == -2L)
+  }
+
   test("every temporal query is identical under both ts encodings") {
     val temporal = Seq("events_sessionize", "asof_join", "asof_join_forward",
       "window_time_range", "events_funnel", "events_retention",

@@ -388,4 +388,80 @@ class MultimodalSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(back == "héllo wörld")
   }
+
+  private def putBE32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+    b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+  }
+  private def putLE32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+  private def readLE32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  test("decodePng: CRC-valid header claiming absurd dims is data, not an OOM") {
+    // a real tiny PNG whose IHDR is patched to claim 100000x100000 with
+    // a RECOMPUTED (valid) CRC: the decoder must reject on the
+    // dims-vs-IDAT plausibility check before allocating anything
+    val big = Multimodal.encodePng(2, 2, Array.fill(12)(0), _ => 0).clone()
+    putBE32(big, 16, 100000); putBE32(big, 20, 100000)
+    val crc = new java.util.zip.CRC32()
+    crc.update(big, 12, 17) // IHDR type + 13 data bytes
+    putBE32(big, 29, crc.getValue.toInt)
+    assert(Multimodal.decodeImage(big).isEmpty)
+    // and dims whose rowBytes*h overflows Int entirely
+    val huge = Multimodal.encodePng(2, 2, Array.fill(12)(0), _ => 0).clone()
+    putBE32(huge, 16, 0x7FFFFFF0); putBE32(huge, 20, 0x7FFFFFF0)
+    val crc2 = new java.util.zip.CRC32()
+    crc2.update(huge, 12, 17)
+    putBE32(huge, 29, crc2.getValue.toInt)
+    assert(Multimodal.decodeImage(huge).isEmpty)
+  }
+
+  test("decodeAviFrames: avih dims that overflow Int arithmetic are data") {
+    val avi = Multimodal.aviPayloadBytes(5L, 4, 4, 2).clone()
+    val avihOff = avi.indexOfSlice("avih".getBytes) + 8
+    putLE32(avi, avihOff + 32, 46341) // 46341^2 * 3 > Int.MaxValue
+    putLE32(avi, avihOff + 36, 46341)
+    assert(Multimodal.decodeAviFrames(avi).isEmpty) // None, not a throw
+  }
+
+  test("decodeAviFrames: a second audio stream must not clobber the video format") {
+    val id = 3L; val w = 4; val h = 3; val n = 2
+    val base = Multimodal.aviPayloadBytes(id, w, h, n)
+    def chunk(t: String, d: Array[Byte]): Array[Byte] = {
+      val hdr = new Array[Byte](8)
+      System.arraycopy(t.getBytes("US-ASCII"), 0, hdr, 0, 4)
+      putLE32(hdr, 4, d.length)
+      hdr ++ d ++ (if (d.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    }
+    // audio strl: strh fccType 'auds', then a 20-byte WAVEFORMATEX-ish
+    // strf whose byte 14 (wBitsPerSample) = 16 — the bytes that used to
+    // masquerade as a 16-bit video format and poison the decode
+    val audioStrf = new Array[Byte](20); audioStrf(14) = 16
+    val strl = {
+      val body = chunk("strh", "auds".getBytes("US-ASCII") ++ new Array[Byte](52)) ++
+        chunk("strf", audioStrf)
+      val hdr = new Array[Byte](12)
+      System.arraycopy("LIST".getBytes("US-ASCII"), 0, hdr, 0, 4)
+      putLE32(hdr, 4, body.length + 4)
+      System.arraycopy("strl".getBytes("US-ASCII"), 0, hdr, 8, 4)
+      hdr ++ body
+    }
+    // splice the audio strl at the end of the hdrl LIST body, fixing
+    // the hdrl and RIFF lengths
+    val hIdx = base.indexOfSlice("hdrl".getBytes)
+    val hdrlLen = readLE32(base, hIdx - 4)
+    val insertAt = hIdx + 4 + (hdrlLen - 4)
+    val out = base.take(insertAt) ++ strl ++ base.drop(insertAt)
+    putLE32(out, hIdx - 4, hdrlLen + strl.length)
+    putLE32(out, 4, readLE32(base, 4) + strl.length)
+    val frames = Multimodal.decodeAviFrames(out)
+      .getOrElse(fail("multi-stream AVI must still decode its video track"))
+    assert(frames.length == n)
+    for ((img, f) <- frames.zipWithIndex; p <- 0 until w * h; c <- 0 until 3)
+      assert(img.rgb(p * 3 + c) == Multimodal.syntheticVideoPixel(id, f, p, c))
+  }
 }
