@@ -798,6 +798,17 @@ object SparkEntry {
         Multimodal.syntheticPngImages(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "img")),
 
+    // JPEG is no longer stubbed either: Jpeg.scala is a REAL baseline
+    // JFIF codec (standard-table Huffman, FF00 stuffing, dequant,
+    // IDCT, fixed-point YCbCr->RGB). Per-block-CONSTANT synthetics are
+    // DC-only under the DCT, so even an entropy-coded lossy format
+    // round-trips bit-exactly and the oracle replays the decode in
+    // closed form.
+    "multimodal_jpeg_decode" -> ((s, dir) =>
+      Multimodal.pixelStats(
+        Multimodal.syntheticJpegImages(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "img")),
+
     // video completes the set: an uncompressed AVI is a RIFF container
     // (the WAV walk) of DIB rasters (the BMP row rules), so REAL frame
     // extraction needs no codec either — one output row per decoded
@@ -2956,6 +2967,40 @@ object SparkEntry {
          FROM (SELECT doc_id,
                  generate_series(0, (2 + doc_id % 6) * (2 + doc_id % 5) - 1) AS px
                FROM documents)""",
+
+    // closed-form replay of the JPEG decode: block b of image doc_id
+    // carries constant YCbCr (7id+16b, 11id+32b, 13id+8b) mod 256;
+    // per-pixel RGB is the decoder's fixed-point BT.601 transform
+    // (floor((x + 32768)/65536) == the JVM's arithmetic >> 16)
+    "multimodal_jpeg_decode" ->
+      """WITH px AS (SELECT doc_id,
+                unnest(generate_series(0,
+                  (8*(1 + doc_id % 4)) * (8*(1 + doc_id % 3)) - 1)) AS p
+              FROM documents),
+         v AS (SELECT doc_id, p,
+                 ((p // (8*(1 + doc_id % 4))) // 8) * (1 + doc_id % 4)
+                   + ((p % (8*(1 + doc_id % 4))) // 8) AS b
+               FROM px),
+         c AS (SELECT doc_id, p,
+                 (doc_id*7 + 16*b) % 256 AS yv,
+                 (doc_id*11 + 32*b) % 256 - 128 AS cb_,
+                 (doc_id*13 + 8*b) % 256 - 128 AS cr_
+               FROM v),
+         rgb AS (SELECT doc_id, p,
+                 LEAST(255, GREATEST(0, CAST(floor((yv*65536 + 91881*cr_ + 32768)/65536.0) AS BIGINT))) AS r,
+                 LEAST(255, GREATEST(0, CAST(floor((yv*65536 - 22554*cb_ - 46802*cr_ + 32768)/65536.0) AS BIGINT))) AS g,
+                 LEAST(255, GREATEST(0, CAST(floor((yv*65536 + 116130*cb_ + 32768)/65536.0) AS BIGINT))) AS bb
+               FROM c)
+         SELECT doc_id, 'jpeg' AS kind,
+           (8*(1 + doc_id % 4))::BIGINT AS width,
+           (8*(1 + doc_id % 3))::BIGINT AS height,
+           ((8*(1 + doc_id % 4)) * (8*(1 + doc_id % 3)))::BIGINT AS n_pix,
+           sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum,
+           sum(bb)::BIGINT AS b_sum,
+           sum((p + 1) * r)::BIGINT AS r_wsum,
+           sum((p + 1) * g)::BIGINT AS g_wsum,
+           sum((p + 1) * bb)::BIGINT AS b_wsum
+         FROM rgb GROUP BY ALL""",
 
     // channel c of pixel p in frame f is (doc_id + 5f + 3p + c) mod 256
     "multimodal_avi_frames" ->

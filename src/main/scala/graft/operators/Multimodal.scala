@@ -165,6 +165,8 @@ object Multimodal {
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp24(bytes)
     else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm6(bytes)
     else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') decodePng(bytes)
+    else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+      Jpeg.decode(bytes)
     else None
 
   private def decodeBmp24(b: Array[Byte]): Option[DecodedImage] = {
@@ -527,6 +529,27 @@ object Multimodal {
       it.map { r =>
         val id = r.getAs[Number](idIdx).longValue()
         Row(r.get(idIdx), pngPayloadBytes(id, (2 + id % 6).toInt, (2 + id % 5).toInt))
+      }
+    }(enc)
+  }
+
+  /** Construct per-row REAL baseline JPEGs from an id column (dims
+    * from the id: w = 8*(1 + id%4), h = 8*(1 + id%3) — up to 4x3
+    * blocks, so DC prediction chains across many blocks). Per-block-
+    * constant YCbCr content survives the DCT round trip bit-exactly
+    * (see [[Jpeg]]), which is what makes a closed-form SQL oracle
+    * possible for an entropy-coded format.
+    */
+  def syntheticJpegImages(df: DataFrame, idCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("img", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        Row(r.get(idIdx), Jpeg.jpegPayloadBytes(id,
+          (8 * (1 + id % 4)).toInt, (8 * (1 + id % 3)).toInt))
       }
     }(enc)
   }
