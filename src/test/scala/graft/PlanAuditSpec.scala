@@ -209,7 +209,14 @@ class PlanAuditSpec extends SparkSpec {
       "quantile_gate_sketch" -> "nBins-bounded histogram rows",
       // anchor index: row_number over the anchor table, which is
       // ≪ corpus by the operator's contract (sampled anchors)
-      "contrastive_triplets" -> "nAnchors-bounded anchor table"
+      "contrastive_triplets" -> "nAnchors-bounded anchor table",
+      // TPC-H partsupp derivation: row_number over SUPPLIER, the
+      // constant-cardinality broadcast-side dim (TPC-H semantics) —
+      // the fact tables never enter the window
+      "sql_tpch_q2" -> "supplier-dim-bounded sup index",
+      "sql_tpch_q11" -> "supplier-dim-bounded sup index",
+      "sql_tpch_q16" -> "supplier-dim-bounded sup index",
+      "sql_tpch_q20" -> "supplier-dim-bounded sup index"
     )
     val actual = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       try {
