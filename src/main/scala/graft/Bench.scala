@@ -83,7 +83,15 @@ object Bench {
     // passes shows up HERE even when it is too brief to move the
     // whole-run ratio — the exact failure mode of the r8/r9 snapshots
     val foreignByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results: Map[String, Double] = SparkEntry.queries.flatMap { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=a,b restricts the sweep for
+    // A/B timing of one query family (driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val results: Map[String, Double] = selected.flatMap { case (name, fn) =>
       val times = (0 until passes).flatMap { i =>
         val qBusy0 = totalBusyJiffies(); val qSelf0 = selfJiffies()
         val t0 = System.nanoTime()

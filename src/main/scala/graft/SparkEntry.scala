@@ -1042,6 +1042,129 @@ object SparkEntry {
       Corpus.quantileSketch(t(s, dir, "orders"), "o_totalprice", 65536L, 1024,
         Seq(0.5, 0.9, 0.99))),
 
+    // ---- streaming replay: driver-graded streaming mirrors ----------
+    // Each runs the Structured-Streaming mirror one-shot
+    // (Trigger.AvailableNow) over the SAME graded parquet, folds the
+    // final mapGroupsWithState emissions into its batch twin's exact
+    // schema, and is checked by the SAME DuckDB oracle SQL — putting
+    // the streaming state path inside the correctness gate, not only
+    // the spec-level batch↔streaming equivalence harness (VERDICT r8
+    // item 6). Monotone-state rule: emissions only grow (bitmap fills,
+    // counters sum, ranks rise), so "final state" is the max-emission
+    // per group even if AvailableNow split the input into several
+    // micro-batches.
+
+    // linear-counting distinct sketch: stream maintains the m-bit slot
+    // bitmap per source (O(m) state), exact side batch-computed as in
+    // the batch twin — oracle: cardinality_sketch's, verbatim
+    "stream_cardinality_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val stream = graft.sources.Sources
+        .streamTable(s, dir, "documents", docs.schema)
+        .where(col("doc_id").isNotNull && col("text").isNotNull
+          && col("source").isNotNull)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .as[(String, String)]
+      val out = graft.streaming.Streams.distinctSketchStream(stream, 4096)
+        .toDF("source", "v_filled", "n_est")
+      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_card",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      val fin = s.table("g_stream_card").groupBy(col("source"))
+        .agg(max(struct(col("v_filled"), col("n_est"))).as("st"))
+        .select(col("source"), col("st.v_filled"), col("st.n_est"))
+      val exact = docs.select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .distinct().groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      exact.join(fin, "source")
+        .select(col("source"), col("n_exact"), col("v_filled"), col("n_est"))
+    }),
+
+    // Count-Min sketch: stream holds d counter rows (O(d·w) state);
+    // top-k token list and slot mapping are batch-side as in the batch
+    // twin, estimates read from the STREAMED counters — oracle:
+    // freq_sketch's, verbatim
+    "stream_freq_sketch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.VectorExprs
+      val docs = t(s, dir, "documents")
+      val stream = graft.sources.Sources
+        .streamTable(s, dir, "documents", docs.schema)
+        .where(col("doc_id").isNotNull && col("text").isNotNull)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok")).as[String]
+      val out = graft.streaming.Streams.freqSketchStream(stream, 4, 1024)
+        .toDF("i", "counters")
+      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_cms",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      val cms = s.table("g_stream_cms")
+        .withColumn("tot", aggregate(col("counters"), lit(0L), _ + _))
+        .groupBy(col("i")).agg(max_by(col("counters"), col("tot")).as("counters"))
+        .select(col("i"), posexplode(col("counters")).as(Seq("slot", "c")))
+        .select(col("i"), col("slot").cast("long").as("slot"), col("c"))
+      val cnts = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .persistTracked
+      val sigd = cnts.select(col("tok"), col("n"),
+        posexplode(VectorExprs.minhashSig(
+          array(VectorExprs.tokenHash64(col("tok"))), 4)).as(Seq("i", "perm")))
+        .select(col("tok"), col("i"), (col("perm") % 1024).as("slot"))
+      val topk = cnts.orderBy(col("n").desc, col("tok")).limit(20)
+      topk.join(sigd, Seq("tok"))
+        .join(cms, Seq("i", "slot"))
+        .groupBy(col("tok"), col("n"))
+        .agg(min(col("c")).as("n_est"))
+        .select(col("tok"), col("n").as("n_exact"), col("n_est"))
+    }),
+
+    // histogram quantile sketch: stream folds ONE nBins histogram
+    // (O(nBins) state) and replays the cumulative walk per emission;
+    // exact percentile side batch-computed as in the batch twin —
+    // oracle: quantile_sketch's, verbatim
+    "stream_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val stream = graft.sources.Sources
+        .streamTable(s, dir, "orders", orders.schema)
+        .where(col("o_orderkey").isNotNull && col("o_totalprice").isNotNull)
+        .select(col("o_totalprice")).as[Double]
+      val out = graft.streaming.Streams
+        .quantileSketchStream(stream, 65536L, 1024, Seq(0.5, 0.9, 0.99))
+        .toDF("q", "rank", "est_upper")
+      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_quant",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      val fin = s.table("g_stream_quant").groupBy(col("q"))
+        .agg(max(struct(col("rank"), col("est_upper"))).as("st"))
+        .select(col("q"), col("st.rank"), col("st.est_upper"))
+      val exact = orders.agg(expr(
+        "percentile(CAST(floor(o_totalprice * 100 + 0.5D) AS BIGINT), " +
+          "array(0.5D, 0.9D, 0.99D))").as("exs"))
+      fin.crossJoin(broadcast(exact))
+        .withColumn("qi",
+          when(col("q") === 0.5, 1).when(col("q") === 0.9, 2).otherwise(3))
+        .select(col("q"), col("rank"), col("est_upper"),
+          (floor(element_at(col("exs"), col("qi")) / 100 * 10000 + lit(0.5)) / 10000)
+            .as("exact"))
+    }),
+
+    // daily anomaly gate in the lambda shape: watermarked day-window
+    // counts on the stream (O(types) live state), z-scored against the
+    // batch-side stats table through the shared zFlag expression —
+    // oracle: event_daily_anomaly's, verbatim
+    "stream_daily_anomaly" -> ((s, dir) => {
+      val raw = t(s, dir, "events")
+      val stats = Temporal.dailyStats(Temporal.dailyCounts(raw, "ts", "event_type"))
+      val stream0 = graft.sources.Sources
+        .streamTable(s, dir, "events", raw.schema)
+        .where(col("event_type").isNotNull)
+      val stream = stream0.withColumn("event_time",
+        timestamp_micros(Temporal.epochUs(stream0, "ts")))
+      val out = graft.streaming.Streams.dailyAnomalyStream(
+        stream, stats, "event_time", "event_type", 2.0)
+      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_anom",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      s.table("g_stream_anom")
+    }),
+
     // filter-funnel report: per-gate drop counts + pass count in ONE
     // corpus scan (row-local kernels, sum-of-CASEs, stack unpivot)
     "corpus_gate" -> ((s, dir) =>
@@ -2063,7 +2186,18 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approx ANN, simhash with engine-native hashing) → rows-only check.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = baseOracleSql
+    // streaming replays are graded by their batch twins' oracles
+    // VERBATIM — one source of truth, zero drift by construction
+    base ++ Map(
+      "stream_cardinality_sketch" -> base("cardinality_sketch"),
+      "stream_freq_sketch" -> base("freq_sketch"),
+      "stream_quantile_sketch" -> base("quantile_sketch"),
+      "stream_daily_anomaly" -> base("event_daily_anomaly"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "map_project" ->
       """SELECT l_orderkey, l_linenumber,
          floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue FROM lineitem""",

@@ -42,4 +42,20 @@ object Sources {
   def streamParquet(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
+
+  /** Stream ONE table of a testdata sf directory. The file-stream
+    * source only accepts directories, and the driver's layout varies:
+    * `dir/name.parquet` is a single FILE in driver-generated dirs but
+    * a DIRECTORY of part files in DataGen replicas. Stream the table
+    * dir directly when it is one; otherwise stream the parent dir with
+    * a pathGlobFilter so only the table's file is listed (not every
+    * other table's — the filter prunes at listing time, before I/O).
+    */
+  def streamTable(spark: SparkSession, dir: String, name: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new java.io.File(s"$dir/$name.parquet")
+    if (p.isDirectory) spark.readStream.schema(schema).parquet(p.toString)
+    else spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
 }
