@@ -828,6 +828,26 @@ object SparkEntry {
         Multimodal.syntheticAudio(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "wav")),
 
+    // G.711 A-law/µ-law expansion (WAVE formats 6/7): samples are
+    // canonical decode levels, so the companded round trip is exact
+    // and the oracle inlines the decode tables (single source of
+    // truth: Multimodal.alawDecodeTable/mulawDecodeTable)
+    "multimodal_companded_decode" -> ((s, dir) =>
+      Multimodal.audioStats(
+        Multimodal.syntheticCompandedAudio(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "wav")),
+
+    // IMA ADPCM block decode (WAVE format 0x11): per-block-constant
+    // signals reproduce exactly through the lossy coder (header sample
+    // verbatim + zero-delta nibbles), pinning the block walk, header
+    // parse, and nibble unpacking against a closed-form oracle
+    "multimodal_adpcm_decode" -> ((s, dir) =>
+      Multimodal.audioStats(
+        Multimodal.syntheticAdpcmAudio(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "wav")),
+
     // ---- §2b: PII scan / semi-structured / temporal -----------------
     "text_pii" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -3296,6 +3316,48 @@ object SparkEntry {
 
     // channel c of frame s is ((doc_id + 7s + 3c) mod 65536) - 32768;
     // mono clips (even ids) report zeros for channel 1
+    // law decode tables inlined from the Scala single source of truth;
+    // law = id bit 1 (matches syntheticCompandedAudio), channels = bit 0
+    "multimodal_companded_decode" -> {
+      val alawL = graft.operators.Multimodal.alawDecodeTable.mkString("[", ",", "]")
+      val mulawL = graft.operators.Multimodal.mulawDecodeTable.mkString("[", ",", "]")
+      s"""SELECT doc_id,
+         (1 + doc_id % 2)::BIGINT AS channels,
+         8000::BIGINT AS sample_rate,
+         (30 + doc_id % 40)::BIGINT AS n_frames,
+         list_sum(list_transform(fr, s -> tbl[((doc_id + 7*s) % 256) + 1]))::BIGINT AS c0_sum,
+         (CASE WHEN doc_id % 2 = 1
+            THEN list_sum(list_transform(fr, s -> tbl[((doc_id + 7*s + 3) % 256) + 1]))
+            ELSE 0 END)::BIGINT AS c1_sum,
+         list_sum(list_transform(fr, s -> (s + 1) * tbl[((doc_id + 7*s) % 256) + 1]))::BIGINT AS c0_wsum,
+         (CASE WHEN doc_id % 2 = 1
+            THEN list_sum(list_transform(fr, s -> (s + 1) * tbl[((doc_id + 7*s + 3) % 256) + 1]))
+            ELSE 0 END)::BIGINT AS c1_wsum
+         FROM (SELECT doc_id,
+                 CASE WHEN (doc_id // 2) % 2 = 0 THEN $alawL ELSE $mulawL END AS tbl,
+                 generate_series(0, 30 + doc_id % 40 - 1) AS fr
+               FROM documents)"""
+    },
+
+    // per-block-constant closed form: block b contributes 9·v to the
+    // plain sum and v·(81b + 45) to the position-weighted sum
+    "multimodal_adpcm_decode" ->
+      """WITH blk AS (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS b
+                      FROM documents),
+         v AS (SELECT doc_id, b,
+                 (doc_id * 31 + b * 17) % 65536 - 32768 AS v0,
+                 (doc_id * 31 + b * 17 + 7) % 65536 - 32768 AS v1
+               FROM blk)
+         SELECT doc_id,
+           (1 + doc_id % 2)::BIGINT AS channels,
+           8000::BIGINT AS sample_rate,
+           (9 * (2 + doc_id % 3))::BIGINT AS n_frames,
+           sum(9 * v0)::BIGINT AS c0_sum,
+           (CASE WHEN doc_id % 2 = 1 THEN sum(9 * v1) ELSE 0 END)::BIGINT AS c1_sum,
+           sum(v0 * (81 * b + 45))::BIGINT AS c0_wsum,
+           (CASE WHEN doc_id % 2 = 1 THEN sum(v1 * (81 * b + 45)) ELSE 0 END)::BIGINT AS c1_wsum
+         FROM v GROUP BY doc_id""",
+
     "multimodal_wav_decode" ->
       """SELECT doc_id,
          (1 + doc_id % 2)::BIGINT AS channels,

@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * pipeline as opaque `binary` columns plus a typed metadata struct.
   *
   * The Spark-side plumbing — schema, batch shape, partition-parallel
-  * decode via `mapPartitions` over binary rows — is real and tested.
-  * The codec step itself is STUBBED with a deterministic fake
-  * (`decodeStub`): the container has no image/audio libraries, and at
-  * deployment the stub body is replaced by the real decoder (e.g.
-  * libjpeg/ffmpeg bindings) with an identical signature.
+  * decode via `mapPartitions` over binary rows — is real and tested,
+  * and so are the codecs, all pure JVM with no native libraries:
+  * images BMP-24/PPM-P6/PNG (zlib inflate + all five filter types) and
+  * baseline JPEG (see [[Jpeg]]); audio WAV PCM s16le, G.711 A-law and
+  * µ-law expansion, and IMA ADPCM block decode; video uncompressed-AVI
+  * frame extraction. Only heavyweight entropy-coded formats beyond
+  * baseline JPEG (progressive JPEG, MP3/AAC, H.26x) remain out of
+  * scope — at deployment those route to ffmpeg/libjpeg bindings with
+  * the same decode signatures.
   */
 object Multimodal {
 
@@ -672,10 +676,232 @@ object Multimodal {
     b
   }
 
+  // ---- G.711 companding (A-law / µ-law, WAVE formats 6 / 7) --------
+  // Textbook CCITT expansion/compression segment arithmetic (public
+  // standard). The decode tables are the single source of truth shared
+  // by encode, decode, the synthetic generators AND the DuckDB oracle
+  // literal (SparkEntry inlines them), so the two engines cannot drift.
+
+  /** A-law code (0..255) → linear s16 sample. */
+  def alawDecode(code: Int): Int = {
+    val a = (code ^ 0x55) & 0xFF
+    var t = (a & 0x0F) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; t <<= (seg - 1) }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** Linear s16 sample → A-law code (13-bit precision per the spec). */
+  def alawEncode(pcm0: Int): Int = {
+    var pcm = pcm0 >> 3
+    var mask = 0xD5
+    if (pcm < 0) { mask = 0x55; pcm = -pcm - 1 }
+    var seg = 0
+    while (seg < 8 && pcm > segAEnd(seg)) seg += 1
+    if (seg >= 8) 0x7F ^ mask
+    else {
+      var aval = seg << 4
+      aval |= (if (seg < 2) (pcm >> 1) else (pcm >> seg)) & 0x0F
+      aval ^ mask
+    }
+  }
+  private val segAEnd = Array(0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+  /** µ-law code (0..255) → linear s16 sample. */
+  def mulawDecode(code: Int): Int = {
+    val u = ~code & 0xFF
+    var t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Linear s16 sample → µ-law code (14-bit precision per the spec). */
+  def mulawEncode(pcm0: Int): Int = {
+    val Bias = 0x84; val Clip = 8159
+    var pcm = pcm0 >> 2
+    var mask = 0xFF
+    if (pcm < 0) { pcm = -pcm; mask = 0x7F }
+    if (pcm > Clip) pcm = Clip
+    pcm += Bias >> 2
+    var seg = 0
+    while (seg < 8 && pcm > segUEnd(seg)) seg += 1
+    if (seg >= 8) 0x7F ^ mask
+    else (((seg << 4) | ((pcm >> (seg + 1)) & 0x0F)) ^ mask)
+  }
+  private val segUEnd = Array(0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF)
+
+  /** Full decode tables — 256 canonical output levels per law. */
+  lazy val alawDecodeTable: Array[Int] = Array.tabulate(256)(alawDecode)
+  lazy val mulawDecodeTable: Array[Int] = Array.tabulate(256)(mulawDecode)
+
+  // ---- IMA ADPCM (WAVE format 0x11) --------------------------------
+  // Textbook IMA/DVI step-adaptive 4-bit coder (public standard).
+  // Encoder and decoder run the SAME predictor/step state machine, so
+  // decode(encode(x)) is bit-exact against the encoder's own
+  // reconstruction — the property the fuzz spec pins.
+
+  private val imaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val imaIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  private def imaClampSample(v: Int): Int =
+    if (v > 32767) 32767 else if (v < -32768) -32768 else v
+  private def imaClampIndex(v: Int): Int =
+    if (v > 88) 88 else if (v < 0) 0 else v
+
+  /** Decode one 4-bit nibble: returns the new predictor; updates are
+    * the standard vpdiff = step/8 + step/4·b0 + step/2·b1 + step·b2.
+    */
+  private def imaDecodeNibble(nib: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = imaStep(index)
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    val p = imaClampSample(if ((nib & 8) != 0) pred - diff else pred + diff)
+    (p, imaClampIndex(index + imaIndexAdj(nib & 7)))
+  }
+
+  /** Encode one sample against (pred, index): returns (nibble,
+    * reconstructed, newIndex) — reconstruction IS what any conformant
+    * decoder will produce for this nibble.
+    */
+  private def imaEncodeSample(sample: Int, pred: Int, index: Int): (Int, Int, Int) = {
+    val step = imaStep(index)
+    var diff = sample - pred
+    var nib = 0
+    if (diff < 0) { nib = 8; diff = -diff }
+    var vpdiff = step >> 3
+    var st = step
+    if (diff >= st) { nib |= 4; diff -= st; vpdiff += st }
+    st >>= 1
+    if (diff >= st) { nib |= 2; diff -= st; vpdiff += st }
+    st >>= 1
+    if (diff >= st) { nib |= 1; vpdiff += st }
+    val rec = imaClampSample(if ((nib & 8) != 0) pred - vpdiff else pred + vpdiff)
+    (nib, rec, imaClampIndex(index + imaIndexAdj(nib & 7)))
+  }
+
+  /** Encode interleaved s16 samples as IMA ADPCM WAV blocks and return
+    * (payload, reconstruction): the reconstruction is the exact sample
+    * array [[decodeWav]] must emit (the coder is lossy; the state
+    * machine is deterministic). Frames must fill whole blocks — real
+    * encoders pad the tail; synthetic inputs are generated full.
+    *
+    * Block layout per the IMA WAV mapping: per channel a 4-byte header
+    * (predictor s16le = the block's first sample, step index u8, 0),
+    * then nibble data in 4-byte-per-channel interleaved groups, low
+    * nibble first — 8 samples per channel per group.
+    */
+  def encodeWavAdpcm(samples: Array[Int], channels: Int, sampleRate: Int,
+      samplesPerBlock: Int): (Array[Byte], Array[Int]) = {
+    require(channels >= 1 && channels <= 2, "1 or 2 channels")
+    require((samplesPerBlock - 1) % 8 == 0, "spb must be 8k+1 (whole 4-byte groups)")
+    val frames = samples.length / channels
+    require(samples.length % channels == 0 && frames % samplesPerBlock == 0,
+      "frames must fill whole blocks")
+    val groupsPerCh = (samplesPerBlock - 1) / 8
+    val blockAlign = 4 * channels + groupsPerCh * 4 * channels
+    val nBlocks = frames / samplesPerBlock
+    val dataLen = nBlocks * blockAlign
+    val rec = new Array[Int](samples.length)
+    val data = new Array[Byte](dataLen)
+    val pred = new Array[Int](channels); val idx = new Array[Int](channels)
+    var blk = 0
+    while (blk < nBlocks) {
+      val f0 = blk * samplesPerBlock
+      var off = blk * blockAlign
+      var c = 0
+      while (c < channels) {
+        // header: first sample verbatim; step index carries over
+        // between blocks (standard encoder practice)
+        val s0 = samples(f0 * channels + c)
+        pred(c) = s0; rec(f0 * channels + c) = s0
+        data(off) = s0.toByte; data(off + 1) = (s0 >> 8).toByte
+        data(off + 2) = idx(c).toByte; data(off + 3) = 0
+        off += 4
+        c += 1
+      }
+      // nibble payload: groups of 4 bytes per channel, interleaved
+      var f = 1 // sample 0 lives in the header
+      while (f < samplesPerBlock) {
+        var ch = 0
+        while (ch < channels) {
+          var k = 0
+          while (k < 8) {
+            val fi = f0 + f + k
+            val (nib, r, ni) = imaEncodeSample(
+              samples(fi * channels + ch), pred(ch), idx(ch))
+            pred(ch) = r; idx(ch) = ni; rec(fi * channels + ch) = r
+            if ((k & 1) == 0) data(off + (k >> 1)) = nib.toByte
+            else data(off + (k >> 1)) = (data(off + (k >> 1)) | (nib << 4)).toByte
+            k += 1
+          }
+          off += 4
+          ch += 1
+        }
+        f += 8
+      }
+      blk += 1
+    }
+    // container: fmt (20 bytes, cbSize=2 + samplesPerBlock) + fact + data
+    val riffLen = 4 + (8 + 20) + (8 + 4) + (8 + dataLen)
+    val out = new Array[Byte](8 + riffLen)
+    var i = 0
+    def putAscii(s: String): Unit = { val t = s.getBytes("US-ASCII"); System.arraycopy(t, 0, out, i, t.length); i += t.length }
+    def putU32(v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte; out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte; i += 4 }
+    def putU16(v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >> 8).toByte; i += 2 }
+    putAscii("RIFF"); putU32(riffLen); putAscii("WAVE")
+    putAscii("fmt "); putU32(20)
+    putU16(0x11); putU16(channels); putU32(sampleRate)
+    putU32(sampleRate * blockAlign / samplesPerBlock); putU16(blockAlign); putU16(4)
+    putU16(2); putU16(samplesPerBlock)
+    putAscii("fact"); putU32(4); putU32(frames)
+    putAscii("data"); putU32(dataLen)
+    System.arraycopy(data, 0, out, i, dataLen)
+    (out, rec)
+  }
+
+  /** Encode interleaved s16 samples as 8-bit G.711 companded WAV
+    * (format 6 = A-law, 7 = µ-law).
+    */
+  def encodeWavCompanded(samples: Array[Int], channels: Int,
+      sampleRate: Int, alaw: Boolean): Array[Byte] = {
+    require(samples.length % channels == 0, "samples must interleave evenly")
+    val dataLen = samples.length
+    val riffLen = 4 + (8 + 18) + (8 + dataLen)
+    val b = new Array[Byte](8 + riffLen)
+    var i = 0
+    def putAscii(s: String): Unit = { val t = s.getBytes("US-ASCII"); System.arraycopy(t, 0, b, i, t.length); i += t.length }
+    def putU32(v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte; b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte; i += 4 }
+    def putU16(v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte; i += 2 }
+    putAscii("RIFF"); putU32(riffLen); putAscii("WAVE")
+    putAscii("fmt "); putU32(18)
+    putU16(if (alaw) 6 else 7); putU16(channels); putU32(sampleRate)
+    putU32(sampleRate * channels); putU16(channels); putU16(8)
+    putU16(0) // cbSize = 0 (format 6/7 carry the extension-size field)
+    putAscii("data"); putU32(dataLen)
+    var s = 0
+    while (s < samples.length) {
+      b(i) = (if (alaw) alawEncode(samples(s)) else mulawEncode(samples(s))).toByte
+      i += 1; s += 1
+    }
+    b
+  }
+
   /** REAL WAV decode: RIFF chunk walk (even-byte padding rule,
-    * ancillary chunks skipped by length), fmt validation, interleaved
-    * 16-bit little-endian PCM. None for compressed formats, other bit
-    * depths, or truncated data — malformed media is data.
+    * ancillary chunks skipped by length), fmt validation, then decode
+    * by format: 1 = interleaved s16le PCM, 6/7 = G.711 A-law/µ-law
+    * expansion, 0x11 = IMA ADPCM block walk. None for other formats,
+    * bit-depth mismatches, hostile headers, or truncated data —
+    * malformed media is data.
     */
   def decodeWav(b: Array[Byte]): Option[DecodedAudio] = {
     if (b == null || b.length < 44) return None
@@ -685,33 +911,169 @@ object Multimodal {
     def ascii(i: Int): String = new String(b, i, 4, "US-ASCII")
     if (ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
     var pos = 12
-    var channels = -1; var rate = -1
+    var fmtTag = -1; var channels = -1; var rate = -1
+    var bits = -1; var blockAlign = -1; var samplesPerBlock = -1
     var dataOff = -1; var dataLen = -1
-    while (pos + 8 <= b.length && (channels < 0 || dataOff < 0)) {
+    while (pos + 8 <= b.length && (fmtTag < 0 || dataOff < 0)) {
       val ctype = ascii(pos)
       val len = u32(pos + 4)
       if (len > Int.MaxValue - 8 || pos + 8 + len > b.length) return None
       ctype match {
         case "fmt " =>
           if (len < 16) return None
-          if (u16(pos + 8) != 1 || u16(pos + 22) != 16) return None // PCM s16le only
+          fmtTag = u16(pos + 8)
           channels = u16(pos + 10); rate = u32(pos + 12).toInt
+          blockAlign = u16(pos + 20); bits = u16(pos + 22)
           if (channels < 1 || channels > 8 || rate <= 0) return None
+          if (fmtTag == 0x11) {
+            if (len < 20) return None
+            samplesPerBlock = u16(pos + 26)
+          }
         case "data" => dataOff = pos + 8; dataLen = len.toInt
         case _      => () // LIST/fact/… skip by declared length
       }
       pos += 8 + len.toInt + (len.toInt & 1) // RIFF chunks pad to even
     }
-    if (channels < 0 || dataOff < 0) return None
-    val n = dataLen / 2
-    if (n % channels != 0) return None
-    val out = new Array[Int](n)
-    var s = 0
-    while (s < n) {
-      out(s) = (u16(dataOff + s * 2) << 16) >> 16 // sign-extend
-      s += 1
+    if (fmtTag < 0 || dataOff < 0) return None
+    fmtTag match {
+      case 1 =>
+        if (bits != 16) return None
+        val n = dataLen / 2
+        if (n % channels != 0) return None
+        val out = new Array[Int](n)
+        var s = 0
+        while (s < n) {
+          out(s) = (u16(dataOff + s * 2) << 16) >> 16 // sign-extend
+          s += 1
+        }
+        Some(DecodedAudio(channels, rate, out))
+      case 6 | 7 =>
+        if (bits != 8) return None
+        if (dataLen % channels != 0) return None
+        val table = if (fmtTag == 6) alawDecodeTable else mulawDecodeTable
+        val out = new Array[Int](dataLen)
+        var s = 0
+        while (s < dataLen) { out(s) = table(u8(dataOff + s)); s += 1 }
+        Some(DecodedAudio(channels, rate, out))
+      case 0x11 =>
+        if (bits != 4 || channels > 2) return None
+        // hostile-header bounds before any allocation (the r8 lesson)
+        if (samplesPerBlock < 1 || (samplesPerBlock - 1) % 8 != 0) return None
+        val groupsPerCh = (samplesPerBlock - 1) / 8
+        val expectAlign = 4 * channels + groupsPerCh * 4 * channels
+        if (blockAlign != expectAlign) return None
+        if (dataLen <= 0 || dataLen % blockAlign != 0) return None
+        val nBlocks = dataLen / blockAlign
+        val totalL = nBlocks.toLong * samplesPerBlock * channels
+        if (totalL > (dataLen.toLong + 8) * 2) return None // ≤2 samples/nibble-byte
+        val out = new Array[Int](totalL.toInt)
+        val pred = new Array[Int](channels); val idx = new Array[Int](channels)
+        var blk = 0
+        while (blk < nBlocks) {
+          val f0 = blk * samplesPerBlock
+          var off = dataOff + blk * blockAlign
+          var c = 0
+          while (c < channels) {
+            pred(c) = (u16(off) << 16) >> 16
+            idx(c) = u8(off + 2)
+            if (idx(c) > 88) return None
+            out(f0 * channels + c) = pred(c)
+            off += 4
+            c += 1
+          }
+          var f = 1
+          while (f < samplesPerBlock) {
+            var ch = 0
+            while (ch < channels) {
+              var k = 0
+              while (k < 8) {
+                val byte = u8(off + (k >> 1))
+                val nib = if ((k & 1) == 0) byte & 0x0F else (byte >> 4) & 0x0F
+                val (p, ni) = imaDecodeNibble(nib, pred(ch), idx(ch))
+                pred(ch) = p; idx(ch) = ni
+                out((f0 + f + k) * channels + ch) = p
+                k += 1
+              }
+              off += 4
+              ch += 1
+            }
+            f += 8
+          }
+          blk += 1
+        }
+        Some(DecodedAudio(channels, rate, out))
+      case _ => None // entropy-coded / float / extensible: not supported
     }
-    Some(DecodedAudio(channels, rate, out))
+  }
+
+  /** Construct per-row synthetic G.711 companded clips: samples drawn
+    * FROM the law's canonical decode table (expansion is the identity
+    * on canonical levels, so decode output has a closed SQL form), law
+    * alternating by id bit 1 (even half A-law, odd half µ-law),
+    * channels by id bit 0 — laws and channel counts decorrelated.
+    */
+  def syntheticCompandedAudio(df: DataFrame, idCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("wav", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        val frames = (30 + id % 40).toInt
+        val channels = (1 + id % 2).toInt
+        val alaw = ((id >> 1) & 1) == 0
+        val table = if (alaw) alawDecodeTable else mulawDecodeTable
+        val samples = new Array[Int](frames * channels)
+        var s = 0
+        while (s < frames) {
+          var c = 0
+          while (c < channels) {
+            samples(s * channels + c) = table(((id + 7L * s + 3L * c) % 256).toInt)
+            c += 1
+          }
+          s += 1
+        }
+        Row(r.get(idIdx), encodeWavCompanded(samples, channels, 8000, alaw))
+      }
+    }(enc)
+  }
+
+  /** Construct per-row synthetic IMA ADPCM clips: per-block-constant
+    * signals — the block header carries the first sample verbatim and
+    * a zero difference encodes as nibble 0 with zero vpdiff at step
+    * index 0, so the lossy coder reproduces these payloads EXACTLY
+    * (the ADPCM analogue of the JPEG DC-only synthetics) and the
+    * decode output has a closed SQL form. 9 samples/block, 2+id%3
+    * blocks, mono/stereo by id parity.
+    */
+  def syntheticAdpcmAudio(df: DataFrame, idCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("wav", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        val spb = 9
+        val nBlocks = (2 + id % 3).toInt
+        val channels = (1 + id % 2).toInt
+        val frames = spb * nBlocks
+        val samples = new Array[Int](frames * channels)
+        var f = 0
+        while (f < frames) {
+          val b = f / spb
+          var c = 0
+          while (c < channels) {
+            samples(f * channels + c) =
+              ((id * 31 + b * 17 + c * 7) % 65536).toInt - 32768
+            c += 1
+          }
+          f += 1
+        }
+        Row(r.get(idIdx), encodeWavAdpcm(samples, channels, 8000, spb)._1)
+      }
+    }(enc)
   }
 
   /** Construct per-row synthetic WAV clips from an id column: frames =
