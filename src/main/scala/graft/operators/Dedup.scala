@@ -336,9 +336,20 @@ object Dedup {
       .where(lit(1) + least(col("size_a") - col("pos_a") - 1,
         col("size_b") - col("pos_b") - 1) >= minOverlap)
       .select("id_a", "id_b")
-      .distinct()
     val fa = sets.select(col(idCol).as("id_a"), col("hs").as("hs_a"))
     val fb = sets.select(col(idCol).as("id_b"), col("hs").as("hs_b"))
+    // Verify-then-distinct (measured, r9 A/B at sf0.1): candidates go
+    // straight to verification and the pair set is deduped AFTER the
+    // jaccard filter. The old candidate-side .distinct() paid a full
+    // extra shuffle + stage barrier on the pair set to save re-verifying
+    // duplicates — but the prefix/length/positional filters already
+    // bound duplicate multiplicity (a pair appears once per matching
+    // PREFIX shingle, ≤ prefix_len ≈ (1−t)·n, typically 1-2 post-
+    // filter), verification is idempotent, and the verify join
+    // shuffles on id either way. ngram_jaccard 1.21s→0.54s (2.3×,
+    // reproduced twice); dedup_multisignal unchanged within noise.
+    // The final distinct runs over qualified pairs only — the small
+    // end of the funnel.
     cands.join(fa, "id_a").join(fb, "id_b")
       .withColumn("inter",
         graft.functions.VectorExprs.sortedIntersectSize(col("hs_a"), col("hs_b"))
@@ -347,6 +358,7 @@ object Dedup {
         col("inter") / (size(col("hs_a")) + size(col("hs_b")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .distinct()
   }
 
   /** Duplicate clusters from near-dup pairs: connected components by
