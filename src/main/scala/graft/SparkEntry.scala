@@ -1833,7 +1833,6 @@ object SparkEntry {
     """sup AS (
         SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
                row_number() OVER (ORDER BY s_suppkey) - 1 AS sidx,
-               count(*) OVER () AS scnt,
                'Address#' || CAST(s_suppkey AS STRING) AS s_address,
                '27-' || CAST(s_suppkey % 900 + 100 AS STRING) || '-' ||
                  CAST(s_suppkey * 7 % 9000 + 1000 AS STRING) AS s_phone,
@@ -1845,16 +1844,26 @@ object SparkEntry {
   /** partsupp: 4 suppliers per part, TPC-H-style, with ps_suppkey drawn
     * from the ACTUAL supplier key domain via the sup index (so it also
     * works on DataGen key-shifted replicas); ps_supplycost is integer
-    * cents per the money protocol.
+    * cents per the money protocol. The supplier count is hoisted into a
+    * 1-row cross join so the bucket key is computed entirely on the
+    * probe side — with `% sup.scnt` inline, the join condition
+    * referenced sup on BOTH sides and Spark planned a
+    * BroadcastNestedLoopJoin: |part|·4 × |supplier| comparisons,
+    * invisible at sf0.01 and quadratic at sf3 (q11 98s → the r9
+    * 3-point scaling sweep caught it). With the scalar hoisted it is a
+    * plain broadcast hash equi-join on sidx.
     */
   private val tpchPartsuppCte: String =
     """partsupp AS (
-        SELECT p_partkey AS ps_partkey, sup.s_suppkey AS ps_suppkey,
-               (p_partkey * 13 + g.i * 7) % 9999 + 1 AS ps_availqty,
-               (p_partkey * 31 + g.i * 17) % 100000 + 100 AS ps_supplycost
-        FROM part
-        CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(i)
-        JOIN sup ON sup.sidx = (p_partkey * 4 + g.i) % sup.scnt)"""
+        SELECT ps_partkey, sup.s_suppkey AS ps_suppkey, ps_availqty, ps_supplycost
+        FROM (SELECT p_partkey AS ps_partkey,
+                     (p_partkey * 4 + g.i) % sc.n AS sidx_key,
+                     (p_partkey * 13 + g.i * 7) % 9999 + 1 AS ps_availqty,
+                     (p_partkey * 31 + g.i * 17) % 100000 + 100 AS ps_supplycost
+              FROM part
+              CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(i)
+              CROSS JOIN (SELECT count(*) AS n FROM supplier) AS sc)
+        JOIN sup ON sup.sidx = sidx_key)"""
 
   /** lineitem + commit/receipt dates (fixed-interval offsets from
     * shipdate, branch by key modulo — ~50% of lines arrive after the
@@ -2804,7 +2813,8 @@ object SparkEntry {
     // from the two exact integer counts.
     "lsh_recall_eval" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         sv AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+         sm AS (SELECT greatest(2, (count(*) + 2047) // 2048) AS m FROM v),
+         sv AS (SELECT v.* FROM v, sm WHERE vec_id % sm.m = 0),
          ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM sv a JOIN sv b ON a.vec_id < b.vec_id
                 WHERE ${duckCos("a.e", "b.e")} >= 0.4),

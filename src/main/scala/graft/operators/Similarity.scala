@@ -419,7 +419,19 @@ object Similarity {
       dims: Int,
       nBits: Int,
       sampleMod: Int): DataFrame = {
-    val sample = df.where(pmod(col(idCol), lit(sampleMod)) === 0)
+    // ABSOLUTE sample bound (r9 scaling fix): `sampleMod` alone keeps
+    // the ground-truth sample PROPORTIONAL to the corpus, making the
+    // exact all-pairs side O((n/mod)²) — quadratic by construction,
+    // caught by the sf0.1→sf1→sf3 3-point sweep (0.3s→11s→16s). The
+    // effective modulus grows with n so the exact side stays ~2048
+    // vectors (≈2M pairs, constant) at any corpus size; sampleMod acts
+    // as a floor. One count() prices the corpus at build time — the
+    // same documented exception as nearDupCosineBanded's bits-from-n
+    // rule, and the oracle replays the rule verbatim from its own
+    // count, so the two engines cannot disagree on the sample.
+    val n = df.count()
+    val mod = math.max(sampleMod.toLong, (n + 2047) / 2048).toInt
+    val sample = df.where(pmod(col(idCol), lit(mod)) === 0)
     val exact = nearDupCosineExact(sample, idCol, vecCol, threshold)
       .select(col("id_a"), col("id_b"))
       .persistTracked
