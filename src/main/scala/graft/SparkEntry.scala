@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup, Embeddings, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Curation, Dedup, Embeddings, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1809,7 +1809,50 @@ object SparkEntry {
     "neardup_cosine_lsh_multi" -> ((s, dir) =>
       Similarity.nearDupCosineLshMulti(t(s, dir, "embeddings"), "vec_id", "embedding",
         0.4, dims = 64, nBits = 8, nTables = 3)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine")))
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    // ---- curation family (round 9) ----------------------------------
+    // Gopher-style rule gate: every rule a row-local boolean, pure scan
+    // stage — runs before dedup so junk never reaches the shuffles
+    "gopher_rules" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        (col("doc_id") +: Curation.gopherFlags(col("text"))): _*)),
+
+    // Bloom-pruned semi join: the probe side is compressed to a
+    // 128 KB bitmap literal evaluated at SCAN time; the exact semi
+    // join afterwards only sees Bloom survivors, so the result is
+    // exact while the shuffle carries ~priority-fraction of lineitem
+    "bloom_semi_join" -> ((s, dir) => {
+      val mBits = 1 << 20
+      val urgent = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      val bits = Curation.bloomBuild(urgent, col("o_orderkey"), mBits, 5)
+      t(s, dir, "lineitem")
+        .where(Curation.bloomMightContain(bits, mBits, 5, col("l_orderkey")))
+        .join(urgent.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // BM25 relevance over a fixed query-term set; integer-frozen idf,
+    // fixed-order float sum (see Curation.bm25TopK exactness protocol)
+    "bm25_topk" -> ((s, dir) =>
+      Curation.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "hash", "merge", "window"), 50)),
+
+    // blocked fuzzy ER: equi-join on (lang, source), length-band
+    // pre-filter, bounded-prefix levenshtein verify
+    "er_blocked_pairs" -> ((s, dir) =>
+      Curation.blockedPairs(t(s, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), prefixLen = 32, maxDist = 18)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))),
+
+    // Z-order layout audit: value-based file assignment from the top
+    // z bits (scan-local, no global sort) + per-file min/max spans —
+    // the zone-map evidence that makes 2-D scan pruning work at 100 TB
+    "zorder_layout" -> ((s, dir) =>
+      Curation.zOrderLayout(t(s, dir, "lineitem"),
+        col("l_partkey"), col("l_suppkey"), fileBits = 6))
   )
 
   /** Deterministic derivation CTEs that reconstruct the TPC-H columns
@@ -4236,6 +4279,84 @@ object SparkEntry {
          SELECT s.doc_id, len(s.sh)::BIGINT AS n_shingles,
            coalesce(nov.n_novel, 0)::BIGINT AS n_novel,
            floor(coalesce(nov.n_novel, 0)::DOUBLE / len(s.sh) * 10000 + 0.5) / 10000 AS novelty
-         FROM s LEFT JOIN nov ON s.doc_id = nov.doc_id"""
+         FROM s LEFT JOIN nov ON s.doc_id = nov.doc_id""",
+
+    "gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+                      list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents),
+         m AS (SELECT doc_id, len(toks) AS n,
+           list_sum(list_transform(toks, x -> length(x))) AS char_sum,
+           len(list_filter(toks,
+             x -> x IN ('the','a','of','and','is','to','in','it','that','for'))) AS stops,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+             greatest(length(text), 1) AS digit_ratio,
+           len(list_distinct(toks)) AS n_dist
+           FROM t)
+         SELECT doc_id, n::BIGINT AS n_tokens,
+           (n BETWEEN 5 AND 1000) AS r_word_count,
+           (char_sum::DOUBLE / greatest(n, 1) BETWEEN 2.0 AND 10.0) AS r_avg_len,
+           (stops >= 2) AS r_stop,
+           (digit_ratio < 0.1) AS r_digit,
+           (n_dist::DOUBLE / greatest(n, 1) >= 0.3) AS r_dup,
+           ((n BETWEEN 5 AND 1000) AND (char_sum::DOUBLE / greatest(n, 1) BETWEEN 2.0 AND 10.0)
+             AND (stops >= 2) AND (digit_ratio < 0.1)
+             AND (n_dist::DOUBLE / greatest(n, 1) >= 0.3)) AS keep
+         FROM m""",
+
+    "bloom_semi_join" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN
+           (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         GROUP BY 1""",
+
+    "bm25_topk" ->
+      """WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents),
+         d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM t),
+         s AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+           sum(CASE WHEN list_contains(toks, 'spark')  THEN 1 ELSE 0 END)::BIGINT AS df_0,
+           sum(CASE WHEN list_contains(toks, 'hash')   THEN 1 ELSE 0 END)::BIGINT AS df_1,
+           sum(CASE WHEN list_contains(toks, 'merge')  THEN 1 ELSE 0 END)::BIGINT AS df_2,
+           sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END)::BIGINT AS df_3
+           FROM d),
+         i AS (SELECT *,
+           floor(ln((n_docs::DOUBLE - df_0::DOUBLE + 0.5) / (df_0::DOUBLE + 0.5) + 1.0) * 1000000 + 0.5) / 1000000 AS idf_0,
+           floor(ln((n_docs::DOUBLE - df_1::DOUBLE + 0.5) / (df_1::DOUBLE + 0.5) + 1.0) * 1000000 + 0.5) / 1000000 AS idf_1,
+           floor(ln((n_docs::DOUBLE - df_2::DOUBLE + 0.5) / (df_2::DOUBLE + 0.5) + 1.0) * 1000000 + 0.5) / 1000000 AS idf_2,
+           floor(ln((n_docs::DOUBLE - df_3::DOUBLE + 0.5) / (df_3::DOUBLE + 0.5) + 1.0) * 1000000 + 0.5) / 1000000 AS idf_3
+           FROM s),
+         c AS (SELECT doc_id,
+           len(list_filter(toks, x -> x = 'spark'))::DOUBLE  AS tf0,
+           len(list_filter(toks, x -> x = 'hash'))::DOUBLE   AS tf1,
+           len(list_filter(toks, x -> x = 'merge'))::DOUBLE  AS tf2,
+           len(list_filter(toks, x -> x = 'window'))::DOUBLE AS tf3,
+           0.25 + 0.75 * (dl::DOUBLE * (SELECT n_docs FROM i)::DOUBLE / (SELECT sum_dl FROM i)::DOUBLE) AS dn
+           FROM d),
+         sc AS (SELECT doc_id, floor((
+             (SELECT idf_0 FROM i) * tf0 * 2.2 / (tf0 + 1.2 * dn)
+           + (SELECT idf_1 FROM i) * tf1 * 2.2 / (tf1 + 1.2 * dn)
+           + (SELECT idf_2 FROM i) * tf2 * 2.2 / (tf2 + 1.2 * dn)
+           + (SELECT idf_3 FROM i) * tf3 * 2.2 / (tf3 + 1.2 * dn)
+           ) * 1000000 + 0.5)::BIGINT AS score_u FROM c)
+         SELECT doc_id, score_u FROM sc WHERE score_u > 0
+         ORDER BY score_u DESC, doc_id LIMIT 50""",
+
+    "er_blocked_pairs" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32))::BIGINT AS dist
+         FROM documents a JOIN documents b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+           AND abs(length(substr(a.text, 1, 32)) - length(substr(b.text, 1, 32))) <= 18
+         WHERE levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) <= 18""",
+
+    "zorder_layout" -> s"""
+         WITH m AS (SELECT l_partkey % 65536 AS zx, l_suppkey % 65536 AS zy FROM lineitem),
+         z AS (SELECT zx, zy, ${(0 until 16).map(i =>
+           s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
+           .mkString(" + ")} AS zval FROM m)
+         SELECT (zval >> 26)::INTEGER AS file_id, count(*)::BIGINT AS n_rows,
+           min(zx) AS x_min, max(zx) AS x_max, min(zy) AS y_min, max(zy) AS y_max
+         FROM z GROUP BY 1"""
   ) ++ portableTpch.map { case (name, (_, sql)) => name -> sql }
 }

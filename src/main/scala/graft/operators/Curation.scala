@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw crawl and tokenization: rule-based quality gating
+  * (Gopher/C4-style), Bloom-pruned semi joins, BM25 relevance ranking,
+  * blocked fuzzy entity resolution, and Z-order layout keys for
+  * locality-preserving file assignment.
+  *
+  * All kernels are built-in-function compositions (codegen'd, no UDFs);
+  * the only driver-side state is the Bloom bitmap, which is
+  * size-bounded by construction (mBits/8 bytes regardless of corpus
+  * size) — the same contract as the sketch operators.
+  */
+object Curation {
+
+  // ---- Gopher-style quality rules -----------------------------------
+
+  /** Rule flags in the spirit of Gopher's quality heuristics (Rae et
+    * al. 2021, §A.1.1) over whitespace-token text. Every rule is a
+    * row-local boolean; the conjunction is the keep decision. At 100 TB
+    * this is a pure scan stage — no shuffle, no state — and belongs
+    * before any dedup so junk never reaches the expensive operators.
+    *
+    * Returns (n_tokens, r_word_count, r_avg_len, r_stop, r_digit,
+    * r_dup, keep) columns to select alongside the document id.
+    */
+  def gopherFlags(text: Column): Seq[Column] = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    val avgLen = TextAnalysis.tokenCharSum(toks).cast("double") /
+      greatest(n, lit(1)).cast("double")
+    val digitRatio = TextAnalysis.digitRatio(text)
+    val rWc = n.between(5, 1000)
+    val rAvg = avgLen.between(2.0, 10.0)
+    val rStop = TextAnalysis.stopwordHits(toks) >= 2
+    val rDigit = digitRatio < 0.1
+    // repetition guard: a doc whose distinct-token ratio collapses is
+    // boilerplate or a generation loop, both poison for training
+    val rDup = size(array_distinct(toks)).cast("double") /
+      greatest(n, lit(1)).cast("double") >= 0.3
+    Seq(
+      n.cast("long").as("n_tokens"),
+      rWc.as("r_word_count"), rAvg.as("r_avg_len"), rStop.as("r_stop"),
+      rDigit.as("r_digit"), rDup.as("r_dup"),
+      (rWc && rAvg && rStop && rDigit && rDup).as("keep"))
+  }
+
+  // ---- Declarative Bloom filter -------------------------------------
+
+  /** Build a Bloom bitmap over `key` values entirely with built-in
+    * aggregates: each key explodes to its k probe positions, positions
+    * group to 64-bit words via bit_or, and only the ≤ mBits/64 words
+    * come back to the driver. The bitmap is then a plan literal — at
+    * 100 TB you ship mBits/8 bytes to every scan task instead of
+    * shuffling the probe side, which is the point of a Bloom semi join.
+    *
+    * Probe positions are double hashing over xxhash64 (Kirsch &
+    * Mitzenmacher: pos_i = h1 + i·h2 mod m), deterministic across
+    * retries and engines.
+    */
+  def bloomBuild(df: DataFrame, key: Column, mBits: Int, k: Int): Array[Long] = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64: $mBits")
+    val positions = df
+      .select(explode(array((0 until k).map(i => bloomPos(key, i, mBits)): _*)).as("pos"))
+    val words = positions
+      .groupBy(shiftright(col("pos"), 6).cast("int").as("word"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int"))).as("bits"))
+      .collect()
+    val out = new Array[Long](mBits / 64)
+    words.foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+
+  /** Membership probe against a built bitmap: true for every inserted
+    * key, false for most others (false-positive rate ~(kn/m)^k). Pure
+    * built-in expression — stays inside whole-stage codegen, so the
+    * filter runs at scan speed before any shuffle.
+    */
+  def bloomMightContain(bits: Array[Long], mBits: Int, k: Int, key: Column): Column =
+    (0 until k).map { i =>
+      val pos = bloomPos(key, i, mBits)
+      val word = call_function("element_at",
+        typedLit(bits.toSeq), shiftright(pos, 6).cast("int") + 1)
+      call_function("shiftright", word, (pos % 64).cast("int"))
+        .bitwiseAND(lit(1L)) =!= lit(0L)
+    }.reduce(_ && _)
+
+  private def bloomPos(key: Column, i: Int, mBits: Int): Column = {
+    // mask both hashes to 31 bits before the Kirsch-Mitzenmacher
+    // combination so h1 + i·h2 can never overflow a long (ANSI mode
+    // makes overflow an error, not a wrap)
+    val h1 = xxhash64(key, lit(0x9e3779b9L)).bitwiseAND(lit(0x7fffffffL))
+    val h2 = xxhash64(key, lit(0x85ebca6bL)).bitwiseAND(lit(0x7fffffffL))
+    pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong))
+  }
+
+  // ---- BM25 ranking --------------------------------------------------
+
+  /** BM25 relevance of each document against a fixed query-term set
+    * (Robertson & Walker 1994). Cross-engine exactness protocol: the
+    * corpus stats (N, avgdl, per-term df) reduce to ONE broadcast row;
+    * each term's idf is frozen as integer micro-units
+    * floor(ln(1+(N−df+0.5)/(df+0.5))·10⁶+½) so the only transcendental
+    * is evaluated once per term, not per row; the per-doc score is the
+    * FIXED-ORDER sum of the per-term contributions (term order = the
+    * `terms` argument), keeping the float arithmetic bit-identical at
+    * any parallelism and across engines.
+    *
+    * Scale shape: one stats aggregation (map-side partial, 1-row
+    * result), one broadcast cross join, then a pure scan stage; top-k
+    * by TakeOrderedAndProject (per-partition heap, no global sort).
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int): DataFrame = {
+    // k1 = 1.2, b = 0.75 as literal decimal text in BOTH engines so the
+    // parsed doubles are the same nearest-representable values; corpus
+    // stats stay exact integers (LONG sums, never a float avg — a float
+    // sum is merge-order-dependent) and are divided once per row
+    val withToks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val statAggs =
+      Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.zipWithIndex.map { case (t, j) =>
+        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$j")
+      }
+    val stats = withToks.agg(statAggs.head, statAggs.tail: _*)
+    val withIdf = terms.indices.foldLeft(stats) { (df, j) =>
+      df.withColumn(s"idf_$j",
+        floor(log((col("n_docs").cast("double") - col(s"df_$j").cast("double") + lit(0.5))
+          / (col(s"df_$j").cast("double") + lit(0.5)) + lit(1.0))
+          * 1000000 + lit(0.5)) / 1000000)
+    }
+    val scored = withToks.crossJoin(broadcast(withIdf))
+    val dlNorm = lit(0.25) + lit(0.75) *
+      (col("dl").cast("double") * col("n_docs").cast("double") / col("sum_dl").cast("double"))
+    val contribs = terms.zipWithIndex.map { case (t, j) =>
+      val tf = expr(s"size(filter(toks, x -> x = '$t'))").cast("double")
+      col(s"idf_$j") * tf * lit(2.2) / (tf + lit(1.2) * dlNorm)
+    }
+    scored
+      .select(col(idCol),
+        floor(contribs.reduce(_ + _) * 1000000 + lit(0.5)).cast("long").as("score_u"))
+      .where(col("score_u") > 0)
+      .orderBy(col("score_u").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---- Blocked fuzzy entity resolution -------------------------------
+
+  /** Candidate near-identical pairs via blocking + bounded edit
+    * distance: rows equi-join on the blocking key (a real shuffle
+    * join, never a cartesian), a cheap length-band filter discards
+    * pairs whose prefix lengths already differ by more than the
+    * threshold, and only survivors pay the O(len²) levenshtein.
+    *
+    * Scale contract: cost is Σ_b |block_b|², so blocking keys must
+    * have cardinality that grows with the corpus (lang × source here;
+    * at 100 TB add a coarse content band — e.g. a MinHash band — the
+    * same way [[Dedup.minHashNearDups]] does). The length-band filter
+    * and the prefix cap bound the per-pair cost regardless of document
+    * size.
+    */
+  def blockedPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      prefixLen: Int,
+      maxDist: Int): DataFrame = {
+    val pre = docs.select(
+      (Seq(col(idCol), substring(col(textCol), 1, prefixLen).as("pref")) ++
+        blockCols.map(col)): _*)
+    val a = pre.select(pre.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq: _*)
+    val bb = pre.select(pre.columns.map(c => col(c).as(s"b_$c")).toIndexedSeq: _*)
+    val joinCond = blockCols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _) &&
+      col(s"a_$idCol") < col(s"b_$idCol") &&
+      abs(length(col("a_pref")) - length(col("b_pref"))) <= maxDist
+    a.join(bb, joinCond)
+      .select(col(s"a_$idCol").as("id_a"), col(s"b_$idCol").as("id_b"),
+        levenshtein(col("a_pref"), col("b_pref")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
+  // ---- Z-order layout ------------------------------------------------
+
+  /** 2×16-bit Morton (Z-order) interleave: bit i of x lands at 2i, bit
+    * i of y at 2i+1. Pure shift/mask arithmetic so the same expression
+    * text runs on any engine and stays in codegen.
+    */
+  def zOrderKey(x: Column, y: Column, bits: Int = 16): Column = {
+    val xm = pmod(x.cast("long"), lit(1L << bits))
+    val ym = pmod(y.cast("long"), lit(1L << bits))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** File-layout audit for Z-order clustering: rows are assigned to
+    * files by the TOP bits of their z-value — a pure value-based
+    * bucketing, so the assignment is scan-local (no global sort; at
+    * scale you'd feed the same key to repartitionByRange + sortWithin
+    * Partitions, and these buckets are exactly the range bounds). The
+    * per-file min/max spans on both dimensions are the evidence: a
+    * z-ordered file touches a narrow rectangle of (x, y), which is
+    * what lets min/max zone maps prune scans on EITHER column.
+    */
+  def zOrderLayout(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      fileBits: Int,
+      bits: Int = 16): DataFrame = {
+    val z = zOrderKey(x, y, bits)
+    df.select(
+        shiftright(z, 2 * bits - fileBits).cast("int").as("file_id"),
+        pmod(x.cast("long"), lit(1L << bits)).as("zx"),
+        pmod(y.cast("long"), lit(1L << bits)).as("zy"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("zx")).as("x_min"), max(col("zx")).as("x_max"),
+        min(col("zy")).as("y_min"), max(col("zy")).as("y_max"))
+  }
+}

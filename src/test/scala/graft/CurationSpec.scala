@@ -1,0 +1,139 @@
+package graft
+
+import graft.operators.Curation
+
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Curation-family properties: Bloom filter soundness (zero false
+  * negatives) and a measured false-positive bound, Gopher rule gate
+  * semantics, BM25 ranking sanity and determinism across partition
+  * layouts, blocked-ER symmetry with brute force, and Z-order key
+  * bijectivity + locality of the file layout.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bloom: every inserted key probes true (no false negatives)") {
+    val keys = (0L until 5000L).map(_ * 7919L)
+    val df = keys.toDF("k")
+    val bits = Curation.bloomBuild(df, col("k"), 1 << 17, 5)
+    val hit = df.where(Curation.bloomMightContain(bits, 1 << 17, 5, col("k"))).count()
+    assert(hit == keys.size)
+  }
+
+  test("bloom: false-positive rate on disjoint keys is near (kn/m)^k") {
+    val m = 1 << 17
+    val k = 5
+    val inserted = (0L until 5000L).map(_ * 2L).toDF("k") // even keys
+    val bits = Curation.bloomBuild(inserted, col("k"), m, k)
+    val probes = (0L until 20000L).map(_ * 2L + 1L).toDF("k") // odd keys
+    val fp = probes.where(Curation.bloomMightContain(bits, m, k, col("k"))).count()
+    val expected = math.pow(k.toDouble * 5000 / m, k)
+    // generous 5x headroom over the analytic estimate (~0.0008)
+    assert(fp.toDouble / 20000 < math.max(5 * expected, 0.01),
+      s"fp rate ${fp.toDouble / 20000} vs expected ~$expected")
+  }
+
+  test("bloom semi join equals exact semi join (pruning never drops a match)") {
+    val rnd = new Random(7)
+    val fact = (0 until 20000).map(i => (rnd.nextInt(1000).toLong, i)).toDF("key", "v")
+    val dim = (0 until 300).map(i => (i * 3L)).toDF("key").where(col("key") % 2 === 0)
+    val bits = Curation.bloomBuild(dim, col("key"), 1 << 16, 5)
+    val viaBloom = fact
+      .where(Curation.bloomMightContain(bits, 1 << 16, 5, col("key")))
+      .join(dim, Seq("key"), "left_semi").count()
+    val exact = fact.join(dim, Seq("key"), "left_semi").count()
+    assert(viaBloom == exact)
+  }
+
+  test("gopher rules: keep is the conjunction and rules fire as designed") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog and it runs for fun"),
+      (2L, "a b"), // too few tokens
+      (3L, "zz " * 200 + "the of and is to"), // dup-ratio collapse
+      (4L, "the 12345 67890 11111 22222 33333 44444 55555 of rate is 99999")
+    ).toDF("doc_id", "text")
+    val out = docs.select((col("doc_id") +: Curation.gopherFlags(col("text"))): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(out(1L).fieldIndex("keep")))
+    assert(!out(2L).getBoolean(out(2L).fieldIndex("r_word_count")))
+    assert(!out(3L).getBoolean(out(3L).fieldIndex("r_dup")))
+    assert(!out(4L).getBoolean(out(4L).fieldIndex("r_digit")))
+    Seq(2L, 3L, 4L).foreach(id =>
+      assert(!out(id).getBoolean(out(id).fieldIndex("keep")), s"doc $id"))
+  }
+
+  test("bm25: exact-match doc outranks partial, absent terms score zero") {
+    val docs = Seq(
+      (1L, "spark hash merge window join scan"),
+      (2L, "spark table scan row batch fast slow key value part"),
+      (3L, "completely unrelated words about nothing at all here")
+    ).toDF("doc_id", "text")
+    val out = Curation.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "hash", "merge", "window"), 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // 3 filtered (score 0)
+    assert(out(0).getLong(1) > out(1).getLong(1))
+  }
+
+  test("bm25: scores identical across partition layouts") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val a = Curation.bm25TopK(docs.repartition(1), "doc_id", "text",
+      Seq("spark", "hash"), 20).collect().toSeq
+    val b = Curation.bm25TopK(docs.repartition(7), "doc_id", "text",
+      Seq("spark", "hash"), 20).collect().toSeq
+    assert(a == b)
+  }
+
+  test("blocked ER matches brute force within blocks, and never crosses blocks") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = Curation.blockedPairs(docs, "doc_id", "text",
+      Seq("lang", "source"), prefixLen = 32, maxDist = 18)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    val rows = docs.select("doc_id", "lang", "source", "text")
+      .as[(Long, String, String, String)].collect()
+    def lev(s: String, t: String): Int = {
+      val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      d(s.length)(t.length)
+    }
+    val want = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._2 == b._2 && a._3 == b._3
+      d = lev(a._4.take(32), b._4.take(32)) if d <= 18
+    } yield (a._1, b._1, d)).toSet
+    assert(got == want)
+  }
+
+  test("zorder key is a bijection on the 8-bit grid and interleaves correctly") {
+    val grid = (for (x <- 0 until 256; y <- 0 until 256) yield (x, y)).toDF("x", "y")
+    val keyed = grid.select(col("x"), col("y"),
+      Curation.zOrderKey(col("x"), col("y"), bits = 8).as("z"))
+    assert(keyed.select("z").distinct().count() == 256L * 256L)
+    // hand-check a known value: x=0b0011, y=0b0101 -> z interleaves to 0b00100111
+    val z = keyed.where(col("x") === 3 && col("y") === 5).head().getLong(2)
+    assert(z == 0x27L, s"z(3,5) = $z")
+  }
+
+  test("zorder layout: per-file spans are rectangles far narrower than the domain") {
+    val n = 1 << 14
+    val rows = (0 until n).map { i =>
+      val h = i * 2654435761L
+      ((h & 0xffff).toLong, ((h >> 16) & 0xffff).toLong)
+    }.toDF("x", "y")
+    val files = Curation.zOrderLayout(rows, col("x"), col("y"), fileBits = 4)
+      .collect()
+    assert(files.nonEmpty)
+    files.foreach { r =>
+      val (xm, xx) = (r.getLong(2), r.getLong(3))
+      val (ym, yx) = (r.getLong(4), r.getLong(5))
+      // top-4-bit z bucket = 2 bits of x and 2 of y: span <= 2^14 each
+      assert(xx - xm < (1 << 14), s"x span ${xx - xm}")
+      assert(yx - ym < (1 << 14), s"y span ${yx - ym}")
+    }
+  }
+}
