@@ -1852,7 +1852,43 @@ object SparkEntry {
     // the zone-map evidence that makes 2-D scan pruning work at 100 TB
     "zorder_layout" -> ((s, dir) =>
       Curation.zOrderLayout(t(s, dir, "lineitem"),
-        col("l_partkey"), col("l_suppkey"), fileBits = 6))
+        col("l_partkey"), col("l_suppkey"), fileBits = 6)),
+
+    // telemetry dedup: drop repeats of the same (user, event_type)
+    // within 60s of the previous occurrence — ONE shuffle on the
+    // window key, O(1) lag state per partition stream; the per-type
+    // survival counts are the monitoring signal
+    "events_dedup_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("tus"), col("event_id"))
+      ev.select(col("user_id"), col("event_type"), col("event_id"),
+          Temporal.epochUs(ev, "ts").as("tus"))
+        .withColumn("keep",
+          lag(col("tus"), 1).over(w).isNull ||
+            col("tus") - lag(col("tus"), 1).over(w) > 60000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+    }),
+
+    // per-user inter-event gap statistics (liveness/telemetry QA):
+    // lag diff then a keyed agg — gaps are exact integer µs so the
+    // sums are order-independent at any parallelism
+    "events_gap_stats" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"), Temporal.epochUs(ev, "ts").as("tus"))
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("gap")).as("n_gaps"),
+          min(col("gap")).as("min_gap_us"),
+          max(col("gap")).as("max_gap_us"),
+          floor(sum(col("gap")) / greatest(count(col("gap")), lit(1L)))
+            .cast("long").as("avg_gap_us"))
+    })
   )
 
   /** Deterministic derivation CTEs that reconstruct the TPC-H columns
@@ -4349,6 +4385,30 @@ object SparkEntry {
            ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
            AND abs(length(substr(a.text, 1, 32)) - length(substr(b.text, 1, 32))) <= 18
          WHERE levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) <= 18""",
+
+    "events_dedup_window" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+                      epoch_us(ts::TIMESTAMP) AS tus FROM events),
+         m AS (SELECT *, (lag(tus) OVER (PARTITION BY user_id, event_type
+                 ORDER BY tus, event_id) IS NULL
+               OR tus - lag(tus) OVER (PARTITION BY user_id, event_type
+                 ORDER BY tus, event_id) > 60000000) AS keep FROM e)
+         SELECT event_type, count(*)::BIGINT AS n_total,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+         FROM m GROUP BY 1""",
+
+    "events_gap_stats" ->
+      """WITH e AS (SELECT user_id, event_id,
+                      epoch_us(ts::TIMESTAMP) AS tus FROM events),
+         m AS (SELECT user_id,
+                 tus - lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY tus, event_id) AS gap FROM e)
+         SELECT user_id, count(*)::BIGINT AS n_events,
+           count(gap)::BIGINT AS n_gaps,
+           min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+           floor(sum(gap) / greatest(count(gap), 1))::BIGINT AS avg_gap_us
+         FROM m GROUP BY 1""",
 
     "zorder_layout" -> s"""
          WITH m AS (SELECT l_partkey % 65536 AS zx, l_suppkey % 65536 AS zy FROM lineitem),
