@@ -1873,6 +1873,49 @@ object SparkEntry {
           sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
     }),
 
+    // driver-graded streaming replay of events_sessionize: AvailableNow
+    // over the graded parquet through the O(1)-state lag-rule session
+    // machine, final (user, session) rollup batch-side — oracle is the
+    // batch twin's SQL verbatim
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val raw = t(s, dir, "events")
+      val st0 = graft.sources.Sources.streamTable(s, dir, "events", raw.schema)
+      val st = st0.select(col("user_id").as("user"), col("event_id").as("eventId"),
+          Temporal.epochUs(st0, "ts").as("ts"), col("value"))
+        .as[graft.streaming.Streams.SessIn]
+      val out = graft.streaming.Streams.sessionizeStream(st, 1800000000L)
+      graft.streaming.Streams.runToMemoryAvailableNow(out.toDF, "g_stream_sess",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("g_stream_sess")
+        .groupBy(col("user"), col("sessionSeq"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+        .select(col("user").as("user_id"), col("sessionSeq").as("session_seq"),
+          col("n_events"), col("session_value"))
+    }),
+
+    // driver-graded streaming replay of events_dedup_window: one long
+    // of state per (user, event_type) — bounded unlike watermarked
+    // dropDuplicates — same per-type survival counts as batch
+    "stream_dedup_window" -> ((s, dir) => {
+      import s.implicits._
+      val raw = t(s, dir, "events")
+      val st0 = graft.sources.Sources.streamTable(s, dir, "events", raw.schema)
+      val st = st0.select(col("user_id").as("user"), col("event_type").as("eventType"),
+          col("event_id").as("eventId"), Temporal.epochUs(st0, "ts").as("ts"))
+        .as[graft.streaming.Streams.WDedupIn]
+      val out = graft.streaming.Streams.dedupWindowStream(st, 60000000L)
+      graft.streaming.Streams.runToMemoryAvailableNow(out.toDF, "g_stream_wdedup",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("g_stream_wdedup")
+        .groupBy(col("eventType"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+        .select(col("eventType").as("event_type"), col("n_total"),
+          col("n_kept"), col("n_dropped"))
+    }),
+
     // per-user inter-event gap statistics (liveness/telemetry QA):
     // lag diff then a keyed agg — gaps are exact integer µs so the
     // sums are order-independent at any parallelism
@@ -2302,7 +2345,9 @@ object SparkEntry {
       "stream_cardinality_sketch" -> base("cardinality_sketch"),
       "stream_freq_sketch" -> base("freq_sketch"),
       "stream_quantile_sketch" -> base("quantile_sketch"),
-      "stream_daily_anomaly" -> base("event_daily_anomaly"))
+      "stream_daily_anomaly" -> base("event_daily_anomaly"),
+      "stream_sessionize" -> base("events_sessionize"),
+      "stream_dedup_window" -> base("events_dedup_window"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -205,6 +205,75 @@ object Streams {
       }
   }
 
+  /** One sessionization event (epoch-µs event time). Public: state-
+    * store encoders instantiate these from generated code.
+    */
+  case class SessIn(user: Long, eventId: Long, ts: Long, value: Double)
+
+  /** Per-event session assignment emitted by [[sessionizeStream]]. */
+  case class SessAssign(user: Long, eventId: Long, sessionSeq: Long, value: Double)
+
+  /** Streaming sessionization — the unbounded mirror of the batch
+    * `events_sessionize` lag-rule (a NEW session when the gap since
+    * the PREVIOUS event exceeds gapUs), chosen over the built-in
+    * session_window because the lag rule's boundary semantics
+    * (gap == gapUs stays in-session) must match the batch oracle
+    * bit-exactly. Per-user state is TWO longs (last event time,
+    * session counter) — never a buffer of events — so the state store
+    * holds |users| pairs at any stream length. Each micro-batch
+    * replays its rows in (ts, id) order, the asof-stream contract.
+    */
+  def sessionizeStream(in: Dataset[SessIn], gapUs: Long): Dataset[SessAssign] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.user)
+      .flatMapGroupsWithState[(Long, Long), SessAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Long)]) =>
+          var (lastTs, seq) = state.getOption.getOrElse((0L, 0L))
+          val out = rows.toSeq.sortBy(r => (r.ts, r.eventId)).map { r =>
+            // seq == 0 means "no previous event": short-circuits before
+            // the subtraction so the sentinel can't fake a gap
+            if (seq == 0L || r.ts - lastTs > gapUs) seq += 1
+            lastTs = r.ts
+            SessAssign(user, r.eventId, seq, r.value)
+          }
+          state.update((lastTs, seq))
+          out.iterator
+      }
+  }
+
+  /** One telemetry event for windowed dedup. */
+  case class WDedupIn(user: Long, eventType: String, eventId: Long, ts: Long)
+
+  /** Keep/drop verdict per event from [[dedupWindowStream]]. */
+  case class WDedupOut(user: Long, eventType: String, eventId: Long, keep: Boolean)
+
+  /** Streaming windowed telemetry dedup — the unbounded mirror of the
+    * batch `events_dedup_window` rule: an event is kept iff the
+    * previous event of the same (user, event_type) — kept or not — is
+    * more than windowUs older. State is ONE long per key (the previous
+    * event's time), updated on every event, so unlike watermarked
+    * dropDuplicates the state never grows with event volume.
+    */
+  def dedupWindowStream(in: Dataset[WDedupIn], windowUs: Long): Dataset[WDedupOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(r => (r.user, r.eventType))
+      .flatMapGroupsWithState[Long, WDedupOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((user, etype), rows, state: GroupState[Long]) =>
+          var lastTs = state.getOption.getOrElse(0L)
+          var seen = state.exists
+          val out = rows.toSeq.sortBy(r => (r.ts, r.eventId)).map { r =>
+            val keep = !seen || r.ts - lastTs > windowUs
+            lastTs = r.ts
+            seen = true
+            WDedupOut(user, etype, r.eventId, keep)
+          }
+          state.update(lastTs)
+          out.iterator
+      }
+  }
+
   /** Stream-static incremental near-dup — the unbounded mirror of
     * [[graft.operators.Dedup.minHashNearDupsIncremental]]: a stream of
     * new docs banded against the accumulated corpus's STATIC minhash

@@ -424,4 +424,62 @@ class StreamingEquivalenceSpec extends SparkSpec {
     assert(rowSet(streamed) == rowSet(batch),
       "streaming quantile sketch diverged from batch histogram estimates")
   }
+
+  test("sessionizeStream (micro-batched) == batch events_sessionize") {
+    val raw = eventsBatch
+    val evs = raw.select(col("user_id"), col("event_id"),
+        unix_micros(col("event_time")).as("tus"), col("value"))
+      .collect()
+      .map(r => Streams.SessIn(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(e => (e.ts, e.eventId))
+    // split by GLOBAL ts: per-user order preserved across micro-batches
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.SessIn]
+    val q = Streams.sessionizeStream(in.toDS(), 1800000000L).toDF()
+      .writeStream.format("memory").queryName("eq_sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("eq_sess")
+      .groupBy(col("user"), col("sessionSeq"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user"), col("sessionSeq"), col("n_events"), col("session_value"))
+    val batch = SparkEntry.queries("events_sessionize")(spark, sfDir)
+    assert(rowSet(streamed) == rowSet(batch),
+      "cross-micro-batch sessionization diverged from the batch lag rule")
+  }
+
+  test("dedupWindowStream (micro-batched) == batch events_dedup_window") {
+    val raw = eventsBatch
+    val evs = raw.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("event_time")).as("tus"))
+      .collect()
+      .map(r => Streams.WDedupIn(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e.ts, e.eventId))
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.WDedupIn]
+    val q = Streams.dedupWindowStream(in.toDS(), 60000000L).toDF()
+      .writeStream.format("memory").queryName("eq_wdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("eq_wdedup")
+      .groupBy(col("eventType"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+    val batch = SparkEntry.queries("events_dedup_window")(spark, sfDir)
+    assert(rowSet(streamed) == rowSet(batch),
+      "cross-micro-batch windowed dedup diverged from the batch lag rule")
+  }
 }
