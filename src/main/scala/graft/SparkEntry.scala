@@ -1840,11 +1840,11 @@ object SparkEntry {
       Curation.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "hash", "merge", "window"), 50)),
 
-    // blocked fuzzy ER: equi-join on (lang, source), length-band
-    // pre-filter, bounded-prefix levenshtein verify
+    // blocked fuzzy ER via sorted neighborhood: rank-window candidates
+    // (n·window comparisons, linear) + bounded-prefix levenshtein
     "er_blocked_pairs" -> ((s, dir) =>
       Curation.blockedPairs(t(s, dir, "documents"), "doc_id", "text",
-        Seq("lang", "source"), prefixLen = 32, maxDist = 18)
+        Seq("lang", "source"), prefixLen = 32, maxDist = 18, window = 8)
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))),
 
     // Z-order layout audit: value-based file assignment from the top
@@ -4424,12 +4424,18 @@ object SparkEntry {
          ORDER BY score_u DESC, doc_id LIMIT 50""",
 
     "er_blocked_pairs" ->
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32))::BIGINT AS dist
-         FROM documents a JOIN documents b
-           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-           AND abs(length(substr(a.text, 1, 32)) - length(substr(b.text, 1, 32))) <= 18
-         WHERE levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) <= 18""",
+      """WITH p AS (SELECT doc_id, lang, source, substr(text, 1, 32) AS pref FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY lang, source
+                 ORDER BY pref, doc_id) AS rn FROM p),
+         a AS (SELECT r.*, floor((rn - 1) / 8)::BIGINT + x.o AS buck
+               FROM r, (VALUES (0), (1)) x(o)),
+         b AS (SELECT r.*, floor((rn - 1) / 8)::BIGINT AS buck FROM r),
+         j AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+                 greatest(a.doc_id, b.doc_id) AS id_b,
+                 levenshtein(a.pref, b.pref) AS dist
+               FROM a JOIN b ON a.lang = b.lang AND a.source = b.source
+                 AND a.buck = b.buck AND b.rn > a.rn AND b.rn - a.rn <= 8)
+         SELECT id_a, id_b, dist::BIGINT AS dist FROM j WHERE dist <= 18""",
 
     "events_dedup_window" ->
       """WITH e AS (SELECT user_id, event_type, event_id,

@@ -154,18 +154,22 @@ object Curation {
 
   // ---- Blocked fuzzy entity resolution -------------------------------
 
-  /** Candidate near-identical pairs via blocking + bounded edit
-    * distance: rows equi-join on the blocking key (a real shuffle
-    * join, never a cartesian), a cheap length-band filter discards
-    * pairs whose prefix lengths already differ by more than the
-    * threshold, and only survivors pay the O(len²) levenshtein.
+  /** Entity-resolution candidate pairs via the sorted-neighborhood
+    * method (Hernández & Stolfo): within each block, rows are ranked
+    * by their sort key (prefix, then id) and only pairs within
+    * `window` rank positions are compared — near-identical records
+    * sort adjacently, so a small window catches them while the
+    * comparison count is n·window, LINEAR in the corpus (a full
+    * within-block join is Σ_b |b|², quadratic the moment block
+    * cardinality stops growing with n).
     *
-    * Scale contract: cost is Σ_b |block_b|², so blocking keys must
-    * have cardinality that grows with the corpus (lang × source here;
-    * at 100 TB add a coarse content band — e.g. a MinHash band — the
-    * same way [[Dedup.minHashNearDups]] does). The length-band filter
-    * and the prefix cap bound the per-pair cost regardless of document
-    * size.
+    * The rank-window join is an equi-join, not a theta join: the
+    * a-side probes its own rank bucket and the next one (explode of
+    * two keys), and the |rank difference| ≤ window filter runs on the
+    * bucket-collision survivors. Per-block ranking is a window
+    * row_number — one shuffle on the block key, the same partitioning
+    * the join reuses. Only windowed survivors pay the O(len²)
+    * levenshtein on the bounded prefix.
     */
   def blockedPairs(
       docs: DataFrame,
@@ -173,17 +177,29 @@ object Curation {
       textCol: String,
       blockCols: Seq[String],
       prefixLen: Int,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      window: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(blockCols.map(col): _*)
+      .orderBy(col("pref"), col(idCol))
     val pre = docs.select(
-      (Seq(col(idCol), substring(col(textCol), 1, prefixLen).as("pref")) ++
-        blockCols.map(col)): _*)
-    val a = pre.select(pre.columns.map(c => col(c).as(s"a_$c")).toIndexedSeq: _*)
-    val bb = pre.select(pre.columns.map(c => col(c).as(s"b_$c")).toIndexedSeq: _*)
-    val joinCond = blockCols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _) &&
-      col(s"a_$idCol") < col(s"b_$idCol") &&
-      abs(length(col("a_pref")) - length(col("b_pref"))) <= maxDist
+        (Seq(col(idCol), substring(col(textCol), 1, prefixLen).as("pref")) ++
+          blockCols.map(col)): _*)
+      .withColumn("rn", row_number().over(w))
+    val a = pre
+      .withColumn("buck", explode(array(
+        floor((col("rn") - 1) / window).cast("long"),
+        floor((col("rn") - 1) / window).cast("long") + 1)))
+      .select((pre.columns.map(c => col(c).as(s"a_$c")) :+ col("buck").as("a_buck")).toIndexedSeq: _*)
+    val bb = pre
+      .withColumn("buck", floor((col("rn") - 1) / window).cast("long"))
+      .select((pre.columns.map(c => col(c).as(s"b_$c")) :+ col("buck").as("b_buck")).toIndexedSeq: _*)
+    val joinCond = (blockCols.map(c => col(s"a_$c") === col(s"b_$c")) :+
+      (col("a_buck") === col("b_buck"))).reduce(_ && _) &&
+      col("b_rn") > col("a_rn") && col("b_rn") - col("a_rn") <= window
     a.join(bb, joinCond)
-      .select(col(s"a_$idCol").as("id_a"), col(s"b_$idCol").as("id_b"),
+      .select(least(col(s"a_$idCol"), col(s"b_$idCol")).as("id_a"),
+        greatest(col(s"a_$idCol"), col(s"b_$idCol")).as("id_b"),
         levenshtein(col("a_pref"), col("b_pref")).as("dist"))
       .where(col("dist") <= maxDist)
   }

@@ -87,10 +87,10 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("blocked ER matches brute force within blocks, and never crosses blocks") {
+  test("sorted-neighborhood ER matches the in-memory reference, never crosses blocks") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = Curation.blockedPairs(docs, "doc_id", "text",
-      Seq("lang", "source"), prefixLen = 32, maxDist = 18)
+      Seq("lang", "source"), prefixLen = 32, maxDist = 18, window = 8)
       .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
     val rows = docs.select("doc_id", "lang", "source", "text")
       .as[(Long, String, String, String)].collect()
@@ -101,12 +101,26 @@ class CurationSpec extends SparkSpec {
           d(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
       d(s.length)(t.length)
     }
-    val want = (for {
-      a <- rows; b <- rows
-      if a._1 < b._1 && a._2 == b._2 && a._3 == b._3
-      d = lev(a._4.take(32), b._4.take(32)) if d <= 18
-    } yield (a._1, b._1, d)).toSet
+    // reference: per block, sort by (prefix, id), compare pairs within
+    // 8 rank positions — the exact SNM contract
+    val want = rows.groupBy(r => (r._2, r._3)).values.flatMap { block =>
+      val sorted = block.map(r => (r._1, r._4.take(32))).sortBy(x => (x._2, x._1))
+      for {
+        i <- sorted.indices; j <- (i + 1) until math.min(i + 9, sorted.length)
+        d = lev(sorted(i)._2, sorted(j)._2) if d <= 18
+      } yield (math.min(sorted(i)._1, sorted(j)._1),
+        math.max(sorted(i)._1, sorted(j)._1), d)
+    }.toSet
     assert(got == want)
+    // a window >= every block size degenerates to the full blocked
+    // join: the exact duplicate pair must always be caught
+    val dup = got.filter(_._3 == 0)
+    val fullDup = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && a._2 == b._2 && a._3 == b._3 &&
+        a._4.take(32) == b._4.take(32)
+    } yield (a._1, b._1, 0)).toSet
+    assert(dup == fullDup, "SNM missed an exact-duplicate pair (sorts adjacent)")
   }
 
   test("zorder key is a bijection on the 8-bit grid and interleaves correctly") {
