@@ -1804,12 +1804,20 @@ object SparkEntry {
     }),
 
     // the recall lever lsh_recall_eval motivates: 3 OR-ed bucket
-    // tables from ONE 24-bit kernel pass (per-table bucket = bit
-    // slice); candidate = collision in any table
-    "neardup_cosine_lsh_multi" -> ((s, dir) =>
-      Similarity.nearDupCosineLshMulti(t(s, dir, "embeddings"), "vec_id", "embedding",
-        0.4, dims = 64, nBits = 8, nTables = 3)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+    // tables from ONE packed kernel pass (per-table bucket = bit
+    // slice); candidate = collision in any table. Bits follow the
+    // corpus (lshPlanBits, the graded scale rule — fixed 8 bits was
+    // quadratic by construction, 19s at sf3 in the 3-point sweep),
+    // capped at 16/table by the 63-bit packing this one-pass variant
+    // trades for (beyond ~4M rows the per-table-kernel banded
+    // operator is the deployed path)
+    "neardup_cosine_lsh_multi" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bits = math.min(Similarity.lshPlanBits(emb.count(), 64), 16)
+      Similarity.nearDupCosineLshMulti(emb, "vec_id", "embedding",
+        0.4, dims = 64, nBits = bits, nTables = 3)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    }),
 
     // ---- curation family (round 9) ----------------------------------
     // Gopher-style rule gate: every rule a row-local boolean, pure scan
@@ -1853,6 +1861,15 @@ object SparkEntry {
     "zorder_layout" -> ((s, dir) =>
       Curation.zOrderLayout(t(s, dir, "lineitem"),
         col("l_partkey"), col("l_suppkey"), fileBits = 6)),
+
+    // CMS inner-product join-cardinality estimate vs exact — the
+    // planner statistic that flags exploding joins before paying for
+    // them; sketch tables are d·w integers at ANY key cardinality
+    "join_size_estimate" -> ((s, dir) =>
+      Curation.joinSizeEstimate(
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT"),
+        col("o_orderkey"), d = 4, w = 1024)),
 
     // telemetry dedup: drop repeats of the same (user, event_type)
     // within 60s of the previous occurrence — ONE shuffle on the
@@ -2833,7 +2850,8 @@ object SparkEntry {
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          ${duckBandedCtes()},
          lshp AS (SELECT id_a, id_b FROM bpairs WHERE cs >= 0.4),
-         sv AS (SELECT * FROM v WHERE vec_id % 2 = 0),
+         ssm AS (SELECT greatest(2, (count(*) + 2047) // 2048) AS m FROM v),
+         sv AS (SELECT v.* FROM v, ssm WHERE vec_id % ssm.m = 0),
          ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
                 FROM sv a JOIN sv b ON a.vec_id < b.vec_id
                 WHERE ${duckCos("a.e", "b.e")} >= 0.4),
@@ -2919,16 +2937,23 @@ object SparkEntry {
     // (UNION dedups), exact cosine verify.
     "neardup_cosine_lsh_multi" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         bv AS (SELECT vec_id, e, ${(0 until 3).map(tb =>
-        (0 until 8).map(b =>
-          s"(CASE WHEN ${duckHyperplaneProj(tb * 8 + b, 64)} > 0 THEN ${1 << b} ELSE 0 END)")
-          .mkString("(", " + ", s") AS b$tb")).mkString(", ")} FROM v),
-         cand AS (${(0 until 3).map(tb =>
-        s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM bv a JOIN bv b ON a.b$tb = b.b$tb AND a.vec_id < b.vec_id""")
-        .mkString(" UNION ")}),
+         lmb AS (SELECT ${(1 to 16).map(b => s"WHEN m <= ${1L << b} THEN $b")
+        .mkString("CASE ", " ", " ELSE 16 END")} AS nb
+                 FROM (SELECT (count(*) + 63) // 64 AS m FROM v)),
+         lms AS (SELECT ${duckSignMatrix(3 * 16, 64)} AS sm),
+         lmv AS (SELECT vec_id, e, tt.tbl,
+                   list_sum(list_transform(generate_series(1, nb),
+                     j -> CASE WHEN list_reduce(list_prepend(0.0,
+                                 list_transform(generate_series(1, len(e)),
+                                   i -> e[i] * sm[tbl * nb + j][i])), (acc, x) -> acc + x) > 0
+                               THEN 2 ** (j - 1) ELSE 0 END))::BIGINT AS bucket
+                 FROM v, lms, lmb, generate_series(0, 2) tt(tbl)),
+         lmc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM lmv a JOIN lmv b
+                   ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+                 GROUP BY 1, 2),
          p AS (SELECT c.id_a, c.id_b, ${duckCos("va.e", "vb.e")} AS cs
-               FROM cand c JOIN v va ON va.vec_id = c.id_a
+               FROM lmc c JOIN v va ON va.vec_id = c.id_a
                JOIN v vb ON vb.vec_id = c.id_b)
          SELECT id_a, id_b, round(cs, 6) AS cosine FROM p WHERE cs >= 0.4""",
 
@@ -4436,6 +4461,36 @@ object SparkEntry {
                FROM a JOIN b ON a.lang = b.lang AND a.source = b.source
                  AND a.buck = b.buck AND b.rn > a.rn AND b.rn - a.rn <= 8)
          SELECT id_a, id_b, dist::BIGINT AS dist FROM j WHERE dist <= 18""",
+
+    "join_size_estimate" -> {
+      val (cas, cbs) = graft.functions.MinHashSig.coeffs(4)
+      val cp = graft.functions.MinHashSig.P
+      val rows = (0 until 4).map(i => s"($i, ${cas(i)}, ${cbs(i)})").mkString(", ")
+      def side(table: String, key: String, where: String, n: String, out: String) =
+        s"""${out}0 AS (SELECT CAST($key AS VARCHAR) AS k, count(*) AS $n
+               FROM $table $where GROUP BY 1),
+           ${out}h AS (SELECT k, $n,
+                 ((((CASE WHEN hu >= '9223372036854775808'::HUGEINT
+                      THEN hu - '18446744073709551616'::HUGEINT ELSE hu END)
+                    % $cp) + $cp) % $cp)::BIGINT AS hh
+               FROM (SELECT k, $n, ${duckFnv("k")} AS hu FROM ${out}0)),
+           s$out AS (SELECT p.i AS i, ((p.a * hh + p.b) % $cp) % 1024 AS slot,
+                 sum($n)::BIGINT AS c$out
+               FROM ${out}h CROSS JOIN (VALUES $rows) AS p(i, a, b) GROUP BY 1, 2)"""
+      s"""WITH ${side("lineitem", "l_orderkey", "", "na", "a")},
+         ${side("orders", "o_orderkey", "WHERE o_orderpriority = '1-URGENT'", "nb", "b")},
+         ex AS (SELECT coalesce(sum(a0.na * b0.nb), 0)::BIGINT AS n_exact
+                FROM a0 JOIN b0 USING (k)),
+         e AS (SELECT i, sum(ca * cb)::BIGINT AS est_i
+               FROM sa JOIN sb USING (i, slot) GROUP BY 1),
+         m AS (SELECT CASE WHEN count(*) < 4 THEN 0
+                 ELSE min(est_i) END::BIGINT AS n_est FROM e)
+         SELECT n_exact, n_est,
+           CASE WHEN n_exact = 0 THEN NULL
+             ELSE floor((n_est - n_exact)::DOUBLE / n_exact * 1000000 + 0.5) / 1000000
+           END AS err
+         FROM ex, m"""
+    },
 
     "events_dedup_window" ->
       """WITH e AS (SELECT user_id, event_type, event_id,

@@ -204,6 +204,58 @@ object Curation {
       .where(col("dist") <= maxDist)
   }
 
+  // ---- Join-size estimation ------------------------------------------
+
+  /** Count-Min inner-product estimate of a join's output cardinality
+    * (Cormode & Muthukrishnan §4.3) next to the exact count: each
+    * side's per-key counts collapse into a d×w counter table, the
+    * per-row inner product Σ_slot cA·cB upper-bounds |A ⋈ B|, and the
+    * min over the d rows is the estimate. This is the query-planner
+    * statistic that decides broadcast-vs-shuffle and flags exploding
+    * joins BEFORE paying for them: at 100 TB the sketch tables are
+    * d·w integers per side regardless of key cardinality, so the
+    * estimate costs two scan-side aggregations while the exact count
+    * costs the join itself.
+    *
+    * Exactness protocol: counts, slot sums, and inner products are all
+    * integers (order-independent); the relative error is a single
+    * terminal division. Slots reuse the minhash permutation kernel on
+    * the stringified key — the freq_sketch oracle machinery, replayed
+    * verbatim in SQL.
+    */
+  def joinSizeEstimate(
+      left: DataFrame,
+      leftKey: Column,
+      right: DataFrame,
+      rightKey: Column,
+      d: Int,
+      w: Int): DataFrame = {
+    import graft.functions.VectorExprs
+    val cntsA = left.select(leftKey.cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("na"))
+    val cntsB = right.select(rightKey.cast("string").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("nb"))
+    val exact = cntsA.join(cntsB, "k")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("n_exact"))
+    def sketch(cnts: DataFrame, nCol: String, out: String): DataFrame =
+      cnts.select(col(nCol),
+          posexplode(VectorExprs.minhashSig(
+            array(VectorExprs.tokenHash64(col("k"))), d)).as(Seq("i", "perm")))
+        .select(col(nCol), col("i"), (col("perm") % w).as("slot"))
+        .groupBy(col("i"), col("slot")).agg(sum(col(nCol)).as(out))
+    // a hash row with NO colliding slots has inner product 0 — the
+    // best estimate — so fewer than d surviving rows means 0, not the
+    // min over the survivors
+    val est = sketch(cntsA, "na", "ca")
+      .join(sketch(cntsB, "nb", "cb"), Seq("i", "slot"))
+      .groupBy(col("i")).agg(sum(col("ca") * col("cb")).as("est_i"))
+      .agg(when(count(lit(1)) < d, 0L).otherwise(min(col("est_i"))).as("n_est"))
+    exact.crossJoin(est).select(col("n_exact"), col("n_est"),
+      when(col("n_exact") === 0L, lit(null))
+        .otherwise(floor((col("n_est") - col("n_exact")).cast("double") / col("n_exact")
+          * 1000000 + lit(0.5)) / 1000000).as("err"))
+  }
+
   // ---- Z-order layout ------------------------------------------------
 
   /** 2×16-bit Morton (Z-order) interleave: bit i of x lands at 2i, bit

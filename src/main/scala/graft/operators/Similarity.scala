@@ -378,7 +378,15 @@ object Similarity {
     // and the banded operator (threaded via the stats overload)
     val n = df.count()
     val nBits = lshPlanBits(n, targetBucketRows)
-    val sample = df.where(pmod(col(idCol), lit(sampleMod)) === 0)
+    // ABSOLUTE sample bound (the lshRecallEval r9 scaling fix, applied
+    // here too): a fixed modulus keeps the ground-truth sample
+    // PROPORTIONAL to the corpus and the exact all-pairs side
+    // O((n/mod)²) — 77s at sf3 in the 3-point sweep. The effective
+    // modulus grows with n to hold the sample at ~2048 vectors;
+    // sampleMod stays a floor, so small-corpus results are unchanged,
+    // and the oracle replays the same rule from its own count.
+    val mod = math.max(sampleMod.toLong, (n + 2047) / 2048)
+    val sample = df.where(pmod(col(idCol), lit(mod)) === 0)
     val exact = nearDupCosineExact(sample, idCol, vecCol, threshold)
       .select(col("id_a"), col("id_b"))
       .persistTracked

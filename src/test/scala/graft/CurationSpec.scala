@@ -123,6 +123,29 @@ class CurationSpec extends SparkSpec {
     assert(dup == fullDup, "SNM missed an exact-duplicate pair (sorts adjacent)")
   }
 
+  test("join size estimate: exact side is the true cardinality, CMS never undercounts") {
+    val rnd = new Random(11)
+    val left = (0 until 5000).map(_ => rnd.nextInt(400).toLong).toDF("k")
+    val right = (0 until 1000).map(_ => rnd.nextInt(400).toLong).toDF("k")
+    val row = Curation.joinSizeEstimate(left, col("k"), right, col("k"), 4, 1024).head()
+    val (exact, est) = (row.getLong(0), row.getLong(1))
+    val lc = left.collect().map(_.getLong(0)).groupBy(identity).view.mapValues(_.length)
+    val rc = right.collect().map(_.getLong(0)).groupBy(identity).view.mapValues(_.length)
+    val brute = lc.map { case (k, n) => n.toLong * rc.getOrElse(k, 0) }.sum
+    assert(exact == brute, s"exact $exact != brute $brute")
+    assert(est >= exact, "CMS inner product must upper-bound the join size")
+    // 400 keys in 1024 slots: collisions inflate, but not catastrophically
+    assert(est <= exact * 3, s"estimate $est implausibly far from $exact")
+  }
+
+  test("join size estimate: disjoint keys give exact 0") {
+    val left = (0L until 100L).toDF("k")
+    val right = (1000L until 1100L).toDF("k")
+    val row = Curation.joinSizeEstimate(left, col("k"), right, col("k"), 4, 1024).head()
+    assert(row.getLong(0) == 0L)
+    assert(row.isNullAt(2), "err is null when the exact count is zero")
+  }
+
   test("zorder key is a bijection on the 8-bit grid and interleaves correctly") {
     val grid = (for (x <- 0 until 256; y <- 0 until 256) yield (x, y)).toDF("x", "y")
     val keyed = grid.select(col("x"), col("y"),
