@@ -1482,11 +1482,19 @@ object SparkEntry {
         .select(col("o_orderstatus"), col("o_orderpriority"),
           col("g"), col("n"), col("total"))),
 
-    "percentile_agg" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))),
+    // exact interpolated percentiles with BOUNDED agg state: built-in
+    // percentile() buffers every distinct value (O(n) memory — the
+    // 100 TB OOM the 3-point sweep's steep sf3 segment flagged);
+    // Corpus.percentileByKey reads them off a value-domain-bounded
+    // counts table instead — same numbers, different memory contract
+    "percentile_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Corpus.percentileByKey(li, "l_returnflag", "l_quantity", 0.5, "med_raw")
+        .join(Corpus.percentileByKey(li, "l_returnflag", "l_extendedprice", 0.9, "p90_raw"),
+          "l_returnflag")
+        .select(col("l_returnflag"), round(col("med_raw"), 4).as("med_qty"),
+          round(col("p90_raw"), 4).as("p90_price"))
+    }),
 
     // ---- SQL surface: classic TPC-H shapes via spark.sql ------------
     "sql_tpch_q6" -> ((s, dir) => {

@@ -779,4 +779,43 @@ object Corpus {
             .cast("long"))
           .otherwise(lit(null)).as("n_est"))
   }
+
+  /** Exact interpolated percentile per group with BOUNDED aggregation
+    * state: the built-in `percentile()` buffers every distinct value
+    * in its agg buffer (O(n) memory on near-continuous columns — the
+    * classic 100 TB OOM), so instead the values collapse to a
+    * (group, value) counts table first — bounded by the VALUE DOMAIN,
+    * not the row count (prices and quantities are discrete) — and the
+    * percentile is read off the counts with a cumulative window walk:
+    * a value row covers ranks [cum − n, cum), and the type-7 position
+    * p·(N−1) interpolates between the rows covering its floor and
+    * ceil. Same result as percentile()/quantile_cont (the formula
+    * both engines implement), different memory contract.
+    */
+  def percentileByKey(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      p: Double,
+      outCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(valCol).as("v"))
+      .agg(count(lit(1)).as("n"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+    counts
+      .withColumn("hi", sum(col("n")).over(wCum))
+      .withColumn("lo", col("hi") - col("n"))
+      .withColumn("pos", lit(p) * (sum(col("n")).over(wAll) - lit(1L)).cast("double"))
+      .groupBy(col(keyCol))
+      .agg(
+        max(when(col("lo") <= floor(col("pos")) && floor(col("pos")) < col("hi"),
+          col("v"))).as("vlo"),
+        max(when(col("lo") <= ceil(col("pos")) && ceil(col("pos")) < col("hi"),
+          col("v"))).as("vhi"),
+        max(col("pos") - floor(col("pos")).cast("double")).as("frac"))
+      .select(col(keyCol),
+        (col("vlo") + (col("vhi") - col("vlo")) * col("frac")).as(outCol))
+  }
 }

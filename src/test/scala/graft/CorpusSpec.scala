@@ -383,4 +383,21 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got == Map(10L -> ((1L, 2L, 12L)), 6L -> ((1L, 1L, 6L))), s"got $got")
   }
+
+  test("percentileByKey == built-in percentile() on random grouped doubles") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 4000).map { _ =>
+      (s"g${rnd.nextInt(4)}", (rnd.nextInt(500) + 1) * 0.25)
+    }
+    for (p <- Seq(0.0, 0.5, 0.9, 1.0)) {
+      val df = rows.toDF("k", "v")
+      val got = graft.operators.Corpus.percentileByKey(df, "k", "v", p, "pct")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val want = df.groupBy(org.apache.spark.sql.functions.col("k"))
+        .agg(org.apache.spark.sql.functions.expr(s"percentile(v, $p)").as("pct"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == want, s"p=$p: $got vs $want")
+    }
+  }
 }
