@@ -1870,6 +1870,12 @@ object SparkEntry {
       Curation.zOrderLayout(t(s, dir, "lineitem"),
         col("l_partkey"), col("l_suppkey"), fileBits = 6)),
 
+    // HyperLogLog per-source distinct tokens vs exact — the at-scale
+    // successor to cardinality_sketch's linear counting (which
+    // saturates); integer register ranks, exact-integer harmonic sum
+    "cardinality_hll" -> ((s, dir) =>
+      Corpus.hllSketch(t(s, dir, "documents"), "source", "text", p = 8)),
+
     // CMS inner-product join-cardinality estimate vs exact — the
     // planner statistic that flags exploding joins before paying for
     // them; sketch tables are d·w integers at ANY key cardinality
@@ -2268,6 +2274,30 @@ object SparkEntry {
     * computed on the BIGINT low byte and recombined). Tokens here are
     * ASCII, so `unicode(char)` IS the UTF-8 byte.
     */
+  /** Staged-CTE replay of [[graft.functions.VectorExprs.fmix64]] (the
+    * murmur3 finalizer) over an unsigned-HUGEINT hash column: xor via
+    * signed-BIGINT round trips (two's complement keeps the bits), and
+    * the wrapping 64-bit multiplies split at 2³² so no intermediate
+    * exceeds HUGEINT range. Emits CTEs `f1..f5`; the input CTE must
+    * expose (tok, h0), and `f5` exposes (tok, h).
+    */
+  private def duckFmixCtes(): String = {
+    val u64 = "'18446744073709551616'::HUGEINT"
+    def sgn(x: String) =
+      s"(CASE WHEN $x >= '9223372036854775808'::HUGEINT THEN $x - $u64 ELSE $x END)::BIGINT"
+    def uns(x: String) =
+      s"(CASE WHEN $x < 0 THEN $x::HUGEINT + $u64 ELSE $x::HUGEINT END)"
+    def xor64(a: String, b: String) = uns(s"xor(${sgn(a)}, ${sgn(b)})")
+    def mulmod(u: String, c: String) =
+      s"""((($u % 4294967296) * '$c'::HUGEINT +
+          ((($u // 4294967296) * '$c'::HUGEINT) % 4294967296) * 4294967296) % $u64)"""
+    s"""f1 AS (SELECT tok, ${xor64("h0", "(h0 // 8589934592)")} AS x1 FROM hh),
+       f2 AS (SELECT tok, ${mulmod("x1", "18397679294719823053")} AS x2 FROM f1),
+       f3 AS (SELECT tok, ${xor64("x2", "(x2 // 8589934592)")} AS x3 FROM f2),
+       f4 AS (SELECT tok, ${mulmod("x3", "14181476777654086739")} AS x4 FROM f3),
+       f5 AS (SELECT tok, ${xor64("x4", "(x4 // 8589934592)")} AS h FROM f4)"""
+  }
+
   private def duckFnv(tok: String): String =
     s"""list_reduce(
        list_prepend('14695981039346656037'::HUGEINT,
@@ -4469,6 +4499,38 @@ object SparkEntry {
                FROM a JOIN b ON a.lang = b.lang AND a.source = b.source
                  AND a.buck = b.buck AND b.rn > a.rn AND b.rn - a.rn <= 8)
          SELECT id_a, id_b, dist::BIGINT AS dist FROM j WHERE dist <= 18""",
+
+    "cardinality_hll" -> {
+      val m = 256
+      val rhoCase = (1 to 32).map(r => s"WHEN w >= ${1L << (32 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 33 END")
+      s"""WITH t AS (SELECT source AS g, unnest(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS tok FROM documents),
+         vocab AS (SELECT DISTINCT tok FROM t),
+         hh AS (SELECT tok, ${duckFnv("tok")} AS h0 FROM vocab),
+         ${duckFmixCtes()},
+         hw AS (SELECT tok, (h // ${1L << 56})::BIGINT AS j,
+                  ((h // ${1L << 24}) % ${1L << 32})::BIGINT AS w FROM f5),
+         rr AS (SELECT tok, j, $rhoCase AS r FROM hw),
+         dt AS (SELECT DISTINCT g, tok FROM t),
+         regs AS (SELECT g, j, max(r) AS mreg FROM dt JOIN rr USING (tok) GROUP BY 1, 2),
+         gs AS (SELECT DISTINCT g FROM t),
+         fl AS (SELECT gs.g, s.j, coalesce(regs.mreg, 0) AS mreg
+                FROM gs CROSS JOIN generate_series(0, ${m - 1}) s(j)
+                LEFT JOIN regs ON regs.g = gs.g AND regs.j = s.j),
+         z AS (SELECT g, sum(1::BIGINT << (33 - mreg))::BIGINT AS z_scaled,
+                 sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
+               FROM fl GROUP BY 1),
+         ex AS (SELECT g, count(DISTINCT tok) AS n_exact FROM t GROUP BY 1),
+         e AS (SELECT g, z_scaled, v_zero,
+                 0.7213 / (1.0 + (1.079 / ${m.toDouble})) * ${(m * m).toDouble}
+                   * 8589934592.0 / z_scaled::DOUBLE AS eraw FROM z)
+         SELECT ex.g AS source, n_exact::BIGINT AS n_exact,
+           CASE WHEN eraw <= ${2.5 * m} AND v_zero > 0
+             THEN floor(${m.toDouble} * ln(${m.toDouble} / v_zero::DOUBLE) + 0.5)
+             ELSE floor(eraw + 0.5) END::BIGINT AS n_est_hll
+         FROM ex JOIN e USING (g)"""
+    },
 
     "join_size_estimate" -> {
       val (cas, cbs) = graft.functions.MinHashSig.coeffs(4)

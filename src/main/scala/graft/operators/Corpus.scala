@@ -780,6 +780,71 @@ object Corpus {
           .otherwise(lit(null)).as("n_est"))
   }
 
+  /** HyperLogLog distinct count per group (Flajolet et al. 2007) —
+    * the at-scale successor to [[distinctSketch]]'s linear counting,
+    * which saturates (n_est NULL) once every slot fills: HLL's m
+    * registers estimate cardinalities far beyond m with ~1.04/√m
+    * relative error, still in O(m) state per group.
+    *
+    * Cross-engine exactness protocol: the register rank is a pure
+    * integer CASE chain over a 32-bit hash window (no float log2, no
+    * leading-zeros builtin — both engines evaluate the same generated
+    * comparisons); the harmonic denominator is summed in exact integer
+    * units of 2⁻³³ (register rank ≤ 33 by construction, so 2^(33−M)
+    * is a positive long and the sum is order-independent — a float
+    * sum of dyadic rationals would be merge-order-dependent past 53
+    * bits); the α·m²/Z estimator and the small-range linear-counting
+    * correction are single terminal float expressions with
+    * literal-identical text in the SQL oracle.
+    *
+    * Scale shape: one (group, register) max-rank aggregation (map-side
+    * partial max), register table m-bounded per group, vocabulary
+    * hashed once. No large-range correction — 32-bit windows are fine
+    * to ~10⁸ distinct per group; widen the window before that.
+    */
+  def hllSketch(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p (register address bits) must be in [4, 16]")
+    val m = 1 << p
+    val toks = Dedup.rebalance(df).select(col(groupCol).as("g"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    // FNV alone cannot feed HLL: its high bits lack avalanche on short
+    // similar keys (160/256 top-byte values hit over 20k sequential
+    // tokens → 96 permanently-empty registers), so the murmur3
+    // finalizer runs over the hash before any bit is addressed
+    val hashed = toks
+      .select(col("g"), graft.functions.VectorExprs.fmix64(
+        graft.functions.VectorExprs.tokenHash64(col("tok"))).as("h"))
+      .select(col("g"),
+        shiftrightunsigned(col("h"), 64 - p).cast("int").as("j"),
+        shiftrightunsigned(col("h"), 24).bitwiseAND(lit(0xFFFFFFFFL)).as("w"))
+    val rho = (1 to 32).foldLeft(when(lit(false), lit(0))) { (acc, r) =>
+      acc.when(col("w") >= lit(1L << (32 - r)), lit(r))
+    }.otherwise(lit(33))
+    val regs = hashed.select(col("g"), col("j"), rho.as("r"))
+      .groupBy(col("g"), col("j")).agg(max(col("r")).as("mreg"))
+    val full = toks.select(col("g")).distinct()
+      .select(col("g"), explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .join(regs, Seq("g", "j"), "left")
+      .withColumn("mreg", coalesce(col("mreg"), lit(0)))
+    val z = full.groupBy(col("g")).agg(
+      sum(call_function("shiftleft", lit(1L), lit(33) - col("mreg"))).as("z_scaled"),
+      sum(when(col("mreg") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val alpha = lit(0.7213) / (lit(1.0) + (lit(1.079) / lit(m.toDouble)))
+    val eRaw = alpha * lit(m.toDouble * m) * lit(8589934592.0) /
+      col("z_scaled").cast("double")
+    val exact = toks.distinct().groupBy(col("g")).agg(count(lit(1)).as("n_exact"))
+    exact.join(z, Seq("g"))
+      .select(col("g").as(groupCol), col("n_exact"),
+        when(eRaw <= lit(2.5 * m) && col("v_zero") > 0,
+          floor(lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double"))
+            + lit(0.5)))
+          .otherwise(floor(eRaw + lit(0.5))).cast("long").as("n_est_hll"))
+  }
+
   /** Exact interpolated percentile per group with BOUNDED aggregation
     * state: the built-in `percentile()` buffers every distinct value
     * in its agg buffer (O(n) memory on near-continuous columns — the

@@ -384,6 +384,22 @@ class CorpusSpec extends SparkSpec {
     assert(got == Map(10L -> ((1L, 2L, 12L)), 6L -> ((1L, 1L, 6L))), s"got $got")
   }
 
+  test("hllSketch: estimates within 5x the 1.04/sqrt(m) error bound, past linear-counting saturation") {
+    import spark.implicits._
+    // 20k distinct tokens in one group: an equal-state linear counter
+    // (256 slots, same memory as HLL's 256 registers) saturates (every
+    // slot filled -> NULL), HLL must still land within a few sigma
+    val text = (0 until 20000).map(i => s"tok$i").mkString(" ")
+    val df = Seq(("g1", text)).toDF("source", "text")
+    val hll = graft.operators.Corpus.hllSketch(df, "source", "text", p = 8).head()
+    val (exact, est) = (hll.getLong(1), hll.getLong(2))
+    assert(exact == 20000L)
+    val sigma = 1.04 / math.sqrt(256) * exact
+    assert(math.abs(est - exact) < 5 * sigma, s"est $est vs exact $exact (sigma $sigma)")
+    val lin = graft.operators.Corpus.distinctSketch(df, "source", "text", 256).head()
+    assert(lin.isNullAt(3), "equal-state linear counting should saturate at 20k distinct")
+  }
+
   test("percentileByKey == built-in percentile() on random grouped doubles") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
