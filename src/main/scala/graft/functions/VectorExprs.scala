@@ -800,3 +800,54 @@ case class RandomProject(child: Expression, outDims: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): RandomProject =
     copy(child = newChild)
 }
+
+/** Bloom-bitmap membership probe: k Kirsch-Mitzenmacher positions
+  * (pos_i = h1 + i·h2 mod mBits) tested against a bitmap held ONCE as
+  * a codegen reference object. The alternative — k element_at probes
+  * against a `typedLit` array — embeds k copies of the full bitmap in
+  * the plan (k·mBits/8 bytes of duplicated literal for every probe
+  * site), while a higher-order-function rewrite that shares one
+  * literal falls out of whole-stage codegen. This expression keeps
+  * both: one bitmap copy, inline compiled probe loop at scan speed.
+  *
+  * h1/h2 arrive pre-masked to 31 bits (see Curation.bloomPos), so
+  * h1 + i·h2 cannot overflow a long and floorMod matches pmod.
+  */
+case class BloomProbe(left: Expression, right: Expression, bits: Array[Long], k: Int)
+    extends BinaryExpression {
+
+  private val mBits: Long = bits.length.toLong * 64L
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_probe requires (bigint, bigint), got $other")
+    }
+
+  protected override def nullSafeEval(h1: Any, h2: Any): Any =
+    compute(h1.asInstanceOf[Long], h2.asInstanceOf[Long])
+
+  /** Kernel body, also the codegen target (primitive boolean). */
+  def compute(h1: Long, h2: Long): Boolean = {
+    var i = 0
+    while (i < k) {
+      val pos = java.lang.Math.floorMod(h1 + i.toLong * h2, mBits)
+      if (((bits((pos >>> 6).toInt) >>> (pos & 63L).toInt) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomProbe].getName)
+    nullSafeCodeGen(ctx, ev, (h1, h2) =>
+      s"${ev.value} = $ref.compute($h1, $h2);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomProbe =
+    copy(left = l, right = r)
+}

@@ -820,7 +820,12 @@ object Corpus {
         graft.functions.VectorExprs.tokenHash64(col("tok"))).as("h"))
       .select(col("g"),
         shiftrightunsigned(col("h"), 64 - p).cast("int").as("j"),
-        shiftrightunsigned(col("h"), 24).bitwiseAND(lit(0xFFFFFFFFL)).as("w"))
+        // rank window = the 32 bits strictly BELOW the register index
+        // (shift the p index bits out first): any window that overlaps
+        // the index correlates rho with the register and biases the
+        // estimate. For the default p=8 this is bit-identical to
+        // (h >>> 24) & 0xFFFFFFFF, which the SQL oracle replays.
+        shiftrightunsigned(shiftleft(col("h"), p), 32).as("w"))
     val rho = (1 to 32).foldLeft(when(lit(false), lit(0))) { (acc, r) =>
       acc.when(col("w") >= lit(1L << (32 - r)), lit(r))
     }.otherwise(lit(33))
@@ -833,7 +838,14 @@ object Corpus {
     val z = full.groupBy(col("g")).agg(
       sum(call_function("shiftleft", lit(1L), lit(33) - col("mreg"))).as("z_scaled"),
       sum(when(col("mreg") === 0, 1L).otherwise(0L)).as("v_zero"))
-    val alpha = lit(0.7213) / (lit(1.0) + (lit(1.079) / lit(m.toDouble)))
+    // the 0.7213/(1+1.079/m) closed form is the m>=128 approximation;
+    // the small-m register counts carry the standard per-m constants
+    val alpha = lit(m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m.toDouble)
+    })
     val eRaw = alpha * lit(m.toDouble * m) * lit(8589934592.0) /
       col("z_scaled").cast("double")
     val exact = toks.distinct().groupBy(col("g")).agg(count(lit(1)).as("n_exact"))

@@ -75,23 +75,28 @@ object Curation {
   }
 
   /** Membership probe against a built bitmap: true for every inserted
-    * key, false for most others (false-positive rate ~(kn/m)^k). Pure
-    * built-in expression — stays inside whole-stage codegen, so the
-    * filter runs at scan speed before any shuffle.
+    * key, false for most others (false-positive rate ~(kn/m)^k). The
+    * two 31-bit base hashes are built-in xxhash64 (codegen'd); the
+    * k-position probe loop is the native [[graft.functions.BloomProbe]]
+    * expression, which holds the bitmap ONCE as a codegen reference
+    * object — the earlier k×element_at formulation embedded k copies
+    * of the full bitmap literal in the plan. Same positions, same
+    * result, one bitmap copy, still whole-stage codegen at scan speed.
     */
-  def bloomMightContain(bits: Array[Long], mBits: Int, k: Int, key: Column): Column =
-    (0 until k).map { i =>
-      val pos = bloomPos(key, i, mBits)
-      val word = call_function("element_at",
-        typedLit(bits.toSeq), shiftright(pos, 6).cast("int") + 1)
-      call_function("shiftright", word, (pos % 64).cast("int"))
-        .bitwiseAND(lit(1L)) =!= lit(0L)
-    }.reduce(_ && _)
-
-  private def bloomPos(key: Column, i: Int, mBits: Int): Column = {
+  def bloomMightContain(bits: Array[Long], mBits: Int, k: Int, key: Column): Column = {
+    require(mBits == bits.length * 64, s"bitmap length ${bits.length} != mBits/64")
+    import org.apache.spark.sql.GraftBridge
     // mask both hashes to 31 bits before the Kirsch-Mitzenmacher
     // combination so h1 + i·h2 can never overflow a long (ANSI mode
     // makes overflow an error, not a wrap)
+    val h1 = xxhash64(key, lit(0x9e3779b9L)).bitwiseAND(lit(0x7fffffffL))
+    val h2 = xxhash64(key, lit(0x85ebca6bL)).bitwiseAND(lit(0x7fffffffL))
+    GraftBridge.column(graft.functions.BloomProbe(
+      GraftBridge.expression(h1), GraftBridge.expression(h2), bits, k))
+  }
+
+  private def bloomPos(key: Column, i: Int, mBits: Int): Column = {
+    // build-side twin of the probe arithmetic (see bloomMightContain)
     val h1 = xxhash64(key, lit(0x9e3779b9L)).bitwiseAND(lit(0x7fffffffL))
     val h2 = xxhash64(key, lit(0x85ebca6bL)).bitwiseAND(lit(0x7fffffffL))
     pmod(h1 + lit(i.toLong) * h2, lit(mBits.toLong))
@@ -141,7 +146,9 @@ object Curation {
     val dlNorm = lit(0.25) + lit(0.75) *
       (col("dl").cast("double") * col("n_docs").cast("double") / col("sum_dl").cast("double"))
     val contribs = terms.zipWithIndex.map { case (t, j) =>
-      val tf = expr(s"size(filter(toks, x -> x = '$t'))").cast("double")
+      // Column DSL, not an interpolated expr() string: a term with a
+      // quote would otherwise break parsing (or inject SQL)
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
       col(s"idf_$j") * tf * lit(2.2) / (tf + lit(1.2) * dlNorm)
     }
     scored
@@ -179,13 +186,11 @@ object Curation {
       prefixLen: Int,
       maxDist: Int,
       window: Int = 8): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(blockCols.map(col): _*)
-      .orderBy(col("pref"), col(idCol))
-    val pre = docs.select(
+    val pre = blockRank(
+      docs.select(
         (Seq(col(idCol), substring(col(textCol), 1, prefixLen).as("pref")) ++
-          blockCols.map(col)): _*)
-      .withColumn("rn", row_number().over(w))
+          blockCols.map(col)): _*),
+      blockCols, idCol)
     val a = pre
       .withColumn("buck", explode(array(
         floor((col("rn") - 1) / window).cast("long"),
@@ -202,6 +207,47 @@ object Curation {
         greatest(col(s"a_$idCol"), col(s"b_$idCol")).as("id_b"),
         levenshtein(col("a_pref"), col("b_pref")).as("dist"))
       .where(col("dist") <= maxDist)
+  }
+
+  /** Exact per-block rank (row_number ordered by (pref, id) within the
+    * block key) with BOUNDED task sizes: a window partitioned by the
+    * block key serializes a degenerate block — one key holding a large
+    * fraction of the corpus — into a single sort task, the classic
+    * 100 TB straggler. Instead rows are range-partitioned by the FULL
+    * sort key (block, pref, id), so per-task work is bounded by the
+    * partition size regardless of block skew; each row gets a LOCAL
+    * rank per (range-partition, block), and the global rank adds the
+    * count of same-block rows in earlier range partitions — a tiny
+    * (partition, block)-level offsets table (at most #blocks +
+    * #partitions rows, since each range partition holds a contiguous
+    * key range) cumulated with a window and broadcast back. Identical
+    * ranks to the plain window (strict total order: id is unique), the
+    * same skew discipline Skew.scala applies to joins.
+    */
+  private[graft] def blockRank(
+      rows: DataFrame,
+      blockCols: Seq[String],
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sortKeys = blockCols.map(col) ++ Seq(col("pref"), col(idCol))
+    val ranged = rows.repartitionByRange(sortKeys: _*)
+      .withColumn("part_id", spark_partition_id())
+    val wLocal = Window
+      .partitionBy((col("part_id") +: blockCols.map(col)): _*)
+      .orderBy(col("pref"), col(idCol))
+    val local = ranged.withColumn("lrn", row_number().over(wLocal))
+    val offsets = local
+      .groupBy((col("part_id") +: blockCols.map(col)): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val wOff = Window.partitionBy(blockCols.map(col): _*)
+      .orderBy(col("part_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = offsets
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select((blockCols.map(col) ++ Seq(col("part_id"), col("off"))): _*)
+    local.join(broadcast(withOff), blockCols :+ "part_id")
+      .withColumn("rn", (col("lrn") + col("off")).cast("int"))
+      .drop("part_id", "lrn", "off")
   }
 
   // ---- Join-size estimation ------------------------------------------

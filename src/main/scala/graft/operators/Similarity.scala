@@ -498,6 +498,14 @@ object Similarity {
     * argmin, centroid update explodes dimensions and averages per
     * (cell, dim) — no driver-side math over the data. Used to train
     * IVF cells; at 100 TB you train on a sample and reuse.
+    *
+    * Cross-engine exactness protocol (what lets ann_recall_eval grade
+    * the TRAINED path against a DuckDB replay): a float `avg()` is
+    * merge-order-dependent, so each mean is instead the exact integer
+    * sum of components frozen to 2⁻²⁰ units, divided ONCE — a single
+    * correctly-rounded double division. Every iteration's centroids
+    * are therefore bit-identical at any parallelism and in any engine,
+    * and so are the assignments and probes derived from them.
     */
   /** All centroids packed into one row holding an
     * array<struct<cell_id, centv>> — broadcast as a single value so
@@ -545,7 +553,11 @@ object Similarity {
         .select(nearestCell(col("cv"), col("cells")).as("cell_id"), col("cv"))
       cents = assigned
         .select(col("cell_id"), posexplode(col("cv")).as(Seq("dim", "x")))
-        .groupBy(col("cell_id"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell_id"), col("dim"))
+        .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("sx"),
+          count(lit(1)).as("nx"))
+        .withColumn("m",
+          col("sx").cast("double") / (col("nx") * lit(1048576L)).cast("double"))
         .groupBy(col("cell_id"))
         .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("centv"))

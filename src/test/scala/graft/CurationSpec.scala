@@ -123,6 +123,28 @@ class CurationSpec extends SparkSpec {
     assert(dup == fullDup, "SNM missed an exact-duplicate pair (sorts adjacent)")
   }
 
+  test("blockRank: degenerate block (one key = 100% of rows) ranks exactly, spread over many tasks") {
+    // 20k rows all sharing ONE block key: the old per-block window
+    // would sort all of them in a single task; blockRank must spread
+    // the sort across range partitions and still produce the exact
+    // window ranks
+    val rnd = new Random(13)
+    val rows = (0 until 20000).map { i =>
+      (i.toLong, rnd.alphanumeric.take(12).mkString, "only-block")
+    }.toDF("doc_id", "pref", "blk")
+    val ranked = Curation.blockRank(rows, Seq("blk"), "doc_id")
+    val got = ranked.select("doc_id", "rn").as[(Long, Int)].collect().toMap
+    val want = rows.select("doc_id", "pref").as[(Long, String)].collect()
+      .sortBy { case (id, pref) => (pref, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    assert(got == want, "blockRank diverged from the window-rank contract")
+    // bounded per-task work: the single block's rows occupy >1 range
+    // partition (the local-rank sort never sees the whole block)
+    val spread = rows.repartitionByRange(32, col("blk"), col("pref"), col("doc_id"))
+      .select(spark_partition_id().as("p")).distinct().count()
+    assert(spread > 1, s"degenerate block collapsed to $spread partition(s)")
+  }
+
   test("join size estimate: exact side is the true cardinality, CMS never undercounts") {
     val rnd = new Random(11)
     val left = (0 until 5000).map(_ => rnd.nextInt(400).toLong).toDF("k")

@@ -1,25 +1,39 @@
 #!/usr/bin/env python3
-"""Per-query scaling exponents from THREE bench snapshots (VERDICT r8
-item 3): a least-squares fit of log t against log sf, so a single noisy
-endpoint no longer moves every exponent, and the residual tells you
-when a query's timing is too noisy to trust at all.
+"""Per-query scaling exponents from THREE bench snapshots.
+
+Two exponents per query (VERDICT r9 item 1):
+
+  * fitted   — least-squares slope of log t vs log sf over all three
+    points. Robust to one noisy endpoint, but at sf0.1–sf1 most queries
+    are dominated by ~0.1–1s fixed cost, so the fit DILUTES the only
+    segment that measures variable cost.
+  * marginal — log(t_hi/t_mid) / log(sf_hi/sf_mid) over the top two
+    points only. This is the segment where variable cost dominates and
+    is therefore THE gate: a query whose marginal exponent exceeds the
+    gate while its top-scale time is material is flagged MARGINAL until
+    an isolated-JVM re-measurement adjudicates it (the shared-JVM bench
+    chain inflates heavy-memory queries via GC/pass interactions).
 
 Usage:
-    scaling_report3.py lo.json:0.1 mid.json:1 hi.json:3 [out_md]
+    scaling_report3.py lo.json:0.1 mid.json:1 hi.json:3 [out_md] [adjudications.json]
 
-For each query present in all snapshots, fit  log t = alpha·log sf + c.
-alpha = 1.0 is perfectly linear, <= ~1.2 within n log n tolerance at
-these ratios. Queries whose low-SF time is under FLOOR_SEC are
-overhead-bound (fixed per-query cost dominates) and exempt from the
-outlier gate unless the high-SF time is material.
+adjudications.json maps query -> {"iso_mid": sec, "iso_hi": sec,
+"note": "..."} from isolated `runMain graft.RunOne` re-measurements;
+the isolated marginal exponent then replaces the in-bench one for the
+gate, and the note lands in the table. A flagged query with no
+adjudication keeps the MARGINAL flag — the report refuses to average
+it away.
 """
 import json
 import math
 import sys
 
-FLOOR_SEC = 0.35   # below this at the LOW point, fixed overhead dominates
-HI_MATERIAL = 8.0  # ...unless the HIGH-SF time grew past this
-ALPHA_GATE = 1.2   # n log n tolerance
+FLOOR_SEC = 0.35    # below this at the LOW point, fixed overhead dominates
+HI_MATERIAL = 8.0   # ...unless the HIGH-SF time grew past this
+ALPHA_GATE = 1.2    # n log n tolerance (fitted exponent)
+MARGINAL_GATE = 1.2 # gate on the top-segment exponent
+MARGINAL_FLOOR = 2.0  # top-scale seconds below which the marginal gate is moot
+EPS = 1e-3          # clamp for zero-rounded timings (log would abort)
 
 
 def fit(xs, ys):
@@ -36,61 +50,89 @@ def fit(xs, ys):
 def main():
     specs = []
     for arg in sys.argv[1:]:
-        if ":" not in arg:
+        if ":" not in arg or not arg.rsplit(":", 1)[1].replace(".", "").isdigit():
             break
         path, sf = arg.rsplit(":", 1)
         specs.append((json.load(open(path)), float(sf)))
-    out_md = next((a for a in sys.argv[1 + len(specs):]), None)
+    rest = sys.argv[1 + len(specs):]
+    out_md = rest[0] if rest else None
+    adj = json.load(open(rest[1])) if len(rest) > 1 else {}
     assert len(specs) >= 3, "need three bench.json:sf arguments"
     specs.sort(key=lambda p: p[1])
     names = set(specs[0][0]["queries"])
     for d, _ in specs[1:]:
         names &= set(d["queries"])
+    sfs = [sf for _, sf in specs]
+    seg = math.log(sfs[-1] / sfs[-2])
     rows = []
     for q in names:
-        ts = [d["queries"][q] for d, _ in specs]
+        ts = [max(d["queries"][q], EPS) for d, _ in specs]
         xs = [math.log(sf) for _, sf in specs]
         ys = [math.log(t) for t in ts]
         alpha, resid = fit(xs, ys)
+        marg = math.log(ts[-1] / ts[-2]) / seg
         lo, hi = ts[0], ts[-1]
+        a = adj.get(q)
+        iso_marg = (math.log(max(a["iso_hi"], EPS) / max(a["iso_mid"], EPS)) / seg
+                    if a and "iso_mid" in a and "iso_hi" in a else None)
+        note = a.get("note", "") if a else ""
         exempt = lo < FLOOR_SEC and hi < HI_MATERIAL
-        flag = ("SUPER-LINEAR" if alpha > ALPHA_GATE and not exempt
-                else "overhead-bound" if exempt else "ok")
-        rows.append((q, ts, alpha, resid, flag))
-    rows.sort(key=lambda r: -r[2])
-    bad = [r for r in rows if r[4] == "SUPER-LINEAR"]
-    gated = [r for r in rows if r[4] != "overhead-bound"]
+        # gate on the effective (adjudicated if available) marginal exponent
+        eff_marg = iso_marg if iso_marg is not None else marg
+        eff_hi = max(a["iso_hi"], EPS) if iso_marg is not None else hi
+        if alpha > ALPHA_GATE and not exempt:
+            flag = "SUPER-LINEAR"
+        elif eff_marg > MARGINAL_GATE and eff_hi > MARGINAL_FLOOR:
+            flag = "MARGINAL"
+        elif exempt:
+            flag = "overhead-bound"
+        else:
+            flag = "ok"
+        rows.append((q, ts, alpha, marg, iso_marg, resid, flag, note))
+    rows.sort(key=lambda r: -(r[4] if r[4] is not None else r[3]))
+    bad = [r for r in rows if r[6] in ("SUPER-LINEAR", "MARGINAL")]
+    gated = [r for r in rows if r[6] != "overhead-bound"]
 
-    sfs = [sf for _, sf in specs]
     totals = [d["value"] for d, _ in specs]
     lines = [
-        "# SCALING — 3-point fit (sf%s)" % " / sf".join(str(s) for s in sfs),
+        "# SCALING — 3-point fit + top-segment marginal (sf%s)" %
+        " / sf".join(str(s) for s in sfs),
         "",
-        "Inputs: %s. Exponent = least-squares slope of log t vs log sf over "
-        "all three points; 1.0 = linear; gate at %.1f (n log n tolerance). "
-        "resid is the RMS log-residual of the fit — small means the three "
-        "points actually lie on a power law, large means noise. Queries under "
-        "%.2fs at the lowest scale are overhead-bound and exempt unless the "
-        "top scale exceeds %.1fs." % (
-            ", ".join("%.1fs total @ sf%s" % (t, s) for t, s in zip(totals, sfs)),
-            ALPHA_GATE, FLOOR_SEC, HI_MATERIAL),
+        "Inputs: %s." % ", ".join(
+            "%.1fs total @ sf%s" % (t, s) for t, s in zip(totals, sfs)),
         "",
-        "**Result: %d super-linear outliers / %d gated queries (%d total).**" % (
-            len(bad), len(gated), len(rows)),
+        "Two exponents per query: **fitted** = least-squares slope of log t "
+        "vs log sf over all three points (robust to one noisy endpoint, but "
+        "diluted by the fixed-overhead-dominated low end); **marginal** = "
+        "the top-segment slope log(t_sf%s/t_sf%s)/log(%s/%s) — the segment "
+        "where variable cost dominates, and therefore THE gate. A query "
+        "with marginal > %.1f and top-scale > %.1fs is flagged MARGINAL "
+        "until an isolated-JVM RunOne re-measurement adjudicates it; the "
+        "iso-marginal column is that adjudicated exponent (shared-JVM "
+        "GC/pass interactions inflate heavy-memory queries, so in-bench "
+        "spikes are re-measured before being believed). Queries under "
+        "%.2fs at the lowest scale are overhead-bound and exempt unless "
+        "the top scale exceeds %.1fs." % (
+            sfs[-1], sfs[-2], sfs[-1], sfs[-2],
+            MARGINAL_GATE, MARGINAL_FLOOR, FLOOR_SEC, HI_MATERIAL),
+        "",
+        "**Result: %d unadjudicated outliers (super-linear or marginal) / "
+        "%d gated queries (%d total).**" % (len(bad), len(gated), len(rows)),
         "",
         "| query | " + " | ".join("sf%s s" % s for s in sfs) +
-        " | exponent | resid | flag |",
-        "|---|" + "---|" * (len(sfs) + 3),
+        " | fitted | marginal | iso-marginal | resid | flag | note |",
+        "|---|" + "---|" * (len(sfs) + 5),
     ]
-    for q, ts, alpha, resid, flag in rows:
-        lines.append("| %s | %s | %.2f | %.3f | %s |" % (
-            q, " | ".join("%.3f" % t for t in ts), alpha, resid, flag))
+    for q, ts, alpha, marg, iso, resid, flag, note in rows:
+        lines.append("| %s | %s | %.2f | %.2f | %s | %.3f | %s | %s |" % (
+            q, " | ".join("%.3f" % t for t in ts), alpha, marg,
+            "%.2f" % iso if iso is not None else "", resid, flag, note))
     text = "\n".join(lines) + "\n"
     if out_md:
         open(out_md, "w").write(text)
     else:
         print(text)
-    print("super-linear: %d / gated %d / total %d" %
+    print("outliers: %d / gated %d / total %d" %
           (len(bad), len(gated), len(rows)), file=sys.stderr)
     return 1 if bad else 0
 
