@@ -60,9 +60,13 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Region×year revenue rollup: broadcast dim joins, single fact scan.
+    * The same shape is registered (and oracle-graded) as
+    * `queries("entry")` at the driver's correctness scale.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+  def entry(spark: SparkSession): DataFrame =
+    entryRollup(spark, "/root/testdata/sf0.001")
+
+  private def entryRollup(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val o  = t(spark, dir, "orders")
     val c  = t(spark, dir, "customer")
@@ -72,8 +76,8 @@ object SparkEntry {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 
@@ -87,6 +91,10 @@ object SparkEntry {
     }
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // the flagship rollup, graded at the driver's correctness scale
+    // (the driver also smoke-runs the sf0.001 `entry` overload)
+    "entry" -> ((s, dir) => entryRollup(s, dir)),
 
     // ---- §2 rows 1-3: map / filter / flatten ------------------------
     "map_project" -> ((s, dir) =>
@@ -643,6 +651,18 @@ object SparkEntry {
         dims = 64, nSub = 8, nCodes = 16, shortlist = 20)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    // measured recall@5 of the TRAINED IVF path (integer-frozen
+    // k-means, 3 Lloyd iterations) at the deployed (16 cells, 4
+    // probes) point vs brute-force truth — the ann twin of
+    // lsh_recall_eval_deployed: every approximate channel ships with
+    // a number, including the trained one
+    "ann_recall_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.annRecallEval(
+        emb.where(col("vec_id") < 10), emb.where(col("vec_id") >= 10),
+        "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4, iters = 3)
     }),
 
     // ---- §2b: embedding preparation ---------------------------------
@@ -2406,6 +2426,17 @@ object SparkEntry {
   }
 
   private def baseOracleSql: Map[String, String] = Map(
+    "entry" ->
+      """SELECT r_name, year(o_orderdate) AS o_year,
+         floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
+         count(*)::BIGINT AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2""",
+
     "map_project" ->
       """SELECT l_orderkey, l_linenumber,
          floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue FROM lineitem""",
@@ -3225,6 +3256,64 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id
                ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
          WHERE rank <= 5""",
+
+    // trained-IVF recall: the 3 Lloyd iterations unroll as CTE blocks
+    // (assign = argmax cosine over the previous centroids; update =
+    // integer-frozen per-dim means, the same 2⁻²⁰-unit sums / single
+    // division the Spark side computes), then the deployed IVF top-5
+    // and the brute-force top-5 intersect as exact integer counts
+    "ann_recall_eval" -> {
+      val iters = 3
+      def step(i: Int) =
+        s"""asg$i AS (SELECT neighbor_id, ce, cell_id FROM (
+               SELECT c.neighbor_id, c.ce, p.cell_id,
+                 row_number() OVER (PARTITION BY c.neighbor_id
+                   ORDER BY ${duckCos("c.ce", "p.cte")} DESC, p.cell_id) AS rn
+               FROM c, ct${i - 1} p) WHERE rn = 1),
+           cm$i AS (SELECT cell_id, d,
+                 CAST(sum(CAST(floor(ce[d] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) * 1048576 AS DOUBLE) AS m
+               FROM asg$i, generate_series(1, 64) t(d) GROUP BY cell_id, d),
+           ct$i AS (SELECT cell_id, list(m ORDER BY d) AS cte FROM cm$i GROUP BY cell_id)"""
+      val loops = (1 to iters).map(step).mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
+         ct0 AS (SELECT row_number() OVER (ORDER BY neighbor_id) AS cell_id, ce AS cte
+                 FROM (SELECT neighbor_id, ce FROM c ORDER BY neighbor_id LIMIT 16)),
+         $loops,
+         fasg AS (SELECT neighbor_id, ce, cell_id FROM (
+               SELECT c.neighbor_id, c.ce, p.cell_id,
+                 row_number() OVER (PARTITION BY c.neighbor_id
+                   ORDER BY ${duckCos("c.ce", "p.cte")} DESC, p.cell_id) AS rn
+               FROM c, ct$iters p) WHERE rn = 1),
+         pr AS (SELECT query_id, qe, cell_id FROM (
+               SELECT q.query_id, q.qe, p.cell_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${duckCos("q.qe", "p.cte")} DESC, p.cell_id) AS rn
+               FROM q, ct$iters p) WHERE rn <= 4),
+         cand AS (SELECT pr.query_id, fasg.neighbor_id,
+                 ${duckCos("pr.qe", "fasg.ce")} AS cosine
+               FROM fasg JOIN pr USING (cell_id)),
+         ivf AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
+             WHERE rank <= 5),
+         tr AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.query_id, c.neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${duckCos("q.qe", "c.ce")} DESC, c.neighbor_id) AS rank
+               FROM q, c) WHERE rank <= 5),
+         nh AS (SELECT tr.query_id, count(*) AS n_hit
+               FROM tr JOIN ivf USING (query_id, neighbor_id) GROUP BY 1),
+         nt AS (SELECT query_id, count(*) AS n_truth FROM tr GROUP BY 1)
+         SELECT nt.query_id, n_truth::BIGINT AS n_truth,
+           coalesce(n_hit, 0)::BIGINT AS n_hit,
+           floor(coalesce(n_hit, 0)::DOUBLE / n_truth::DOUBLE * 10000 + 0.5) / 10000
+             AS recall
+         FROM nt LEFT JOIN nh USING (query_id)"""
+    },
 
     "ann_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -756,6 +756,50 @@ object Similarity {
     * vectors as centroids) — reproducible baseline; prefer
     * `kmeansCentroids` + `annIvfWithCentroids` for real recall.
     */
+  /** Recall@k of the TRAINED IVF path — kmeansCentroids at the
+    * deployed (nCells, nProbe) point fed to annIvfWithCentroids —
+    * against brute-force ground truth. Closes the recall-harness gap:
+    * every other approximate channel (minhash_recall_eval,
+    * lsh_recall_eval*) ships with a measured number, and the trained
+    * path must too ("approximations ship with numbers"). Per query:
+    * n_truth = |brute top-k|, n_hit = |IVF top-k ∩ brute top-k| —
+    * exact integer counts, recall is the single terminal division.
+    *
+    * 100 TB path: queries are a bounded sample by contract (the graded
+    * instance shares the id-range sample of the other ann queries);
+    * the corpus side runs the production operator — broadcast packed
+    * centroids, scan-stage assignment, zero corpus shuffle. Training
+    * uses the integer-frozen means (see kmeansCentroids), so the
+    * DuckDB oracle replays training, assignment, probing, ranking, and
+    * the intersection verbatim.
+    */
+  def annRecallEval(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      iters: Int): DataFrame = {
+    val truth = annTopKBruteForce(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persistTracked
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val ivf = annIvfWithCentroids(queries, corpus, cents, idCol, vecCol, k, nProbe)
+      .select(col("query_id").as("iq"), col("neighbor_id").as("in_"))
+    val hits = truth
+      .join(ivf, col("query_id") === col("iq") && col("neighbor_id") === col("in_"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("query_id"), col("n_truth"), col("n_hit"),
+        (floor(col("n_hit").cast("double") / col("n_truth").cast("double")
+          * 10000 + lit(0.5)) / 10000).as("recall"))
+  }
+
   def annIvf(
       queries: DataFrame,
       corpus: DataFrame,

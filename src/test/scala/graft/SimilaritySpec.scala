@@ -232,4 +232,23 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute & trained).size.toDouble / brute.size
     assert(recall >= 0.5, s"trained IVF recall too low: $recall")
   }
+
+  test("annRecallEval: exact counts, bounded recall, bit-stable across partition layouts") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def run(parts: Int) = Similarity.annRecallEval(
+      emb.where(col("vec_id") < 10).repartition(parts),
+      emb.where(col("vec_id") >= 10).repartition(parts),
+      "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val a = run(2)
+    a.foreach { case (_, nTruth, nHit, recall) =>
+      assert(nTruth == 5 && nHit >= 0 && nHit <= nTruth)
+      assert(recall == math.floor(nHit.toDouble / nTruth * 10000 + 0.5) / 10000)
+    }
+    // the integer-frozen k-means means make the WHOLE harness (training
+    // included) independent of partitioning — the property that lets
+    // the DuckDB oracle replay it
+    assert(a == run(7), "trained-path recall not partition-invariant")
+  }
 }
