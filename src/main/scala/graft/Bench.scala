@@ -78,6 +78,29 @@ object Bench {
     // `queries` entirely and surfaces in the errors map + stdout count.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // observe()-metric capture (LSH candidate counts etc.): operators
+    // publish counts under "prefix#seq" names; the listener folds them
+    // by prefix. Scaling evidence by exact COUNTS, not seconds — the
+    // per-sf values land in bench.json's queries_observed and the
+    // 3-point report fits their exponent directly.
+    val observedBuf = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val queriesObserved =
+      scala.collection.mutable.LinkedHashMap[String, Map[String, Long]]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.contains('#') && row.length > 0) row.get(0) match {
+            case l: java.lang.Long =>
+              observedBuf.merge(name.takeWhile(_ != '#'), l,
+                (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(a + b))
+            case _ => ()
+          }
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    })
     // per-query foreign CPU (core-seconds other processes burned while
     // the query's passes ran): a burst that corrupts two of three
     // passes shows up HERE even when it is too brief to move the
@@ -116,7 +139,20 @@ object Bench {
         // pass 0 is the cold run for this query (data cache cleared by
         // the previous query; only JIT/codegen carry over) — record it
         // next to the median so cache-amortization is visible
-        if (ok && i == 0) coldTimes(name) = dt
+        if (ok && i == 0) {
+          coldTimes(name) = dt
+          // deterministic counts: one pass is enough; drain the async
+          // delivery before reading, then keep the buffer clear so a
+          // later pass can't double-fold
+          org.apache.spark.GraftListenerBridge
+            .waitListenerBusEmpty(spark.sparkContext, 10000)
+          if (!observedBuf.isEmpty) {
+            val snap = scala.jdk.CollectionConverters
+              .MapHasAsScala(observedBuf).asScala.map { case (k, v) => k -> v.longValue }
+            queriesObserved(name) = snap.toMap
+          }
+        }
+        observedBuf.clear()
         if (ok) Some(dt) else None
       }.sorted
       // lower median: passes=3 -> median, 2 -> best-of-2, 1 -> the pass
@@ -163,6 +199,10 @@ object Bench {
       jmap(coldTimes.map { case (k, v) => k -> v.toString })
     },"queries_foreign_cpu":${
       jmap(foreignByQuery.collect { case (k, v) if v > 1.0 => k -> f"$v%.1f" })
+    },"queries_observed":${
+      jmap(queriesObserved.map { case (q, m) =>
+        q -> jmap(m.toSeq.sortBy(_._1).map { case (k, v) => k -> v.toString })
+      })
     },"errors":${
       jmap(errors.map { case (k, v) => k -> jstr(v) })
     },"sf":"$sfDir","passes":$passes,"agg":"median","load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"wall_secs":${f"$wallSecs%.1f"},"foreign_cpu_core_secs":${f"$foreignCoreSecs%.1f"},"foreign_cpu_ratio":${f"$foreignRatio%.4f"},"contaminated":$contaminated}"""

@@ -19,6 +19,24 @@ import org.apache.spark.sql.functions._
   *   - random-hyperplane LSH buckets and IVF (centroid partitions)
   *     turn candidate generation into equi-joins for the 100 TB path.
   */
+/** Candidate-count observability for the LSH channels: linearity of
+  * the candidate stage is the DESIGN claim (candidates ≈
+  * nTables·n·targetBucketRows/2, linear in n), so the operators
+  * publish the ACTUAL counts as `observe()` metrics — zero extra
+  * pass; the CollectMetrics aggregate rides the existing row flow —
+  * and the bench harness records them per scale (`queries_observed`
+  * in bench.json). The scaling report then proves linearity from
+  * exact COUNTS, not from wall-clock seconds that shared-JVM noise
+  * can bend. Observation names must be plan-unique (one query may
+  * instantiate an operator twice), so each carries a counter suffix
+  * after '#'; consumers aggregate on the stable prefix.
+  */
+object LshObserve {
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+  def counted(df: DataFrame, prefix: String): DataFrame =
+    df.observe(s"$prefix#${seq.incrementAndGet()}", count(lit(1)).as("n"))
+}
+
 object Similarity {
 
   /** Cast to double array once; all math is double. */
@@ -121,8 +139,9 @@ object Similarity {
       .withColumn("bucket", signBucket(col("v"), signDims))
     val a = v.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"), col("bucket"))
     val b = v.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+    LshObserve.counted(
+        a.join(b, Seq("bucket")).where(col("id_a") < col("id_b")),
+        "verify_pairs_bucketed")
       .withColumn("cosine", dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
@@ -193,13 +212,15 @@ object Similarity {
       shiftright(col("allbits"), tb * nBits).bitwiseAND(lit(mask)))
     val banded = v.select(col(idCol),
       posexplode(array(tableBuckets: _*)).as(Seq("tbl", "bucket")))
-    val cands = banded.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
-      .join(banded.select(col(idCol).as("id_b"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val cands = LshObserve.counted(
+        banded.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
+          .join(banded.select(col(idCol).as("id_b"), col("tbl"), col("bucket")),
+            Seq("tbl", "bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b"),
+        "cand_pairs_lsh_multi")
       .distinct()
-    cands
+    LshObserve.counted(cands, "verify_pairs_lsh_multi")
       .join(v.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(v.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cosine", dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
@@ -279,13 +300,15 @@ object Similarity {
       graft.functions.VectorExprs.hyperplaneBucketAt(col("v"), nBits, tb * nBits))
     val banded = v.select(col(idCol),
       posexplode(array(tableBuckets: _*)).as(Seq("tbl", "bucket")))
-    val cands = banded.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
-      .join(banded.select(col(idCol).as("id_b"), col("tbl"), col("bucket")),
-        Seq("tbl", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val cands = LshObserve.counted(
+        banded.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
+          .join(banded.select(col(idCol).as("id_b"), col("tbl"), col("bucket")),
+            Seq("tbl", "bucket"))
+          .where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b"),
+        "cand_pairs_banded")
       .distinct()
-    cands
+    LshObserve.counted(cands, "verify_pairs_banded")
       .join(v.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(v.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("cosine", dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
@@ -345,11 +368,13 @@ object Similarity {
     }
     val nv = prep(newDf)
     val cv = prep(corpusDf)
-    val cands = banded(nv, "id_new")
-      .join(banded(cv, "id_old"), Seq("tbl", "bucket"))
-      .select("id_new", "id_old")
+    val cands = LshObserve.counted(
+        banded(nv, "id_new")
+          .join(banded(cv, "id_old"), Seq("tbl", "bucket"))
+          .select("id_new", "id_old"),
+        "cand_pairs_banded_inc")
       .distinct()
-    cands
+    LshObserve.counted(cands, "verify_pairs_banded_inc")
       .join(nv.select(col(idCol).as("id_new"), col("v").as("va"), col("nrm").as("na")), "id_new")
       .join(cv.select(col(idCol).as("id_old"), col("v").as("vb"), col("nrm").as("nb")), "id_old")
       .withColumn("cosine", dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))

@@ -30,6 +30,40 @@ class BucketObserveSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("LSH channels publish exact candidate counts via observe()") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val buf = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.contains('#')) row.get(0) match {
+            case l: java.lang.Long =>
+              buf.merge(name.takeWhile(_ != '#'), l,
+                (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.valueOf(a + b))
+            case _ => ()
+          }
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = graft.operators.Similarity
+        .nearDupCosineBanded(emb, "vec_id", "embedding", 0.4).count()
+      org.apache.spark.GraftListenerBridge
+        .waitListenerBusEmpty(spark.sparkContext, 10000)
+      val cand = Option(buf.get("cand_pairs_banded")).map(_.longValue)
+      val verify = Option(buf.get("verify_pairs_banded")).map(_.longValue)
+      assert(cand.isDefined && verify.isDefined,
+        s"LSH candidate metrics missing: ${buf.keySet()}")
+      // pre-distinct collisions >= unique verified pairs >= emitted dups
+      assert(cand.get >= verify.get && verify.get >= out,
+        s"count ordering violated: cand=$cand verify=$verify out=$out")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("tapInto delivers observed metrics after the action (laygo tap→context)") {
     val obs = new Observation("tap")
     val (rows, _) = Pipeline(Seq(1, 2, 3, 4, 5).toDF("x"))
