@@ -15,6 +15,12 @@ object Bench {
       // explicit AQE skew-join handling, same contract as Verify
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // RocksDB + changelog checkpointing for streaming replays — the
+      // Verify session's contract (see Verify.scala for the rationale)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm JIT/classloading/codegen so the first measured query isn't

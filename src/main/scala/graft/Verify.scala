@@ -24,6 +24,16 @@ object Verify {
       // and engines where AQE is off.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // RocksDB state store + changelog checkpointing for the
+      // streaming replays: the default HDFS-backed provider snapshots
+      // the FULL store per micro-batch per partition (O(state·batches)
+      // I/O — the super-linear term the r9 sweep flagged in
+      // stream_sessionize); RocksDB persists per-batch CHANGELOGS
+      // (deltas), so replay I/O follows the update volume instead
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
