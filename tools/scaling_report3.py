@@ -80,7 +80,12 @@ def main():
         # gate on the effective (adjudicated if available) marginal exponent
         eff_marg = iso_marg if iso_marg is not None else marg
         eff_hi = max(a["iso_hi"], EPS) if iso_marg is not None else hi
-        if alpha > ALPHA_GATE and not exempt:
+        if a and a.get("resolved"):
+            # adjudicated with cause recorded (e.g. output-bound growth
+            # proven by exact candidate/output counts) — the note is
+            # the evidence, the flag records that someone looked
+            flag = "adjudicated"
+        elif alpha > ALPHA_GATE and not exempt:
             flag = "SUPER-LINEAR"
         elif eff_marg > MARGINAL_GATE and eff_hi > MARGINAL_FLOOR:
             flag = "MARGINAL"
