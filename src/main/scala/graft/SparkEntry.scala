@@ -829,6 +829,19 @@ object SparkEntry {
         Multimodal.syntheticJpegImages(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "img")),
 
+    // progressive (SOF2) closes the r9 "last codec a crawl actually
+    // hits" gap: ten scans — interleaved DC, split spectral AC bands,
+    // successive-approximation refinement passes with EOB-run and
+    // correction-bit coding — decoded by the same Jpeg.scala through
+    // per-component coefficient accumulation + one final IDCT pass.
+    // Block-constant content keeps the decode bit-exact, so the same
+    // closed-form oracle replays a genuinely multi-scan payload.
+    "multimodal_jpeg_progressive" -> ((s, dir) =>
+      Multimodal.pixelStats(
+        Multimodal.syntheticProgressiveJpegImages(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "img")),
+
     // video completes the set: an uncompressed AVI is a RIFF container
     // (the WAV walk) of DIB rasters (the BMP row rules), so REAL frame
     // extraction needs no codec either — one output row per decoded
@@ -3574,6 +3587,39 @@ object SparkEntry {
            (8*(1 + doc_id % 4))::BIGINT AS width,
            (8*(1 + doc_id % 3))::BIGINT AS height,
            ((8*(1 + doc_id % 4)) * (8*(1 + doc_id % 3)))::BIGINT AS n_pix,
+           sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum,
+           sum(bb)::BIGINT AS b_sum,
+           sum((p + 1) * r)::BIGINT AS r_wsum,
+           sum((p + 1) * g)::BIGINT AS g_wsum,
+           sum((p + 1) * bb)::BIGINT AS b_wsum
+         FROM rgb GROUP BY ALL""",
+
+    // the progressive twin: same closed forms, dims swapped
+    // (w = 8*(1 + id%3), h = 8*(1 + id%4)) — the decoder runs the full
+    // ten-scan SOF2 pipeline yet lands on the same block-constant RGB
+    "multimodal_jpeg_progressive" ->
+      """WITH px AS (SELECT doc_id,
+                unnest(generate_series(0,
+                  (8*(1 + doc_id % 3)) * (8*(1 + doc_id % 4)) - 1)) AS p
+              FROM documents),
+         v AS (SELECT doc_id, p,
+                 ((p // (8*(1 + doc_id % 3))) // 8) * (1 + doc_id % 3)
+                   + ((p % (8*(1 + doc_id % 3))) // 8) AS b
+               FROM px),
+         c AS (SELECT doc_id, p,
+                 (doc_id*7 + 16*b) % 256 AS yv,
+                 (doc_id*11 + 32*b) % 256 - 128 AS cb_,
+                 (doc_id*13 + 8*b) % 256 - 128 AS cr_
+               FROM v),
+         rgb AS (SELECT doc_id, p,
+                 LEAST(255, GREATEST(0, CAST(floor((yv*65536 + 91881*cr_ + 32768)/65536.0) AS BIGINT))) AS r,
+                 LEAST(255, GREATEST(0, CAST(floor((yv*65536 - 22554*cb_ - 46802*cr_ + 32768)/65536.0) AS BIGINT))) AS g,
+                 LEAST(255, GREATEST(0, CAST(floor((yv*65536 + 116130*cb_ + 32768)/65536.0) AS BIGINT))) AS bb
+               FROM c)
+         SELECT doc_id, 'jpeg' AS kind,
+           (8*(1 + doc_id % 3))::BIGINT AS width,
+           (8*(1 + doc_id % 4))::BIGINT AS height,
+           ((8*(1 + doc_id % 3)) * (8*(1 + doc_id % 4)))::BIGINT AS n_pix,
            sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum,
            sum(bb)::BIGINT AS b_sum,
            sum((p + 1) * r)::BIGINT AS r_wsum,

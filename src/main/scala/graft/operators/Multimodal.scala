@@ -558,6 +558,28 @@ object Multimodal {
     }(enc)
   }
 
+  /** Construct per-row REAL progressive (SOF2) JPEGs from an id column
+    * (dims swap the baseline mapping: w = 8*(1 + id%3),
+    * h = 8*(1 + id%4)). Ten scans per payload — interleaved DC first
+    * pass, split AC bands, DC/AC successive-approximation refinement —
+    * yet the per-block-constant content still decodes bit-exactly
+    * (see [[Jpeg.jpegProgressivePayloadBytes]]), so the closed-form
+    * SQL oracle replays the multi-scan decode too.
+    */
+  def syntheticProgressiveJpegImages(df: DataFrame, idCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("img", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        Row(r.get(idIdx), Jpeg.jpegProgressivePayloadBytes(id,
+          (8 * (1 + id % 3)).toInt, (8 * (1 + id % 4)).toInt))
+      }
+    }(enc)
+  }
+
   /** Full-decode pixel statistics via the partition-parallel path: per
     * payload the plain AND position-weighted per-channel sums in exact
     * integers (wsum_c = Σ (p+1)·v(p,c) over logical top-down order).

@@ -118,7 +118,9 @@ class JpegSpec extends SparkSpec {
       b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
       Jpeg.decode(b) // Some or None both fine; throwing is the bug
     }
-    // progressive (SOF2) is out of envelope: flip the SOF marker
+    // a baseline stream with the SOF marker flipped to SOF2 is a
+    // MALFORMED progressive stream (its scan header says Ss=0,Se=63 —
+    // a progressive DC scan must be 0..0): None, not a throw
     val prog = good.clone()
     val sofIdx = {
       var j = 2
@@ -127,6 +129,84 @@ class JpegSpec extends SparkSpec {
     }
     prog(sofIdx + 1) = 0xC2.toByte
     assert(Jpeg.decode(prog).isEmpty)
+  }
+
+  test("progressive block-constant synthetics decode bit-exactly (oracle contract)") {
+    for (id <- Seq(0L, 1L, 5L, 17L, 123L, 9999L)) {
+      val w = (8 * (1 + id % 3)).toInt; val h = (8 * (1 + id % 4)).toInt
+      val img = Jpeg.decode(Jpeg.jpegProgressivePayloadBytes(id, w, h))
+        .getOrElse(fail(s"id=$id failed to decode"))
+      assert(img.kind == "jpeg" && img.width == w && img.height == h)
+      val wB = w / 8
+      for (p <- 0 until w * h) {
+        val b = (p / w / 8) * wB + (p % w / 8)
+        val (r, g, bl) = Jpeg.ycbcrToRgb(
+          Jpeg.syntheticBlockY(id, b),
+          Jpeg.syntheticBlockCb(id, b),
+          Jpeg.syntheticBlockCr(id, b))
+        assert((img.rgb(p * 3), img.rgb(p * 3 + 1), img.rgb(p * 3 + 2)) ==
+          ((r, g, bl)), s"id=$id pixel $p block $b")
+      }
+    }
+  }
+
+  test("progressive decodes pixel-identically to baseline (same coefficients)") {
+    // both encoders quantize through the shared fdctQuant, so for any
+    // input, any quant, any sampling, any restart interval, the decoded
+    // rasters must MATCH EXACTLY — this drives every progressive path:
+    // DC successive approximation + refinement, split AC bands with
+    // EOB runs, AC refinement correction bits, per-scan RSTn markers
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 120) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(32)
+      val n = w * h
+      val yP = Array.fill(n)(rnd.nextInt(256))
+      val cbP = Array.fill(n)(rnd.nextInt(256))
+      val crP = Array.fill(n)(rnd.nextInt(256))
+      val sub = rnd.nextBoolean()
+      val quant = Seq(1, 2, 8, 32)(rnd.nextInt(4))
+      val restart = if (rnd.nextBoolean()) 1 + rnd.nextInt(4) else 0
+      val base = Jpeg.decode(Jpeg.encodeYcbcr(w, h, yP, cbP, crP,
+        chromaSub = sub, quant = quant, restartEvery = restart))
+        .getOrElse(fail(s"trial $trial: baseline decode failed"))
+      val prog = Jpeg.decode(Jpeg.encodeProgressiveYcbcr(w, h, yP, cbP, crP,
+        chromaSub = sub, quant = quant, restartEvery = restart))
+        .getOrElse(fail(s"trial $trial: progressive decode failed " +
+          s"(w=$w h=$h sub=$sub q=$quant rst=$restart)"))
+      assert(prog.width == w && prog.height == h)
+      assert(java.util.Arrays.equals(base.rgb, prog.rgb),
+        s"trial $trial: progressive != baseline (w=$w h=$h sub=$sub q=$quant rst=$restart)")
+    }
+  }
+
+  test("malformed progressive JPEG is data, not an exception") {
+    val good = Jpeg.jpegProgressivePayloadBytes(3L, 16, 24)
+    var i = 0
+    while (i < good.length) {
+      Jpeg.decode(good.take(i)) // must not throw
+      i += math.max(1, good.length / 96)
+    }
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 400) {
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Jpeg.decode(b) // Some or None both fine; throwing is the bug
+    }
+    // bit-level corruption inside scan data too
+    for (_ <- 0 until 200) {
+      val b = good.clone()
+      val at = rnd.nextInt(b.length)
+      b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      Jpeg.decode(b)
+    }
+  }
+
+  test("decodeImage routes progressive JPEGs (SOF2 signature is plain FFD8)") {
+    val img = Multimodal.decodeImage(Jpeg.jpegProgressivePayloadBytes(2L, 16, 8))
+    assert(img.exists(_.kind == "jpeg"))
+    assert(Multimodal.parseImageMeta(
+      Jpeg.jpegProgressivePayloadBytes(5L, 24, 16)) == (("jpeg", 24L, 16L)))
   }
 
   test("decodeImage routes JPEG payloads; header-only streams stay None") {
