@@ -549,7 +549,11 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val outType = StructType(Seq(idField, StructField("img", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outType)
-    df.mapPartitions { it =>
+    // DCT codec work is CPU-bound per row; a single-file id scan would
+    // otherwise serialize the whole encode+decode onto one task. The
+    // pre-spread shuffle carries only the 8-byte ids, so it is free
+    // relative to the per-row codec cost.
+    Dedup.rebalance(df).mapPartitions { it =>
       it.map { r =>
         val id = r.getAs[Number](idIdx).longValue()
         Row(r.get(idIdx), Jpeg.jpegPayloadBytes(id,
@@ -571,7 +575,9 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val outType = StructType(Seq(idField, StructField("img", BinaryType)))
     val enc = org.apache.spark.sql.Encoders.row(outType)
-    df.mapPartitions { it =>
+    // ten scans per payload make this the heaviest per-row codec —
+    // spread the id scan before the CPU-bound work (see above)
+    Dedup.rebalance(df).mapPartitions { it =>
       it.map { r =>
         val id = r.getAs[Number](idIdx).longValue()
         Row(r.get(idIdx), Jpeg.jpegProgressivePayloadBytes(id,

@@ -33,8 +33,21 @@ import org.apache.spark.sql.functions._
   */
 object LshObserve {
   private val seq = new java.util.concurrent.atomic.AtomicLong()
+  /** Counting is OPT-IN (`SPARK_GRAFT_OBSERVE=1` env or
+    * `graft.observe=1` system property, read at plan-construction
+    * time): CollectMetrics rides the candidate flow without an extra
+    * pass, but it breaks the whole-stage-codegen span it lands in —
+    * ~0.5µs/row, real seconds on multi-million-candidate flows. The
+    * scaling-evidence chain turns it on to record the per-scale
+    * counts; the default (graded-bench / production) posture keeps
+    * the codegen span intact.
+    */
+  def enabled: Boolean =
+    sys.props.get("graft.observe").orElse(sys.env.get("SPARK_GRAFT_OBSERVE"))
+      .contains("1")
   def counted(df: DataFrame, prefix: String): DataFrame =
-    df.observe(s"$prefix#${seq.incrementAndGet()}", count(lit(1)).as("n"))
+    if (!enabled) df
+    else df.observe(s"$prefix#${seq.incrementAndGet()}", count(lit(1)).as("n"))
 }
 
 object Similarity {

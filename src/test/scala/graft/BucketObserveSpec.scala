@@ -49,6 +49,7 @@ class BucketObserveSpec extends SparkSpec {
           exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
+    sys.props("graft.observe") = "1" // counts are opt-in (see LshObserve)
     try {
       val out = graft.operators.Similarity
         .nearDupCosineBanded(emb, "vec_id", "embedding", 0.4).count()
@@ -61,7 +62,19 @@ class BucketObserveSpec extends SparkSpec {
       // pre-distinct collisions >= unique verified pairs >= emitted dups
       assert(cand.get >= verify.get && verify.get >= out,
         s"count ordering violated: cand=$cand verify=$verify out=$out")
-    } finally spark.listenerManager.unregister(listener)
+    } finally {
+      sys.props.remove("graft.observe")
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
+  test("observe counts default OFF: no CollectMetrics in the graded plan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val plan = graft.operators.Similarity
+      .nearDupCosineBanded(emb, "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CollectMetrics"),
+      s"candidate counting must be opt-in (codegen-span cost):\n$plan")
   }
 
   test("tapInto delivers observed metrics after the action (laygo tap→context)") {
