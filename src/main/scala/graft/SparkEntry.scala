@@ -72,8 +72,12 @@ object SparkEntry {
     val c  = t(spark, dir, "customer")
     val n  = t(spark, dir, "nation")
     val r  = t(spark, dir, "region")
+    // customer is CORPUS-PROPORTIONAL (sf×150k rows): no broadcast
+    // hint — AQE broadcasts it while it fits and shuffles it at 100 TB,
+    // where a forced broadcast would OOM the driver. nation/region are
+    // constant-cardinality (25/5 rows) so their hints are always right.
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("o_year"))
@@ -1448,15 +1452,18 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster"), col("split"))
     }),
 
-    // cross-modal: text-quality gate joined to the embedding table
-    // (broadcast the filtered doc side into the vector corpus)
+    // cross-modal: text-quality gate joined to the embedding table.
+    // BOTH sides are corpus-proportional (filtered documents ×
+    // embeddings), so no broadcast hint: AQE broadcasts the quality
+    // side while it fits and falls back to a shuffle join at 100 TB —
+    // a forced broadcast of a corpus-sized side would OOM the driver
     "crossmodal_join" -> ((s, dir) => {
       val toks = TextAnalysis.tokens(col("text"))
       val quality = t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text"), toks).as("quality"))
         .where(col("quality") > 0.5)
       t(s, dir, "embeddings")
-        .join(broadcast(quality), col("vec_id") === col("doc_id"))
+        .join(quality, col("vec_id") === col("doc_id"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"), round(avg(col("quality")), 4).as("avg_quality"))
     }),
