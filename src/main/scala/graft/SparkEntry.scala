@@ -922,6 +922,14 @@ object SparkEntry {
         Map("en" -> 0.8, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.3, "zh" -> 0.1))
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // quality-weighted Poisson sampling: inclusion probability ∝ the
+    // doc's weight (n_chars here), frozen row-locally in exact integer
+    // micro-units — with the Horvitz-Thompson realized-vs-expected gap
+    // per language as the in-query sanity check
+    "weighted_sample" -> ((s, dir) =>
+      Corpus.weightedSampleReport(t(s, dir, "documents"), "doc_id", "n_chars",
+        "lang", 2000L)),
+
     // training-shard assembly: token-budget packing, windowed per shard
     "pack_sequences" -> ((s, dir) =>
       Corpus.packSequences(t(s, dir, "documents"), "doc_id", "text", 512L, 4)
@@ -1073,6 +1081,15 @@ object SparkEntry {
     // stage; per-hash join blowup bounded by nSources²
     "source_overlap" -> ((s, dir) =>
       Corpus.sourceOverlap(t(s, dir, "documents"), "source", "text", 3)),
+
+    // the BOUNDED-STATE twin: pairwise source token-vocabulary
+    // union/intersection from HLL registers (register-wise max = the
+    // lossless merge, inclusion-exclusion for the intersection), exact
+    // intersection carried so the sketch error is measured in-query —
+    // at 100 TB the register table (2 KB/source) replaces the
+    // vocabulary shuffle the exact path pays
+    "source_overlap_hll" -> ((s, dir) =>
+      Corpus.sourceOverlapHll(t(s, dir, "documents"), "source", "text")),
 
     // corpus bigram LM table: top continuations by count with exact
     // integer-ratio conditional probability; row-local bigram
@@ -1805,6 +1822,12 @@ object SparkEntry {
     "skew_two_phase" -> ((s, dir) =>
       Skew.twoPhaseSum(t(s, dir, "lineitem"), col("l_partkey"), col("l_quantity"), 8)
         .select(col("k"), round(col("total"), 2).as("total"))),
+
+    // pre-flight skew audit: top-20 hottest event users with exact
+    // per-mille share + count/mean ratio in integer micro-units — the
+    // measurement that picks plain join vs salting vs AQE skew split
+    "hot_key_report" -> ((s, dir) =>
+      Skew.hotKeyReport(t(s, dir, "events"), "user_id", 20)),
 
     // hub-skew stress: every 5th orderkey collapses onto order 1, so
     // ONE join key holds ~20% of the fact side — the heavy-tailed
@@ -3775,6 +3798,20 @@ object SparkEntry {
            CASE lang WHEN 'en' THEN 800 WHEN 'es' THEN 500 WHEN 'de' THEN 500
                      WHEN 'fr' THEN 300 WHEN 'zh' THEN 100 ELSE 1000 END""",
 
+    "weighted_sample" ->
+      """WITH s AS (SELECT sum(n_chars)::BIGINT AS sum_w FROM documents),
+         p AS (SELECT lang,
+                 least(1000000, (n_chars::BIGINT * 2000 * 1000000) // sum_w)::BIGINT
+                   AS p_micro,
+                 ((doc_id * 48271 + 11) % 2147483647) % 1000000 AS u_micro
+               FROM documents, s)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN u_micro < p_micro THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           sum(p_micro)::BIGINT AS expected_micro,
+           (sum(CASE WHEN u_micro < p_micro THEN 1 ELSE 0 END) * 1000000
+             - sum(p_micro))::BIGINT AS gap_micro
+         FROM p GROUP BY 1""",
+
     // pack CTE re-aggregated: (shard, pack) totals -> clamped fill
     // decile histogram, all exact integers
     "pack_fill_report" ->
@@ -4251,6 +4288,14 @@ object SparkEntry {
       """SELECT l_partkey AS k, round(sum(l_quantity), 2) AS total
          FROM lineitem GROUP BY l_partkey""",
 
+    "hot_key_report" ->
+      """WITH c AS (SELECT user_id AS k, count(*)::BIGINT AS n
+                    FROM events GROUP BY 1),
+         t AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM c)
+         SELECT k, n, ((n * 1000) // total)::BIGINT AS share_permille,
+           ((n * n_keys * 1000000) // total)::BIGINT AS skew_ratio_micro
+         FROM c, t ORDER BY n DESC, k ASC LIMIT 20""",
+
     "join_skew_hub" ->
       """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem JOIN orders
@@ -4672,6 +4717,63 @@ object SparkEntry {
              THEN floor(${m.toDouble} * ln(${m.toDouble} / v_zero::DOUBLE) + 0.5)
              ELSE floor(eraw + 0.5) END::BIGINT AS n_est_hll
          FROM ex JOIN e USING (g)"""
+    },
+
+    "source_overlap_hll" -> {
+      val m = 256
+      val rhoCase = (1 to 32).map(r => s"WHEN w >= ${1L << (32 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 33 END")
+      // sparse z: absent registers contribute 2^33 to the sum and 1 to
+      // v_zero — identical integers to the dense 0-filled form
+      def zAgg(keys: String) =
+        s"""SELECT $keys,
+            (sum(1::BIGINT << (33 - mreg)) + ($m - count(*)) * (1::BIGINT << 33))::BIGINT
+              AS z_scaled,
+            ($m - count(*))::BIGINT AS v_zero"""
+      val eraw = s"0.7213 / (1.0 + (1.079 / ${m.toDouble})) * ${(m * m).toDouble}" +
+        s" * 8589934592.0 / z_scaled::DOUBLE"
+      val estCase = s"""CASE WHEN eraw <= ${2.5 * m} AND v_zero > 0
+             THEN floor(${m.toDouble} * ln(${m.toDouble} / v_zero::DOUBLE) + 0.5)
+             ELSE floor(eraw + 0.5) END::BIGINT"""
+      s"""WITH t AS (SELECT source AS g, unnest(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS tok FROM documents),
+         vocab AS (SELECT DISTINCT tok FROM t),
+         hh AS (SELECT tok, ${duckFnv("tok")} AS h0 FROM vocab),
+         ${duckFmixCtes()},
+         hw AS (SELECT tok, (h // ${1L << 56})::BIGINT AS j,
+                  ((h // ${1L << 24}) % ${1L << 32})::BIGINT AS w FROM f5),
+         rr AS (SELECT tok, j, $rhoCase AS r FROM hw),
+         dt AS (SELECT DISTINCT g, tok FROM t),
+         regs AS (SELECT g, j, max(r) AS mreg FROM dt JOIN rr USING (tok) GROUP BY 1, 2),
+         zs AS (${zAgg("g")} FROM regs GROUP BY 1),
+         es AS (SELECT g, v_zero, $eraw AS eraw FROM zs),
+         sing AS (SELECT g, $estCase AS est FROM es),
+         gs AS (SELECT DISTINCT g FROM regs),
+         pairs AS (SELECT a.g AS source_a, b.g AS source_b
+                   FROM gs a JOIN gs b ON a.g < b.g),
+         uregs AS (SELECT p.source_a, p.source_b, r.j, max(r.mreg) AS mreg
+                   FROM pairs p JOIN regs r ON r.g = p.source_a OR r.g = p.source_b
+                   GROUP BY 1, 2, 3),
+         zu AS (${zAgg("source_a, source_b")} FROM uregs GROUP BY 1, 2),
+         eu AS (SELECT source_a, source_b, v_zero, $eraw AS eraw FROM zu),
+         un AS (SELECT source_a, source_b, $estCase AS est_union FROM eu),
+         dh AS (SELECT DISTINCT t.g, f5.h FROM t JOIN f5 USING (tok)),
+         inter AS (SELECT a.g AS source_a, b.g AS source_b,
+                     count(*)::BIGINT AS n_inter_exact
+                   FROM dh a JOIN dh b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b,
+           coalesce(i.n_inter_exact, 0)::BIGINT AS n_inter_exact,
+           sa.est AS est_a, sb.est AS est_b, u.est_union,
+           greatest(sa.est + sb.est - u.est_union, 0)::BIGINT AS n_inter_est,
+           CASE WHEN coalesce(i.n_inter_exact, 0) = 0 THEN NULL
+             ELSE floor((greatest(sa.est + sb.est - u.est_union, 0)
+                 - i.n_inter_exact)::DOUBLE / i.n_inter_exact * 1000000 + 0.5)
+               / 1000000 END AS inter_err
+         FROM pairs p
+         JOIN sing sa ON sa.g = p.source_a
+         JOIN sing sb ON sb.g = p.source_b
+         JOIN un u ON u.source_a = p.source_a AND u.source_b = p.source_b
+         LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b"""
     },
 
     "join_size_estimate" -> {

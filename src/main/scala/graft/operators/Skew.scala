@@ -48,4 +48,39 @@ object Skew {
       .agg(sum(valueCol).as("partial"))
       .groupBy(col("k"))
       .agg(sum(col("partial")).as("total"))
+
+  /** Hot-key audit for a prospective join/aggregation key — the
+    * pre-flight diagnosis that decides plain hash join vs
+    * [[saltedJoin]] vs AQE skew split BEFORE a straggler burns an
+    * hour: the top-k keys by row count with each key's exact
+    * per-mille share of the table and its skew ratio (count/mean,
+    * frozen in integer micro-units — mean = total/distinct, so ratio
+    * = n·distinct/total by exact long cross-multiplication; the
+    * subtraction trick keeps the division an exact integer in both
+    * engines' arithmetic).
+    *
+    * Scale shape: one map-side-partial key count (the same shuffle
+    * the real join would pay, but carrying only 8-byte counts), a
+    * two-scalar summary agg broadcast back, and TakeOrderedAndProject
+    * for the top-k — no global sort, no second scan. Deterministic
+    * tie-break: count desc, key asc.
+    */
+  def hotKeyReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    import graft.operators.Caching.TrackedDf
+    // persisted: feeds the summary agg AND the top-k — without it the
+    // fact scan + count shuffle run twice (once per consumer)
+    val counts = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("n"))
+      .persistTracked
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"))
+    def exactDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    counts.crossJoin(broadcast(totals))
+      .select(col("k"), col("n"),
+        exactDiv(col("n") * lit(1000L), col("total")).as("share_permille"),
+        exactDiv(col("n") * col("n_keys") * lit(1000000L), col("total"))
+          .as("skew_ratio_micro"))
+      .orderBy(col("n").desc, col("k").asc)
+      .limit(topK)
+  }
 }

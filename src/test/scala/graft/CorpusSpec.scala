@@ -416,4 +416,55 @@ class CorpusSpec extends SparkSpec {
       assert(got == want, s"p=$p: $got vs $want")
     }
   }
+
+  test("sourceOverlapHll: singles match hllSketch, union is bounded and merge-consistent") {
+    val out = Corpus.sourceOverlapHll(docs, "source", "text").collect()
+    assert(out.nonEmpty)
+    // single-source estimates must equal the hllSketch estimates for
+    // the same corpus (shared register kernel, sparse-z equivalence)
+    val sketch = Corpus.hllSketch(docs, "source", "text").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      assert(r.getLong(3) == sketch(sa), s"est_a for $sa != hllSketch")
+      assert(r.getLong(4) == sketch(sb), s"est_b for $sb != hllSketch")
+      // union of two sets is at least as big as either, at most the sum
+      // (HLL register-max merge preserves these bounds on estimates
+      // only approximately — allow the estimator's ~2/sqrt(m) slack)
+      val (ea, eb, eu) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      val slack = 1.0 + 2.0 / math.sqrt(256.0)
+      assert(eu <= (ea + eb) * slack, s"union est $eu >> $ea + $eb")
+      assert(eu * slack >= math.max(ea, eb), s"union est $eu << max($ea, $eb)")
+      assert(r.getLong(6) >= 0, "intersection estimate clamped at 0")
+    }
+    // sketch accuracy vs the exact intersection it carries: mean
+    // relative error over pairs bounded (HLL inclusion-exclusion is
+    // noisy per pair; the MEAN is the meaningful accuracy statement)
+    val errs = out.filter(!_.isNullAt(7)).map(r => math.abs(r.getDouble(7)))
+    assert(errs.nonEmpty && errs.sum / errs.length < 0.5,
+      f"mean |inter_err| ${errs.sum / errs.length}%.3f too large")
+  }
+
+  test("weightedSampleReport: deterministic, capped, and on-target overall") {
+    val rep = Corpus.weightedSampleReport(docs, "doc_id", "n_chars", "lang", 2000L)
+    val a = rep.collect().sortBy(_.getString(0))
+    val b = Corpus.weightedSampleReport(docs, "doc_id", "n_chars", "lang", 2000L)
+      .collect().sortBy(_.getString(0))
+    assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList,
+      "same seed must reproduce the exact report")
+    val totalKept = a.map(_.getLong(2)).sum
+    val totalExpMicro = a.map(_.getLong(3)).sum
+    // Horvitz-Thompson: realized total tracks the expected total
+    assert(math.abs(totalKept * 1000000L - totalExpMicro)
+      <= math.max(200000000L, totalExpMicro / 5),
+      s"kept $totalKept vs expected ${totalExpMicro / 1000000.0}")
+    // expected mass never exceeds target (p capped at 1) and is
+    // positive when the corpus has weight
+    assert(totalExpMicro <= 2000L * 1000000L)
+    assert(totalExpMicro > 0)
+    a.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) * 1000000L - r.getLong(3),
+        "gap_micro must be the exact integer identity")
+    }
+  }
 }

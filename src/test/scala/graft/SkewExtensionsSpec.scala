@@ -76,4 +76,20 @@ class SkewExtensionsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) null else r.getString(2))).toSet
     assert(out == Set((1, "a", "one"), (2, "b", "two"), (9, "orphan", null)))
   }
+
+  test("hotKeyReport: exact counts, shares, skew ratios, deterministic top-k") {
+    // 4 keys, 10 rows: key 1 holds 7 -> mean = 10/4 = 2.5 rows/key
+    val df = (Seq.fill(7)(1L) ++ Seq(2L, 3L, 4L)).toDF("k")
+    val rows = Skew.hotKeyReport(df, "k", 3).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+      "top-3 must be count-desc then key-asc (2 and 3 tie at 1 row)")
+    val hot = rows.head
+    assert(hot.getLong(1) == 7L)
+    assert(hot.getLong(2) == 700L, "7/10 = 700 permille")
+    // 7 / 2.5 = 2.8x the mean = 2_800_000 micro-units, exactly
+    assert(hot.getLong(3) == 2800000L)
+    val cold = rows(1)
+    assert(cold.getLong(1) == 1L && cold.getLong(2) == 100L
+      && cold.getLong(3) == 400000L, "1/2.5 = 0.4x mean")
+  }
 }
