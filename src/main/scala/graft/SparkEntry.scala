@@ -499,6 +499,12 @@ object SparkEntry {
     "substring_dup_stats" -> ((s, dir) =>
       Dedup.substringDupStats(t(s, dir, "documents"), "doc_id", "text", 16)),
 
+    // the ACTION step: cleaned corpus with every duplicated 16-token
+    // span removed except its globally-first occurrence — the
+    // drop-the-span policy substring_dup_stats prices
+    "substring_dedup_apply" -> ((s, dir) =>
+      Dedup.substringDedupApply(t(s, dir, "documents"), "doc_id", "text", 16)),
+
     // clustering input is the EXACT Jaccard pair set (PPJoin), not
     // minhash: LSH recall at threshold 0.6 is ~98.8% per pair, which
     // would make the recursive-CTE oracle only data-dependently green;
@@ -1082,6 +1088,14 @@ object SparkEntry {
     "source_overlap" -> ((s, dir) =>
       Corpus.sourceOverlap(t(s, dir, "documents"), "source", "text", 3)),
 
+    // ANALYZE-style planner statistics in one scan: per-column row/
+    // null counts, lexicographic min/max, mean width, and NDV from
+    // m-bounded HLL registers with the exact NDV carried as the
+    // in-query error oracle
+    "column_stats" -> ((s, dir) =>
+      Corpus.columnStats(t(s, dir, "documents"),
+        Seq("lang", "source", "doc_id", "n_chars"))),
+
     // the BOUNDED-STATE twin: pairwise source token-vocabulary
     // union/intersection from HLL registers (register-wise max = the
     // lossless merge, inclusion-exclusion for the intersection), exact
@@ -1152,6 +1166,34 @@ object SparkEntry {
         .distinct().groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
       exact.join(fin, "source")
         .select(col("source"), col("n_exact"), col("v_filled"), col("n_est"))
+    }),
+
+    // HLL: stream holds m register BYTES per source (256 B at p=8 —
+    // bounded at any vocabulary, unlike the linear-counting bitmap
+    // which saturates); the last micro-batch's estimate is
+    // bit-identical to the batch kernel — oracle: cardinality_hll's,
+    // verbatim
+    "stream_cardinality_hll" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val stream = graft.sources.Sources
+        .streamTable(s, dir, "documents", docs.schema)
+        .where(col("doc_id").isNotNull && col("text").isNotNull
+          && col("source").isNotNull)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .as[(String, String)]
+      val out = graft.streaming.Streams.hllSketchStream(stream, 8)
+        .toDF("source", "seq", "n_est")
+      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_hll",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      val fin = s.table("g_stream_hll").groupBy(col("source"))
+        .agg(max(struct(col("seq"), col("n_est"))).as("st"))
+        .select(col("source"), col("st.n_est").as("n_est_hll"))
+      val exact = docs.select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .distinct().groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+      exact.join(fin, "source")
+        .select(col("source"), col("n_exact"), col("n_est_hll"))
     }),
 
     // Count-Min sketch: stream holds d counter rows (O(d·w) state);
@@ -2461,6 +2503,7 @@ object SparkEntry {
     // VERBATIM — one source of truth, zero drift by construction
     base ++ Map(
       "stream_cardinality_sketch" -> base("cardinality_sketch"),
+      "stream_cardinality_hll" -> base("cardinality_hll"),
       "stream_freq_sketch" -> base("freq_sketch"),
       "stream_quantile_sketch" -> base("quantile_sketch"),
       "stream_daily_anomaly" -> base("event_daily_anomaly"),
@@ -2765,6 +2808,34 @@ object SparkEntry {
            floor(coalesce(c.covered, 0)::DOUBLE / greatest(t.n_tokens, 1) * 10000 + 0.5)
              / 10000 AS dup_token_frac
          FROM tot t LEFT JOIN cov c USING (doc_id)""",
+
+    "substring_dedup_apply" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         sh AS (SELECT doc_id, unnest(
+                  CASE WHEN len(toks) >= 16
+                    THEN list_transform(generate_series(1, len(toks) - 15),
+                           i -> struct_pack(pos := (i - 1)::BIGINT,
+                                            s := array_to_string(toks[i:i+15], ' ')))
+                    ELSE [struct_pack(pos := 0::BIGINT, s := array_to_string(toks, ' '))]
+                  END) AS w FROM t),
+         ww AS (SELECT doc_id, w.pos AS pos, w.s AS s,
+                  doc_id * 1048576 + w.pos AS okey FROM sh),
+         wk AS (SELECT s, min(okey) AS wkey FROM ww GROUP BY 1),
+         rm AS (SELECT doc_id, list_sort(list(pos)) AS rp
+                FROM ww JOIN wk USING (s) WHERE okey <> wkey GROUP BY 1),
+         k AS (SELECT t.doc_id, toks, coalesce(rm.rp, []) AS rp,
+                 least(16, len(toks))::BIGINT AS weff
+               FROM t LEFT JOIN rm USING (doc_id)),
+         f AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                 list_filter(list_transform(generate_series(1, len(toks)),
+                   i -> CASE WHEN len(list_filter(rp,
+                          p -> p <= i - 1 AND i - 1 < p + weff)) > 0
+                        THEN NULL ELSE toks[i] END), x -> x IS NOT NULL) AS kept
+               FROM k)
+         SELECT doc_id, n_tokens, len(kept)::BIGINT AS n_kept,
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+         FROM f""",
 
     "dedup_minhash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
@@ -4717,6 +4788,49 @@ object SparkEntry {
              THEN floor(${m.toDouble} * ln(${m.toDouble} / v_zero::DOUBLE) + 0.5)
              ELSE floor(eraw + 0.5) END::BIGINT AS n_est_hll
          FROM ex JOIN e USING (g)"""
+    },
+
+    "column_stats" -> {
+      val m = 256
+      val rhoCase = (1 to 32).map(r => s"WHEN w >= ${1L << (32 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 33 END")
+      s"""WITH pairs AS (
+           SELECT 'lang' AS g, lang::VARCHAR AS v FROM documents
+           UNION ALL SELECT 'source', source::VARCHAR FROM documents
+           UNION ALL SELECT 'doc_id', doc_id::VARCHAR FROM documents
+           UNION ALL SELECT 'n_chars', n_chars::VARCHAR FROM documents),
+         basic AS (SELECT g, count(*)::BIGINT AS n_rows,
+             sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+             min(v) AS min_str, max(v) AS max_str,
+             sum(CASE WHEN v IS NULL THEN 0 ELSE length(v) END)::BIGINT AS sum_len
+           FROM pairs GROUP BY 1),
+         vocab AS (SELECT DISTINCT v AS tok FROM pairs WHERE v IS NOT NULL),
+         hh AS (SELECT tok, ${duckFnv("tok")} AS h0 FROM vocab),
+         ${duckFmixCtes()},
+         hw AS (SELECT tok, (h // ${1L << 56})::BIGINT AS j,
+                  ((h // ${1L << 24}) % ${1L << 32})::BIGINT AS w FROM f5),
+         rr AS (SELECT tok, j, $rhoCase AS r FROM hw),
+         dt AS (SELECT DISTINCT g, v AS tok FROM pairs WHERE v IS NOT NULL),
+         regs AS (SELECT g, j, max(r) AS mreg FROM dt JOIN rr USING (tok) GROUP BY 1, 2),
+         zs AS (SELECT g,
+             (sum(1::BIGINT << (33 - mreg)) + ($m - count(*)) * (1::BIGINT << 33))::BIGINT
+               AS z_scaled,
+             ($m - count(*))::BIGINT AS v_zero FROM regs GROUP BY 1),
+         es AS (SELECT g, v_zero,
+             0.7213 / (1.0 + (1.079 / ${m.toDouble})) * ${(m * m).toDouble}
+               * 8589934592.0 / z_scaled::DOUBLE AS eraw FROM zs),
+         sing AS (SELECT g,
+             CASE WHEN eraw <= ${2.5 * m} AND v_zero > 0
+               THEN floor(${m.toDouble} * ln(${m.toDouble} / v_zero::DOUBLE) + 0.5)
+               ELSE floor(eraw + 0.5) END::BIGINT AS ndv_est_hll FROM es),
+         ex AS (SELECT g, count(DISTINCT v)::BIGINT AS ndv_exact
+                FROM pairs WHERE v IS NOT NULL GROUP BY 1)
+         SELECT b.g AS col_name, n_rows, n_nulls,
+           coalesce(ex.ndv_exact, 0)::BIGINT AS ndv_exact,
+           coalesce(sing.ndv_est_hll, 0)::BIGINT AS ndv_est_hll,
+           min_str, max_str,
+           ((sum_len * 1000000) // greatest(n_rows, 1))::BIGINT AS avg_len_micro
+         FROM basic b LEFT JOIN ex USING (g) LEFT JOIN sing USING (g)"""
     },
 
     "source_overlap_hll" -> {

@@ -949,6 +949,55 @@ object Corpus {
             / col("n_inter_exact") * 1000000 + lit(0.5)) / 1000000))
   }
 
+  /** ANALYZE-style column statistics in ONE corpus scan — the planner
+    * inputs (row count, null count, NDV, min/max, mean width) that
+    * price joins and pick broadcast sides, with the NDV from the same
+    * m-bounded HLL register kernel as [[hllSketch]] and the exact NDV
+    * carried so the estimate is graded in-query.
+    *
+    * Scale shape: the row unpivots to (column, stringified value) in
+    * the scan stage (k small — the columns you're profiling), so one
+    * pass feeds: per-column count/null/Σlen (map-side partial sums),
+    * lexicographic min/max of the string form (partial-aggregable,
+    * engine-portable — no per-type comparators to disagree on), and
+    * the register max-agg. Exact NDV is the one corpus-sized shuffle;
+    * at 100 TB drop it and ship the registers — that switch is the
+    * point of measuring the HLL error here.
+    */
+  def columnStats(
+      df: DataFrame,
+      cols: Seq[String],
+      p: Int = 8): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val m = 1 << p
+    val pairs = df.select(cols.map(c => col(c).cast("string").as(c)): _*)
+      .select(explode(map(
+        cols.flatMap(c => Seq(lit(c), col(c))): _*)).as(Seq("g", "v")))
+      .persistTracked
+    val basic = pairs.groupBy(col("g")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      min(col("v")).as("min_str"),
+      max(col("v")).as("max_str"),
+      sum(coalesce(length(col("v")).cast("long"), lit(0L))).as("sum_len"))
+    val nonNull = pairs.where(col("v").isNotNull)
+      .select(col("g"), col("v").as("tok"))
+    val regs = hllRegisters(nonNull, p)
+    val est = hllZSparse(regs, Seq("g"), m)
+      .select(col("g"), hllEstimate(m, col("z_scaled"), col("v_zero")).as("ndv_est_hll"))
+    val exact = nonNull.distinct().groupBy(col("g")).agg(count(lit(1)).as("ndv_exact"))
+    basic.join(exact, Seq("g"), "left").join(est, Seq("g"), "left")
+      .select(col("g").as("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("ndv_exact"), lit(0L)).as("ndv_exact"),
+        coalesce(col("ndv_est_hll"), lit(0L)).as("ndv_est_hll"),
+        col("min_str"), col("max_str"),
+        // mean width in exact integer micro-units (the subtraction
+        // trick keeps the division exact in both engines)
+        ((col("sum_len") * lit(1000000L)
+          - pmod(col("sum_len") * lit(1000000L), greatest(col("n_rows"), lit(1L))))
+          / greatest(col("n_rows"), lit(1L))).cast("long").as("avg_len_micro"))
+  }
+
   /** Deterministic weight-proportional Poisson sampling: doc i is kept
     * with inclusion probability p_i = min(1, target·w_i/Σw), decided
     * ROW-LOCALLY — the quality-weighted downsampling step (keep good

@@ -578,6 +578,59 @@ object Dedup {
           * 10000 + lit(0.5)) / 10000).as("dup_token_frac"))
   }
 
+  /** The ACTION step of Lee-et-al substring dedup: emit each doc with
+    * every duplicated span REMOVED except its globally-first
+    * occurrence — [[substringDupStats]] measures the duplicated mass,
+    * this returns the cleaned corpus (drop-the-span instead of
+    * drop-the-doc, the policy that keeps the unique remainder of a
+    * boilerplate-framed page).
+    *
+    * First-occurrence policy: every `window`-token hash elects one
+    * winner occurrence — the minimum (doc, pos) in lexicographic
+    * order, encoded as one long (id·2²⁰ + pos; positions are bounded
+    * by doc length ≪ 2²⁰, ids by 2⁴³ — widen the encoding before ids
+    * cross that). Every OTHER occurrence marks its `window` positions
+    * for removal, so a run duplicated across docs survives only in
+    * the lowest-id doc, and a within-doc repeat survives only at its
+    * first position. Deterministic on any cluster: the winner is a
+    * pure min, the keep test pure row-local arithmetic.
+    *
+    * Scale shape: the corpus shuffles as (8-byte hash, 8-byte key)
+    * rows — text never on the wire; the winner election is one
+    * map-side-partial min; removal positions come back as one
+    * doc-keyed agg; token filtering is row-local (per-token exists()
+    * over the doc's own removal list — bounded by the doc's dup
+    * windows, not the corpus).
+    */
+  def substringDedupApply(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int): DataFrame = {
+    val base = rebalance(df).select(
+      col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .persistTracked
+    val win = base
+      .select(col(idCol),
+        posexplode(TextAnalysis.shingles(col("toks"), window)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        graft.functions.VectorExprs.tokenHash64(col("sh")).as("h"))
+      .withColumn("okey", col(idCol) * lit(1048576L) + col("pos"))
+    val winners = win.groupBy(col("h")).agg(min(col("okey")).as("wkey"))
+    val removed = win.join(winners, Seq("h"))
+      .where(col("okey") =!= col("wkey"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("rp"))
+    val winEff = least(lit(window.toLong), size(col("toks")).cast("long"))
+    base.join(removed, Seq(idCol), "left")
+      .withColumn("rp", coalesce(col("rp"), array().cast("array<bigint>")))
+      .withColumn("kept", filter(col("toks"), (tok, k) =>
+        !exists(col("rp"), p => p <= k.cast("long") && k.cast("long") < p + winEff)))
+      .select(col(idCol), size(col("toks")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** 64-bit SimHash per doc: each token's hash votes ±1 on 64 bit

@@ -465,6 +465,66 @@ object Streams {
     * sums). Emits each updated (i, counters) row after every batch;
     * estimate(tok) = min over i of counters(i)(slotᵢ(tok)).
     */
+  /** Streaming mirror of `Corpus.hllSketch`: per-group HLL registers
+    * as mapGroupsWithState state — m BYTES per group at any vocabulary
+    * size (contrast [[distinctSketchStream]]'s linear-counting bitmap,
+    * which saturates once every slot fills) — with the estimate
+    * recomputed per micro-batch from the SAME integer-Z + estimator
+    * arithmetic as the batch kernel, so the final micro-batch's row is
+    * bit-identical to the batch query over the same data. Emits
+    * (group, seq, est): `seq` counts state updates, so the LAST
+    * emission (max seq) is the complete-corpus estimate regardless of
+    * how the replay splits into micro-batches.
+    */
+  def hllSketchStream(
+      toks: Dataset[(String, String)],
+      p: Int): Dataset[(String, Long, Long)] = {
+    require(p >= 4 && p <= 16, "p (register address bits) must be in [4, 16]")
+    import toks.sparkSession.implicits._
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m.toDouble)
+    }
+    val fmix = graft.functions.Fmix64(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L))
+    toks.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Byte]), (String, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (g, rows, state: GroupState[(Long, Array[Byte])]) =>
+          val (seq0, regs) = state.getOption.getOrElse((0L, new Array[Byte](m)))
+          rows.foreach { case (_, tok) =>
+            val h = fmix.compute(graft.functions.Fnv.mixBytes(
+              graft.functions.Fnv.Offset,
+              tok.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            val j = (h >>> (64 - p)).toInt
+            val w = (h << p) >>> 32
+            // rho: FIRST r in 1..32 with w >= 2^(32-r), else 33 — the
+            // batch CASE chain verbatim
+            var r = 33
+            if (w != 0) { r = 1; while (w < (1L << (32 - r))) r += 1 }
+            if (r > regs(j)) regs(j) = r.toByte
+          }
+          state.update((seq0 + 1L, regs))
+          // harmonic denominator in exact 2^-33 integer units + the
+          // estimator with small-range correction, matching the batch
+          // expression's operand order exactly (IEEE ops are
+          // deterministic given the same order)
+          var z = 0L; var v0 = 0L; var i = 0
+          while (i < m) {
+            val mr = regs(i); z += 1L << (33 - mr); if (mr == 0) v0 += 1; i += 1
+          }
+          val eRaw = alpha * (m.toDouble * m) * 8589934592.0 / z.toDouble
+          val est =
+            if (eRaw <= 2.5 * m && v0 > 0)
+              math.floor(m.toDouble * math.log(m.toDouble / v0.toDouble) + 0.5).toLong
+            else math.floor(eRaw + 0.5).toLong
+          (g, seq0 + 1L, est)
+      }
+  }
+
   def freqSketchStream(
       toks: Dataset[String],
       d: Int,

@@ -213,4 +213,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).distinct
     assert(out.toSeq == Seq(1L), s"chain not fully converged: ${out.toSeq}")
   }
+
+  test("substringDedupApply keeps first occurrence, strips repeats, leaves unique docs alone") {
+    val run = (1 to 20).map(i => s"dup$i").mkString(" ")   // 20-token duplicated run
+    val uniqA = (1 to 10).map(i => s"ua$i").mkString(" ")
+    val uniqB = (1 to 10).map(i => s"ub$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$uniqA $run"),         // first occurrence of the run
+      (2L, s"$run $uniqB"),         // repeat: run must vanish, tail survives
+      (3L, "totally unique text with enough tokens to stand alone")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedupApply(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 wins every window of the run -> unchanged
+    assert(out(1L).getString(3) == s"$uniqA $run", "winner doc must keep its text")
+    // doc 2 loses all 20 run tokens (the 5 dup windows tile the run),
+    // keeps its unique tail
+    assert(out(2L).getString(3) == uniqB,
+      s"repeat doc kept: ${out(2L).getString(3)}")
+    assert(out(2L).getLong(2) == 10L)
+    // doc 3 untouched
+    assert(out(3L).getString(3) == "totally unique text with enough tokens to stand alone")
+    // within-doc repeat: the second copy of a run inside ONE doc goes too
+    val self = Seq((7L, s"$run middle filler tokens here $run")).toDF("doc_id", "text")
+    val s7 = Dedup.substringDedupApply(self, "doc_id", "text", 16).head()
+    assert(s7.getString(3).startsWith(run), "first in-doc copy survives")
+    assert(!s7.getString(3).drop(run.length).contains("dup1 dup2"),
+      s"second in-doc copy not removed: ${s7.getString(3)}")
+  }
 }

@@ -354,6 +354,29 @@ class StreamingEquivalenceSpec extends SparkSpec {
       "streaming sketch diverged from batch linear counting")
   }
 
+  test("hllSketchStream (AvailableNow) == batch hllSketch estimates") {
+    val docsSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = graft.sources.Sources.streamParquet(spark, sfDir, docsSchema)
+      .where(col("doc_id").isNotNull && col("text").isNotNull
+        && col("source").isNotNull)
+      .select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .as[(String, String)]
+    val out = Streams.hllSketchStream(stream, 8).toDF("source", "seq", "n_est")
+    Streams.runToMemoryAvailableNow(out, "eq_hll", OutputMode.Update())
+    // registers only grow; the max-seq row per group is the full-corpus state
+    val streamed = spark.table("eq_hll")
+      .groupBy(col("source"))
+      .agg(max(struct(col("seq"), col("n_est"))).as("s"))
+      .select(col("source"), col("s.n_est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.Corpus.hllSketch(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "source", "text", 8)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"streaming HLL diverged from batch: $streamed vs $batch")
+  }
+
   test("incrementalCosineNearDupStream (AvailableNow) == batch banded incremental") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = emb.where(col("vec_id") % 10 =!= 0)
