@@ -446,6 +446,13 @@ object SparkEntry {
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_copies"))),
 
+    // production-default exact dedup: hash the CANONICAL form (case/
+    // punctuation/whitespace-insensitive) so trivially-reformatted
+    // copies collapse too
+    "dedup_normalized" -> ((s, dir) =>
+      Dedup.exactNormalized(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_copies"))),
+
     // daily-increment dedup: new batch (id%10 != 0) vs the existing
     // corpus's hash index (id%10 == 0) — anti join on 8-byte hashes
     "dedup_incremental" -> ((s, dir) => {
@@ -928,6 +935,30 @@ object SparkEntry {
         Map("en" -> 0.8, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.3, "zh" -> 0.1))
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // EXACT k per stratum (rate-based sampling only hits k in
+    // expectation): deterministic Lehmer-hash rank within each
+    // language, first 50 survive
+    "group_sample_topk" -> ((s, dir) =>
+      Corpus.groupSampleTopK(t(s, dir, "documents"), "doc_id", "lang", 50)
+        .select(col("doc_id"), col("lang"), col("source"))),
+
+    // serialization surface: documents → JSONL lines → parsed back,
+    // graded against the source fields — proves the to_json/from_json
+    // loop is lossless including text escaping
+    "jsonl_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, lang STRING, text STRING")
+      docs.select(to_json(struct(col("doc_id"), col("lang"), col("text"))).as("line"))
+        .select(from_json(col("line"), schema).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          col("r.text").as("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(length(col("text")).cast("long")).as("sum_text_len"))
+    }),
+
     // quality-weighted Poisson sampling: inclusion probability ∝ the
     // doc's weight (n_chars here), frozen row-locally in exact integer
     // micro-units — with the Horvitz-Thompson realized-vs-expected gap
@@ -1104,6 +1135,15 @@ object SparkEntry {
     // vocabulary shuffle the exact path pays
     "source_overlap_hll" -> ((s, dir) =>
       Corpus.sourceOverlapHll(t(s, dir, "documents"), "source", "text")),
+
+    // distributed BPE tokenizer training: the first 5 merge rules
+    // learned from the corpus's own word-frequency table — pair
+    // counting stays a map-side partial agg per step, the argmax is
+    // one TakeOrderedAndProject row broadcast back into a row-local
+    // literal replace; deterministic tie-break makes the merge table
+    // engine-reproducible
+    "bpe_train_steps" -> ((s, dir) =>
+      TextAnalysis.bpeTrainSteps(t(s, dir, "documents"), "text", 5)),
 
     // corpus bigram LM table: top continuations by count with exact
     // integer-ratio conditional probability; row-local bigram
@@ -2756,6 +2796,51 @@ object SparkEntry {
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text""",
+
+    "dedup_normalized" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
+         GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""",
+
+    "group_sample_topk" ->
+      """SELECT doc_id, lang, source FROM (
+           SELECT doc_id, lang, source, row_number() OVER (
+             PARTITION BY lang
+             ORDER BY (doc_id * 48271 + 11) % 2147483647, doc_id) AS rk
+           FROM documents) WHERE rk <= 50""",
+
+    "jsonl_roundtrip" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs, min(doc_id) AS min_id,
+           max(doc_id) AS max_id, sum(length(text))::BIGINT AS sum_text_len
+         FROM documents GROUP BY 1""",
+
+    "bpe_train_steps" -> {
+      val steps = 5
+      val stepCtes = (1 to steps).map { s =>
+        s"""pr$s AS (SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+               i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p, freq
+             FROM (SELECT list_filter(string_split(seq, chr(31)), x -> x <> '') AS syms,
+                     freq FROM seqs${s - 1}) WHERE len(syms) >= 2),
+           pc$s AS (SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt
+                    FROM pr$s GROUP BY 1, 2),
+           b$s AS (SELECT $s::BIGINT AS step, l, r, cnt FROM pc$s
+                   ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+           seqs$s AS (SELECT replace(seq, chr(31) || b.l || chr(31) || b.r || chr(31),
+                        chr(31) || b.l || b.r || chr(31)) AS seq, freq
+                      FROM seqs${s - 1}, b$s b)"""
+      }.mkString(",\n         ")
+      val unions = (1 to steps).map(s => s"SELECT * FROM b$s").mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT unnest(list_filter(string_split(
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')), ' '), x -> x <> '')) AS w FROM documents),
+         words AS (SELECT w, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
+         seqs0 AS (SELECT chr(31) || array_to_string(
+               list_transform(generate_series(1, length(w)), i -> w[i]), chr(31))
+               || chr(31) AS seq, freq FROM words),
+         $stepCtes
+         SELECT step, l AS sym_left, r AS sym_right, cnt AS pair_freq
+         FROM ($unions)"""
+    },
 
     "dedup_incremental" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -949,6 +949,28 @@ object Corpus {
             / col("n_inter_exact") * 1000000 + lit(0.5)) / 1000000))
   }
 
+  /** EXACT uniform k per stratum (contrast [[stratifiedSample]]'s
+    * rate-based keep, which only hits k in expectation): rows rank
+    * within their stratum by the Lehmer hash of the id — a
+    * deterministic "random" order any engine replays — and the first
+    * k survive. The per-stratum window sort is the honest cost of
+    * exact-k; each stratum sorts independently (parallel across
+    * strata, spill-safe within), and the rate-based samplers remain
+    * the zero-shuffle path when proportional suffices.
+    */
+  def groupSampleTopK(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      k: Int,
+      seed: Long = 11L): DataFrame = {
+    val order = pmod(col(idCol).cast("long") * lit(48271L) + lit(seed),
+      lit(2147483647L))
+    val w = Window.partitionBy(col(strataCol)).orderBy(order, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
+  }
+
   /** ANALYZE-style column statistics in ONE corpus scan — the planner
     * inputs (row count, null count, NDV, min/max, mean width) that
     * price joins and pick broadcast sides, with the NDV from the same

@@ -50,6 +50,25 @@ object Dedup {
     df.groupBy(xxhash64(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Canonical text form for normalization-aware dedup: lowercase,
+    * strip everything outside [a-z0-9 ], collapse runs of spaces, trim.
+    * Pure scan-stage Column arithmetic; the regexes are global-replace
+    * in both engines (Spark by default, the oracle via the 'g' flag)
+    * and lookaround-free, so any engine canonicalizes identically.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Exact dedup over the CANONICAL form — the production default
+    * (trivial reformatting: case, punctuation, double spaces — hides
+    * most verbatim copies from raw-byte hashing). Same contract as
+    * [[exact]]: min-id winner, copy count, 8-byte hash shuffle.
+    */
+  def exactNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(normalized(col(textCol))).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
   /** 128-bit variant: two independently-seeded 64-bit hashes as the
     * group key. At 1e11+ documents the 64-bit birthday bound starts to
     * matter for exactness guarantees; 128 bits does not. Still an

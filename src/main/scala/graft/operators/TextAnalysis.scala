@@ -436,4 +436,69 @@ object TextAnalysis {
       .select(col(idCol), col("n_bigrams"), col("dsir_mbits"),
         (col("dsir_mbits") > 0).as("target_like"))
   }
+
+  /** Distributed BPE tokenizer training, first `steps` merges (Sennrich
+    * et al.: repeatedly merge the most frequent adjacent symbol pair) —
+    * the tokenizer-induction step a training-data pipeline runs over
+    * ITS OWN corpus, as a declarative plan.
+    *
+    * Scale shape: the corpus collapses to a (word, freq) table in its
+    * one scan (vocabulary-bounded — the same reduction every real BPE
+    * trainer performs before its in-memory loop, except here the loop
+    * STAYS distributed); each step is then pair-explode → weighted
+    * count (map-side partial) → one TakeOrderedAndProject row →
+    * broadcast back into a row-local merge. The per-word symbol state
+    * lives as one separator-wrapped string (`\\u001f` around every
+    * symbol), so the merge is a literal left-to-right `replace` of
+    * `␟a␟b␟` with `␟ab␟` — non-overlapping greedy exactly like the
+    * reference algorithm ("aaa" + (a,a) → [aa, a]), and boundary-safe
+    * because every symbol is delimiter-wrapped. Words are canonical
+    * [a-z0-9]+ forms so the separator cannot collide.
+    *
+    * Deterministic: ties in pair frequency break lexicographically
+    * (count desc, left asc, right asc — binary string order in both
+    * engines), so the learned merge table is engine-reproducible.
+    *
+    * @return one row per merge step: (step, left, right, pair_freq)
+    */
+  def bpeTrainSteps(
+      df: DataFrame,
+      textCol: String,
+      steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 16, "unrolled plan: keep steps small")
+    val sep = "\u001f"
+    val words = Dedup.rebalance(df)
+      .select(explode(tokens(Dedup.normalized(col(textCol)))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(sep), concat_ws(sep, split(col("w"), "")), lit(sep))
+        .as("seq"), col("freq"))
+      .persistTracked
+    val merges = (1 to steps).foldLeft(
+      (words, Seq.empty[DataFrame])) { case ((cur, acc), step) =>
+      val pairs = cur
+        .select(col("freq"), filter(split(col("seq"), sep), s => s =!= "").as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .select(lit(step.toLong).as("step"), col("l"), col("r"), col("cnt"))
+        .persistTracked
+      val merged = cur.crossJoin(broadcast(best))
+        .select(call_function("replace", col("seq"),
+          concat(lit(sep), col("l"), lit(sep), col("r"), lit(sep)),
+          concat(lit(sep), col("l"), col("r"), lit(sep))).as("seq"),
+          col("freq"))
+        .persistTracked
+      (merged, acc :+ best)
+    }._2
+    merges.reduce(_.unionByName(_))
+      .select(col("step"), col("l").as("sym_left"), col("r").as("sym_right"),
+        col("cnt").as("pair_freq"))
+  }
 }

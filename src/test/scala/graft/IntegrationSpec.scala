@@ -179,4 +179,19 @@ class IntegrationSpec extends SparkSpec {
     assert(en + other > 0)
     assert(outs("en").columns.contains("quality"))
   }
+
+  test("bpeTrainSteps: hand-computed merge sequence, greedy left-to-right runs") {
+    import spark.implicits._
+    // word freqs: aaab x2, ab x1
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val steps = graft.operators.TextAnalysis.bpeTrainSteps(docs, "text", 3)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // step1: (a,a)=4 beats (a,b)=3; merge is GREEDY: aaab -> [aa,a,b]
+    // step2: (a,b)=3 beats (aa,a)=2
+    // step3: aaab is [aa,ab] -> (aa,ab)=2
+    assert(steps.toSeq == Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)),
+      s"got ${steps.toSeq}")
+  }
 }
