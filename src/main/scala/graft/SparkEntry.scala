@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Curation, Dedup, Embeddings, Multimodal, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Corpus, Curation, Dedup, Embeddings, Multimodal, Similarity, Skew, Temporal, TextAnalysis, Warc}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -941,6 +941,12 @@ object SparkEntry {
     "group_sample_topk" -> ((s, dir) =>
       Corpus.groupSampleTopK(t(s, dir, "documents"), "doc_id", "lang", 50)
         .select(col("doc_id"), col("lang"), col("source"))),
+
+    // crawl-container surface: one .warc blob per source (records in
+    // doc order), parsed back record-by-record from raw bytes — the
+    // parser only sees bytes, the oracle only sees source fields
+    "warc_roundtrip" -> ((s, dir) =>
+      Warc.roundTrip(t(s, dir, "documents"), "doc_id", "text", "source")),
 
     // serialization surface: documents → JSONL lines → parsed back,
     // graded against the source fields — proves the to_json/from_json
@@ -2808,6 +2814,10 @@ object SparkEntry {
              PARTITION BY lang
              ORDER BY (doc_id * 48271 + 11) % 2147483647, doc_id) AS rk
            FROM documents) WHERE rk <= 50""",
+
+    "warc_roundtrip" ->
+      """SELECT doc_id, source, length(text)::BIGINT AS content_length, text
+         FROM documents""",
 
     "jsonl_roundtrip" ->
       """SELECT lang, count(*)::BIGINT AS n_docs, min(doc_id) AS min_id,
