@@ -935,6 +935,12 @@ object SparkEntry {
         Map("en" -> 0.8, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.3, "zh" -> 0.1))
         .select(col("doc_id"), col("lang"), col("source"))),
 
+    // T5-style denoising pairs: ~15% of tokens masked in spans, runs
+    // collapsed to <X> sentinels, target = the masked spans — the
+    // corpus→training-pairs step, deterministic per (doc, position)
+    "span_corrupt" -> ((s, dir) =>
+      Corpus.spanCorrupt(t(s, dir, "documents"), "doc_id", "text")),
+
     // EXACT k per stratum (rate-based sampling only hits k in
     // expectation): deterministic Lehmer-hash rank within each
     // language, first 50 survive
@@ -2807,6 +2813,28 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
          GROUP BY trim(regexp_replace(regexp_replace(lower(text),
            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""",
+
+    "span_corrupt" -> {
+      def mk(off: Int) =
+        s"((((doc_id * 1000003 + i - $off) * 48271 + 11) % 2147483647) % 1000) < 150"
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+               AS toks FROM documents),
+         m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             list_transform(generate_series(1, len(toks)), i -> struct_pack(
+               t := toks[i],
+               m := ${mk(1)},
+               rs := (${mk(1)}) AND (i = 1 OR NOT (${mk(2)})))) AS mk
+           FROM t)
+         SELECT doc_id, n_tokens,
+           len(list_filter(mk, e -> e.m))::BIGINT AS n_masked,
+           coalesce(array_to_string(list_filter(list_transform(mk, e ->
+             CASE WHEN e.rs THEN '<X>' WHEN NOT e.m THEN e.t END),
+             x -> x IS NOT NULL), ' '), '') AS corrupted_text,
+           coalesce(array_to_string(list_filter(list_transform(mk, e ->
+             CASE WHEN e.rs THEN '<X> ' || e.t WHEN e.m THEN e.t END),
+             x -> x IS NOT NULL), ' '), '') AS target_text
+         FROM m"""
+    },
 
     "group_sample_topk" ->
       """SELECT doc_id, lang, source FROM (

@@ -949,6 +949,46 @@ object Corpus {
             / col("n_inter_exact") * 1000000 + lit(0.5)) / 1000000))
   }
 
+  /** T5/UL2-style span-corruption pretraining prep: mask ~15% of each
+    * doc's tokens in short spans, emit the corrupted input (masked
+    * runs collapse to one `<X>` sentinel) and the denoising target
+    * (the masked spans, each prefixed by its sentinel) — the
+    * corpus-to-training-pairs step, as deterministic row-local
+    * Column arithmetic: the mask decision is the Lehmer hash of
+    * (doc, position), so the same doc corrupts identically on any
+    * cluster, rerun, or engine (a seeded-RNG implementation cannot
+    * promise that under partition layout).
+    */
+  def spanCorrupt(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      permille: Int = 150,
+      seed: Long = 11L): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val id = col(idCol).cast("long")
+    // masked(i) for 0-based i — i arrives 1-based from sequence()
+    def masked(i: Column): Column =
+      pmod(pmod((id * lit(1000003L) + i - 1) * lit(48271L) + lit(seed),
+        lit(2147483647L)), lit(1000L)) < lit(permille.toLong)
+    val n = size(toks)
+    // per index: (token, masked, runStart) — runStart when masked and
+    // the previous position is not
+    val marked = transform(sequence(lit(1), n), i =>
+      struct(element_at(toks, i).as("t"), masked(i).as("m"),
+        (masked(i) && (i === 1 || !masked(i - 1))).as("rs")))
+    val corrupted = concat_ws(" ", filter(transform(col("mk"), e =>
+      when(e.getField("rs"), lit("<X>"))
+        .when(!e.getField("m"), e.getField("t"))), x => x.isNotNull))
+    val target = concat_ws(" ", filter(transform(col("mk"), e =>
+      when(e.getField("rs"), concat(lit("<X> "), e.getField("t")))
+        .when(e.getField("m"), e.getField("t"))), x => x.isNotNull))
+    df.select(col(idCol), n.cast("long").as("n_tokens"), marked.as("mk"))
+      .select(col(idCol), col("n_tokens"),
+        size(filter(col("mk"), e => e.getField("m"))).cast("long").as("n_masked"),
+        corrupted.as("corrupted_text"), target.as("target_text"))
+  }
+
   /** EXACT uniform k per stratum (contrast [[stratifiedSample]]'s
     * rate-based keep, which only hits k in expectation): rows rank
     * within their stratum by the Lehmer hash of the id — a

@@ -445,6 +445,31 @@ class CorpusSpec extends SparkSpec {
       f"mean |inter_err| ${errs.sum / errs.length}%.3f too large")
   }
 
+  test("spanCorrupt: splicing targets back into sentinels reconstructs the doc") {
+    val out = Corpus.spanCorrupt(docs.limit(50), "doc_id", "text").collect()
+    val orig = docs.limit(50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.nonEmpty)
+    var sawMask = false
+    out.foreach { r =>
+      val (id, n, nm) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val spans = r.getString(4).split("<X> ").filter(_.nonEmpty)
+        .map(_.trim.split(" ").toList).toList
+      // walk corrupted, replacing each <X> with the next target span
+      var rest = spans
+      val rebuilt = r.getString(3).split(" ").filter(_.nonEmpty).flatMap {
+        case "<X>" => val h = rest.head; rest = rest.tail; h
+        case tok   => List(tok)
+      }
+      val want = orig(id).split(" ").filter(_.nonEmpty)
+      assert(rebuilt.toSeq == want.toSeq, s"doc $id reconstruction failed")
+      assert(rest.isEmpty, s"doc $id unused target spans")
+      assert(nm <= n && nm == spans.map(_.length).sum)
+      if (nm > 0) sawMask = true
+    }
+    assert(sawMask, "no doc had any masked span — mask rate broken")
+  }
+
   test("weightedSampleReport: deterministic, capped, and on-target overall") {
     val rep = Corpus.weightedSampleReport(docs, "doc_id", "n_chars", "lang", 2000L)
     val a = rep.collect().sortBy(_.getString(0))
