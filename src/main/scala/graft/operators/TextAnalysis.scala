@@ -437,6 +437,50 @@ object TextAnalysis {
         (col("dsir_mbits") > 0).as("target_like"))
   }
 
+  /** APPLY the learned BPE merges: encode every doc with the merge
+    * table [[bpeTrainSteps]] produced and report the per-doc symbol
+    * count — the train→apply loop closed. The merge list arrives as a
+    * broadcast cross-join (it is K rows); each merge applies in
+    * learned order as the same boundary-safe left-to-right literal
+    * replace the trainer used, so encode(text) is exactly the state
+    * the trainer's corpus reached after K steps.
+    *
+    * Scale: pure row-local string arithmetic after one tiny broadcast
+    * — zero shuffle; the word-level cache real encoders add is an
+    * optimization of the same semantics.
+    */
+  def bpeEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame,
+      steps: Int): DataFrame = {
+    val sep = "\u001f"
+    // all K (from, to) replace pairs as one broadcast row
+    val agg = (1 to steps).flatMap { s =>
+      Seq(
+        max(when(col("step") === s, concat(lit(sep), col("sym_left"), lit(sep),
+          col("sym_right"), lit(sep)))).as(s"f$s"),
+        max(when(col("step") === s, concat(lit(sep), col("sym_left"),
+          col("sym_right"), lit(sep)))).as(s"t$s"))
+    }
+    val rules = merges.agg(agg.head, agg.tail: _*)
+    val words = df.select(col(idCol),
+      tokens(Dedup.normalized(col(textCol))).as("ws"))
+      .crossJoin(broadcast(rules))
+    val encodedWord = (1 to steps).foldLeft(
+      concat(lit(sep), concat_ws(sep, split(col("w"), "")), lit(sep)): Column) {
+      (acc, s) => call_function("replace", acc, col(s"f$s"), col(s"t$s"))
+    }
+    words
+      .select(col(idCol), explode(col("ws")).as("w"),
+        (1 to steps).flatMap(s => Seq(col(s"f$s"), col(s"t$s"))): _*)
+      .select(col(idCol),
+        (size(split(encodedWord, sep)) - 2).cast("long").as("n_syms"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+  }
+
   /** Distributed BPE tokenizer training, first `steps` merges (Sennrich
     * et al.: repeatedly merge the most frequent adjacent symbol pair) —
     * the tokenizer-induction step a training-data pipeline runs over
