@@ -473,8 +473,8 @@ object TextAnalysis {
       (acc, s) => call_function("replace", acc, col(s"f$s"), col(s"t$s"))
     }
     words
-      .select(col(idCol), explode(col("ws")).as("w"),
-        (1 to steps).flatMap(s => Seq(col(s"f$s"), col(s"t$s"))): _*)
+      .select((Seq(col(idCol), explode(col("ws")).as("w")) ++
+        (1 to steps).flatMap(s => Seq(col(s"f$s"), col(s"t$s")))): _*)
       .select(col(idCol),
         (size(split(encodedWord, sep)) - 2).cast("long").as("n_syms"))
       .groupBy(col(idCol))
