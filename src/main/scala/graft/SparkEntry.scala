@@ -58,6 +58,41 @@ object SparkEntry {
   private def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
   private def r6(c: Column): Column = floor(c * 1000000 + lit(0.5)) / 1000000
 
+  /** Merge-rule count shared by the bpe_train_steps / bpe_encode
+    * queries and their oracles (the plans unroll per step).
+    */
+  private val bpeSteps = 5
+
+  /** The BPE trainer replayed as DuckDB CTEs — words → seqs0 → K
+    * rounds of (pair-explode → weighted count → deterministic argmax
+    * b$s → delimiter replace seqs$s). Shared by the trainer oracle
+    * (reads b1..bK) and the encoder oracle (joins b1..bK against the
+    * per-document token stream).
+    */
+  private val bpeTrainCtes: String = {
+    val stepCtes = (1 to bpeSteps).map { s =>
+      s"""pr$s AS (SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+             i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p, freq
+           FROM (SELECT list_filter(string_split(seq, chr(31)), x -> x <> '') AS syms,
+                   freq FROM seqs${s - 1}) WHERE len(syms) >= 2),
+         pc$s AS (SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt
+                  FROM pr$s GROUP BY 1, 2),
+         b$s AS (SELECT $s::BIGINT AS step, l, r, cnt FROM pc$s
+                 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         seqs$s AS (SELECT replace(seq, chr(31) || b.l || chr(31) || b.r || chr(31),
+                      chr(31) || b.l || b.r || chr(31)) AS seq, freq
+                    FROM seqs${s - 1}, b$s b)"""
+    }.mkString(",\n         ")
+    s"""toks AS (SELECT unnest(list_filter(string_split(
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g')), ' '), x -> x <> '')) AS w FROM documents),
+       words AS (SELECT w, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
+       seqs0 AS (SELECT chr(31) || array_to_string(
+             list_transform(generate_series(1, length(w)), i -> w[i]), chr(31))
+             || chr(31) AS seq, freq FROM words),
+       $stepCtes"""
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Region×year revenue rollup: broadcast dim joins, single fact scan.
     * The same shape is registered (and oracle-graded) as
@@ -1155,7 +1190,25 @@ object SparkEntry {
     // literal replace; deterministic tie-break makes the merge table
     // engine-reproducible
     "bpe_train_steps" -> ((s, dir) =>
-      TextAnalysis.bpeTrainSteps(t(s, dir, "documents"), "text", 5)),
+      TextAnalysis.bpeTrainSteps(t(s, dir, "documents"), "text", bpeSteps)),
+
+    // APPLY the learned merges back to the corpus — the train→apply
+    // loop closed: per-doc word and BPE-symbol counts after encoding
+    // with the 5-rule table the trainer produced. The merge table is
+    // one broadcast row; encoding is row-local string arithmetic with
+    // zero extra shuffle beyond the per-doc count agg
+    "bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        TextAnalysis.bpeTrainSteps(docs, "text", bpeSteps), bpeSteps)
+    }),
+
+    // the learned tokenizer artifact as inspectable rows: every
+    // symbol in the trainer's final vocabulary state with its
+    // corpus-weighted token mass — same vocabulary-bounded fold, one
+    // extra explode+agg
+    "bpe_vocab" -> ((s, dir) =>
+      TextAnalysis.bpeVocab(t(s, dir, "documents"), "text", bpeSteps)),
 
     // corpus bigram LM table: top continuations by count with exact
     // integer-ratio conditional probability; row-local bigram
@@ -2853,32 +2906,43 @@ object SparkEntry {
          FROM documents GROUP BY 1""",
 
     "bpe_train_steps" -> {
-      val steps = 5
-      val stepCtes = (1 to steps).map { s =>
-        s"""pr$s AS (SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
-               i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p, freq
-             FROM (SELECT list_filter(string_split(seq, chr(31)), x -> x <> '') AS syms,
-                     freq FROM seqs${s - 1}) WHERE len(syms) >= 2),
-           pc$s AS (SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt
-                    FROM pr$s GROUP BY 1, 2),
-           b$s AS (SELECT $s::BIGINT AS step, l, r, cnt FROM pc$s
-                   ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-           seqs$s AS (SELECT replace(seq, chr(31) || b.l || chr(31) || b.r || chr(31),
-                        chr(31) || b.l || b.r || chr(31)) AS seq, freq
-                      FROM seqs${s - 1}, b$s b)"""
-      }.mkString(",\n         ")
-      val unions = (1 to steps).map(s => s"SELECT * FROM b$s").mkString(" UNION ALL ")
-      s"""WITH toks AS (SELECT unnest(list_filter(string_split(
-             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-               ' +', ' ', 'g')), ' '), x -> x <> '')) AS w FROM documents),
-         words AS (SELECT w, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
-         seqs0 AS (SELECT chr(31) || array_to_string(
-               list_transform(generate_series(1, length(w)), i -> w[i]), chr(31))
-               || chr(31) AS seq, freq FROM words),
-         $stepCtes
+      val unions = (1 to bpeSteps).map(s => s"SELECT * FROM b$s").mkString(" UNION ALL ")
+      s"""WITH $bpeTrainCtes
          SELECT step, l AS sym_left, r AS sym_right, cnt AS pair_freq
          FROM ($unions)"""
     },
+
+    // encode = the trainer chain (b1..bK learned identically), then the
+    // same per-step delimiter replace applied to each DOCUMENT's words
+    // (duplicates kept) instead of the aggregated vocabulary
+    "bpe_encode" -> {
+      val encCtes = (1 to bpeSteps).map { s =>
+        s"""enc$s AS (SELECT doc_id,
+               replace(seq, chr(31) || b.l || chr(31) || b.r || chr(31),
+                 chr(31) || b.l || b.r || chr(31)) AS seq
+             FROM enc${s - 1}, b$s b)"""
+      }.mkString(",\n         ")
+      s"""WITH $bpeTrainCtes,
+         dtoks AS (SELECT doc_id, unnest(list_filter(string_split(
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')), ' '), x -> x <> '')) AS w FROM documents),
+         enc0 AS (SELECT doc_id, chr(31) || array_to_string(
+               list_transform(generate_series(1, length(w)), i -> w[i]), chr(31))
+               || chr(31) AS seq FROM dtoks),
+         $encCtes
+         SELECT doc_id, count(*)::BIGINT AS n_words,
+           sum(len(list_filter(string_split(seq, chr(31)), x -> x <> '')))::BIGINT
+             AS n_bpe_tokens
+         FROM enc$bpeSteps GROUP BY doc_id"""
+    },
+
+    "bpe_vocab" ->
+      s"""WITH $bpeTrainCtes,
+         syms AS (SELECT unnest(list_filter(string_split(seq, chr(31)),
+                    x -> x <> '')) AS symbol, freq FROM seqs$bpeSteps)
+         SELECT symbol, sum(freq)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_occurrences
+         FROM syms GROUP BY symbol""",
 
     "dedup_incremental" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -494,10 +494,15 @@ object TextAnalysis {
     * broadcast back into a row-local merge. The per-word symbol state
     * lives as one separator-wrapped string (`\\u001f` around every
     * symbol), so the merge is a literal left-to-right `replace` of
-    * `␟a␟b␟` with `␟ab␟` — non-overlapping greedy exactly like the
-    * reference algorithm ("aaa" + (a,a) → [aa, a]), and boundary-safe
-    * because every symbol is delimiter-wrapped. Words are canonical
-    * [a-z0-9]+ forms so the separator cannot collide.
+    * `␟a␟b␟` with `␟ab␟`, boundary-safe because every symbol is
+    * delimiter-wrapped. Words are canonical [a-z0-9]+ forms so the
+    * separator cannot collide. Greedy left-to-right like Sennrich
+    * BPE on ODD runs ("aaa" + (a,a) → [aa, a]); on EVEN runs the
+    * replace consumes the shared delimiter, so "aaaa" + (a,a) →
+    * [aa, a, a] here vs [aa, aa] in reference BPE — a deliberate
+    * single-pass variant (the engine and the DuckDB oracle replay
+    * the identical rule, and [[bpeEncode]] applies the same replace,
+    * so train→apply stays internally consistent).
     *
     * Deterministic: ties in pair frequency break lexicographically
     * (count desc, left asc, right asc — binary string order in both
@@ -509,6 +514,40 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String,
       steps: Int): DataFrame = {
+    val (_, merges) = bpeFold(df, textCol, steps)
+    merges.reduce(_.unionByName(_))
+      .select(col("step"), col("l").as("sym_left"), col("r").as("sym_right"),
+        col("cnt").as("pair_freq"))
+  }
+
+  /** The symbol VOCABULARY the trainer's final state induces — every
+    * distinct symbol left in the (word, freq) table after `steps`
+    * merges, with its corpus-weighted token count and its raw
+    * occurrence count across word forms. Makes the learned tokenizer
+    * artifact inspectable as rows (the natural join input for
+    * audits), at the cost of the same vocabulary-bounded fold
+    * [[bpeTrainSteps]] runs.
+    */
+  def bpeVocab(
+      df: DataFrame,
+      textCol: String,
+      steps: Int): DataFrame = {
+    val sep = "\u001f"
+    val (fin, _) = bpeFold(df, textCol, steps)
+    fin.select(explode(filter(split(col("seq"), sep), s => s =!= "")).as("symbol"),
+        col("freq"))
+      .groupBy(col("symbol"))
+      .agg(sum(col("freq")).as("n_tokens"), count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Shared trainer fold: (word,freq) table → `steps` rounds of
+    * pair-count → argmax → delimiter replace. Returns the final
+    * per-word symbol state plus the per-step merge rows.
+    */
+  private def bpeFold(
+      df: DataFrame,
+      textCol: String,
+      steps: Int): (DataFrame, Seq[DataFrame]) = {
     require(steps >= 1 && steps <= 16, "unrolled plan: keep steps small")
     val sep = "\u001f"
     val words = Dedup.rebalance(df)
@@ -518,7 +557,7 @@ object TextAnalysis {
       .select(concat(lit(sep), concat_ws(sep, split(col("w"), "")), lit(sep))
         .as("seq"), col("freq"))
       .persistTracked
-    val merges = (1 to steps).foldLeft(
+    (1 to steps).foldLeft(
       (words, Seq.empty[DataFrame])) { case ((cur, acc), step) =>
       val pairs = cur
         .select(col("freq"), filter(split(col("seq"), sep), s => s =!= "").as("syms"))
@@ -540,9 +579,6 @@ object TextAnalysis {
           col("freq"))
         .persistTracked
       (merged, acc :+ best)
-    }._2
-    merges.reduce(_.unionByName(_))
-      .select(col("step"), col("l").as("sym_left"), col("r").as("sym_right"),
-        col("cnt").as("pair_freq"))
+    }
   }
 }

@@ -194,4 +194,18 @@ class IntegrationSpec extends SparkSpec {
       (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)),
       s"got ${steps.toSeq}")
   }
+
+  test("bpeEncode equals the trainer's final symbol state on its own training words") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab baa")).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeTrainSteps(docs, "text", 3)
+    val enc = graft.operators.TextAnalysis
+      .bpeEncode(docs, "doc_id", "text", merges, 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // corpus words: aaab x3, ab x1, baa x1. merges: (a,a) cnt7 ->
+    // (a,b) cnt4 -> (aa,ab) cnt3. final states: aaab=[aaab] 1 sym,
+    // ab=[ab] 1, baa=[b,aa] 2.
+    assert(enc.toSeq == Seq((1L, 3L, 3L), (2L, 2L, 3L)), s"got ${enc.toSeq}")
+  }
 }
