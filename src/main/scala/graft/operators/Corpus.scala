@@ -993,10 +993,12 @@ object Corpus {
     * rate-based keep, which only hits k in expectation): rows rank
     * within their stratum by the Lehmer hash of the id — a
     * deterministic "random" order any engine replays — and the first
-    * k survive. The per-stratum window sort is the honest cost of
-    * exact-k; each stratum sorts independently (parallel across
-    * strata, spill-safe within), and the rate-based samplers remain
-    * the zero-shuffle path when proportional suffices.
+    * k survive. The rank comes from [[Skew.rangedRowNumber]], not a
+    * plain per-stratum window: strata are human-language-sized, so at
+    * 100× a dominant stratum ("en" at 60% of a web corpus) would
+    * serialize into one sort task — the range-partitioned rank bounds
+    * every task by partition size at identical ranks (the order key
+    * ends with the unique id, a strict total order).
     */
   def groupSampleTopK(
       df: DataFrame,
@@ -1006,8 +1008,7 @@ object Corpus {
       seed: Long = 11L): DataFrame = {
     val order = pmod(col(idCol).cast("long") * lit(48271L) + lit(seed),
       lit(2147483647L))
-    val w = Window.partitionBy(col(strataCol)).orderBy(order, col(idCol))
-    df.withColumn("__rk", row_number().over(w))
+    Skew.rangedRowNumber(df, Seq(strataCol), Seq(order, col(idCol)), "__rk")
       .where(col("__rk") <= k).drop("__rk")
   }
 

@@ -210,45 +210,15 @@ object Curation {
   }
 
   /** Exact per-block rank (row_number ordered by (pref, id) within the
-    * block key) with BOUNDED task sizes: a window partitioned by the
-    * block key serializes a degenerate block — one key holding a large
-    * fraction of the corpus — into a single sort task, the classic
-    * 100 TB straggler. Instead rows are range-partitioned by the FULL
-    * sort key (block, pref, id), so per-task work is bounded by the
-    * partition size regardless of block skew; each row gets a LOCAL
-    * rank per (range-partition, block), and the global rank adds the
-    * count of same-block rows in earlier range partitions — a tiny
-    * (partition, block)-level offsets table (at most #blocks +
-    * #partitions rows, since each range partition holds a contiguous
-    * key range) cumulated with a window and broadcast back. Identical
-    * ranks to the plain window (strict total order: id is unique), the
-    * same skew discipline Skew.scala applies to joins.
+    * block key) with BOUNDED task sizes regardless of block skew —
+    * [[Skew.rangedRowNumber]] with the block key as strata and
+    * (pref, id) as the strict total order.
     */
   private[graft] def blockRank(
       rows: DataFrame,
       blockCols: Seq[String],
-      idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sortKeys = blockCols.map(col) ++ Seq(col("pref"), col(idCol))
-    val ranged = rows.repartitionByRange(sortKeys: _*)
-      .withColumn("part_id", spark_partition_id())
-    val wLocal = Window
-      .partitionBy((col("part_id") +: blockCols.map(col)): _*)
-      .orderBy(col("pref"), col(idCol))
-    val local = ranged.withColumn("lrn", row_number().over(wLocal))
-    val offsets = local
-      .groupBy((col("part_id") +: blockCols.map(col)): _*)
-      .agg(count(lit(1)).as("cnt"))
-    val wOff = Window.partitionBy(blockCols.map(col): _*)
-      .orderBy(col("part_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withOff = offsets
-      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-      .select((blockCols.map(col) ++ Seq(col("part_id"), col("off"))): _*)
-    local.join(broadcast(withOff), blockCols :+ "part_id")
-      .withColumn("rn", (col("lrn") + col("off")).cast("int"))
-      .drop("part_id", "lrn", "off")
-  }
+      idCol: String): DataFrame =
+    Skew.rangedRowNumber(rows, blockCols, Seq(col("pref"), col(idCol)))
 
   // ---- Join-size estimation ------------------------------------------
 

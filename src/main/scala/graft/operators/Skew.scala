@@ -49,6 +49,48 @@ object Skew {
       .groupBy(col("k"))
       .agg(sum(col("partial")).as("total"))
 
+  /** Exact per-stratum `row_number` with BOUNDED task sizes — the
+    * skew-safe replacement for `Window.partitionBy(strata)`: a plain
+    * per-stratum window serializes a degenerate stratum (one key
+    * holding most of the corpus — "en" at 60% of a web crawl) into a
+    * single sort task, the classic 100 TB straggler. Here rows are
+    * range-partitioned by the FULL sort key (strata ++ order), so
+    * per-task work is bounded by the partition size regardless of
+    * stratum skew; each row gets a LOCAL rank per (range-partition,
+    * strata), and the global rank adds the count of same-stratum rows
+    * in earlier range partitions — a tiny (partition, strata)-level
+    * offsets table (each range partition holds a contiguous key
+    * range, so at most #strata + #partitions rows) cumulated with a
+    * window and broadcast back. Ranks are identical to the plain
+    * window whenever `orderCols` is a strict total order (end it with
+    * a unique id).
+    */
+  private[graft] def rangedRowNumber(
+      df: DataFrame,
+      strataCols: Seq[String],
+      orderCols: Seq[Column],
+      rankCol: String = "rn"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange((strataCols.map(col) ++ orderCols): _*)
+      .withColumn("__part", spark_partition_id())
+    val wLocal = Window
+      .partitionBy((col("__part") +: strataCols.map(col)): _*)
+      .orderBy(orderCols: _*)
+    val local = ranged.withColumn("__lrn", row_number().over(wLocal))
+    val offsets = local
+      .groupBy((col("__part") +: strataCols.map(col)): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wOff = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("__part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = offsets
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select((strataCols.map(col) ++ Seq(col("__part"), col("__off"))): _*)
+    local.join(broadcast(withOff), strataCols :+ "__part")
+      .withColumn(rankCol, (col("__lrn") + col("__off")).cast("int"))
+      .drop("__part", "__lrn", "__off")
+  }
+
   /** Hot-key audit for a prospective join/aggregation key — the
     * pre-flight diagnosis that decides plain hash join vs
     * [[saltedJoin]] vs AQE skew split BEFORE a straggler burns an

@@ -492,4 +492,26 @@ class CorpusSpec extends SparkSpec {
         "gap_micro must be the exact integer identity")
     }
   }
+
+  test("groupSampleTopK: degenerate stratum (95% one key) matches the plain window, spread over tasks") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 20k rows, 19k in one stratum: the ranks (and thus the sample)
+    // must be IDENTICAL to the naive per-stratum window while the
+    // sort work spreads across range partitions
+    val rows = (0L until 20000L).map(i =>
+      (i, if (i % 20 == 0) s"s${i % 3}" else "dominant")).toDF("doc_id", "lang")
+    val got = Corpus.groupSampleTopK(rows, "doc_id", "lang", 40)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val order = pmod(col("doc_id") * lit(48271L) + lit(11L), lit(2147483647L))
+    val naive = rows.withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(order, col("doc_id"))))
+      .where(col("rk") <= 40).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == naive, "skew-safe rank diverged from the window contract")
+    val spread = rows.repartitionByRange(32, col("lang"), order, col("doc_id"))
+      .where(col("lang") === "dominant")
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+      .distinct().count()
+    assert(spread > 1, s"dominant stratum collapsed to $spread partition(s)")
+  }
 }

@@ -385,6 +385,20 @@ class PlanAuditSpec extends SparkSpec {
                                    // per-doc position collect + totals
   }
 
+  test("group_sample_topk: rank is range-partitioned, no per-stratum window sort") {
+    // the r10-flagged straggler: a plain Window.partitionBy(lang)
+    // serializes a dominant stratum into one sort task at 100×. The
+    // skew-safe rank must range-partition by the FULL sort key; the
+    // only hash exchange allowed on the corpus path is none at all —
+    // hashpartitioning may appear solely for the tiny offsets table
+    // (bounded by #strata + #partitions rows).
+    val p = plan("group_sample_topk")
+    assert(p.contains("rangepartitioning"),
+      s"rank not range-partitioned (straggler shape back?):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"offsets table not broadcast back:\n$p")
+  }
+
   test("round-4 joins: boilerplate broadcast probe, q7/q10 shapes") {
     val bp = plan("boilerplate_score")
     assert(bp.contains("BroadcastHashJoin"), s"frequent-set probe not broadcast:\n$bp")
