@@ -2896,8 +2896,11 @@ object SparkEntry {
              ORDER BY (doc_id * 48271 + 11) % 2147483647, doc_id) AS rk
            FROM documents) WHERE rk <= 50""",
 
+    // strlen = BYTE count (the parser reports the WARC Content-Length,
+    // written as UTF-8 octets); length() counts characters and would
+    // diverge on the first multibyte character
     "warc_roundtrip" ->
-      """SELECT doc_id, source, length(text)::BIGINT AS content_length, text
+      """SELECT doc_id, source, strlen(text)::BIGINT AS content_length, text
          FROM documents""",
 
     "jsonl_roundtrip" ->

@@ -807,7 +807,12 @@ object Corpus {
       groupCol: String,
       textCol: String,
       p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 16, "p (register address bits) must be in [4, 16]")
+    // verified envelope: the alpha table covers m in {16,32,64} exactly
+    // and the closed form from m=128 up, and the engine<->oracle
+    // bit-identity of the 32-bit rank window is pinned at the deployed
+    // p=8 -- widening p past 8 needs its own oracle replay, so reject
+    // it rather than estimate subtly off
+    require(p >= 4 && p <= 8, "p (register address bits) must be in [4, 8]")
     val m = 1 << p
     val toks = Dedup.rebalance(df).select(col(groupCol).as("g"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
@@ -898,7 +903,12 @@ object Corpus {
       groupCol: String,
       textCol: String,
       p: Int = 8): DataFrame = {
-    require(p >= 4 && p <= 16, "p (register address bits) must be in [4, 16]")
+    // verified envelope: the alpha table covers m in {16,32,64} exactly
+    // and the closed form from m=128 up, and the engine<->oracle
+    // bit-identity of the 32-bit rank window is pinned at the deployed
+    // p=8 -- widening p past 8 needs its own oracle replay, so reject
+    // it rather than estimate subtly off
+    require(p >= 4 && p <= 8, "p (register address bits) must be in [4, 8]")
     val m = 1 << p
     val toks = Dedup.rebalance(df).select(col(groupCol).as("g"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
@@ -973,8 +983,13 @@ object Corpus {
         lit(2147483647L)), lit(1000L)) < lit(permille.toLong)
     val n = size(toks)
     // per index: (token, masked, runStart) — runStart when masked and
-    // the previous position is not
-    val marked = transform(sequence(lit(1), n), i =>
+    // the previous position is not. The 1..n index list is filtered
+    // to [1, n] because Spark's sequence(1, 0) DESCENDS ([1, 0])
+    // instead of being empty — unguarded, a zero-token doc would
+    // evaluate element_at(toks, 0) and throw; the filter makes it
+    // the empty list DuckDB's generate_series(1, 0) yields.
+    val marked = transform(
+      filter(sequence(lit(1), greatest(n, lit(1))), i => i.leq(n)), i =>
       struct(element_at(toks, i).as("t"), masked(i).as("m"),
         (masked(i) && (i === 1 || !masked(i - 1))).as("rs")))
     val corrupted = concat_ws(" ", filter(transform(col("mk"), e =>

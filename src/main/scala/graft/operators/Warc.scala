@@ -36,14 +36,19 @@ object Warc {
 
   /** One WARC/1.0 response record for a payload. Content-Length is the
     * payload byte count, per spec; header order is fixed so construct
-    * is deterministic.
+    * is deterministic. `extraHeaders` append after the standard four
+    * (ISO 28500 allows extension fields) — [[roundTrip]] uses them to
+    * carry its row keys instead of packing them into the URI path.
     */
-  def record(uri: String, date: String, payload: Array[Byte]): Array[Byte] = {
-    val header = new StringBuilder()
+  def record(uri: String, date: String, payload: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
+    val sb = new StringBuilder()
       .append("WARC/1.0").append(CRLF)
       .append("WARC-Type: response").append(CRLF)
       .append("WARC-Target-URI: ").append(uri).append(CRLF)
       .append("WARC-Date: ").append(date).append(CRLF)
+    extraHeaders.foreach { case (k, v) => sb.append(k).append(": ").append(v).append(CRLF) }
+    val header = sb
       .append("Content-Length: ").append(payload.length).append(CRLF)
       .append(CRLF)
       .toString.getBytes(UTF_8)
@@ -56,7 +61,8 @@ object Warc {
   }
 
   final case class WarcRecord(
-      uri: String, date: String, contentLength: Long, payload: Array[Byte])
+      uri: String, date: String, contentLength: Long, payload: Array[Byte],
+      headers: Map[String, String] = Map.empty)
 
   /** Walk a .warc blob into its records. Lenient: stops at the first
     * structural damage (bad magic, missing Content-Length, truncated
@@ -87,7 +93,7 @@ object Warc {
               if (blob(t) == '\r' && blob(t + 1) == '\n'
                 && blob(t + 2) == '\r' && blob(t + 3) == '\n') {
                 out += WarcRecord(hs.getOrElse("WARC-Target-URI", ""),
-                  hs.getOrElse("WARC-Date", ""), n, body)
+                  hs.getOrElse("WARC-Date", ""), n, body, hs)
                 off = t + 4
               } else ok = false
             case _ => ok = false
@@ -124,8 +130,10 @@ object Warc {
       docsPerBlob: Int = 256): DataFrame = {
     // blob granularity is (group, id-range) so no blob row outgrows a
     // task at any corpus size — the file granularity a real crawl
-    // writes; the group and id still travel IN each record's URI, so
-    // the output is blob-layout-independent
+    // writes; the group and id travel in DEDICATED record headers
+    // (WARC-Record-ID + an extension field), so the output is
+    // blob-layout-independent and a group value containing '/' (or
+    // an empty group) can't be mis-split out of the URI path
     val blobs = df
       .groupBy(col(groupCol).as("g"),
         floor(col(idCol).cast("long") / docsPerBlob).as("shard"))
@@ -138,7 +146,9 @@ object Warc {
         val bos = new java.io.ByteArrayOutputStream()
         r.getSeq[Row](2).foreach { d =>
           bos.write(record(s"https://example.org/$g/${d.getLong(0)}",
-            "2026-01-01T00:00:00Z", d.getString(1).getBytes(UTF_8)))
+            "2026-01-01T00:00:00Z", d.getString(1).getBytes(UTF_8),
+            Seq("WARC-Record-ID" -> s"<urn:graft:${d.getLong(0)}>",
+              "X-Warc-Group" -> g)))
         }
         Row(bos.toByteArray)
       }
@@ -149,10 +159,12 @@ object Warc {
     built.mapPartitions { it =>
       it.flatMap { r =>
         parse(r.getAs[Array[Byte]](0)).map { rec =>
-          // group and id ride in the URI; the payload text is what the
-          // parser recovered from raw bytes, graded against the source
-          val parts = rec.uri.split('/')
-          Row(parts.last.toLong, parts(parts.length - 2), rec.contentLength,
+          // group and id ride in dedicated headers; the payload text is
+          // what the parser recovered from raw bytes, graded against
+          // the source
+          val id = rec.headers.getOrElse("WARC-Record-ID", "")
+            .stripPrefix("<urn:graft:").stripSuffix(">").toLong
+          Row(id, rec.headers.getOrElse("X-Warc-Group", ""), rec.contentLength,
             new String(rec.payload, UTF_8))
         }
       }

@@ -479,7 +479,12 @@ object Streams {
   def hllSketchStream(
       toks: Dataset[(String, String)],
       p: Int): Dataset[(String, Long, Long)] = {
-    require(p >= 4 && p <= 16, "p (register address bits) must be in [4, 16]")
+    // verified envelope: the alpha table covers m in {16,32,64} exactly
+    // and the closed form from m=128 up, and the engine<->oracle
+    // bit-identity of the 32-bit rank window is pinned at the deployed
+    // p=8 -- widening p past 8 needs its own oracle replay, so reject
+    // it rather than estimate subtly off
+    require(p >= 4 && p <= 8, "p (register address bits) must be in [4, 8]")
     import toks.sparkSession.implicits._
     val m = 1 << p
     val alpha = m match {

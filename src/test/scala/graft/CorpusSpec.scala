@@ -445,6 +445,21 @@ class CorpusSpec extends SparkSpec {
       f"mean |inter_err| ${errs.sum / errs.length}%.3f too large")
   }
 
+  test("spanCorrupt: zero-token and whitespace-only docs yield empty rows, no crash") {
+    import spark.implicits._
+    // Spark sequence(1, 0) descends ([1, 0]) — unguarded this threw
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT and one empty doc failed the
+    // whole graded query while the DuckDB oracle returned a row
+    val rows = Corpus.spanCorrupt(
+      Seq((1L, ""), (2L, "   "), (3L, "one two three")).toDF("doc_id", "text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getLong(1) == 0L && rows(0).getLong(2) == 0L &&
+      rows(0).getString(3) == "" && rows(0).getString(4) == "")
+    assert(rows(1).getLong(1) == 0L && rows(1).getString(3) == "")
+    assert(rows(2).getLong(1) == 3L)
+  }
+
   test("spanCorrupt: splicing targets back into sentinels reconstructs the doc") {
     val out = Corpus.spanCorrupt(docs.limit(50), "doc_id", "text").collect()
     val orig = docs.limit(50).collect()

@@ -82,4 +82,18 @@ class WarcSpec extends SparkSpec {
       (1L, "s1", 10L, "alpha beta"), (2L, "s1", 5L, "gamma"),
       (3L, "s2", 18L, "delta epsilon zeta")))
   }
+
+  test("roundTrip is safe for group values containing '/', empty, and multibyte text") {
+    // keys travel in dedicated headers, not the URI path — a slashed
+    // or empty group used to mis-attribute every record in the blob;
+    // content_length is the UTF-8 BYTE count, not the char count
+    val docs = Seq(
+      (1L, "café", "a/b/c"), (2L, "naïve", ""), (3L, "plain", "s1"))
+      .toDF("doc_id", "text", "source")
+    val out = Warc.roundTrip(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a/b/c", 5L, "café"), (2L, "", 6L, "naïve"), (3L, "s1", 5L, "plain")))
+  }
 }
