@@ -894,6 +894,18 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "img")),
 
+    // GIF closes the palette-indexed tier: REAL GIF89a payloads (LZW
+    // sub-blocks, comment + graphic-control extensions, odd ids
+    // interlaced) decoded back through variable-width LZW expansion,
+    // palette mapping, and the four-pass de-interlace. Conformance is
+    // pinned both directions against the JDK's ImageIO plugin in
+    // GifSpec, so encoder and decoder can't share a compensating bug;
+    // the decoded RGB has the closed form the oracle replays.
+    "multimodal_gif_decode" -> ((s, dir) =>
+      Multimodal.pixelStats(
+        Multimodal.syntheticGifImages(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "img")),
+
     // video completes the set: an uncompressed AVI is a RIFF container
     // (the WAV walk) of DIB rasters (the BMP row rules), so REAL frame
     // extraction needs no codec either — one output row per decoded
@@ -3849,6 +3861,26 @@ object SparkEntry {
          list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 2) % 256)))::BIGINT AS b_wsum
          FROM (SELECT doc_id,
                  generate_series(0, (2 + doc_id % 6) * (2 + doc_id % 5) - 1) AS px
+               FROM documents)""",
+
+    // closed-form replay of the GIF decode: pixel p of image doc_id is
+    // palette entry (doc_id + p) mod 256, whose channel c value is
+    // (doc_id + 3k + c) mod 256 — LZW and the interlace permutation
+    // cancel in the round trip, so the oracle needs neither
+    "multimodal_gif_decode" ->
+      """SELECT doc_id,
+         'gif' AS kind,
+         (2 + doc_id % 6)::BIGINT AS width,
+         (5 + doc_id % 5)::BIGINT AS height,
+         ((2 + doc_id % 6) * (5 + doc_id % 5))::BIGINT AS n_pix,
+         list_sum(list_transform(px, p -> (doc_id + 3*((doc_id + p) % 256) + 0) % 256))::BIGINT AS r_sum,
+         list_sum(list_transform(px, p -> (doc_id + 3*((doc_id + p) % 256) + 1) % 256))::BIGINT AS g_sum,
+         list_sum(list_transform(px, p -> (doc_id + 3*((doc_id + p) % 256) + 2) % 256))::BIGINT AS b_sum,
+         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*((doc_id + p) % 256) + 0) % 256)))::BIGINT AS r_wsum,
+         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*((doc_id + p) % 256) + 1) % 256)))::BIGINT AS g_wsum,
+         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*((doc_id + p) % 256) + 2) % 256)))::BIGINT AS b_wsum
+         FROM (SELECT doc_id,
+                 generate_series(0, (2 + doc_id % 6) * (5 + doc_id % 5) - 1) AS px
                FROM documents)""",
 
     // closed-form replay of the JPEG decode: block b of image doc_id

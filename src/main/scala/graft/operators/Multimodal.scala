@@ -171,6 +171,7 @@ object Multimodal {
     else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P') decodePng(bytes)
     else if ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
       Jpeg.decode(bytes)
+    else if (bytes(0) == 'G' && bytes(1) == 'I') Gif.decode(bytes)
     else None
 
   private def decodeBmp24(b: Array[Byte]): Option[DecodedImage] = {
@@ -533,6 +534,28 @@ object Multimodal {
       it.map { r =>
         val id = r.getAs[Number](idIdx).longValue()
         Row(r.get(idIdx), pngPayloadBytes(id, (2 + id % 6).toInt, (2 + id % 5).toInt))
+      }
+    }(enc)
+  }
+
+  /** Construct per-row REAL GIF89a payloads from an id column (dims
+    * from the id: w = 2 + id%6, h = 5 + id%5 — h ≥ 5 keeps interlace
+    * readable by single-adjustment decoders, see [[Gif.encodeGif]]).
+    * Odd ids interlace, so the four-pass row reorder is exercised on
+    * half the corpus; every payload routes through LZW with comment +
+    * graphic-control extension blocks in front of the image. The
+    * write half of the GIF construct→LZW-expand→de-interlace round
+    * trip.
+    */
+  def syntheticGifImages(df: DataFrame, idCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("img", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        Row(r.get(idIdx), Gif.gifPayloadBytes(id, (2 + id % 6).toInt, (5 + id % 5).toInt))
       }
     }(enc)
   }
