@@ -164,6 +164,38 @@ object Bench {
       // lower median: passes=3 -> median, 2 -> best-of-2, 1 -> the pass
       if (times.isEmpty) None else Some(name -> times((times.length - 1) / 2))
     }
+    // OUTPUT-BOUND adjudications must be reproducible from the
+    // committed artifact alone: when the timed sweep ran in default
+    // posture (observe off, codegen spans intact), run one extra
+    // UNTIMED pass over just the queries whose plans carry observe()
+    // channels (detected by CollectMetrics in the analyzed plan —
+    // plan construction triggers no jobs) so queries_observed is
+    // populated without perturbing any recorded timing.
+    if (!graft.operators.LshObserve.enabled && only.isEmpty) {
+      sys.props("graft.observe") = "1"
+      try selected.foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val hasObs = df.queryExecution.analyzed.collectFirst {
+            case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
+          }.nonEmpty
+          if (hasObs) {
+            df.count()
+            org.apache.spark.GraftListenerBridge
+              .waitListenerBusEmpty(spark.sparkContext, 10000)
+            if (!observedBuf.isEmpty)
+              queriesObserved(name) = scala.jdk.CollectionConverters
+                .MapHasAsScala(observedBuf).asScala
+                .map { case (k, v) => k -> v.longValue }.toMap
+          }
+        } catch { case _: Throwable => () } // counts are best-effort extras
+        finally {
+          graft.operators.Caching.release()
+          spark.catalog.clearCache()
+          observedBuf.clear()
+        }
+      } finally sys.props.remove("graft.observe")
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double): String = {
       // 3 decimals, trailing zeros stripped: ms precision, minimal chars
