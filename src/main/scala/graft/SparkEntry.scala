@@ -717,6 +717,34 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4, iters = 3)
     }),
 
+    // SemDeDup (Abbas et al. 2023): embedding-space dedup made
+    // tractable by clustering — pairs form only INSIDE a k-means cell,
+    // prune the cluster-mates an eps-neighbor dominates (keep the one
+    // farthest from the centroid, the paper's keep rule). Assignment
+    // is a scan-stage argmax vs broadcast centroids; the only shuffle
+    // is the intra-cell join.
+    "semdedup_prune" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nCells = 16, iters = 2, eps = 0.4)
+        .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
+          col("cent_cos_micro"), col("kept"))),
+
+    // distributed kNN JOIN — top-k retrieval for EVERY row of a large
+    // query set (the kNN-LM / RAG-pretraining shape): both sides stay
+    // distributed, candidates meet on IVF cell_id in a plain equi-join
+    // Catalyst/AQE is free to plan; only the k·d centroid table is
+    // ever broadcast. Parity split stands in for train-vs-retrieval
+    // corpora of the SAME order of magnitude (what the broadcast
+    // operators can't do).
+    "knn_join_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.knnJoinIvf(
+        emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 3, nCells = 16, nProbe = 2, iters = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
     // ---- §2b: embedding preparation ---------------------------------
     // Unit-normalize every vector with the native one-pass kernel;
     // sequential-order square sum + IEEE-exact sqrt/divide make every
@@ -2490,6 +2518,37 @@ object SparkEntry {
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)}))"
 
+  /** k-means CTE unroll over a prior CTE `c(nid, ce)` — the DuckDB
+    * replay of [[graft.operators.Similarity.kmeansCentroids]]'s
+    * integer-frozen Lloyd iterations (seeds = first `nCells` rows by
+    * nid; per-dimension means summed in 2^-20 units). Emits
+    * ct0..ct`iters` plus `fasg(nid, ce, cell_id, cent_cos)`, the final
+    * assignment with its centroid cosine. Callers append their own
+    * query-side CTEs (probe `ct$iters` for the live centroid table).
+    */
+  private def duckKmeans(iters: Int, nCells: Int): String = {
+    def step(i: Int) =
+      s"""asg$i AS (SELECT nid, ce, cell_id FROM (
+             SELECT c.nid, c.ce, p.cell_id,
+               row_number() OVER (PARTITION BY c.nid
+                 ORDER BY ${duckCos("c.ce", "p.cte")} DESC, p.cell_id) AS rn
+             FROM c, ct${i - 1} p) WHERE rn = 1),
+         cm$i AS (SELECT cell_id, d,
+               CAST(sum(CAST(floor(ce[d] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / CAST(count(*) * 1048576 AS DOUBLE) AS m
+             FROM asg$i, generate_series(1, 64) t(d) GROUP BY cell_id, d),
+         ct$i AS (SELECT cell_id, list(m ORDER BY d) AS cte FROM cm$i GROUP BY cell_id)"""
+    val loops = (1 to iters).map(step).mkString(",\n")
+    s"""ct0 AS (SELECT row_number() OVER (ORDER BY nid) AS cell_id, ce AS cte
+           FROM (SELECT nid, ce FROM c ORDER BY nid LIMIT $nCells)),
+       $loops,
+       fasg AS (SELECT nid, ce, cell_id, cc AS cent_cos FROM (
+             SELECT c.nid, c.ce, p.cell_id, ${duckCos("c.ce", "p.cte")} AS cc,
+               row_number() OVER (PARTITION BY c.nid
+                 ORDER BY ${duckCos("c.ce", "p.cte")} DESC, p.cell_id) AS rn
+             FROM c, ct$iters p) WHERE rn = 1)"""
+  }
+
   /** DuckDB FNV-1a 64 over a token's characters in unsigned-HUGEINT
     * mod-2^64 arithmetic — the same bit pattern as the native
     * `Fnv.mixBytes` (the xor only ever touches the low byte, so it is
@@ -3630,6 +3689,38 @@ object SparkEntry {
              AS recall
          FROM nt LEFT JOIN nh USING (query_id)"""
     },
+
+    "semdedup_prune" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         c AS (SELECT vec_id AS nid, e AS ce FROM v),
+         ${duckKmeans(iters = 2, nCells = 16)},
+         pm AS (SELECT nid, ce, cell_id,
+                  CAST(floor(cent_cos * 1000000 + 0.5) AS BIGINT) AS p
+                FROM fasg)
+         SELECT a.nid AS vec_id, a.cell_id, a.p AS cent_cos_micro,
+           NOT EXISTS (SELECT 1 FROM pm b WHERE b.cell_id = a.cell_id
+             AND (b.p < a.p OR (b.p = a.p AND b.nid < a.nid))
+             AND ${duckCos("a.ce", "b.ce")} >= 0.4) AS kept
+         FROM pm a""",
+
+    "knn_join_ivf" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         c AS (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
+         ${duckKmeans(iters = 2, nCells = 16)},
+         pr AS (SELECT query_id, qe, cell_id FROM (
+               SELECT q.query_id, q.qe, p.cell_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${duckCos("q.qe", "p.cte")} DESC, p.cell_id) AS rn
+               FROM q, ct2 p) WHERE rn <= 2),
+         cand AS (SELECT pr.query_id, fasg.nid AS neighbor_id,
+                 ${duckCos("pr.qe", "fasg.ce")} AS cosine
+               FROM fasg JOIN pr USING (cell_id)),
+         r AS (SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
+         SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
+         FROM r WHERE rank <= 3""",
 
     "ann_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

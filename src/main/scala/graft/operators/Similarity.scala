@@ -851,4 +851,139 @@ object Similarity {
       .select(col("nid").as("cell_id"), col("cv").as("centv"))
     annIvfWithCentroids(queries, corpus, cents, idCol, vecCol, k, nProbe)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space and pruning,
+    * WITHIN each cluster, items whose cosine to another cluster
+    * member is ≥ `eps` — the published recipe for making
+    * embedding-space dedup tractable at web scale (clusters bound the
+    * quadratic term: pairs are only ever formed inside a cell, never
+    * corpus×corpus).
+    *
+    * Keep rule: the paper keeps, among semantically-duplicate items,
+    * the one with the LOWEST similarity to its cluster centroid.
+    * This implementation uses the order-independent dominance form of
+    * that rule: an item is pruned iff SOME cluster-mate with strictly
+    * better keep-priority (centroid-cosine ascending, id ascending on
+    * ties) is ≥-eps-similar to it. Unlike a sequential greedy scan
+    * (whose kept set depends on visit order and where a pruned item
+    * can no longer prune others), dominance is a pure EXISTS — the
+    * same kept set at any parallelism, expressible in any SQL engine,
+    * no per-cluster sequential state. On eps-chains the two differ
+    * (dominance prunes a chain down to its priority-minimal
+    * endpoints; greedy can keep interior items); both are faithful
+    * "one representative per duplicate neighborhood" semantics, and
+    * the dominance form is the one that scales.
+    *
+    * Priority compares FROZEN integer micro-cosines (floor(c·1e6+½)),
+    * so the keep decision is engine- and layout-reproducible even
+    * where double rounding could flip an exact tie.
+    *
+    * Scale shape: k-means assignment is a scan-stage argmax against
+    * the broadcast packed-centroid array (zero assignment shuffle);
+    * the only shuffle is the intra-cell self-join keyed on cell_id.
+    * With nCells grown ∝ corpus (the paper runs 50k clusters for
+    * LAION), per-cell membership — and so per-task pair work — stays
+    * bounded; a runaway hot cell is a skewed shuffle join, which AQE
+    * skew-split handles (SURVEY §4.2).
+    *
+    * @return one row per input vector:
+    *         (vec_id, cell_id, cent_cos_micro, kept)
+    */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int,
+      eps: Double): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val packed = packedCells(cents)
+    val assigned = corpus
+      .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("cv"))
+      .crossJoin(broadcast(packed))
+      .select(col("vid"), col("cv"),
+        array_max(cellScores(col("cv"), col("cells"))).as("best"))
+      .select(col("vid"), col("cv"),
+        col("best").getField("cell_id").as("cell_id"),
+        floor(col("best").getField("cell_cos") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("cent_cos_micro"))
+      .persistTracked
+    val a = assigned.select(col("cell_id"), col("vid").as("id_a"),
+      col("cv").as("va"), col("cent_cos_micro").as("p_a"))
+    val b = assigned.select(col("cell_id"), col("vid").as("id_b"),
+      col("cv").as("vb"), col("cent_cos_micro").as("p_b"))
+    // dominated = has a strictly-better-priority eps-neighbor in the
+    // same cell; the cosine gate runs AFTER the cheap priority gate so
+    // only ordered intra-cell pairs pay the 64-dim dot product
+    val pruned = a.join(b, Seq("cell_id"))
+      .where(col("p_b") < col("p_a") ||
+        (col("p_b") === col("p_a") && col("id_b") < col("id_a")))
+      .where(cosine(col("va"), col("vb")) >= eps)
+      .select(col("id_a").as("vid")).distinct()
+    assigned
+      .join(pruned.withColumn("hit", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cell_id"), col("cent_cos_micro"),
+        not(coalesce(col("hit"), lit(false))).as("kept"))
+  }
+
+  /** Distributed kNN JOIN: top-k cosine neighbors from `corpus` for
+    * EVERY row of a LARGE query set — the retrieval shape of
+    * kNN-LM / RAG pretraining (Khandelwal et al. 2020; Borgeaud et
+    * al. 2022), where the "query set" is the training corpus itself
+    * and nothing fits in a broadcast.
+    *
+    * [[annTopKBruteForce]] and [[annIvfWithCentroids]] both hard-wire
+    * a broadcast of the small side; this operator is the third point
+    * in that design space: BOTH sides stay distributed. Corpus rows
+    * are assigned to their nearest IVF cell in the scan stage (argmax
+    * against the broadcast packed-centroid array — the only broadcast
+    * is the k·d centroid table, which is small by construction);
+    * queries explode to their nProbe nearest cells the same way; the
+    * candidate join is then a plain equi-join on cell_id, left to
+    * Catalyst/AQE — broadcast when one side happens to be small,
+    * shuffle hash/merge with skew-split when both are large. Per-query
+    * top-k is a window over query_id: millions of queries → millions
+    * of small partitions, no degenerate sort task.
+    *
+    * Recall follows the IVF geometry (measured by [[annRecallEval]]
+    * at the same nCells/nProbe point — every approximate channel in
+    * this repo ships with a number).
+    */
+  def knnJoinIvf(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      iters: Int): DataFrame = {
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val packed = packedCells(cents)
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .crossJoin(broadcast(packed))
+      .select(col("neighbor_id"), col("cv"),
+        nearestCell(col("cv"), col("cells")).as("cell_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .crossJoin(broadcast(packed))
+      .select(col("query_id"), col("qv"),
+        explode(slice(reverse(array_sort(cellScores(col("qv"), col("cells")))),
+          1, nProbe)).as("cell"))
+      .select(col("query_id"), col("qv"),
+        col("cell").getField("cell_id").as("cell_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // deliberately NOT broadcast(): the distributed-join path IS the
+    // operator; Catalyst downgrades to broadcast only when a side is
+    // genuinely small at runtime (AQE), which is the right call there
+    assigned.join(probes, Seq("cell_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wRank))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
 }

@@ -251,4 +251,75 @@ class SimilaritySpec extends SparkSpec {
     // the DuckDB oracle replay it
     assert(a == run(7), "trained-path recall not partition-invariant")
   }
+
+  // two clean clusters around the axis seeds (ids 1 and 2); iters=0
+  // keeps the seeds as centroids so every assignment and centroid
+  // cosine is hand-checkable
+  private val semVecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.9f, 0.1f, 0.0f)),
+    (4L, Array(0.95f, 0.05f, 0.0f)),
+    (5L, Array(0.0f, 0.9f, 0.1f)),
+    (6L, Array(0.0f, 0.1f, 0.9f))
+  ).toDF("vec_id", "embedding")
+
+  test("semDedup keeps the farthest-from-centroid member of each duplicate neighborhood") {
+    val out = Similarity.semDedup(semVecs, "vec_id", "embedding",
+      nCells = 2, iters = 0, eps = 0.99)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    // cell 1 = {1,3,4}, all pairwise ≥0.99: id3 has the lowest
+    // centroid-cosine (0.9938) so it is the keeper; 1 and 4 are
+    // dominated by it. cell 2 = {2,5,6}: 5 dominates 2 (cos 0.9938),
+    // 6 is nobody's eps-neighbor (cos ≤ 0.22) and keeps.
+    assert(out == Map(1L -> false, 2L -> false, 3L -> true,
+      4L -> false, 5L -> true, 6L -> true), s"kept map: $out")
+  }
+
+  test("semDedup keeps everything when eps exceeds every intra-cell cosine") {
+    val out = Similarity.semDedup(semVecs, "vec_id", "embedding",
+      nCells = 2, iters = 0, eps = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(out.values.forall(identity), s"kept map: $out")
+  }
+
+  test("semDedup kept set is partition-invariant") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def run(parts: Int) = Similarity.semDedup(emb.repartition(parts),
+      "vec_id", "embedding", nCells = 16, iters = 2, eps = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val a = run(2)
+    assert(a.exists(!_._3), "expected at least one pruned vector")
+    assert(a.count(_._3) > a.size / 2, "expected most vectors kept")
+    assert(a == run(7), "semDedup not partition-invariant")
+  }
+
+  test("knnJoinIvf probing all cells equals brute-force top-k") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") % 2 === 0)
+    val c = emb.where(col("vec_id") % 2 === 1)
+    val knn = Similarity.knnJoinIvf(q, c, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.annTopKBruteForce(q, c, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(knn == brute, "probe-all kNN join must be exact")
+  }
+
+  test("knnJoinIvf emits at most k ranked rows per query, every query present") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") % 2 === 0)
+    val c = emb.where(col("vec_id") % 2 === 1)
+    val rows = Similarity.knnJoinIvf(q, c, "vec_id", "embedding",
+      k = 3, nCells = 8, nProbe = 2, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == q.count(), "every query must retrieve something")
+    byQ.foreach { case (qid, rs) =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"ranks not dense for $qid: $ranks")
+      assert(ranks.size <= 3)
+    }
+  }
 }
