@@ -188,7 +188,9 @@ object Bench {
                 .MapHasAsScala(observedBuf).asScala
                 .map { case (k, v) => k -> v.longValue }.toMap
           }
-        } catch { case _: Throwable => () } // counts are best-effort extras
+        // counts are best-effort extras — but only NON-fatal failures
+        // are swallowed; a dying JVM (OOM) or an interrupt propagates
+        } catch { case scala.util.control.NonFatal(_) => () }
         finally {
           graft.operators.Caching.release()
           spark.catalog.clearCache()

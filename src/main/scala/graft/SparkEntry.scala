@@ -79,9 +79,12 @@ object SparkEntry {
                   FROM pr$s GROUP BY 1, 2),
          b$s AS (SELECT $s::BIGINT AS step, l, r, cnt FROM pc$s
                  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         seqs$s AS (SELECT replace(seq, chr(31) || b.l || chr(31) || b.r || chr(31),
-                      chr(31) || b.l || b.r || chr(31)) AS seq, freq
-                    FROM seqs${s - 1}, b$s b)"""
+         seqs$s AS (SELECT replace(seq,
+                      coalesce((SELECT chr(31) || l || chr(31) || r || chr(31)
+                                FROM b$s), chr(31)),
+                      coalesce((SELECT chr(31) || l || r || chr(31)
+                                FROM b$s), chr(31))) AS seq, freq
+                    FROM seqs${s - 1})"""
     }.mkString(",\n         ")
     s"""toks AS (SELECT unnest(list_filter(string_split(
            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -2990,11 +2993,16 @@ object SparkEntry {
     // same per-step delimiter replace applied to each DOCUMENT's words
     // (duplicates kept) instead of the aggregated vocabulary
     "bpe_encode" -> {
+      // absent merge rules (degenerate corpus) coalesce to the identity
+      // replace (chr(31) → chr(31)) — the engine's bpeEncode applies
+      // the same no-op default, so the two cannot disagree off-corpus
       val encCtes = (1 to bpeSteps).map { s =>
-        s"""enc$s AS (SELECT doc_id,
-               replace(seq, chr(31) || b.l || chr(31) || b.r || chr(31),
-                 chr(31) || b.l || b.r || chr(31)) AS seq
-             FROM enc${s - 1}, b$s b)"""
+        s"""enc$s AS (SELECT doc_id, replace(seq,
+               coalesce((SELECT chr(31) || l || chr(31) || r || chr(31)
+                         FROM b$s), chr(31)),
+               coalesce((SELECT chr(31) || l || r || chr(31)
+                         FROM b$s), chr(31))) AS seq
+             FROM enc${s - 1})"""
       }.mkString(",\n         ")
       s"""WITH $bpeTrainCtes,
          dtoks AS (SELECT doc_id, unnest(list_filter(string_split(

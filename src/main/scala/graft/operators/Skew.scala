@@ -86,8 +86,12 @@ object Skew {
     val withOff = offsets
       .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
       .select((strataCols.map(col) ++ Seq(col("__part"), col("__off"))): _*)
+    // rank stays LONG: past 2^31 rows in one stratum an int rank wraps
+    // negative and silently passes `<= k` filters — exactly the
+    // dominant-stratum scale this operator exists for (plain
+    // row_number shares the int cap; this path must not)
     local.join(broadcast(withOff), strataCols :+ "__part")
-      .withColumn(rankCol, (col("__lrn") + col("__off")).cast("int"))
+      .withColumn(rankCol, (col("__lrn").cast("long") + col("__off")))
       .drop("__part", "__lrn", "__off")
   }
 

@@ -456,13 +456,18 @@ object TextAnalysis {
       merges: DataFrame,
       steps: Int): DataFrame = {
     val sep = "\u001f"
-    // all K (from, to) replace pairs as one broadcast row
+    // all K (from, to) replace pairs as one broadcast row. A step the
+    // trainer never reached (degenerate corpus with < steps mergeable
+    // pairs) coalesces to the no-op pair (sep → sep): replace(x, ␟, ␟)
+    // is the identity, so absent rules are identity replaces instead
+    // of NULLing the encoded word (the oracle replays the same
+    // coalesce as a scalar-subquery default).
     val agg = (1 to steps).flatMap { s =>
       Seq(
-        max(when(col("step") === s, concat(lit(sep), col("sym_left"), lit(sep),
-          col("sym_right"), lit(sep)))).as(s"f$s"),
-        max(when(col("step") === s, concat(lit(sep), col("sym_left"),
-          col("sym_right"), lit(sep)))).as(s"t$s"))
+        coalesce(max(when(col("step") === s, concat(lit(sep), col("sym_left"),
+          lit(sep), col("sym_right"), lit(sep)))), lit(sep)).as(s"f$s"),
+        coalesce(max(when(col("step") === s, concat(lit(sep), col("sym_left"),
+          col("sym_right"), lit(sep)))), lit(sep)).as(s"t$s"))
     }
     val rules = merges.agg(agg.head, agg.tail: _*)
     val words = df.select(col(idCol),
@@ -572,11 +577,19 @@ object TextAnalysis {
         .limit(1)
         .select(lit(step.toLong).as("step"), col("l"), col("r"), col("cnt"))
         .persistTracked
-      val merged = cur.crossJoin(broadcast(best))
-        .select(call_function("replace", col("seq"),
-          concat(lit(sep), col("l"), lit(sep), col("r"), lit(sep)),
-          concat(lit(sep), col("l"), col("r"), lit(sep))).as("seq"),
-          col("freq"))
+      // one-row (from, to) rule even when `best` is EMPTY (degenerate
+      // corpus with no mergeable pair left): agg-over-empty yields one
+      // NULL row, coalesced to the identity pair (sep → sep), so the
+      // fold carries the word table through untouched instead of
+      // collapsing every later state (and bpe_vocab) to zero rows
+      val rule = best.agg(
+        coalesce(max(concat(lit(sep), col("l"), lit(sep), col("r"), lit(sep))),
+          lit(sep)).as("pfrom"),
+        coalesce(max(concat(lit(sep), col("l"), col("r"), lit(sep))),
+          lit(sep)).as("pto"))
+      val merged = cur.crossJoin(broadcast(rule))
+        .select(call_function("replace", col("seq"), col("pfrom"), col("pto"))
+          .as("seq"), col("freq"))
         .persistTracked
       (merged, acc :+ best)
     }

@@ -158,14 +158,20 @@ object Warc {
       StructField("content_length", LongType), StructField("text", StringType)))
     built.mapPartitions { it =>
       it.flatMap { r =>
-        parse(r.getAs[Array[Byte]](0)).map { rec =>
+        parse(r.getAs[Array[Byte]](0)).flatMap { rec =>
           // group and id ride in dedicated headers; the payload text is
           // what the parser recovered from raw bytes, graded against
-          // the source
-          val id = rec.headers.getOrElse("WARC-Record-ID", "")
-            .stripPrefix("<urn:graft:").stripSuffix(">").toLong
-          Row(id, rec.headers.getOrElse("X-Warc-Group", ""), rec.contentLength,
-            new String(rec.payload, UTF_8))
+          // the source. The id parse is LENIENT like the rest of the
+          // walker (Content-Length already is): a record whose header
+          // block parses but whose WARC-Record-ID is missing/damaged
+          // is DROPPED, never allowed to throw and fail the task —
+          // stops-never-throws is the container-parser contract.
+          rec.headers.getOrElse("WARC-Record-ID", "")
+            .stripPrefix("<urn:graft:").stripSuffix(">").toLongOption
+            .map { id =>
+              Row(id, rec.headers.getOrElse("X-Warc-Group", ""),
+                rec.contentLength, new String(rec.payload, UTF_8))
+            }
         }
       }
     }(org.apache.spark.sql.Encoders.row(outType))

@@ -133,10 +133,10 @@ class CurationSpec extends SparkSpec {
       (i.toLong, rnd.alphanumeric.take(12).mkString, "only-block")
     }.toDF("doc_id", "pref", "blk")
     val ranked = Curation.blockRank(rows, Seq("blk"), "doc_id")
-    val got = ranked.select("doc_id", "rn").as[(Long, Int)].collect().toMap
+    val got = ranked.select("doc_id", "rn").as[(Long, Long)].collect().toMap
     val want = rows.select("doc_id", "pref").as[(Long, String)].collect()
       .sortBy { case (id, pref) => (pref, id) }
-      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
     assert(got == want, "blockRank diverged from the window-rank contract")
     // bounded per-task work: the single block's rows occupy >1 range
     // partition (the local-rank sort never sees the whole block)

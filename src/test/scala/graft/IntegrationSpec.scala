@@ -208,4 +208,33 @@ class IntegrationSpec extends SparkSpec {
     // ab=[ab] 1, baa=[b,aa] 2.
     assert(enc.toSeq == Seq((1L, 3L, 3L), (2L, 2L, 3L)), s"got ${enc.toSeq}")
   }
+
+  test("BPE degenerate corpus: fewer mergeable pairs than steps is lossless, never NULL/empty") {
+    import spark.implicits._
+    // single-char words: ZERO mergeable pairs exist, so all 3 steps
+    // are absent — encode must fall back to identity replaces (not
+    // NULL the encoded word) and vocab must keep the untouched symbols
+    val docs = Seq((1L, "a b a"), (2L, "b")).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeTrainSteps(docs, "text", 3)
+    assert(merges.count() == 0, "no merges should be learnable")
+    val enc = graft.operators.TextAnalysis
+      .bpeEncode(docs, "doc_id", "text", merges, 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq == Seq((1L, 3L, 3L), (2L, 1L, 1L)), s"got ${enc.toSeq}")
+    val vocab = graft.operators.TextAnalysis.bpeVocab(docs, "text", 3)
+      .orderBy("symbol").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // word table: "a" freq 2, "b" freq 2 — each symbol in ONE word form
+    assert(vocab.toSeq == Seq(("a", 2L, 1L), ("b", 2L, 1L)), s"got ${vocab.toSeq}")
+    // one learnable pair, three requested steps: step 1 merges, the
+    // absent steps 2-3 are identity
+    val docs2 = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val m2 = graft.operators.TextAnalysis.bpeTrainSteps(docs2, "text", 3)
+    assert(m2.count() == 1)
+    val enc2 = graft.operators.TextAnalysis
+      .bpeEncode(docs2, "doc_id", "text", m2, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc2.toSeq == Seq((1L, 2L, 2L)), s"got ${enc2.toSeq}")
+  }
 }
