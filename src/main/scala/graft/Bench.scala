@@ -125,7 +125,15 @@ object Bench {
         val qBusy0 = totalBusyJiffies(); val qSelf0 = selfJiffies()
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          // noop WRITE, not count(): a count-star lets the optimizer
+          // prune count-irrelevant subtrees — semdedup_prune's entire
+          // dominance join vanished under count() (left join with a
+          // provably-unique right side preserves cardinality), so the
+          // timing measured assignment only, 3.4× under the real query.
+          // The noop sink materializes every output column (the same
+          // action Pipeline.consume runs), so the timed plan is the
+          // plan a real sink pays, minus I/O.
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             if (!errors.contains(name))
               errors(name) = (e.getClass.getSimpleName + ": " +
@@ -180,7 +188,9 @@ object Bench {
             case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics => c
           }.nonEmpty
           if (hasObs) {
-            df.count()
+            // noop write, not count(): count-star pruning can remove
+            // the CollectMetrics subtree itself (semdedup_prune)
+            df.write.format("noop").mode("overwrite").save()
             org.apache.spark.GraftListenerBridge
               .waitListenerBusEmpty(spark.sparkContext, 10000)
             if (!observedBuf.isEmpty)

