@@ -744,6 +744,35 @@ object SparkEntry {
     // ever broadcast. Parity split stands in for train-vs-retrieval
     // corpora of the SAME order of magnitude (what the broadcast
     // operators can't do).
+    // measured fidelity of semDedup's order-independent DOMINANCE keep
+    // rule vs the paper's SEQUENTIAL GREEDY scan at the same deployed
+    // point — the two differ on eps-chains by design; this puts exact
+    // integer numbers on the divergence (per cell: items, kept by
+    // each rule, kept by both). Greedy runs as a row-local fold over
+    // each cell's sorted member array — bounded because cellsPlan
+    // bounds expected cell size at ANY corpus size
+    "semdedup_fidelity_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDedupFidelityEval(emb, "vec_id", "embedding",
+        nCells = Similarity.cellsPlan(emb.count(), 64), iters = 2, eps = 0.4)
+    }),
+
+    // measured recall@3 of the BOTH-SIDES-DISTRIBUTED kNN join at its
+    // deployed (cellsPlan cells, 2 probes) point vs brute-force truth
+    // — the distributed path carries its own number instead of
+    // borrowing ann_recall_eval's broadcast-path figure; query side
+    // sampled to an absolute ~256 bound (the lshRecallEval rule,
+    // modulus replayed by the oracle from its own count)
+    "knn_recall_eval" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") % 2 === 1)
+      Similarity.knnJoinRecallEval(
+        emb.where(col("vec_id") % 2 === 0), corpus,
+        "vec_id", "embedding", k = 3,
+        nCells = Similarity.cellsPlan(corpus.count(), 64), nProbe = 2,
+        iters = 2, sampleMod = 1)
+    }),
+
     // nCells follows the CORPUS side's count via cellsPlan (expected
     // cell ≤ 64 rows at ANY n): candidates ≈ nQueries·nProbe·64,
     // linear, where a fixed count is quadratic under growth
@@ -3735,6 +3764,50 @@ object SparkEntry {
              AND ${duckCos("a.ce", "b.ce")} >= 0.4) AS kept
          FROM pm a""",
 
+    // greedy fold note: the reduce lambda ALWAYS returns
+    // list_concat(gacc, ...) — returning gacc unchanged from a CASE
+    // branch corrupts the accumulator in DuckDB 1.0.0 (verified:
+    // [[1],[2],[3],[4]] with a "prune consecutive" rule yields [3]
+    // instead of [1,3] when the prune branch returns gacc directly);
+    // the kept set accumulates POSITIONS (plain BIGINT[]) for the
+    // same reason — struct-typed accumulators corrupt too
+    "semdedup_fidelity_eval" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         c AS (SELECT vec_id AS nid, e AS ce FROM v),
+         ${duckKmeansDyn(iters = 2, ncells = duckCellsPlan(64))},
+         pm AS (SELECT nid, ce, cell_id,
+                  CAST(floor(cent_cos * 1000000 + 0.5) AS BIGINT) AS p
+                FROM fasg),
+         dom AS (SELECT a.nid, a.cell_id,
+             NOT EXISTS (SELECT 1 FROM pm b WHERE b.cell_id = a.cell_id
+               AND (b.p < a.p OR (b.p = a.p AND b.nid < a.nid))
+               AND ${duckCos("a.ce", "b.ce")} >= 0.4) AS kept_dom
+           FROM pm a),
+         cells AS (SELECT cell_id,
+             list(struct_pack(p := p, vid := nid, cv := ce) ORDER BY p, nid)
+               AS items
+           FROM pm GROUP BY cell_id),
+         gk AS (SELECT cell_id, list_transform(
+             list_reduce(
+               list_prepend([]::BIGINT[],
+                 list_transform(generate_series(1, len(items)), j -> [j])),
+               (gacc, gx) -> list_concat(gacc,
+                 CASE WHEN len(list_filter(gacc, kk ->
+                     ${duckCos("items[kk].cv", "items[gx[1]].cv")} >= 0.4)) > 0
+                 THEN []::BIGINT[] ELSE gx END)),
+             kp -> items[kp].vid) AS kept_ids
+           FROM cells),
+         greedy AS (SELECT cell_id, unnest(kept_ids) AS nid FROM gk)
+         SELECT dom.cell_id, count(*)::BIGINT AS n_items,
+           sum(CASE WHEN kept_dom THEN 1 ELSE 0 END)::BIGINT AS n_kept_dom,
+           sum(CASE WHEN g.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_kept_greedy,
+           sum(CASE WHEN kept_dom AND g.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_kept_both
+         FROM dom LEFT JOIN greedy g
+           ON dom.cell_id = g.cell_id AND dom.nid = g.nid
+         GROUP BY dom.cell_id""",
+
     "knn_join_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          c AS (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
@@ -3753,6 +3826,41 @@ object SparkEntry {
                    ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
          SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
          FROM r WHERE rank <= 3""",
+
+    "knn_recall_eval" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         c AS (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
+         qall AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
+         qpar AS (SELECT greatest(1, (count(*) + 255) // 256) AS md FROM qall),
+         q AS (SELECT query_id, qe FROM qall
+               WHERE query_id % (SELECT md FROM qpar) = 0),
+         ${duckKmeansDyn(iters = 2, ncells = duckCellsPlan(64))},
+         pr AS (SELECT query_id, qe, cell_id FROM (
+               SELECT q.query_id, q.qe, p.cell_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${duckCos("q.qe", "p.cte")} DESC, p.cell_id) AS rn
+               FROM q, ct2 p) WHERE rn <= 2),
+         cand AS (SELECT pr.query_id, fasg.nid AS neighbor_id,
+                 ${duckCos("pr.qe", "fasg.ce")} AS cosine
+               FROM fasg JOIN pr USING (cell_id)),
+         ivf AS (SELECT query_id, neighbor_id FROM (
+               SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
+             WHERE rank <= 3),
+         tr AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.query_id, c.nid AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${duckCos("q.qe", "c.ce")} DESC, c.nid) AS rank
+               FROM q, c) WHERE rank <= 3),
+         nh AS (SELECT tr.query_id, count(*) AS n_hit
+               FROM tr JOIN ivf USING (query_id, neighbor_id) GROUP BY 1),
+         nt AS (SELECT query_id, count(*) AS n_truth FROM tr GROUP BY 1)
+         SELECT nt.query_id, n_truth::BIGINT AS n_truth,
+           coalesce(n_hit, 0)::BIGINT AS n_hit,
+           floor(coalesce(n_hit, 0)::DOUBLE / n_truth::DOUBLE * 10000 + 0.5) / 10000
+             AS recall
+         FROM nt LEFT JOIN nh USING (query_id)""",
 
     "ann_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

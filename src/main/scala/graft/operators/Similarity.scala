@@ -864,6 +864,56 @@ object Similarity {
           * 10000 + lit(0.5)) / 10000).as("recall"))
   }
 
+  /** Measured recall@k of the BOTH-SIDES-DISTRIBUTED kNN join
+    * ([[knnJoinIvf]]) at its deployed (nCells, nProbe) point vs
+    * brute-force truth — the retrieval twin of [[annRecallEval]]
+    * (which measures the broadcast IVF path): every approximate
+    * channel in this repo ships with its own number, and the
+    * distributed path must not borrow the broadcast path's.
+    *
+    * Scale shape: the query side is sampled to an ABSOLUTE bound
+    * (~256 queries — the effective modulus grows with the query
+    * count, `sampleMod` is a floor; the lshRecallEval rule), so the
+    * brute-force truth is O(256 · corpus) — linear in the corpus —
+    * while the measured channel still runs the deployed knnJoinIvf
+    * geometry (corpus-count cells, same probes, same centroids).
+    * The oracle replays the sampling modulus from its own count, so
+    * the two engines grade the identical query set.
+    *
+    * @return one row per sampled query: (query_id, n_truth, n_hit,
+    *         recall) — exact integer hit counts, recall rounded to
+    *         4 decimals half-up.
+    */
+  def knnJoinRecallEval(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      iters: Int,
+      sampleMod: Int): DataFrame = {
+    val nQ = queries.count()
+    val mod = math.max(sampleMod.toLong, (nQ + 255) / 256).toInt
+    val qs = queries.where(pmod(col(idCol), lit(mod.toLong)) === 0)
+    val truth = annTopKBruteForce(qs, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persistTracked
+    val ivf = knnJoinIvf(qs, corpus, idCol, vecCol, k, nCells, nProbe, iters)
+      .select(col("query_id").as("iq"), col("neighbor_id").as("in_"))
+    val hits = truth
+      .join(ivf, col("query_id") === col("iq") && col("neighbor_id") === col("in_"),
+        "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("query_id"), col("n_truth"), col("n_hit"),
+        (floor(col("n_hit").cast("double") / col("n_truth").cast("double")
+          * 10000 + lit(0.5)) / 10000).as("recall"))
+  }
+
   def annIvf(
       queries: DataFrame,
       corpus: DataFrame,
@@ -920,16 +970,21 @@ object Similarity {
     * @return one row per input vector:
     *         (vec_id, cell_id, cent_cos_micro, kept)
     */
-  def semDedup(
+  /** Shared SemDeDup-family assignment: every corpus vector with its
+    * nearest-cell id and frozen integer micro-cosine keep-priority —
+    * scan-stage argmax against the broadcast packed centroids, the
+    * zero-shuffle step [[semDedup]] and [[semDedupFidelityEval]]
+    * both build on.
+    */
+  private def semDedupAssigned(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nCells: Int,
-      iters: Int,
-      eps: Double): DataFrame = {
+      iters: Int): DataFrame = {
     val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
     val packed = packedCells(cents)
-    val assigned = corpus
+    corpus
       .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("cv"))
       .crossJoin(broadcast(packed))
       .select(col("vid"), col("cv"),
@@ -939,6 +994,12 @@ object Similarity {
         floor(col("best").getField("cell_cos") * lit(1000000.0) + lit(0.5))
           .cast("long").as("cent_cos_micro"))
       .persistTracked
+  }
+
+  /** Dominance-pruned ids over a [[semDedupAssigned]] table: vids with
+    * SOME strictly-better-priority ≥-eps cluster-mate.
+    */
+  private def dominancePruned(assigned: DataFrame, eps: Double): DataFrame = {
     val a = assigned.select(col("cell_id"), col("vid").as("id_a"),
       col("cv").as("va"), col("cent_cos_micro").as("p_a"))
     val b = assigned.select(col("cell_id"), col("vid").as("id_b"),
@@ -949,17 +1010,98 @@ object Similarity {
     // Opt-in observe() counts the ordered intra-cell pairs — the
     // quantity cellsPlan keeps LINEAR in n (≈ n·targetCellRows/2) —
     // so the scaling chain records it as evidence, not inference.
-    val pruned = LshObserve.counted(
+    LshObserve.counted(
       a.join(b, Seq("cell_id"))
         .where(col("p_b") < col("p_a") ||
           (col("p_b") === col("p_a") && col("id_b") < col("id_a"))),
       "semdedup_pairs")
       .where(cosine(col("va"), col("vb")) >= eps)
       .select(col("id_a").as("vid")).distinct()
+  }
+
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int,
+      eps: Double): DataFrame = {
+    val assigned = semDedupAssigned(corpus, idCol, vecCol, nCells, iters)
+    val pruned = dominancePruned(assigned, eps)
     assigned
-      .join(pruned.withColumn("hit", lit(true)).hint("shuffle_hash"), Seq("vid"), "left")
+      .join(pruned.withColumn("hit", lit(true)), Seq("vid"), "left")
       .select(col("vid").as("vec_id"), col("cell_id"), col("cent_cos_micro"),
         not(coalesce(col("hit"), lit(false))).as("kept"))
+  }
+
+  /** Measured fidelity of [[semDedup]]'s order-independent DOMINANCE
+    * keep rule against the paper's SEQUENTIAL GREEDY scan — the two
+    * deliberately differ on eps-chains (dominance prunes a chain to
+    * its priority-minimal endpoints; greedy can keep interior items),
+    * and this harness puts a number on that divergence instead of
+    * asserting it away (the repo rule: every approximate or
+    * semantics-variant channel ships with a measurement).
+    *
+    * Greedy reference: per cell, visit items in keep-priority order
+    * (centroid-cosine micro-units asc, id asc — the paper's
+    * keep-farthest-from-centroid rule with a deterministic
+    * tie-break); keep an item iff NO ALREADY-KEPT item is ≥-eps
+    * similar. That scan is inherently sequential per cell, so it runs
+    * as a row-local fold over the cell's sorted member array —
+    * BOUNDED because [[cellsPlan]] bounds expected cell size at ANY
+    * corpus size (the same argument that bounds the dominance join's
+    * pair work): per-task state is one ≤~targetCellRows-element
+    * array, not a corpus-scale structure. The oracle replays the
+    * identical fold (same visit order, same index-order cosine), so
+    * even WHICH items the two rules disagree on is hash-pinned.
+    *
+    * @return one row per cell: (cell_id, n_items, n_kept_dom,
+    *         n_kept_greedy, n_kept_both) — exact integer counts;
+    *         corpus-level overlap is their sum.
+    */
+  def semDedupFidelityEval(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int,
+      eps: Double): DataFrame = {
+    val assigned = semDedupAssigned(corpus, idCol, vecCol, nCells, iters)
+    val pruned = dominancePruned(assigned, eps)
+    val dom = assigned
+      .join(pruned.withColumn("hit", lit(true)), Seq("vid"), "left")
+      .select(col("vid"), col("cell_id"),
+        not(coalesce(col("hit"), lit(false))).as("kept_dom"))
+    // per-cell sorted member arrays: (priority, vid, vector), total
+    // order on (p, vid) — the greedy visit order
+    val cells = assigned
+      .groupBy(col("cell_id"))
+      .agg(sort_array(collect_list(struct(
+        col("cent_cos_micro").as("p"), col("vid"), col("cv")))).as("items"))
+    // greedy fold: slice(items,1,0) is the EMPTY kept-array with the
+    // right element type; an item joins the kept set iff no kept item
+    // is >= eps-similar to it
+    val keptArr = aggregate(
+      col("items"),
+      slice(col("items"), 1, 0),
+      (acc, x) => when(
+        exists(acc, kk =>
+          cosine(kk.getField("cv"), x.getField("cv")) >= lit(eps)),
+        acc).otherwise(concat(acc, array(x))))
+    val greedy = cells
+      .select(col("cell_id"),
+        explode(transform(keptArr, kk => kk.getField("vid"))).as("vid"))
+      .withColumn("kept_greedy", lit(true))
+    dom.join(greedy, Seq("cell_id", "vid"), "left")
+      .withColumn("kept_greedy", coalesce(col("kept_greedy"), lit(false)))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("kept_dom"), 1L).otherwise(0L)).as("n_kept_dom"),
+        sum(when(col("kept_greedy"), 1L).otherwise(0L)).as("n_kept_greedy"),
+        sum(when(col("kept_dom") && col("kept_greedy"), 1L).otherwise(0L))
+          .as("n_kept_both"))
+      .select(col("cell_id").cast("long").as("cell_id"), col("n_items"),
+        col("n_kept_dom"), col("n_kept_greedy"), col("n_kept_both"))
   }
 
   /** Distributed kNN JOIN: top-k cosine neighbors from `corpus` for

@@ -311,6 +311,53 @@ class SimilaritySpec extends SparkSpec {
     assert(a == run(7), "semDedup not partition-invariant")
   }
 
+  test("semDedupFidelityEval detects dominance-vs-greedy divergence on an eps-chain") {
+    import spark.implicits._
+    // one cell, an eps-chain v1–v2–v3 (unit vectors at 0°, 50°, 100°,
+    // eps = 0.5 = cos 60°: cos(v1,v2) = cos(v2,v3) = 0.643 ≥ eps,
+    // cos(v1,v3) = −0.174 < eps) plus a 295°–310° mass that drags the
+    // centroid so the chain MIDDLE (v2) outranks the endpoint v1.
+    // Visit order by (priority, id): 3, 2, 4, 5, 6, 7, 1.
+    // GREEDY: keeps 3; prunes 2 (vs 3); keeps 4; prunes 5,6,7 (vs 4);
+    //   keeps 1 (its only eps-neighbor 2 was itself pruned) → {3,4,1}.
+    // DOMINANCE: prunes 1 too (better-priority 2 is an eps-neighbor,
+    //   kept or not) → {3,4}. The divergence the harness must measure.
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val emb = Seq(
+      (1L, v(0)), (2L, v(50)), (3L, v(100)),
+      (4L, v(295)), (5L, v(300)), (6L, v(305)), (7L, v(310))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupFidelityEval(emb, "vec_id", "embedding",
+      nCells = 1, iters = 2, eps = 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((7L, 2L, 3L, 2L)),
+      s"(n_items, dom, greedy, both): ${out.toSeq}")
+    // and the dominance channel must agree with semDedup itself
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding",
+      nCells = 1, iters = 2, eps = 0.5)
+      .where(col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"semDedup kept: $kept")
+  }
+
+  test("knnJoinRecallEval: probing all cells yields recall 1.0, deployed point below") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.where(col("vec_id") % 2 === 0)
+    val corpus = emb.where(col("vec_id") % 2 === 1)
+    val full = Similarity.knnJoinRecallEval(queries, corpus, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 4, iters = 2, sampleMod = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(full.nonEmpty)
+    assert(full.forall { case (_, t, h, rec) => t == 3L && h == 3L && rec == 1.0 },
+      s"full-probe recall must be exact: ${full.filterNot(_._4 == 1.0).take(3).toSeq}")
+    val partial = Similarity.knnJoinRecallEval(queries, corpus, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 1, iters = 2, sampleMod = 8)
+      .collect().map(r => (r.getLong(2), r.getLong(1)))
+    val recall = partial.map(_._1).sum.toDouble / partial.map(_._2).sum
+    assert(recall < 1.0 && recall > 0.0,
+      s"1-of-4-probe recall should be measured strictly between 0 and 1: $recall")
+  }
+
   test("knnJoinIvf probing all cells equals brute-force top-k") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.where(col("vec_id") % 2 === 0)
