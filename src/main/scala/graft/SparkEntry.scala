@@ -1015,6 +1015,18 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "wav")),
 
+    // REAL FLAC round trip — the lossless entropy-coded audio tier
+    // (Rice-coded fixed/LPC prediction, CRC-8/16 + MD5 verified):
+    // construct side covers all four stereo assignments, fixed and
+    // LPC predictors, and partition orders 0-2 per id; samples are
+    // the same closed form as multimodal_wav_decode so the oracle is
+    // byte-for-byte the WAV one — lossless coding is the claim
+    "multimodal_flac_decode" -> ((s, dir) =>
+      Multimodal.audioStats(
+        Multimodal.syntheticFlacAudio(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "doc_id", "flac", codec = "flac")),
+
     // ---- §2b: PII scan / semi-structured / temporal -----------------
     "text_pii" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -4243,6 +4255,25 @@ object SparkEntry {
            sum(v0 * (81 * b + 45))::BIGINT AS c0_wsum,
            (CASE WHEN doc_id % 2 = 1 THEN sum(v1 * (81 * b + 45)) ELSE 0 END)::BIGINT AS c1_wsum
          FROM v GROUP BY doc_id""",
+
+    // lossless claim: the FLAC oracle IS the WAV oracle (same closed-
+    // form samples, same frames/channels formulas) — the decode must
+    // recover the identical integers through the entropy coding
+    "multimodal_flac_decode" ->
+      """SELECT doc_id,
+         (1 + doc_id % 2)::BIGINT AS channels,
+         8000::BIGINT AS sample_rate,
+         (40 + doc_id % 60)::BIGINT AS n_frames,
+         list_sum(list_transform(fr, s -> (doc_id + 7*s) % 65536 - 32768))::BIGINT AS c0_sum,
+         (CASE WHEN doc_id % 2 = 1
+            THEN list_sum(list_transform(fr, s -> (doc_id + 7*s + 3) % 65536 - 32768))
+            ELSE 0 END)::BIGINT AS c1_sum,
+         list_sum(list_transform(fr, s -> (s + 1) * ((doc_id + 7*s) % 65536 - 32768)))::BIGINT AS c0_wsum,
+         (CASE WHEN doc_id % 2 = 1
+            THEN list_sum(list_transform(fr, s -> (s + 1) * ((doc_id + 7*s + 3) % 65536 - 32768)))
+            ELSE 0 END)::BIGINT AS c1_wsum
+         FROM (SELECT doc_id, generate_series(0, 40 + doc_id % 60 - 1) AS fr
+               FROM documents)""",
 
     "multimodal_wav_decode" ->
       """SELECT doc_id,

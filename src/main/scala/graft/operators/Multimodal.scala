@@ -1144,13 +1144,56 @@ object Multimodal {
     }(enc)
   }
 
+  /** Construct per-row synthetic FLAC clips from an id column — the
+    * SAME deterministic samples and frames/channels formulas as
+    * [[syntheticAudio]] (so the oracle is the same closed form), but
+    * entropy-coded through the real FLAC encoder with per-id coverage
+    * of the decode surface: all four stereo channel assignments, the
+    * fixed and LPC predictor paths, and Rice partition orders 0-2
+    * (blockSize 64 → multi-frame clips with a short final frame, so
+    * the 8-bit block-size-follows header path runs on every row).
+    */
+  def syntheticFlacAudio(df: DataFrame, idCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("flac", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        val nFrames = (40 + id % 60).toInt
+        val channels = (1 + id % 2).toInt
+        val samples = new Array[Int](nFrames * channels)
+        var s = 0
+        while (s < nFrames) {
+          var c = 0
+          while (c < channels) {
+            samples(s * channels + c) = syntheticSample(id, s, c); c += 1
+          }
+          s += 1
+        }
+        val stereoMode = (id % 4) match {
+          case 0 => "independent"
+          case 1 => "mid_side"
+          case 2 => "left_side"
+          case _ => "right_side"
+        }
+        Row(r.get(idIdx), Flac.encodeFlac(samples, channels, 8000,
+          blockSize = 64, stereoMode = stereoMode,
+          predictor = if (id % 3 == 0) "lpc" else "fixed",
+          partitionOrder = (id % 3).toInt))
+      }
+    }(enc)
+  }
+
   /** Full-decode audio statistics: per clip the exact-integer plain and
     * position-weighted per-channel sums over the first two channels
     * (mono clips report zeros for channel 1), same order-sensitivity
     * rationale as [[pixelStats]]. Undecodable payloads emit zeros with
     * channels = 0.
     */
-  def audioStats(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+  def audioStats(df: DataFrame, idCol: String, binCol: String,
+      codec: String = "wav"): DataFrame = {
     val idField = df.schema(idCol)
     val idIdx = df.schema.fieldIndex(idCol)
     val binIdx = df.schema.fieldIndex(binCol)
@@ -1162,9 +1205,14 @@ object Multimodal {
       StructField("c0_sum", LongType), StructField("c1_sum", LongType),
       StructField("c0_wsum", LongType), StructField("c1_wsum", LongType)))
     val enc = org.apache.spark.sql.Encoders.row(outType)
+    val decode: Array[Byte] => Option[DecodedAudio] = codec match {
+      case "wav"  => decodeWav
+      case "flac" => Flac.decodeFlac
+      case other  => throw new IllegalArgumentException(s"codec $other")
+    }
     df.mapPartitions { it =>
       it.map { r =>
-        decodeWav(r.getAs[Array[Byte]](binIdx)) match {
+        decode(r.getAs[Array[Byte]](binIdx)) match {
           case Some(a) =>
             val frames = a.samples.length / a.channels
             val sums = new Array[Long](2); val wsums = new Array[Long](2)
