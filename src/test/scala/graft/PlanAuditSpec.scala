@@ -399,6 +399,46 @@ class PlanAuditSpec extends SparkSpec {
       s"offsets table not broadcast back:\n$p")
   }
 
+  test("knn_join_ivf: candidate join is an unhinted EQUI join on cell_id — never nested-loop") {
+    // the both-sides-distributed retrieval path: the only nested-loop
+    // joins allowed are the 1-row packed-centroid broadcasts
+    // (crossJoin(broadcast(1-row agg)) — Cross BuildRight by
+    // construction); the candidate meet on cell_id must plan as a
+    // hash/sort-merge equi-join Catalyst/AQE is free to re-plan
+    val p = plan("knn_join_ivf")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell_id""".r
+      .findFirstIn(p).isDefined, s"no equi-join on cell_id:\n$p")
+    val bnlj = """BroadcastNestedLoopJoin[^\n]*""".r.findAllIn(p).toSeq
+    assert(bnlj.forall(l => l.contains("BuildRight") && l.contains("Cross")),
+      s"nested loop beyond the packed-centroid broadcasts:\n$p")
+    // exactly one window: the per-query rank — assignment and probing
+    // must stay windowless (scan-stage argmax / sort+slice)
+    val q = SparkEntry.queries("knn_join_ivf")(spark, sfDir)
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1 && windows.head.partitionSpec.nonEmpty,
+      s"expected exactly the query_id rank window, got ${windows.size}")
+  }
+
+  test("semdedup_prune: broadcast assignment, equi dominance join, windowless") {
+    val p = plan("semdedup_prune")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // dominance pairs meet on cell_id as an equi-join
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell_id""".r
+      .findFirstIn(p).isDefined, s"no equi-join on cell_id:\n$p")
+    val bnlj = """BroadcastNestedLoopJoin[^\n]*""".r.findAllIn(p).toSeq
+    assert(bnlj.forall(l => l.contains("BuildRight") && l.contains("Cross")),
+      s"nested loop beyond the packed-centroid broadcasts:\n$p")
+    // the paper's keep rule needs NO window at all in the dominance form
+    val q = SparkEntry.queries("semdedup_prune")(spark, sfDir)
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, s"semdedup must be windowless, got ${windows.size}")
+  }
+
   test("round-4 joins: boilerplate broadcast probe, q7/q10 shapes") {
     val bp = plan("boilerplate_score")
     assert(bp.contains("BroadcastHashJoin"), s"frequent-set probe not broadcast:\n$bp")
