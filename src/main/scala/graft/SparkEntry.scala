@@ -3008,7 +3008,7 @@ object SparkEntry {
 
     "span_corrupt" -> {
       def mk(off: Int) =
-        s"((((doc_id * 1000003 + i - $off) * 48271 + 11) % 2147483647) % 1000) < 150"
+        s"(((((doc_id * 1000003 + i - $off) % 2147483647) * 48271 + 11) % 2147483647) % 1000) < 150"
       s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
                AS toks FROM documents),
          m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,

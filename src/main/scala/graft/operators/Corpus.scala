@@ -977,10 +977,15 @@ object Corpus {
       seed: Long = 11L): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val id = col(idCol).cast("long")
-    // masked(i) for 0-based i — i arrives 1-based from sequence()
+    // masked(i) for 0-based i — i arrives 1-based from sequence().
+    // The (doc, position) mix is reduced mod 2³¹−1 BEFORE the ×48271
+    // step: unreduced, id·1000003·48271 overflows Long once doc ids
+    // pass ~1.9e8 (our id stride reaches that at sf≈2), and ANSI mode
+    // turns the wrap into a task-killing ARITHMETIC_OVERFLOW. After
+    // the reduction the max intermediate is (2³¹−2)·48271 ≈ 1.0e14.
     def masked(i: Column): Column =
-      pmod(pmod((id * lit(1000003L) + i - 1) * lit(48271L) + lit(seed),
-        lit(2147483647L)), lit(1000L)) < lit(permille.toLong)
+      pmod(pmod(pmod(id * lit(1000003L) + i - 1, lit(2147483647L)) * lit(48271L)
+        + lit(seed), lit(2147483647L)), lit(1000L)) < lit(permille.toLong)
     val n = size(toks)
     // per index: (token, masked, runStart) — runStart when masked and
     // the previous position is not. The 1..n index list is filtered

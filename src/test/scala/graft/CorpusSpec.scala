@@ -460,6 +460,18 @@ class CorpusSpec extends SparkSpec {
     assert(rows(2).getLong(1) == 3L)
   }
 
+  test("spanCorrupt: sf3-scale doc ids do not overflow the position hash") {
+    import spark.implicits._
+    // Regression: unreduced, id·1000003·48271 exceeds Long once doc
+    // ids pass ~1.9e8 (the sf3 id stride reaches 2.9e8) and ANSI mode
+    // failed the whole graded query with ARITHMETIC_OVERFLOW
+    val rows = Corpus.spanCorrupt(
+      Seq((290000007L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text").collect()
+    assert(rows.length == 1 && rows(0).getLong(1) == 8L)
+  }
+
   test("spanCorrupt: splicing targets back into sentinels reconstructs the doc") {
     val out = Corpus.spanCorrupt(docs.limit(50), "doc_id", "text").collect()
     val orig = docs.limit(50).collect()
