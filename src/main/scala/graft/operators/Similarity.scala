@@ -763,16 +763,22 @@ object Similarity {
             .otherwise(array(
               struct(lit(0).as("child"), col("c0").as("ctv")),
               struct(lit(1).as("child"), col("c1").as("ctv")))).as("kids"))
-        .localCheckpoint()
-      // the checkpoint job above materialized this level's `a`; the
-      // previous level's cache is now dead weight
-      if (prevA != null) { prevA.unpersist(false); () }
-      prevA = a
       var j = 0
       while (j < iters) {
-        kids = packKids(frozenKidMeans(assignKids(a, kids))).localCheckpoint()
+        kids = packKids(frozenKidMeans(assignKids(a, kids)))
         j += 1
       }
+      // ONE eager checkpoint per level: it runs seeds + every
+      // refinement as a single job and truncates the child-table
+      // lineage (the level chain would otherwise re-reference `a`
+      // multiplicatively and blow up analysis); intermediate kid
+      // tables are consumed exactly once and need no checkpoint of
+      // their own.
+      kids = kids.localCheckpoint()
+      // that job materialized this level's `a`; the previous level's
+      // cache is now dead weight
+      if (prevA != null) { prevA.unpersist(false); () }
+      prevA = a
       levels += kids
       a = assignKids(a, kids)
         .select(col("vid"), col("cv"),
