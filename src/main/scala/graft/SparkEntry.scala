@@ -735,7 +735,8 @@ object SparkEntry {
     "semdedup_prune" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.semDedup(emb, "vec_id", "embedding",
-        nCells = Similarity.cellsPlan(emb.count(), 64), iters = 1, eps = 0.4)
+        nCells = Similarity.cellsPlan(emb.count(), 64), iters = 1, eps = 0.4,
+        targetRows = 64)
         .select(col("vec_id"), col("cell_id").cast("long").as("cell_id"),
           col("cent_cos_micro"), col("kept"))
     }),
@@ -757,7 +758,8 @@ object SparkEntry {
     "semdedup_fidelity_eval" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.semDedupFidelityEval(emb, "vec_id", "embedding",
-        nCells = Similarity.cellsPlan(emb.count(), 64), iters = 1, eps = 0.4)
+        nCells = Similarity.cellsPlan(emb.count(), 64), iters = 1, eps = 0.4,
+        targetRows = 64)
     }),
 
     // measured recall@3 of the BOTH-SIDES-DISTRIBUTED kNN join at its
@@ -773,7 +775,7 @@ object SparkEntry {
         emb.where(col("vec_id") % 2 === 0), corpus,
         "vec_id", "embedding", k = 3,
         nCells = Similarity.cellsPlan(corpus.count(), 64), nProbe = 2,
-        iters = 1, sampleMod = 1)
+        iters = 1, sampleMod = 1, targetRows = 64)
     }),
 
     // nCells follows the CORPUS side's count via cellsPlan (expected
@@ -787,7 +789,8 @@ object SparkEntry {
       Similarity.knnJoinIvf(
         emb.where(col("vec_id") % 2 === 0), corpus,
         "vec_id", "embedding", k = 3,
-        nCells = Similarity.cellsPlan(corpus.count(), 64), nProbe = 2, iters = 1)
+        nCells = Similarity.cellsPlan(corpus.count(), 64), nProbe = 2, iters = 1,
+        targetRows = 64)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
@@ -2582,21 +2585,34 @@ object SparkEntry {
     * ⌈log₂ nCells⌉ deterministic 2-way splits (seeds = the node's two
     * lowest-nid vectors; `iters` integer-frozen 2-means refinements
     * per level; child = 2·node + {0,1} by (cosine desc, child asc)
-    * argmax on the SAME sequential-fold doubles as the engine).
+    * argmax on the SAME sequential-fold doubles as the engine),
+    * followed by up to 4 SIZE-GUARDED extension levels in which only
+    * nodes still holding more than `target` rows keep splitting —
+    * the guard is the per-node integer member count, recomputed per
+    * level from the same data as the engine's.
     *
-    * The live depth `dd` is a scalar CTE computed from the SAME
+    * The nominal depth `dd` is a scalar CTE computed from the SAME
     * count-derived cell expression as the engine's
     * (`Similarity.treeDepth(cellsPlan(n, t))` as pure integers);
-    * levels are unrolled to `maxDepth` with dd-guarded no-ops beyond,
-    * so one static SQL replays any corpus up to 2^maxDepth cells
-    * (maxDepth = 8 covers ~65k rows at target 64; grading runs at
-    * ≤2k). Emits per level the child tables `bk${l}_0..iters(node,
-    * child, ctv)` (the beam replay probes `bk${l}_$iters`) and
-    * finally `fasg(nid, ce, cell_id, cent_cos)` where cent_cos is the
-    * last ACTIVE level's assignment cosine (depth 0: cosine to the
-    * corpus' frozen mean — the flat k=1 behavior).
+    * levels are unrolled to `maxDepth` with act-guarded no-ops beyond
+    * (a level where no node is active rewrites nothing), so one
+    * static SQL replays any corpus whose dd + 4 ≤ maxDepth (maxDepth
+    * = 10 covers corpora to ~4k rows at target 64; grading runs at
+    * ≤2k). Emits per level the node-count table `ns$l(node, cnt,
+    * act)`, the child tables `bk${l}_0..iters(node, child, ctv)`
+    * (the beam replay probes `bk${l}_$iters`) and finally `fasg(nid,
+    * ce, cell_id, cent_cos)` where cent_cos is the row's last
+    * assignment cosine (never-split rows: cosine to the corpus'
+    * frozen mean — the flat k=1 behavior).
+    *
+    * Every CTE is MATERIALIZED: the level chain references its
+    * predecessor multiple times, and DuckDB's inliner would
+    * otherwise re-expand the parquet scan exponentially in depth
+    * (observed as a file-handle exhaustion at 10 levels).
     */
-  private def duckBisectTree(iters: Int, maxDepth: Int, ncells: String): String = {
+  private def duckBisectTree(
+      iters: Int, maxDepth: Int, ncells: String, target: Int): String = {
+    require(target > 0, "size guard needs a positive row target")
     val dd = "(SELECT dd FROM dp)"
     def level(l: Int): String = {
       val refine = (1 to iters).map { j =>
@@ -2604,7 +2620,7 @@ object SparkEntry {
                SELECT a.nid, a.ce, a.node, k.child,
                  row_number() OVER (PARTITION BY a.nid
                    ORDER BY ${duckCos("a.ce", "k.ctv")} DESC, k.child) AS rn
-               FROM lv$l a JOIN bk${l}_${j - 1} k USING (node)) WHERE rn = 1),
+               FROM av$l a JOIN bk${l}_${j - 1} k USING (node)) WHERE rn = 1),
            bm${l}_$j AS MATERIALIZED (SELECT node, child, d,
                  CAST(sum(CAST(floor(ce[d] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
                    / CAST(count(*) * 1048576 AS DOUBLE) AS m
@@ -2613,26 +2629,33 @@ object SparkEntry {
                FROM bm${l}_$j GROUP BY node, child)"""
       }.mkString(",\n")
       val refineBlock = if (refine.isEmpty) "" else s"$refine,\n"
-      s"""bk${l}_0 AS MATERIALIZED (SELECT node, rn - 1 AS child, ce AS ctv FROM (
+      s"""ns$l AS MATERIALIZED (SELECT node, count(*) AS cnt,
+             (($l < $dd) OR ($l < $dd + 4 AND count(*) > $target)) AS act
+           FROM lv$l GROUP BY node),
+         av$l AS MATERIALIZED (SELECT a.nid, a.ce, a.node, a.acs
+           FROM lv$l a JOIN ns$l n USING (node) WHERE n.act),
+         bk${l}_0 AS MATERIALIZED (SELECT node, rn - 1 AS child, ce AS ctv FROM (
              SELECT node, ce, row_number() OVER (PARTITION BY node ORDER BY nid) AS rn
-             FROM lv$l) WHERE rn <= 2),
-         ${refineBlock}bf$l AS MATERIALIZED (SELECT nid, ce, node, acs, child, kc FROM (
-             SELECT a.nid, a.ce, a.node, a.acs, k.child,
+             FROM av$l) WHERE rn <= 2),
+         ${refineBlock}bf$l AS MATERIALIZED (SELECT nid, ce, node, child, kc FROM (
+             SELECT a.nid, a.ce, a.node, k.child,
                ${duckCos("a.ce", "k.ctv")} AS kc,
                row_number() OVER (PARTITION BY a.nid
                  ORDER BY ${duckCos("a.ce", "k.ctv")} DESC, k.child) AS rn
-             FROM lv$l a JOIN bk${l}_$iters k USING (node)) WHERE rn = 1),
-         lv${l + 1} AS MATERIALIZED (SELECT nid, ce,
-             CASE WHEN $l < $dd THEN node * 2 + child ELSE node END AS node,
-             CASE WHEN $l < $dd THEN kc ELSE acs END AS acs
-           FROM bf$l)"""
+             FROM av$l a JOIN bk${l}_$iters k USING (node)) WHERE rn = 1),
+         lv${l + 1} AS MATERIALIZED (
+           SELECT nid, ce, node * 2 + child AS node, kc AS acs FROM bf$l
+           UNION ALL
+           SELECT a.nid, a.ce, a.node, a.acs
+           FROM lv$l a JOIN ns$l n USING (node) WHERE NOT n.act)"""
     }
     val levels = (0 until maxDepth).map(level).mkString(",\n")
     s"""dp AS MATERIALIZED (SELECT CASE WHEN m <= 1 THEN 0 ELSE
            (SELECT min(d) FROM generate_series(1, $maxDepth) t(d)
             WHERE (1::BIGINT << d) >= m) END AS dd
          FROM (SELECT ($ncells) AS m)),
-       lv0 AS MATERIALIZED (SELECT nid, ce, 1::BIGINT AS node, 0.0::DOUBLE AS acs FROM c),
+       lv0 AS MATERIALIZED (SELECT nid, ce, 1::BIGINT AS node,
+           NULL::DOUBLE AS acs FROM c),
        $levels,
        rmm AS MATERIALIZED (SELECT d,
              CAST(sum(CAST(floor(ce[d] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
@@ -2640,8 +2663,7 @@ object SparkEntry {
            FROM c, generate_series(1, 64) t(d) GROUP BY d),
        rmv AS MATERIALIZED (SELECT list(m ORDER BY d) AS ctv FROM rmm),
        fasg AS MATERIALIZED (SELECT a.nid, a.ce, a.node AS cell_id,
-           CASE WHEN $dd = 0 THEN ${duckCos("a.ce", "r.ctv")} ELSE a.acs END
-             AS cent_cos
+           coalesce(a.acs, ${duckCos("a.ce", "r.ctv")}) AS cent_cos
          FROM lv$maxDepth a, rmv r)"""
   }
 
@@ -2649,26 +2671,29 @@ object SparkEntry {
     * query-side replay of [[graft.operators.Similarity.knnJoinIvf]]'s
     * probe ladder: per level score the beam nodes' children from
     * `bk${l}_$iters` (emitted by [[duckBisectTree]] with the same
-    * iters/maxDepth), keep the nProbe best by (score desc, node asc),
-    * identity beyond the live depth. Emits `pr(query_id, qe,
-    * cell_id)`.
+    * iters/maxDepth), keep the nProbe best by (score desc, node asc);
+    * a beam node the level did not split has no child rows and passes
+    * through with its carried score, competing in the same rank.
+    * Emits `pr(query_id, qe, cell_id)`.
     */
   private def duckBeam(iters: Int, maxDepth: Int, nProbe: Int): String = {
-    val dd = "(SELECT dd FROM dp)"
     def level(l: Int): String =
-      s"""bx$l AS MATERIALIZED (SELECT b.query_id, b.qe, b.node * 2 + k.child AS cnode,
-             ${duckCos("b.qe", "k.ctv")} AS sc
+      s"""bx$l AS MATERIALIZED (SELECT b.query_id, b.qe,
+             b.node * 2 + k.child AS cnode, ${duckCos("b.qe", "k.ctv")} AS sc
            FROM bq$l b JOIN bk${l}_$iters k USING (node)),
+         bp$l AS MATERIALIZED (SELECT b.query_id, b.qe, b.node AS cnode, b.sc
+           FROM bq$l b WHERE NOT EXISTS (
+             SELECT 1 FROM bk${l}_$iters k WHERE k.node = b.node)),
          bq${l + 1} AS MATERIALIZED (
-           SELECT query_id, qe, cnode AS node FROM (
-               SELECT query_id, qe, cnode,
+           SELECT query_id, qe, cnode AS node, sc FROM (
+               SELECT query_id, qe, cnode, sc,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY sc DESC, cnode) AS rn
-               FROM bx$l) WHERE rn <= $nProbe AND $l < $dd
-           UNION ALL
-           SELECT query_id, qe, node FROM bq$l WHERE $l >= $dd)"""
+               FROM (SELECT * FROM bx$l UNION ALL SELECT * FROM bp$l))
+             WHERE rn <= $nProbe)"""
     val levels = (0 until maxDepth).map(level).mkString(",\n")
-    s"""bq0 AS MATERIALIZED (SELECT query_id, qe, 1::BIGINT AS node FROM q),
+    s"""bq0 AS MATERIALIZED (SELECT query_id, qe, 1::BIGINT AS node,
+           1.0::DOUBLE AS sc FROM q),
        $levels,
        pr AS MATERIALIZED (SELECT query_id, qe, node AS cell_id FROM bq$maxDepth)"""
   }
@@ -3829,7 +3854,7 @@ object SparkEntry {
     "semdedup_prune" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v),
-         ${duckBisectTree(iters = 1, maxDepth = 8, ncells = duckCellsPlan(64))},
+         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
          pm AS (SELECT nid, ce, cell_id,
                   CAST(floor(cent_cos * 1000000 + 0.5) AS BIGINT) AS p
                 FROM fasg)
@@ -3849,7 +3874,7 @@ object SparkEntry {
     "semdedup_fidelity_eval" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v),
-         ${duckBisectTree(iters = 1, maxDepth = 8, ncells = duckCellsPlan(64))},
+         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
          pm AS (SELECT nid, ce, cell_id,
                   CAST(floor(cent_cos * 1000000 + 0.5) AS BIGINT) AS p
                 FROM fasg),
@@ -3887,8 +3912,8 @@ object SparkEntry {
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
          q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
-         ${duckBisectTree(iters = 1, maxDepth = 8, ncells = duckCellsPlan(64))},
-         ${duckBeam(iters = 1, maxDepth = 8, nProbe = 2)},
+         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
+         ${duckBeam(iters = 1, maxDepth = 10, nProbe = 2)},
          cand AS (SELECT pr.query_id, fasg.nid AS neighbor_id,
                  ${duckCos("pr.qe", "fasg.ce")} AS cosine
                FROM fasg JOIN pr USING (cell_id)),
@@ -3905,8 +3930,8 @@ object SparkEntry {
          qpar AS (SELECT greatest(1, (count(*) + 255) // 256) AS md FROM qall),
          q AS MATERIALIZED (SELECT query_id, qe FROM qall
                WHERE query_id % (SELECT md FROM qpar) = 0),
-         ${duckBisectTree(iters = 1, maxDepth = 8, ncells = duckCellsPlan(64))},
-         ${duckBeam(iters = 1, maxDepth = 8, nProbe = 2)},
+         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
+         ${duckBeam(iters = 1, maxDepth = 10, nProbe = 2)},
          cand AS (SELECT pr.query_id, fasg.nid AS neighbor_id,
                  ${duckCos("pr.qe", "fasg.ce")} AS cosine
                FROM fasg JOIN pr USING (cell_id)),

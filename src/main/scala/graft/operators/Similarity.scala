@@ -699,103 +699,144 @@ object Similarity {
       .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
         s => s.getField("m")).as("ctv"))
 
+  /** One split level over `rows(vid, cv, node, acos)`: seeds are each
+    * node's two lowest-vid vectors (min/min_by aggregates — partial-
+    * agg combinable, so an n-row root node is NOT a skew hazard),
+    * `iters` integer-frozen 2-means Lloyd refinements, then the final
+    * child assignment with its score. ONE eager checkpoint runs the
+    * whole level as a single job and truncates the child-table
+    * lineage (the level chain would otherwise re-reference the
+    * corpus multiplicatively and blow up analysis); intermediate kid
+    * tables are consumed exactly once and need no checkpoint.
+    *
+    * @return (checkpointed kids(node, kids), reassigned rows with
+    *         node = 2·node + child and acos = the assignment cosine)
+    */
+  private def splitLevel(rows: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    val s0 = rows.groupBy(col("node"))
+      .agg(min(col("vid")).as("v0"), min_by(col("cv"), col("vid")).as("c0"))
+    val s1 = rows.join(s0.select(col("node"), col("v0")), Seq("node"))
+      .where(col("vid") > col("v0"))
+      .groupBy(col("node")).agg(min_by(col("cv"), col("vid")).as("c1"))
+    var kids = s0.join(s1, Seq("node"), "left")
+      .select(col("node"),
+        when(col("c1").isNull,
+          array(struct(lit(0).as("child"), col("c0").as("ctv"))))
+          .otherwise(array(
+            struct(lit(0).as("child"), col("c0").as("ctv")),
+            struct(lit(1).as("child"), col("c1").as("ctv")))).as("kids"))
+    var j = 0
+    while (j < iters) {
+      kids = packKids(frozenKidMeans(assignKids(rows, kids)))
+      j += 1
+    }
+    kids = kids.localCheckpoint()
+    val out = assignKids(rows, kids)
+      .select(col("vid"), col("cv"),
+        (col("node") * lit(2L) + col("child").cast("long")).as("node"),
+        col("kcos").as("acos"))
+    (kids, out)
+  }
+
   /** Log-depth bisecting k-means: every vector descends ⌈log₂ nCells⌉
-    * deterministic 2-way splits. Per level, per node: seeds are the
-    * node's two lowest-id vectors (min/min_by aggregates — partial-agg
-    * combinable, so the root level's n-row node is NOT a skew hazard),
-    * then `iters` integer-frozen Lloyd refinements between the two
-    * children, then the final child assignment; node ids follow the
-    * heap rule child = 2·node + {0,1}, so leaves land in
-    * [2^depth, 2^{depth+1}) and ARE the cell ids.
+    * deterministic 2-way splits ([[splitLevel]]; node ids follow the
+    * heap rule child = 2·node + {0,1}), then — when `targetRows` > 0
+    * — up to `slack` SIZE-GUARDED extension levels in which ONLY
+    * nodes still holding more than `targetRows` rows keep splitting.
+    * The nominal phase bounds the EXPECTED cell at targetRows; the
+    * guarded phase turns that into a hard per-cell bound (every cell
+    * ≤ targetRows unless a node is split-stuck — all members
+    * identical — or the slack is exhausted), which is what bounds the
+    * downstream intra-cell pair work Σ|cell|² deterministically
+    * rather than on the balance luck of the splits.
     *
-    * Cost shape (the reason this exists): each level is O(n) — one
-    * broadcast equi-join on `node` per assignment pass (≤2^{level+1}
-    * child centroids, never the full k-cell table) plus one (node,
-    * child, dim)-keyed mean aggregation — so train+assign is
-    * O(n·log k) where the flat argmax was O(n·k) = n²/targetCellRows
-    * under the self-scaling cell rule. Per-level intermediates are
-    * persisted (MEMORY_AND_DISK; the superseded level is dropped as
-    * soon as the next is cached) and the child tables localCheckpoint
-    * so the plan stays depth-shallow.
+    * Cost shape (the reason this exists): each level is O(rows in
+    * still-active nodes) — one broadcast equi-join on `node` per
+    * assignment pass (only that level's child centroids, never the
+    * full k-cell table) plus one (node, child, dim)-keyed mean
+    * aggregation — so train+assign is O(n·log k) where the flat
+    * argmax was O(n·k) = n²/targetCellRows under the self-scaling
+    * cell rule. Extension levels touch only the shrinking oversized
+    * fraction. Per-level row tables are persisted (MEMORY_AND_DISK;
+    * the superseded level is dropped as soon as the next is cached).
     *
-    * `cent_cos` is the final level's assignment score — the cosine to
-    * the chosen child centroid (with iters=0 that child centroid IS
-    * the seed vector, which keeps the hand-checkable spec semantics);
-    * at depth 0 (nCells ≤ 1) it is the cosine to the corpus'
+    * `cent_cos` is each row's LAST assignment score — the cosine to
+    * the child centroid it was assigned by (with iters=0 that child
+    * centroid IS the seed vector, which keeps the hand-checkable
+    * spec semantics); rows that never split (depth 0 and root at or
+    * under target) fall back to the cosine against the corpus'
     * integer-frozen mean, matching the flat path's k=1 behavior.
     *
     * Determinism: seeds by unique id, frozen means, raw-double cosine
-    * compares with (cos desc, child asc) tie-break — identical at any
-    * parallelism and in the DuckDB replay (which unrolls the same
-    * levels as guarded CTEs).
+    * compares with (cos desc, child asc) tie-break, and integer
+    * member counts for the size guard — identical at any parallelism
+    * and in the DuckDB replay (which unrolls the same levels as
+    * count-guarded CTEs).
     *
     * @return (assigned(vid, cv, cell_id, cent_cos),
     *         per-level packed child-centroid tables — the probe
-    *         ladder [[knnJoinIvf]]'s beam descends)
+    *         ladder [[knnJoinIvf]]'s beam descends, passing through
+    *         nodes a level did not split)
     */
   private def bisectAssigned(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       nCells: Int,
-      iters: Int): (DataFrame, Seq[DataFrame]) = {
+      iters: Int,
+      targetRows: Int = 0,
+      slack: Int = 4): (DataFrame, Seq[DataFrame]) = {
     val depth = treeDepth(nCells)
+    val cap = if (targetRows > 0) depth + slack else depth
+    // the row table is localCheckpoint'ed EVERY level: the extension
+    // phase references its predecessor twice (active ∪ passive), so a
+    // lineage-carrying cache would double the logical plan per level
+    // — 2^levels analysis cost on the DRIVER (observed as a
+    // single-core Catalyst spin at sf1); a checkpointed RDD keeps
+    // every level's plan O(1). Superseded levels are freed by the
+    // ContextCleaner when their RDD goes out of scope.
     var a = corpus
       .select(col(idCol).as("vid"), asDouble(col(vecCol)).as("cv"),
-        lit(1L).as("node"), lit(0.0).as("acos"))
-      .persistTracked
-    var prevA: DataFrame = null
+        lit(1L).as("node"), lit(null).cast("double").as("acos"))
+      .localCheckpoint()
     val levels = Seq.newBuilder[DataFrame]
     var l = 0
-    while (l < depth) {
-      // seeds: the node's two lowest-vid vectors. min/min_by partial-
-      // aggregate map-side, so even the root node (ALL rows) reduces
-      // to one row per task before the shuffle — no skew.
-      val s0 = a.groupBy(col("node"))
-        .agg(min(col("vid")).as("v0"), min_by(col("cv"), col("vid")).as("c0"))
-      val s1 = a.join(s0.select(col("node"), col("v0")), Seq("node"))
-        .where(col("vid") > col("v0"))
-        .groupBy(col("node")).agg(min_by(col("cv"), col("vid")).as("c1"))
-      var kids = s0.join(s1, Seq("node"), "left")
-        .select(col("node"),
-          when(col("c1").isNull,
-            array(struct(lit(0).as("child"), col("c0").as("ctv"))))
-            .otherwise(array(
-              struct(lit(0).as("child"), col("c0").as("ctv")),
-              struct(lit(1).as("child"), col("c1").as("ctv")))).as("kids"))
-      var j = 0
-      while (j < iters) {
-        kids = packKids(frozenKidMeans(assignKids(a, kids)))
-        j += 1
+    var exhausted = false
+    while (l < cap && !exhausted) {
+      if (l < depth) {
+        // nominal phase: every node splits
+        val (kids, out) = splitLevel(a, iters)
+        levels += kids
+        a = out.localCheckpoint()
+      } else {
+        // size-guarded extension: only oversized nodes split; the
+        // node list is an exact integer count — replayed by the
+        // oracle from the same data — and small, so both the semi
+        // and anti side of the row split are broadcast hash joins
+        val act = a.groupBy(col("node")).agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") > targetRows).select(col("node"))
+          .localCheckpoint()
+        if (act.isEmpty) { exhausted = true }
+        else {
+          val (kids, out) = splitLevel(a.join(broadcast(act), Seq("node")), iters)
+          val passive = a.join(broadcast(act), Seq("node"), "left_anti")
+          levels += kids
+          a = out.unionByName(passive).localCheckpoint()
+        }
       }
-      // ONE eager checkpoint per level: it runs seeds + every
-      // refinement as a single job and truncates the child-table
-      // lineage (the level chain would otherwise re-reference `a`
-      // multiplicatively and blow up analysis); intermediate kid
-      // tables are consumed exactly once and need no checkpoint of
-      // their own.
-      kids = kids.localCheckpoint()
-      // that job materialized this level's `a`; the previous level's
-      // cache is now dead weight
-      if (prevA != null) { prevA.unpersist(false); () }
-      prevA = a
-      levels += kids
-      a = assignKids(a, kids)
-        .select(col("vid"), col("cv"),
-          (col("node") * lit(2L) + col("child").cast("long")).as("node"),
-          col("kcos").as("acos"))
-        .persistTracked
       l += 1
     }
+    // never-split rows (root at or under target): cent_cos against
+    // the corpus' frozen mean — the flat path's k=1 behavior, bit for
+    // bit. Only built when it can apply: with depth ≥ 1 the level-0
+    // split assigns every row a score.
     val assigned =
       if (depth > 0)
         a.select(col("vid"), col("cv"), col("node").as("cell_id"),
           col("acos").as("cent_cos"))
       else {
-        // single cell: cent_cos against the corpus' frozen mean — the
-        // flat path's k=1 behavior, bit for bit
-        val rootMean = a
-          .select(posexplode(col("cv")).as(Seq("dim", "x")))
+        val rootMean = corpus
+          .select(posexplode(asDouble(col(vecCol))).as(Seq("dim", "x")))
           .groupBy(col("dim"))
           .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("sx"),
             count(lit(1)).as("nx"))
@@ -805,7 +846,7 @@ object Similarity {
             s => s.getField("m")).as("ctv"))
         a.crossJoin(broadcast(rootMean))
           .select(col("vid"), col("cv"), col("node").as("cell_id"),
-            cosine(col("cv"), col("ctv")).as("cent_cos"))
+            coalesce(col("acos"), cosine(col("cv"), col("ctv"))).as("cent_cos"))
       }
     (assigned, levels.result())
   }
@@ -1072,14 +1113,16 @@ object Similarity {
       nCells: Int,
       nProbe: Int,
       iters: Int,
-      sampleMod: Int): DataFrame = {
+      sampleMod: Int,
+      targetRows: Int = 0): DataFrame = {
     val nQ = queries.count()
     val mod = math.max(sampleMod.toLong, (nQ + 255) / 256).toInt
     val qs = queries.where(pmod(col(idCol), lit(mod.toLong)) === 0)
     val truth = annTopKBruteForce(qs, corpus, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id"))
       .persistTracked
-    val ivf = knnJoinIvf(qs, corpus, idCol, vecCol, k, nCells, nProbe, iters)
+    val ivf =
+      knnJoinIvf(qs, corpus, idCol, vecCol, k, nCells, nProbe, iters, targetRows)
       .select(col("query_id").as("iq"), col("neighbor_id").as("in_"))
     val hits = truth
       .join(ivf, col("query_id") === col("iq") && col("neighbor_id") === col("in_"),
@@ -1164,8 +1207,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       nCells: Int,
-      iters: Int): DataFrame = {
-    val (assigned, _) = bisectAssigned(corpus, idCol, vecCol, nCells, iters)
+      iters: Int,
+      targetRows: Int): DataFrame = {
+    val (assigned, _) =
+      bisectAssigned(corpus, idCol, vecCol, nCells, iters, targetRows)
     assigned
       .select(col("vid"), col("cv"), col("cell_id"),
         floor(col("cent_cos") * lit(1000000.0) + lit(0.5))
@@ -1202,8 +1247,10 @@ object Similarity {
       vecCol: String,
       nCells: Int,
       iters: Int,
-      eps: Double): DataFrame = {
-    val assigned = semDedupAssigned(corpus, idCol, vecCol, nCells, iters)
+      eps: Double,
+      targetRows: Int = 0): DataFrame = {
+    val assigned =
+      semDedupAssigned(corpus, idCol, vecCol, nCells, iters, targetRows)
     val pruned = dominancePruned(assigned, eps)
     assigned
       .join(pruned.withColumn("hit", lit(true)), Seq("vid"), "left")
@@ -1242,8 +1289,10 @@ object Similarity {
       vecCol: String,
       nCells: Int,
       iters: Int,
-      eps: Double): DataFrame = {
-    val assigned = semDedupAssigned(corpus, idCol, vecCol, nCells, iters)
+      eps: Double,
+      targetRows: Int = 0): DataFrame = {
+    val assigned =
+      semDedupAssigned(corpus, idCol, vecCol, nCells, iters, targetRows)
     val pruned = dominancePruned(assigned, eps)
     val dom = assigned
       .join(pruned.withColumn("hit", lit(true)), Seq("vid"), "left")
@@ -1312,8 +1361,10 @@ object Similarity {
       k: Int,
       nCells: Int,
       nProbe: Int,
-      iters: Int): DataFrame = {
-    val (asg, levels) = bisectAssigned(corpus, idCol, vecCol, nCells, iters)
+      iters: Int,
+      targetRows: Int = 0): DataFrame = {
+    val (asg, levels) =
+      bisectAssigned(corpus, idCol, vecCol, nCells, iters, targetRows)
     val assigned = asg
       .select(col("vid").as("neighbor_id"), col("cv"), col("cell_id"))
     // beam descent: each query walks the SAME split tree the corpus
@@ -1325,20 +1376,33 @@ object Similarity {
     // joins are broadcasts and preserve the partitioning).
     var beam = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
-        lit(1L).as("node"))
+        lit(1L).as("node"), lit(1.0).as("sc"))
     val wBeam = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("sc").desc, col("cnode"))
     for (kids <- levels) {
-      beam = beam.join(broadcast(kids), Seq("node"))
+      // nodes a level did not split (size-guarded extension) have no
+      // kids row: the beam entry passes through with its carried
+      // score and competes in the same top-nProbe rank
+      val hit = beam.join(broadcast(kids), Seq("node"))
         .select(col("query_id"), col("qv"), col("node"),
           explode(col("kids")).as("kk"))
         .select(col("query_id"), col("qv"),
           (col("node") * lit(2L) + col("kk.child").cast("long")).as("cnode"),
           cosine(col("qv"), col("kk.ctv")).as("sc"))
+      val miss = beam.join(broadcast(kids), Seq("node"), "left_anti")
+        .select(col("query_id"), col("qv"), col("node").as("cnode"), col("sc"))
+      // LAZY plan truncation per level: hit ∪ miss references the
+      // previous beam twice, so a lineage-carrying chain doubles the
+      // logical plan per level (2^depth driver-side analysis — the
+      // same Catalyst spin the row table hit); eager=false truncates
+      // to a LogicalRDD without spending a materialization job, the
+      // RDD computes inside the next level's job
+      beam = hit.unionByName(miss)
         .withColumn("rn", row_number().over(wBeam))
         .where(col("rn") <= nProbe)
-        .select(col("query_id"), col("qv"), col("cnode").as("node"))
+        .select(col("query_id"), col("qv"), col("cnode").as("node"), col("sc"))
+        .localCheckpoint(false)
     }
     val probes = beam.select(col("query_id"), col("qv"),
       col("node").as("cell_id"))

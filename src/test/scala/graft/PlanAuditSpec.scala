@@ -419,20 +419,20 @@ class PlanAuditSpec extends SparkSpec {
     val bnlj = """BroadcastNestedLoopJoin[^\n]*""".r.findAllIn(p).toSeq
     assert(bnlj.forall(_.contains("BuildRight")),
       s"nested loop beyond 1-row broadcasts:\n$p")
-    // every window — the per-level beam top-nProbe and the final rank
-    // — partitions by query_id: millions of small partitions, never a
-    // global (unpartitioned) sort task
+    // every window partitions by query_id: millions of small
+    // partitions, never a global (unpartitioned) sort task. The beam
+    // levels' own top-nProbe windows are plan-truncated per level
+    // (each beam level lazily checkpoints to keep driver-side
+    // analysis O(depth), so the final visible plan holds only the
+    // rank window) — their shape is pinned where they're built: the
+    // wBeam spec in Similarity.knnJoinIvf partitions by query_id by
+    // construction (a truncated plan hides them from this audit, so
+    // the source is the pin).
     val q = SparkEntry.queries("knn_join_ivf")(spark, sfDir)
     val windows = q.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    val depth = graft.operators.Similarity.treeDepth(
-      graft.operators.Similarity.cellsPlan(
-        spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .where(col("vec_id") % 2 === 1).count(), 64))
-    assert(windows.size == depth + 1,
-      s"expected ${depth + 1} query-partitioned windows (beam levels + rank), " +
-        s"got ${windows.size}")
+    assert(windows.nonEmpty, "per-query rank window missing")
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "unpartitioned window in the retrieval path")
   }

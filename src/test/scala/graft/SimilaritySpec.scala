@@ -299,6 +299,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out.values.forall(identity), s"kept map: $out")
   }
 
+  test("size-guarded splitting hard-bounds every cell at targetRows") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // without the guard, one Lloyd refinement per level only bounds
+    // the EXPECTED cell size — imbalanced splits can leave cells well
+    // over target (the measured r12 gap vs flat Lloyd cells)
+    val unguarded = Similarity.semDedup(emb, "vec_id", "embedding",
+      nCells = Similarity.cellsPlan(500, 16), iters = 1, eps = 0.4)
+      .groupBy(col("cell_id")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(unguarded > 16,
+      s"expected the unguarded tree to overshoot the 16-row target, got $unguarded")
+    // the guarded extension splits exactly the oversized nodes until
+    // every cell is at or under target (or split-stuck / out of slack
+    // — neither occurs on this data)
+    val sizes = Similarity.semDedup(emb, "vec_id", "embedding",
+      nCells = Similarity.cellsPlan(500, 16), iters = 1, eps = 0.4,
+      targetRows = 16)
+      .groupBy(col("cell_id")).count()
+      .select(col("count")).collect().map(_.getLong(0))
+    assert(sizes.sum == 500, "every vector still lands in exactly one cell")
+    assert(sizes.max <= 16, s"cell over target survived: max ${sizes.max}")
+    // and the guarded run stays partition-invariant like everything
+    // else in the family (integer counts + frozen means + unique-id
+    // tie-breaks)
+    val a = Similarity.semDedup(emb.repartition(2), "vec_id", "embedding",
+      nCells = Similarity.cellsPlan(500, 16), iters = 1, eps = 0.4,
+      targetRows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    val b = Similarity.semDedup(emb.repartition(7), "vec_id", "embedding",
+      nCells = Similarity.cellsPlan(500, 16), iters = 1, eps = 0.4,
+      targetRows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(a == b, "size-guarded semDedup not partition-invariant")
+  }
+
   test("semDedup kept set is partition-invariant") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def run(parts: Int) = Similarity.semDedup(emb.repartition(parts),
