@@ -336,6 +336,42 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "size-guarded semDedup not partition-invariant")
   }
 
+  test("split-stuck corpus (all-identical vectors) terminates and dedups to one keeper") {
+    import spark.implicits._
+    // every split sends all rows to child 0 (identical seeds → tied
+    // cosines → child 0), so the size guard can never make progress:
+    // the cap must end the loop, the rows must stay one cell, and
+    // dominance must keep exactly the best-priority (lowest-id)
+    // member of what is one big eps-duplicate class
+    val emb = (1L to 100L).map(i => (i, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding",
+      nCells = Similarity.cellsPlan(100, 16), iters = 1, eps = 0.99,
+      targetRows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    assert(out.length == 100)
+    assert(out.map(_._2).distinct.length == 1, "identical rows must share one cell")
+    assert(out.filter(_._3).map(_._1).toSeq == Seq(1L),
+      s"exactly the lowest id survives: ${out.filter(_._3).toSeq}")
+  }
+
+  test("bisect family degenerate inputs: empty and single-row corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedup(empty, "vec_id", "embedding",
+      nCells = 4, iters = 1, eps = 0.5, targetRows = 16).count() == 0)
+    val one = Seq((7L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.semDedup(one, "vec_id", "embedding",
+      nCells = 4, iters = 1, eps = 0.5, targetRows = 16).collect()
+    assert(r.length == 1 && r(0).getBoolean(3), "a lone vector is always kept")
+    // kNN join against a 1-row corpus: every query retrieves that row
+    val q = Seq((2L, Array(0.0f, 1.0f)), (4L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val knn = Similarity.knnJoinIvf(q, one, "vec_id", "embedding",
+      k = 3, nCells = 4, nProbe = 2, iters = 1, targetRows = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(knn.toSet == Set((2L, 7L), (4L, 7L)), s"got ${knn.toSeq}")
+  }
+
   test("semDedup kept set is partition-invariant") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     def run(parts: Int) = Similarity.semDedup(emb.repartition(parts),
