@@ -43,8 +43,7 @@ object RunOne {
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       // noop write = Bench's action (count-star pruning can skip
-      // count-irrelevant subtrees and fake the timing); the row count
-      // printed afterwards is untimed, for sanity only
+      // count-irrelevant subtrees and fake the timing)
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       graft.operators.Caching.release()
