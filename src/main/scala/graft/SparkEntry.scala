@@ -2600,7 +2600,10 @@ object SparkEntry {
     * = 10 covers corpora to ~4k rows at target 64; grading runs at
     * ≤2k). Emits per level the node-count table `ns$l(node, cnt,
     * act)`, the child tables `bk${l}_0..iters(node, child, ctv)`
-    * (the beam replay probes `bk${l}_$iters`) and finally `fasg(nid,
+    * plus the level's EFFECTIVE kid table `bkx$l` (refined kids on
+    * nominal levels or when an active node exceeds 2x target, seed
+    * kids otherwise — the engine's refinement-skip rule; the beam
+    * replay probes `bkx$l`) and finally `fasg(nid,
     * ce, cell_id, cent_cos)` where cent_cos is the row's last
     * assignment cosine (never-split rows: cosine to the corpus'
     * frozen mean — the flat k=1 behavior).
@@ -2637,12 +2640,23 @@ object SparkEntry {
          bk${l}_0 AS MATERIALIZED (SELECT node, rn - 1 AS child, ce AS ctv FROM (
              SELECT node, ce, row_number() OVER (PARTITION BY node ORDER BY nid) AS rn
              FROM av$l) WHERE rn <= 2),
-         ${refineBlock}bf$l AS MATERIALIZED (SELECT nid, ce, node, child, kc FROM (
+         ${refineBlock}bkx$l AS MATERIALIZED (
+           -- the engine's refinement-skip rule, replayed from the same
+           -- integer counts: extension levels (l >= dd) whose active
+           -- nodes are ALL within 2x target use the seed kids
+           SELECT node, child, ctv FROM bk${l}_$iters
+             WHERE $l < $dd OR EXISTS (
+               SELECT 1 FROM ns$l WHERE act AND cnt > 2 * $target)
+           UNION ALL
+           SELECT node, child, ctv FROM bk${l}_0
+             WHERE NOT ($l < $dd OR EXISTS (
+               SELECT 1 FROM ns$l WHERE act AND cnt > 2 * $target))),
+         bf$l AS MATERIALIZED (SELECT nid, ce, node, child, kc FROM (
              SELECT a.nid, a.ce, a.node, k.child,
                ${duckCos("a.ce", "k.ctv")} AS kc,
                row_number() OVER (PARTITION BY a.nid
                  ORDER BY ${duckCos("a.ce", "k.ctv")} DESC, k.child) AS rn
-             FROM av$l a JOIN bk${l}_$iters k USING (node)) WHERE rn = 1),
+             FROM av$l a JOIN bkx$l k USING (node)) WHERE rn = 1),
          lv${l + 1} AS MATERIALIZED (
            SELECT nid, ce, node * 2 + child AS node, kc AS acs FROM bf$l
            UNION ALL
@@ -2650,7 +2664,17 @@ object SparkEntry {
            FROM lv$l a JOIN ns$l n USING (node) WHERE NOT n.act)"""
     }
     val levels = (0 until maxDepth).map(level).mkString(",\n")
-    s"""dp AS MATERIALIZED (SELECT CASE WHEN m <= 1 THEN 0 ELSE
+    // FAIL LOUDLY when the corpus outgrows the static unroll: the
+    // guarded extension needs dd + 4 <= maxDepth, i.e. the cell count
+    // m <= 2^(maxDepth-4). Beyond that the replay would silently
+    // truncate relative to the engine (and past 2^maxDepth the dd
+    // subquery would go NULL, collapsing every row into one cell), so
+    // dp raises instead of grading a diverged query.
+    s"""dp AS MATERIALIZED (SELECT CASE
+           WHEN m > (1::BIGINT << ${maxDepth - 4}) THEN
+             error('duckBisectTree unroll overflow: nCells=' || m ||
+                   ' needs depth+4 > $maxDepth levels; regenerate with larger maxDepth')
+           WHEN m <= 1 THEN 0 ELSE
            (SELECT min(d) FROM generate_series(1, $maxDepth) t(d)
             WHERE (1::BIGINT << d) >= m) END AS dd
          FROM (SELECT ($ncells) AS m)),
@@ -2670,7 +2694,7 @@ object SparkEntry {
   /** Beam-descent CTE unroll over a prior CTE `q(query_id, qe)` — the
     * query-side replay of [[graft.operators.Similarity.knnJoinIvf]]'s
     * probe ladder: per level score the beam nodes' children from
-    * `bk${l}_$iters` (emitted by [[duckBisectTree]] with the same
+    * `bkx$l` (emitted by [[duckBisectTree]] with the same
     * iters/maxDepth), keep the nProbe best by (score desc, node asc);
     * a beam node the level did not split has no child rows and passes
     * through with its carried score, competing in the same rank.
@@ -2680,10 +2704,10 @@ object SparkEntry {
     def level(l: Int): String =
       s"""bx$l AS MATERIALIZED (SELECT b.query_id, b.qe,
              b.node * 2 + k.child AS cnode, ${duckCos("b.qe", "k.ctv")} AS sc
-           FROM bq$l b JOIN bk${l}_$iters k USING (node)),
+           FROM bq$l b JOIN bkx$l k USING (node)),
          bp$l AS MATERIALIZED (SELECT b.query_id, b.qe, b.node AS cnode, b.sc
            FROM bq$l b WHERE NOT EXISTS (
-             SELECT 1 FROM bk${l}_$iters k WHERE k.node = b.node)),
+             SELECT 1 FROM bkx$l k WHERE k.node = b.node)),
          bq${l + 1} AS MATERIALIZED (
            SELECT query_id, qe, cnode AS node, sc FROM (
                SELECT query_id, qe, cnode, sc,
@@ -3927,6 +3951,10 @@ object SparkEntry {
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
          qall AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
+         -- max(registered sampleMod, ceil(nQ/256)) — the FULL engine
+         -- sampling contract (knnJoinRecallEval), not just the ceiling,
+         -- so a future registration with sampleMod > 1 grades the same
+         -- query set (registered sampleMod = 1 today)
          qpar AS (SELECT greatest(1, (count(*) + 255) // 256) AS md FROM qall),
          q AS MATERIALIZED (SELECT query_id, qe FROM qall
                WHERE query_id % (SELECT md FROM qpar) = 0),

@@ -652,13 +652,33 @@ object Similarity {
   def treeDepth(nCells: Int): Int =
     if (nCells <= 1) 0 else 32 - Integer.numberOfLeadingZeros(nCells - 1)
 
-  /** Per-node packed child centroids: (node, kids array<struct<child,
-    * ctv>>) — ≤2 entries per node, broadcast-joined on `node` so a
-    * corpus row compares against exactly its own node's children.
+  /** Per-node packed child centroids from one fused aggregation:
+    * (node, kids array<struct<child, ctv>>) — ≤2 entries per node in
+    * child order, broadcast-joined on `node` so a corpus row compares
+    * against exactly its own node's children. One groupBy(node) with
+    * two conditional [[graft.functions.VectorAggs.frozenVecSum]]s
+    * replaces the posexplode + per-dim groupBy + per-node groupBy
+    * chain — THREE shuffle stages per Lloyd pass down to ONE, with
+    * the identical integer-frozen means (same floor(x·2²⁰+0.5) units,
+    * same divide-once double), so assignments are bit-identical.
     */
-  private def packKids(kidRows: DataFrame): DataFrame =
-    kidRows.groupBy(col("node"))
-      .agg(sort_array(collect_list(struct(col("child"), col("ctv")))).as("kids"))
+  private def refinedKids(asg: DataFrame): DataFrame = {
+    def mean(s: Column, id: Int): Column = struct(
+      lit(id).as("child"),
+      transform(s.getField("sx"), x =>
+        x.cast("double") /
+          (s.getField("nx") * lit(1048576L)).cast("double")).as("ctv"))
+    asg.groupBy(col("node"))
+      .agg(
+        graft.functions.VectorAggs
+          .frozenVecSum(when(col("child") === 0, col("cv"))).as("s0"),
+        graft.functions.VectorAggs
+          .frozenVecSum(when(col("child") === 1, col("cv"))).as("s1"))
+      .select(col("node"),
+        when(col("s1").isNull, array(mean(col("s0"), 0)))
+          .when(col("s0").isNull, array(mean(col("s1"), 1)))
+          .otherwise(array(mean(col("s0"), 0), mean(col("s1"), 1))).as("kids"))
+  }
 
   /** Per-child (cosine, −child, child) score structs; `array_max` is
     * argmax by (cosine desc, child asc) — the same windowless struct
@@ -684,53 +704,45 @@ object Similarity {
         col("best").getField("child").as("child"),
         col("best").getField("kcos").as("kcos"))
 
-  /** Integer-frozen per-(node, child) means — the same 2⁻²⁰-unit
-    * freeze-and-divide-once protocol as [[kmeansCentroids]], so every
-    * engine and parallelism reproduces the identical doubles.
-    */
-  private def frozenKidMeans(asg: DataFrame): DataFrame =
-    asg.select(col("node"), col("child"), posexplode(col("cv")).as(Seq("dim", "x")))
-      .groupBy(col("node"), col("child"), col("dim"))
-      .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("sx"),
-        count(lit(1)).as("nx"))
-      .withColumn("m",
-        col("sx").cast("double") / (col("nx") * lit(1048576L)).cast("double"))
-      .groupBy(col("node"), col("child"))
-      .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
-        s => s.getField("m")).as("ctv"))
-
   /** One split level over `rows(vid, cv, node, acos)`: seeds are each
-    * node's two lowest-vid vectors (min/min_by aggregates — partial-
-    * agg combinable, so an n-row root node is NOT a skew hazard),
+    * node's two lowest-vid vectors (one [[graft.functions.VectorAggs
+    * .min2ByVid]] aggregation — partial-agg combinable, so an n-row
+    * root node is NOT a skew hazard),
     * `iters` integer-frozen 2-means Lloyd refinements, then the final
-    * child assignment with its score. ONE eager checkpoint runs the
-    * whole level as a single job and truncates the child-table
-    * lineage (the level chain would otherwise re-reference the
-    * corpus multiplicatively and blow up analysis); intermediate kid
-    * tables are consumed exactly once and need no checkpoint.
+    * child assignment with its score. The kid table is LAZILY
+    * checkpointed: the plan truncates to a LogicalRDD immediately
+    * (the level chain would otherwise re-reference the corpus
+    * multiplicatively and blow up analysis) but no job is spent — the
+    * RDD materializes inside the caller's one row-table job per
+    * level; intermediate kid tables are consumed exactly once and
+    * need no checkpoint.
     *
-    * @return (checkpointed kids(node, kids), reassigned rows with
-    *         node = 2·node + child and acos = the assignment cosine)
+    * @return (lazily-checkpointed kids(node, kids), reassigned rows
+    *         with node = 2·node + child and acos = the assignment
+    *         cosine)
     */
   private def splitLevel(rows: DataFrame, iters: Int): (DataFrame, DataFrame) = {
-    val s0 = rows.groupBy(col("node"))
-      .agg(min(col("vid")).as("v0"), min_by(col("cv"), col("vid")).as("c0"))
-    val s1 = rows.join(s0.select(col("node"), col("v0")), Seq("node"))
-      .where(col("vid") > col("v0"))
-      .groupBy(col("node")).agg(min_by(col("cv"), col("vid")).as("c1"))
-    var kids = s0.join(s1, Seq("node"), "left")
+    var kids = rows.groupBy(col("node"))
+      .agg(graft.functions.VectorAggs.min2ByVid(col("vid"), col("cv")).as("s2"))
       .select(col("node"),
-        when(col("c1").isNull,
-          array(struct(lit(0).as("child"), col("c0").as("ctv"))))
+        when(col("s2").getField("c1").isNull,
+          array(struct(lit(0).as("child"), col("s2").getField("c0").as("ctv"))))
           .otherwise(array(
-            struct(lit(0).as("child"), col("c0").as("ctv")),
-            struct(lit(1).as("child"), col("c1").as("ctv")))).as("kids"))
+            struct(lit(0).as("child"), col("s2").getField("c0").as("ctv")),
+            struct(lit(1).as("child"), col("s2").getField("c1").as("ctv"))))
+          .as("kids"))
     var j = 0
     while (j < iters) {
-      kids = packKids(frozenKidMeans(assignKids(rows, kids)))
+      kids = refinedKids(assignKids(rows, kids))
       j += 1
     }
-    kids = kids.localCheckpoint()
+    // LAZY checkpoint: truncates the kid-table plan to a LogicalRDD at
+    // build time without spending a job — the RDD materializes inside
+    // the level's single row-table job (the final assignKids broadcast
+    // build computes it), and later readers (the beam ladder) reuse
+    // the checkpointed RDD. Its input `rows` is checkpointed, so the
+    // build is single-level-bounded.
+    kids = kids.localCheckpoint(false)
     val out = assignKids(rows, kids)
       .select(col("vid"), col("cv"),
         (col("node") * lit(2L) + col("child").cast("long")).as("node"),
@@ -811,14 +823,29 @@ object Similarity {
       } else {
         // size-guarded extension: only oversized nodes split; the
         // node list is an exact integer count — replayed by the
-        // oracle from the same data — and small, so both the semi
-        // and anti side of the row split are broadcast hash joins
-        val act = a.groupBy(col("node")).agg(count(lit(1)).as("cnt"))
-          .where(col("cnt") > targetRows).select(col("node"))
-          .localCheckpoint()
-        if (act.isEmpty) { exhausted = true }
+        // oracle from the same data — and small (it bounds the
+        // broadcast below exactly like the kid table it sizes), so
+        // it is collected once: emptiness check and broadcast build
+        // come out of the same single pass over the checkpointed
+        // rows instead of a checkpoint job + an isEmpty job
+        val actRows = a.groupBy(col("node")).agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") > targetRows)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        if (actRows.isEmpty) { exhausted = true }
         else {
-          val (kids, out) = splitLevel(a.join(broadcast(act), Seq("node")), iters)
+          val spark = a.sparkSession
+          import spark.implicits._
+          val act = actRows.map(_._1).toSeq.toDF("node")
+          // Lloyd refinement is SKIPPED when every still-oversized
+          // node is already within 2× target: a seed-only split of a
+          // ≤2·target node bounds both children near target whatever
+          // the balance, so the refinement pass buys nothing but an
+          // extra aggregation + broadcast per level. The rule is a
+          // pure function of the same collected integer counts the
+          // size guard uses, so the oracle replays it exactly
+          // (EXISTS(active node with cnt > 2·target) per level).
+          val levIters = if (actRows.forall(_._2 <= 2L * targetRows)) 0 else iters
+          val (kids, out) = splitLevel(a.join(broadcast(act), Seq("node")), levIters)
           val passive = a.join(broadcast(act), Seq("node"), "left_anti")
           levels += kids
           a = out.unionByName(passive).localCheckpoint()
