@@ -778,6 +778,21 @@ object SparkEntry {
         iters = 1, sampleMod = 1, targetRows = 64)
     }),
 
+    // the recall-vs-nProbe OPERATING CURVE for the same join — tree
+    // and brute-force truth built once, one beam descent per probe
+    // width, exact integer hit counts per point; this is how a
+    // consumer picks the probe width for a recall target (SURVEY
+    // names the >=0.9 point measured here)
+    "knn_recall_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") % 2 === 1)
+      Similarity.knnJoinRecallCurve(
+        emb.where(col("vec_id") % 2 === 0), corpus,
+        "vec_id", "embedding", k = 3,
+        nCells = Similarity.cellsPlan(corpus.count(), 64),
+        nProbes = Seq(2, 4, 8, 16), iters = 1, sampleMod = 1, targetRows = 64)
+    }),
+
     // nCells follows the CORPUS side's count via cellsPlan (expected
     // cell ≤ 64 rows at ANY n): candidates ≈ nQueries·nProbe·64,
     // linear, where a fixed count is quadratic under growth; corpus
@@ -2700,26 +2715,30 @@ object SparkEntry {
     * through with its carried score, competing in the same rank.
     * Emits `pr(query_id, qe, cell_id)`.
     */
-  private def duckBeam(iters: Int, maxDepth: Int, nProbe: Int): String = {
+  private def duckBeam(
+      iters: Int, maxDepth: Int, nProbe: Int, pfx: String = ""): String = {
+    // `pfx` namespaces the beam CTEs so one statement can descend the
+    // same tree at several probe widths (the recall-curve oracle);
+    // the final probe table is `pr$pfx`.
     def level(l: Int): String =
-      s"""bx$l AS MATERIALIZED (SELECT b.query_id, b.qe,
+      s"""bx$pfx$l AS MATERIALIZED (SELECT b.query_id, b.qe,
              b.node * 2 + k.child AS cnode, ${duckCos("b.qe", "k.ctv")} AS sc
-           FROM bq$l b JOIN bkx$l k USING (node)),
-         bp$l AS MATERIALIZED (SELECT b.query_id, b.qe, b.node AS cnode, b.sc
-           FROM bq$l b WHERE NOT EXISTS (
+           FROM bq$pfx$l b JOIN bkx$l k USING (node)),
+         bp$pfx$l AS MATERIALIZED (SELECT b.query_id, b.qe, b.node AS cnode, b.sc
+           FROM bq$pfx$l b WHERE NOT EXISTS (
              SELECT 1 FROM bkx$l k WHERE k.node = b.node)),
-         bq${l + 1} AS MATERIALIZED (
+         bq$pfx${l + 1} AS MATERIALIZED (
            SELECT query_id, qe, cnode AS node, sc FROM (
                SELECT query_id, qe, cnode, sc,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY sc DESC, cnode) AS rn
-               FROM (SELECT * FROM bx$l UNION ALL SELECT * FROM bp$l))
+               FROM (SELECT * FROM bx$pfx$l UNION ALL SELECT * FROM bp$pfx$l))
              WHERE rn <= $nProbe)"""
     val levels = (0 until maxDepth).map(level).mkString(",\n")
-    s"""bq0 AS MATERIALIZED (SELECT query_id, qe, 1::BIGINT AS node,
+    s"""bq${pfx}0 AS MATERIALIZED (SELECT query_id, qe, 1::BIGINT AS node,
            1.0::DOUBLE AS sc FROM q),
        $levels,
-       pr AS MATERIALIZED (SELECT query_id, qe, node AS cell_id FROM bq$maxDepth)"""
+       pr$pfx AS MATERIALIZED (SELECT query_id, qe, node AS cell_id FROM bq$pfx$maxDepth)"""
   }
 
   /** Integer replay of `Similarity.cellsPlan(count(c), target)` as a
@@ -3981,6 +4000,78 @@ object SparkEntry {
            floor(coalesce(n_hit, 0)::DOUBLE / n_truth::DOUBLE * 10000 + 0.5) / 10000
              AS recall
          FROM nt LEFT JOIN nh USING (query_id)""",
+
+    "knn_recall_curve" -> {
+      // fused-mask replay of Similarity.knnJoinRecallCurve: one beam
+      // descent carries the SET of probe widths each row survives at
+      // as a bitmask (the width values are the bits, ladder mask 30);
+      // per level one window counts, per width p, the strictly-better
+      // rows whose mask has p — exact per-width beam rank without
+      // materializing per-width beams. The candidate stage reuses the
+      // trick on cosine rank for each width's top-3.
+      val probePoints = Seq(2, 4, 8, 16)
+      val maskAll = probePoints.sum
+      def cnts(flagCol: String, ord: String) = probePoints.map(p =>
+        s"""sum(CASE WHEN ($flagCol & $p) != 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY query_id ORDER BY $ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c$p""")
+        .mkString(",\n")
+      def pmExpr = probePoints.map(p =>
+        s"(CASE WHEN (pm & $p) != 0 AND coalesce(c$p, 0) < $p THEN $p ELSE 0 END)")
+        .mkString(" + ")
+      def level(l: Int): String =
+        s"""mc$l AS MATERIALIZED (
+             SELECT b.query_id, b.qe, b.pm,
+               b.node * 2 + k.child AS cnode, ${duckCos("b.qe", "k.ctv")} AS sc
+             FROM mq$l b JOIN bkx$l k USING (node)
+             UNION ALL
+             SELECT b.query_id, b.qe, b.pm, b.node AS cnode, b.sc
+             FROM mq$l b WHERE NOT EXISTS (
+               SELECT 1 FROM bkx$l k WHERE k.node = b.node)),
+           mr$l AS MATERIALIZED (SELECT *, ${cnts("pm", "sc DESC, cnode")}
+             FROM mc$l),
+           mq${l + 1} AS MATERIALIZED (
+             SELECT query_id, qe, cnode AS node, sc, ($pmExpr) AS pm
+             FROM mr$l WHERE ($pmExpr) != 0)"""
+      val levels = (0 until 10).map(level).mkString(",\n")
+      val hitSums = probePoints.map(p =>
+        s"""sum(CASE WHEN (pm & $p) != 0 AND coalesce(c$p, 0) < 3
+                 AND is_t THEN 1 ELSE 0 END) AS h$p""").mkString(",\n")
+      val rows = probePoints.map { p =>
+        s"""SELECT $p AS n_probe, tc.n_queries, tc.n_truth,
+             hs.h$p::BIGINT AS n_hit,
+             floor(hs.h$p::DOUBLE / tc.n_truth::DOUBLE * 10000 + 0.5) / 10000
+               AS recall
+           FROM tc, hs"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
+         qall AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
+         qpar AS (SELECT greatest(1, (count(*) + 255) // 256) AS md FROM qall),
+         q AS MATERIALIZED (SELECT query_id, qe FROM qall
+               WHERE query_id % (SELECT md FROM qpar) = 0),
+         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
+         mq0 AS MATERIALIZED (SELECT query_id, qe, 1::BIGINT AS node,
+               1.0::DOUBLE AS sc, $maskAll AS pm FROM q),
+         $levels,
+         mcand AS MATERIALIZED (SELECT b.query_id, fasg.nid AS neighbor_id,
+               ${duckCos("b.qe", "fasg.ce")} AS cosine, b.pm
+             FROM fasg JOIN mq10 b ON fasg.cell_id = b.node),
+         mrank AS MATERIALIZED (SELECT query_id, neighbor_id, pm,
+               ${cnts("pm", "cosine DESC, neighbor_id")}
+             FROM mcand),
+         tr AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+               SELECT q.query_id, c.nid AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${duckCos("q.qe", "c.ce")} DESC, c.nid) AS rank
+               FROM q, c) WHERE rank <= 3),
+         tc AS (SELECT count(*)::BIGINT AS n_truth,
+               count(DISTINCT query_id)::BIGINT AS n_queries FROM tr),
+         hs AS (SELECT $hitSums
+             FROM mrank LEFT JOIN (SELECT query_id, neighbor_id, TRUE AS is_t
+               FROM tr) t USING (query_id, neighbor_id))
+         $rows"""
+    },
 
     "ann_topk" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -1380,27 +1380,21 @@ object Similarity {
     * at the same nCells/nProbe point — every approximate channel in
     * this repo ships with a number).
     */
-  def knnJoinIvf(
+  /** Beam descent of the bisecting split tree: each query walks the
+    * SAME per-level kid tables the corpus was assigned by, keeping
+    * its nProbe best (score desc, node asc) child nodes per level —
+    * O(q·nProbe·log k) scores total, where probing a flat k-cell
+    * table is O(q·k). Every per-level top-n window partitions by
+    * query_id (millions of small partitions, one query-side shuffle
+    * reused across levels — the per-level joins are broadcasts and
+    * preserve the partitioning). Emits (query_id, qv, cell_id).
+    */
+  private def beamDescend(
       queries: DataFrame,
-      corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
-      nCells: Int,
-      nProbe: Int,
-      iters: Int,
-      targetRows: Int = 0): DataFrame = {
-    val (asg, levels) =
-      bisectAssigned(corpus, idCol, vecCol, nCells, iters, targetRows)
-    val assigned = asg
-      .select(col("vid").as("neighbor_id"), col("cv"), col("cell_id"))
-    // beam descent: each query walks the SAME split tree the corpus
-    // was assigned by, keeping its nProbe best (score desc, node asc)
-    // child nodes per level — O(q·nProbe·log k) scores total, where
-    // probing a flat k-cell table is O(q·k). Every per-level top-n
-    // window partitions by query_id (millions of small partitions,
-    // one query-side shuffle reused across levels — the per-level
-    // joins are broadcasts and preserve the partitioning).
+      levels: Seq[DataFrame],
+      nProbe: Int): DataFrame = {
     var beam = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
         lit(1L).as("node"), lit(1.0).as("sc"))
@@ -1431,8 +1425,142 @@ object Similarity {
         .select(col("query_id"), col("qv"), col("cnode").as("node"), col("sc"))
         .localCheckpoint(false)
     }
-    val probes = beam.select(col("query_id"), col("qv"),
-      col("node").as("cell_id"))
+    beam.select(col("query_id"), col("qv"), col("node").as("cell_id"))
+  }
+
+  /** Measured recall@k of the distributed kNN join across a LADDER of
+    * probe widths — the operating-curve a production consumer needs
+    * to pick a recall target (the single-point [[knnJoinRecallEval]]
+    * grades only the deployed setting).
+    *
+    * The whole ladder costs ONE tree build, ONE beam descent and ONE
+    * candidate join: widths must be distinct powers of two, and every
+    * beam row carries the SET of widths it survives at as a bitmask
+    * `pm` (the width values themselves are the bits). Per level, one
+    * window (partition query_id, order score desc / cnode asc)
+    * computes for each width p the count of strictly-better rows
+    * whose mask has p — rank-within-the-p-beam without materializing
+    * p beams — and a row's new mask keeps bit p iff its parent had p
+    * and that count < p. This is EXACT per-width beam semantics (the
+    * per-width beams are NOT nested in general — a narrow-beam
+    * survivor can be pushed out of a wider beam by children of
+    * parents only the wider beam kept — which is why the mask is a
+    * set, not a single min-width). The candidate stage reuses the
+    * same trick on cosine rank to take each width's top-k in one
+    * window, and hits against the once-built brute-force truth
+    * aggregate in a single pass.
+    *
+    * @return one row per probe width: (n_probe, n_queries, n_truth,
+    *         n_hit, recall) — exact integer counts, corpus-level
+    *         (micro-averaged) recall rounded to 4 decimals the same
+    *         floor(x·10⁴+0.5) way as the per-query harness.
+    */
+  def knnJoinRecallCurve(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbes: Seq[Int],
+      iters: Int,
+      sampleMod: Int,
+      targetRows: Int = 0): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(p => p > 0 && (p & (p - 1)) == 0)
+      && nProbes.distinct.size == nProbes.size,
+      "probe widths must be distinct powers of two (they double as mask bits)")
+    val maskAll = nProbes.sum
+    val nQ = queries.count()
+    val mod = math.max(sampleMod.toLong, (nQ + 255) / 256).toInt
+    val qs = queries.where(pmod(col(idCol), lit(mod.toLong)) === 0)
+    val truth = annTopKBruteForce(qs, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persistTracked
+    val (asg, levels) =
+      bisectAssigned(corpus, idCol, vecCol, nCells, iters, targetRows)
+    val assigned = asg
+      .select(col("vid").as("neighbor_id"), col("cv"), col("cell_id"))
+    // count of strictly-preceding rows in the (score desc, id asc)
+    // order whose mask has bit p — rank-1 within the width-p subset
+    def precCnt(w: org.apache.spark.sql.expressions.WindowSpec,
+        flag: Column): Column =
+      coalesce(sum(when(flag, 1L).otherwise(0L)).over(w), lit(0L))
+    var beam = qs.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"),
+      lit(1L).as("node"), lit(1.0).as("sc"), lit(maskAll).as("pm"))
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sc").desc, col("cnode"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    for (kids <- levels) {
+      val hit = beam.join(broadcast(kids), Seq("node"))
+        .select(col("query_id"), col("qv"), col("node"), col("pm"),
+          explode(col("kids")).as("kk"))
+        .select(col("query_id"), col("qv"), col("pm"),
+          (col("node") * lit(2L) + col("kk.child").cast("long")).as("cnode"),
+          cosine(col("qv"), col("kk.ctv")).as("sc"))
+      val miss = beam.join(broadcast(kids), Seq("node"), "left_anti")
+        .select(col("query_id"), col("qv"), col("pm"),
+          col("node").as("cnode"), col("sc"))
+      val ranked = hit.unionByName(miss)
+        .select(col("query_id") +: col("qv") +: col("cnode") +: col("sc") +:
+          col("pm") +: nProbes.map(p =>
+            precCnt(wBeam, col("pm").bitwiseAND(lit(p)) =!= 0).as(s"c$p")): _*)
+      beam = ranked
+        .withColumn("pm2", nProbes.map(p =>
+          when(col("pm").bitwiseAND(lit(p)) =!= 0 && col(s"c$p") < p, lit(p))
+            .otherwise(lit(0))).reduce(_ + _))
+        .where(col("pm2") =!= 0)
+        .select(col("query_id"), col("qv"), col("cnode").as("node"),
+          col("sc"), col("pm2").as("pm"))
+        .localCheckpoint(false)
+    }
+    // one candidate join for the whole ladder; the same
+    // preceding-count trick ranks each width's top-k on cosine
+    val wCand = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cand = assigned
+      .join(beam.select(col("query_id"), col("qv"), col("node").as("cell_id"),
+        col("pm")), Seq("cell_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val ranked = cand
+      .select(col("query_id") +: col("neighbor_id") +: col("pm") +:
+        nProbes.map(p =>
+          precCnt(wCand, col("pm").bitwiseAND(lit(p)) =!= 0).as(s"c$p")): _*)
+      .join(broadcast(truth.withColumn("is_t", lit(true))),
+        Seq("query_id", "neighbor_id"), "left")
+    val hitCols = nProbes.map(p =>
+      sum(when(col("pm").bitwiseAND(lit(p)) =!= 0
+        && col(s"c$p") < k && col("is_t"), 1L).otherwise(0L)).as(s"h$p"))
+    val hitRow = ranked.agg(hitCols.head, hitCols.tail: _*)
+    val truthCnt = truth.agg(count(lit(1)).as("n_truth"),
+      countDistinct(col("query_id")).as("n_queries"))
+    val base = truthCnt.crossJoin(broadcast(hitRow))
+    nProbes.map { p =>
+      base.select(lit(p).as("n_probe"), col("n_queries"), col("n_truth"),
+        col(s"h$p").as("n_hit"),
+        (floor(col(s"h$p").cast("double") / col("n_truth").cast("double")
+          * 10000 + lit(0.5)) / 10000).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
+  def knnJoinIvf(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      iters: Int,
+      targetRows: Int = 0): DataFrame = {
+    val (asg, levels) =
+      bisectAssigned(corpus, idCol, vecCol, nCells, iters, targetRows)
+    val assigned = asg
+      .select(col("vid").as("neighbor_id"), col("cv"), col("cell_id"))
+    val probes = beamDescend(queries, idCol, vecCol, levels, nProbe)
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

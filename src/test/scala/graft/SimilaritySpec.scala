@@ -207,6 +207,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall (probing 6/8 cells)")
   }
 
+  test("recall curve: fused-mask ladder matches the sequential single-point harness") {
+    // the curve computes EVERY width from ONE masked descent; this
+    // pins it against knnJoinRecallEval's independent one-beam path
+    // (sum of per-query hits == the curve's corpus-level hit count)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") % 2 === 0)
+    val c = emb.where(col("vec_id") % 2 === 1)
+    val nCells = Similarity.cellsPlan(c.count(), 16)
+    val curve = Similarity.knnJoinRecallCurve(q, c, "vec_id", "embedding",
+      k = 3, nCells = nCells, nProbes = Seq(2, 4, 8), iters = 1,
+      sampleMod = 1, targetRows = 16)
+      .collect().map(r => r.getInt(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    for (p <- Seq(2, 4, 8)) {
+      val eval = Similarity.knnJoinRecallEval(q, c, "vec_id", "embedding",
+        k = 3, nCells = nCells, nProbe = p, iters = 1, sampleMod = 1,
+        targetRows = 16)
+      val hits = eval.agg(sum(col("n_hit"))).collect()(0).getLong(0)
+      assert(curve(p)._1 == hits,
+        s"curve n_hit at p=$p: ${curve(p)._1} != sequential $hits")
+    }
+    // wider beams cannot lose recall on the same tree
+    assert(curve(2)._2 <= curve(4)._2 && curve(4)._2 <= curve(8)._2,
+      s"recall not monotone: $curve")
+  }
+
   test("dot/norm fold is bit-deterministic (fixed operation order)") {
     val df = Seq((1L, Array(0.1f, 0.2f, 0.3f, 0.4f))).toDF("id", "v")
     val d1 = df.select(Similarity.dot(Similarity.asDouble(col("v")),
