@@ -63,36 +63,71 @@ object SparkEntry {
     */
   private val bpeSteps = 5
 
+  /** DuckDB replay of `TextAnalysis.canonicalMerge` part 1 — the
+    * merge START positions of pair (l, r) in symbol list `syms`: an
+    * append-only list_reduce (a position merges iff it matches and
+    * the previous position did not merge). The accumulator is NEVER
+    * returned unchanged from a CASE branch — always
+    * list_concat(acc, …) — the DuckDB 1.0.0 list_reduce corruption
+    * workaround (see semdedup_fidelity_eval). NULL l/r → no matches →
+    * empty positions → identity merge.
+    */
+  private def duckMergePos(syms: String, l: String, r: String): String =
+    s"""list_reduce(
+         list_prepend(CAST([] AS BIGINT[]),
+           list_transform(generate_series(1, len($syms) - 1), i -> [i])),
+         (acc, xi) -> list_concat(acc,
+           CASE WHEN $syms[xi[1]] = $l AND $syms[xi[1] + 1] = $r
+                 AND (len(acc) = 0 OR acc[-1] != xi[1] - 1)
+                THEN [xi[1]] ELSE [] END))"""
+
+  /** Part 2 — rebuild the symbol list from merge positions `mp`:
+    * merged positions emit l||r, their right symbols drop, everything
+    * else passes through.
+    */
+  private def duckMergeApply(
+      syms: String, mp: String, l: String, r: String): String =
+    s"""list_filter(list_transform(generate_series(1, len($syms)), i ->
+         CASE WHEN list_contains($mp, i) THEN $l || $r
+              WHEN list_contains($mp, i - 1) THEN NULL
+              ELSE $syms[i] END), x -> x IS NOT NULL)"""
+
   /** The BPE trainer replayed as DuckDB CTEs — words → seqs0 → K
     * rounds of (pair-explode → weighted count → deterministic argmax
-    * b$s → delimiter replace seqs$s). Shared by the trainer oracle
-    * (reads b1..bK) and the encoder oracle (joins b1..bK against the
-    * per-document token stream).
+    * b$s → CANONICAL Sennrich merge via [[duckMergePos]] +
+    * [[duckMergeApply]], the same left-to-right non-overlapping rule
+    * as the engine). Shared by the trainer oracle (reads b1..bK) and
+    * the encoder oracle (joins b1..bK against the per-document token
+    * stream). Word state is a symbol LIST throughout.
     */
   private val bpeTrainCtes: String = {
+    // the step's (l, r) rule rides as COLUMNS via a 1-row aggregate
+    // cross join (max over the ≤1-row b$s; NULL when absent) — DuckDB
+    // rejects scalar subqueries INSIDE lambda expressions, but lambda
+    // capture of outer columns is fine
+    def ruleJoin(st: Int) = s"(SELECT max(l) AS rl, max(r) AS rr FROM b$st) jr$st"
     val stepCtes = (1 to bpeSteps).map { s =>
       s"""pr$s AS (SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
              i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p, freq
-           FROM (SELECT list_filter(string_split(seq, chr(31)), x -> x <> '') AS syms,
-                   freq FROM seqs${s - 1}) WHERE len(syms) >= 2),
+           FROM seqs${s - 1} WHERE len(syms) >= 2),
          pc$s AS (SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt
                   FROM pr$s GROUP BY 1, 2),
-         b$s AS (SELECT $s::BIGINT AS step, l, r, cnt FROM pc$s
+         b$s AS MATERIALIZED (SELECT $s::BIGINT AS step, l, r, cnt FROM pc$s
                  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         seqs$s AS (SELECT replace(seq,
-                      coalesce((SELECT chr(31) || l || chr(31) || r || chr(31)
-                                FROM b$s), chr(31)),
-                      coalesce((SELECT chr(31) || l || r || chr(31)
-                                FROM b$s), chr(31))) AS seq, freq
-                    FROM seqs${s - 1})"""
+         mp$s AS MATERIALIZED (SELECT syms, freq, rl, rr,
+             ${duckMergePos("syms", "rl", "rr")} AS mp
+           FROM seqs${s - 1}, ${ruleJoin(s)}),
+         seqs$s AS MATERIALIZED (SELECT
+             ${duckMergeApply("syms", "mp", "rl", "rr")} AS syms, freq
+           FROM mp$s)"""
     }.mkString(",\n         ")
     s"""toks AS (SELECT unnest(list_filter(string_split(
            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
              ' +', ' ', 'g')), ' '), x -> x <> '')) AS w FROM documents),
        words AS (SELECT w, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
-       seqs0 AS (SELECT chr(31) || array_to_string(
-             list_transform(generate_series(1, length(w)), i -> w[i]), chr(31))
-             || chr(31) AS seq, freq FROM words),
+       seqs0 AS MATERIALIZED (SELECT
+             list_transform(generate_series(1, length(w)), i -> w[i]) AS syms,
+             freq FROM words),
        $stepCtes"""
   }
 
@@ -3186,41 +3221,39 @@ object SparkEntry {
     },
 
     // encode = the trainer chain (b1..bK learned identically), then the
-    // same per-step delimiter replace applied to each DOCUMENT's words
+    // same per-step CANONICAL merge applied to each DOCUMENT's words
     // (duplicates kept) instead of the aggregated vocabulary
     "bpe_encode" -> {
-      // absent merge rules (degenerate corpus) coalesce to the identity
-      // replace (chr(31) → chr(31)) — the engine's bpeEncode applies
-      // the same no-op default, so the two cannot disagree off-corpus
+      // absent merge rules (degenerate corpus) leave the scalar
+      // subqueries NULL — the canonical merge with NULL symbols is the
+      // identity, the same no-op default as the engine's bpeEncode
       val encCtes = (1 to bpeSteps).map { s =>
-        s"""enc$s AS (SELECT doc_id, replace(seq,
-               coalesce((SELECT chr(31) || l || chr(31) || r || chr(31)
-                         FROM b$s), chr(31)),
-               coalesce((SELECT chr(31) || l || r || chr(31)
-                         FROM b$s), chr(31))) AS seq
-             FROM enc${s - 1})"""
+        s"""encm$s AS MATERIALIZED (SELECT doc_id, syms, rl, rr,
+               ${duckMergePos("syms", "rl", "rr")} AS mp
+             FROM enc${s - 1}, (SELECT max(l) AS rl, max(r) AS rr FROM b$s) jre$s),
+           enc$s AS MATERIALIZED (SELECT doc_id,
+               ${duckMergeApply("syms", "mp", "rl", "rr")} AS syms
+             FROM encm$s)"""
       }.mkString(",\n         ")
       s"""WITH $bpeTrainCtes,
          dtoks AS (SELECT doc_id, unnest(list_filter(string_split(
              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
                ' +', ' ', 'g')), ' '), x -> x <> '')) AS w FROM documents),
-         enc0 AS (SELECT doc_id, chr(31) || array_to_string(
-               list_transform(generate_series(1, length(w)), i -> w[i]), chr(31))
-               || chr(31) AS seq FROM dtoks),
+         enc0 AS MATERIALIZED (SELECT doc_id,
+             list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+           FROM dtoks),
          $encCtes
          SELECT doc_id, count(*)::BIGINT AS n_words,
-           sum(len(list_filter(string_split(seq, chr(31)), x -> x <> '')))::BIGINT
-             AS n_bpe_tokens
+           sum(len(syms))::BIGINT AS n_bpe_tokens
          FROM enc$bpeSteps GROUP BY doc_id"""
     },
 
     "bpe_vocab" ->
       s"""WITH $bpeTrainCtes,
-         syms AS (SELECT unnest(list_filter(string_split(seq, chr(31)),
-                    x -> x <> '')) AS symbol, freq FROM seqs$bpeSteps)
+         vsyms AS (SELECT unnest(syms) AS symbol, freq FROM seqs$bpeSteps)
          SELECT symbol, sum(freq)::BIGINT AS n_tokens,
            count(*)::BIGINT AS n_occurrences
-         FROM syms GROUP BY symbol""",
+         FROM vsyms GROUP BY symbol""",
 
     "dedup_incremental" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies

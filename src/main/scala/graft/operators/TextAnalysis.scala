@@ -441,11 +441,11 @@ object TextAnalysis {
     * table [[bpeTrainSteps]] produced and report the per-doc symbol
     * count — the train→apply loop closed. The merge list arrives as a
     * broadcast cross-join (it is K rows); each merge applies in
-    * learned order as the same boundary-safe left-to-right literal
-    * replace the trainer used, so encode(text) is exactly the state
-    * the trainer's corpus reached after K steps.
+    * learned order as the same CANONICAL left-to-right non-overlapping
+    * [[canonicalMerge]] the trainer used, so encode(text) is exactly
+    * the state the trainer's corpus reached after K steps.
     *
-    * Scale: pure row-local string arithmetic after one tiny broadcast
+    * Scale: pure row-local array arithmetic after one tiny broadcast
     * — zero shuffle; the word-level cache real encoders add is an
     * optimization of the same semantics.
     */
@@ -455,36 +455,95 @@ object TextAnalysis {
       textCol: String,
       merges: DataFrame,
       steps: Int): DataFrame = {
-    val sep = "\u001f"
-    // all K (from, to) replace pairs as one broadcast row. A step the
+    // all K (left, right) merge pairs as one broadcast row. A step the
     // trainer never reached (degenerate corpus with < steps mergeable
-    // pairs) coalesces to the no-op pair (sep → sep): replace(x, ␟, ␟)
-    // is the identity, so absent rules are identity replaces instead
-    // of NULLing the encoded word (the oracle replays the same
-    // coalesce as a scalar-subquery default).
+    // pairs) stays NULL, and [[canonicalMerge]] with a NULL pair is
+    // the identity (the symbol-equality test is never true), so absent
+    // rules pass the word through instead of NULLing it (the oracle
+    // replays the same NULL-default scalar subqueries).
     val agg = (1 to steps).flatMap { s =>
       Seq(
-        coalesce(max(when(col("step") === s, concat(lit(sep), col("sym_left"),
-          lit(sep), col("sym_right"), lit(sep)))), lit(sep)).as(s"f$s"),
-        coalesce(max(when(col("step") === s, concat(lit(sep), col("sym_left"),
-          col("sym_right"), lit(sep)))), lit(sep)).as(s"t$s"))
+        max(when(col("step") === s, col("sym_left"))).as(s"l$s"),
+        max(when(col("step") === s, col("sym_right"))).as(s"r$s"))
     }
     val rules = merges.agg(agg.head, agg.tail: _*)
-    val words = df.select(col(idCol),
+    // each step lands in its OWN projection (withColumn): the native
+    // kernel references its input once, but chaining K steps through
+    // attributes keeps the plan linear and each merge evaluated once
+    // per word per step
+    var enc = df.select(col(idCol),
       tokens(Dedup.normalized(col(textCol))).as("ws"))
       .crossJoin(broadcast(rules))
-    val encodedWord = (1 to steps).foldLeft(
-      concat(lit(sep), concat_ws(sep, split(col("w"), "")), lit(sep)): Column) {
-      (acc, s) => call_function("replace", acc, col(s"f$s"), col(s"t$s"))
-    }
-    words
       .select((Seq(col(idCol), explode(col("ws")).as("w")) ++
-        (1 to steps).flatMap(s => Seq(col(s"f$s"), col(s"t$s")))): _*)
-      .select(col(idCol),
-        (size(split(encodedWord, sep)) - 2).cast("long").as("n_syms"))
+        (1 to steps).flatMap(s => Seq(col(s"l$s"), col(s"r$s")))): _*)
+      .withColumn("syms", split(col("w"), ""))
+    for (s <- 1 to steps)
+      enc = enc.withColumn("syms",
+        canonicalMerge(col("syms"), col(s"l$s"), col(s"r$s")))
+    enc
+      .select(col(idCol), size(col("syms")).cast("long").as("n_syms"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
   }
+
+  /** CANONICAL Sennrich merge of pair (l, r) in a symbol array: scan
+    * left to right, merge each (l, r) adjacency whose left symbol was
+    * not consumed by the previous merge, continue AFTER the merged
+    * pair. This is the reference-BPE rule — "aaaa"+(a,a) → [aa,aa]
+    * and "aaaaa" → [aa,aa,a] — where a literal string replace of the
+    * delimiter-wrapped pair consumes the shared delimiter and yields
+    * [aa,a,a] / [aa,a,aa] (the pre-r13 variant). Two row-local passes:
+    * a fold collects merge START positions (a position merges iff it
+    * matches and the previous position did not merge — append-only
+    * accumulator), then one transform rebuilds the array. A NULL l or
+    * r (absent rule) makes every match test NULL → identity.
+    *
+    * Spark gotcha guarded: `sequence(1, 0)` DESCENDS instead of being
+    * empty, so single-symbol arrays skip the fold explicitly.
+    */
+  private[operators] def canonicalMerge(
+      syms: Column, l: Column, r: Column): Column =
+    graft.functions.VectorExprs.bpeMerge(syms, l, r)
+
+  /** Merge START positions of (l, r) in `syms` — the DECLARATIVE
+    * reference formulation of [[canonicalMerge]] (the DuckDB oracle
+    * replays this form; NativeExprPropertySpec pins the native
+    * kernel against mergePositions∘mergeApply). Interpreted array
+    * lambdas are too slow for the per-document encode path — land it
+    * in its own projection (withColumn) before [[mergeApply]] if you
+    * do evaluate it at scale: the rebuild references the position
+    * list once per output element, and an inlined fold re-evaluates
+    * per reference.
+    */
+  private[graft] def mergePositions(
+      syms: Column, l: Column, r: Column): Column = {
+    val emptyPos = lit(Array.empty[Int])
+    val n = size(syms)
+    when(n >= 2,
+      aggregate(
+        sequence(lit(1), n - 1),
+        emptyPos,
+        (acc, i) => concat(acc,
+          when(element_at(syms, i) === l && element_at(syms, i + 1) === r
+            && (size(acc) === 0 || element_at(acc, -1) =!= i - 1),
+            array(i)).otherwise(emptyPos))))
+      .otherwise(emptyPos)
+  }
+
+  /** Rebuild the symbol array from merge positions `mp` —
+    * [[canonicalMerge]] part 2: merged positions emit l||r, their
+    * right symbols drop, everything else passes through.
+    */
+  private[graft] def mergeApply(
+      syms: Column, mp: Column, l: Column, r: Column): Column =
+    // empty-array guard: Spark sequence(1, 0) DESCENDS instead of
+    // being empty, so a zero-length word must pass through explicitly
+    when(size(syms) === 0, syms).otherwise(filter(
+      transform(sequence(lit(1), size(syms)), i =>
+        when(array_contains(mp, i), concat(l, r))
+          .when(array_contains(mp, i - 1), lit(null).cast("string"))
+          .otherwise(element_at(syms, i))),
+      x => x.isNotNull))
 
   /** Distributed BPE tokenizer training, first `steps` merges (Sennrich
     * et al.: repeatedly merge the most frequent adjacent symbol pair) —
@@ -497,17 +556,15 @@ object TextAnalysis {
     * STAYS distributed); each step is then pair-explode → weighted
     * count (map-side partial) → one TakeOrderedAndProject row →
     * broadcast back into a row-local merge. The per-word symbol state
-    * lives as one separator-wrapped string (`\\u001f` around every
-    * symbol), so the merge is a literal left-to-right `replace` of
-    * `␟a␟b␟` with `␟ab␟`, boundary-safe because every symbol is
-    * delimiter-wrapped. Words are canonical [a-z0-9]+ forms so the
-    * separator cannot collide. Greedy left-to-right like Sennrich
-    * BPE on ODD runs ("aaa" + (a,a) → [aa, a]); on EVEN runs the
-    * replace consumes the shared delimiter, so "aaaa" + (a,a) →
-    * [aa, a, a] here vs [aa, aa] in reference BPE — a deliberate
-    * single-pass variant (the engine and the DuckDB oracle replay
-    * the identical rule, and [[bpeEncode]] applies the same replace,
-    * so train→apply stays internally consistent).
+    * is an array&lt;string&gt;, and each merge is [[canonicalMerge]]
+    * — the CANONICAL Sennrich left-to-right non-overlapping rule
+    * ("aaaa" + (a,a) → [aa, aa], "aaaaa" → [aa, aa, a]) — so learned
+    * merge tables and encodings are drop-in compatible with reference
+    * BPE tokenizers. (The pre-r13 literal string replace over a
+    * separator-wrapped word diverged on symbol runs ≥ 4 because the
+    * replace consumed the shared delimiter; that caveat is CLOSED.
+    * The engine, the DuckDB oracle, and [[bpeEncode]] all replay the
+    * identical canonical rule.)
     *
     * Deterministic: ties in pair frequency break lexicographically
     * (count desc, left asc, right asc — binary string order in both
@@ -537,10 +594,8 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String,
       steps: Int): DataFrame = {
-    val sep = "\u001f"
     val (fin, _) = bpeFold(df, textCol, steps)
-    fin.select(explode(filter(split(col("seq"), sep), s => s =!= "")).as("symbol"),
-        col("freq"))
+    fin.select(explode(col("syms")).as("symbol"), col("freq"))
       .groupBy(col("symbol"))
       .agg(sum(col("freq")).as("n_tokens"), count(lit(1)).as("n_occurrences"))
   }
@@ -554,18 +609,15 @@ object TextAnalysis {
       textCol: String,
       steps: Int): (DataFrame, Seq[DataFrame]) = {
     require(steps >= 1 && steps <= 16, "unrolled plan: keep steps small")
-    val sep = "\u001f"
     val words = Dedup.rebalance(df)
       .select(explode(tokens(Dedup.normalized(col(textCol)))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(concat(lit(sep), concat_ws(sep, split(col("w"), "")), lit(sep))
-        .as("seq"), col("freq"))
+      .select(split(col("w"), "").as("syms"), col("freq"))
       .persistTracked
     (1 to steps).foldLeft(
       (words, Seq.empty[DataFrame])) { case ((cur, acc), step) =>
       val pairs = cur
-        .select(col("freq"), filter(split(col("seq"), sep), s => s =!= "").as("syms"))
         .where(size(col("syms")) >= 2)
         .select(col("freq"), explode(transform(
           sequence(lit(1), size(col("syms")) - 1),
@@ -577,19 +629,15 @@ object TextAnalysis {
         .limit(1)
         .select(lit(step.toLong).as("step"), col("l"), col("r"), col("cnt"))
         .persistTracked
-      // one-row (from, to) rule even when `best` is EMPTY (degenerate
-      // corpus with no mergeable pair left): agg-over-empty yields one
-      // NULL row, coalesced to the identity pair (sep → sep), so the
+      // one-row rule even when `best` is EMPTY (degenerate corpus with
+      // no mergeable pair left): agg-over-empty yields one NULL row,
+      // and canonicalMerge with NULL symbols is the identity, so the
       // fold carries the word table through untouched instead of
       // collapsing every later state (and bpe_vocab) to zero rows
-      val rule = best.agg(
-        coalesce(max(concat(lit(sep), col("l"), lit(sep), col("r"), lit(sep))),
-          lit(sep)).as("pfrom"),
-        coalesce(max(concat(lit(sep), col("l"), col("r"), lit(sep))),
-          lit(sep)).as("pto"))
+      val rule = best.agg(max(col("l")).as("rl"), max(col("r")).as("rr"))
       val merged = cur.crossJoin(broadcast(rule))
-        .select(call_function("replace", col("seq"), col("pfrom"), col("pto"))
-          .as("seq"), col("freq"))
+        .select(canonicalMerge(col("syms"), col("rl"), col("rr")).as("syms"),
+          col("freq"))
         .persistTracked
       (merged, acc :+ best)
     }

@@ -209,6 +209,23 @@ class IntegrationSpec extends SparkSpec {
     assert(enc.toSeq == Seq((1L, 3L, 3L), (2L, 2L, 3L)), s"got ${enc.toSeq}")
   }
 
+  test("canonical Sennrich merges on even and odd symbol runs") {
+    import spark.implicits._
+    // the r12-era literal string replace consumed the shared delimiter
+    // on runs >= 4 ("aaaa"+(a,a) -> [aa,a,a]); canonical left-to-right
+    // non-overlapping merging gives the reference-BPE states
+    val docs = Seq((1L, "aaaa"), (2L, "aaaaa")).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeTrainSteps(docs, "text", 1)
+    val m = merges.collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq(("a", "a", 7L)), s"got ${m.toSeq}") // 3 + 4 adjacencies
+    val enc = graft.operators.TextAnalysis
+      .bpeEncode(docs, "doc_id", "text", merges, 1)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    // aaaa -> [aa,aa] (2 symbols), aaaaa -> [aa,aa,a] (3 symbols); the
+    // old replace yielded [aa,a,a] (3) and [aa,a,aa] (3, wrong shape)
+    assert(enc.toSeq == Seq((1L, 2L), (2L, 3L)), s"got ${enc.toSeq}")
+  }
+
   test("BPE degenerate corpus: fewer mergeable pairs than steps is lossless, never NULL/empty") {
     import spark.implicits._
     // single-char words: ZERO mergeable pairs exist, so all 3 steps

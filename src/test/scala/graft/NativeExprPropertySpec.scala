@@ -97,6 +97,48 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("BpeMerge native kernel == declarative mergePositions/mergeApply on random runs") {
+    val gen = new scala.util.Random(7L)
+    // heavy-run alphabet so merge adjacencies (incl. even/odd runs of
+    // the same symbol) are common; also a plain-Scala reference fold
+    def refMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val cases = (0 until 300).map { i =>
+      val syms = Seq.fill(gen.nextInt(12))(Seq("a", "b", "ab")(gen.nextInt(3)))
+      (i.toLong, syms, Seq("a", "b", "ab")(gen.nextInt(3)), Seq("a", "b")(gen.nextInt(2)))
+    } :+ ((1000L, Seq.empty[String], "a", "a")) :+ ((1001L, Seq("a"), "a", "a"))
+    val df = cases.toDF("id", "syms", "l", "r")
+    val got = df.select(col("id"),
+      VectorExprs.bpeMerge(col("syms"), col("l"), col("r")).as("native"),
+      graft.operators.TextAnalysis.mergeApply(col("syms"),
+        graft.operators.TextAnalysis.mergePositions(col("syms"), col("l"), col("r")),
+        col("l"), col("r")).as("decl"))
+      .collect()
+    val byId = cases.map(c => c._1 -> c).toMap
+    got.foreach { row =>
+      val (_, syms, l, r) = byId(row.getLong(0))
+      val expect = refMerge(syms, l, r)
+      assert(row.getSeq[String](1) == expect,
+        s"id ${row.getLong(0)}: native ${row.getSeq[String](1)} != $expect")
+      assert(row.getSeq[String](2) == expect,
+        s"id ${row.getLong(0)}: declarative ${row.getSeq[String](2)} != $expect")
+    }
+    // NULL rule (absent merge step) is the identity in the native path
+    val nullRule = Seq((1L, Seq("a", "a"))).toDF("id", "syms")
+      .select(VectorExprs.bpeMerge(col("syms"),
+        lit(null).cast("string"), lit(null).cast("string")).as("out"))
+      .collect()(0).getSeq[String](0)
+    assert(nullRule == Seq("a", "a"))
+  }
+
   test("SortedIntersectSize matches Scala set intersection on 100 random pairs") {
     val cases = (0 until 100).map { i =>
       val a = Seq.fill(rnd.nextInt(50))(rnd.nextInt(30).toLong).distinct.sorted
