@@ -255,7 +255,7 @@ object Bench {
       })
     },"errors":${
       jmap(errors.map { case (k, v) => k -> jstr(v) })
-    },"sf":"$sfDir","passes":$passes,"agg":"median","load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"wall_secs":${f"$wallSecs%.1f"},"foreign_cpu_core_secs":${f"$foreignCoreSecs%.1f"},"foreign_cpu_ratio":${f"$foreignRatio%.4f"},"contaminated":$contaminated}"""
+    },"sf":"$sfDir","passes":$passes,"agg":"median","bench_protocol":"noop-write-r12","bench_protocol_note":"timed action is a noop WRITE of the full result (since r12); benches at r11 and earlier timed count(), which let Catalyst prune count-irrelevant subtrees (e.g. semdedup_prune's whole dominance join - a left join with a provably-unique right side preserves cardinality), so r11-era per-query times are NOT comparable for queries whose output stage a count() could skip (the semdedup/knn family, window-topn shapes)","load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"wall_secs":${f"$wallSecs%.1f"},"foreign_cpu_core_secs":${f"$foreignCoreSecs%.1f"},"foreign_cpu_ratio":${f"$foreignRatio%.4f"},"contaminated":$contaminated}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }

@@ -1141,6 +1141,14 @@ object SparkEntry {
     "warc_roundtrip" -> ((s, dir) =>
       Warc.roundTrip(t(s, dir, "documents"), "doc_id", "text", "source")),
 
+    // the same round trip through PER-RECORD GZIP MEMBERS — the
+    // .warc.gz layout CommonCrawl actually ships (one RFC 1952 member
+    // per record, members concatenated); lenient multi-member gunzip
+    // feeds the same stops-never-throws record walker
+    "warc_gzip_roundtrip" -> ((s, dir) =>
+      Warc.roundTrip(t(s, dir, "documents"), "doc_id", "text", "source",
+        gzipMembers = true)),
+
     // serialization surface: documents → JSONL lines → parsed back,
     // graded against the source fields — proves the to_json/from_json
     // loop is lossless including text escaping
@@ -3205,6 +3213,12 @@ object SparkEntry {
     // written as UTF-8 octets); length() counts characters and would
     // diverge on the first multibyte character
     "warc_roundtrip" ->
+      """SELECT doc_id, source, strlen(text)::BIGINT AS content_length, text
+         FROM documents""",
+
+    // gzip members are a transparent transport layer: recovery is graded
+    // against the identical source-field truth
+    "warc_gzip_roundtrip" ->
       """SELECT doc_id, source, strlen(text)::BIGINT AS content_length, text
          FROM documents""",
 

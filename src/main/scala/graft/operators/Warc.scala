@@ -60,6 +60,40 @@ object Warc {
     out
   }
 
+  /** One record as its OWN gzip member (RFC 1952 multi-member stream;
+    * the ISO 28500 annex layout CommonCrawl ships as .warc.gz): members
+    * concatenate into one file, so a byte-range reader can decompress a
+    * single record without touching the rest.
+    */
+  def recordGz(uri: String, date: String, payload: Array[Byte],
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(record(uri, date, payload, extraHeaders))
+    gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  /** Decompress a (possibly multi-member) gzip stream LENIENTLY:
+    * java.util.zip walks concatenated members transparently, and
+    * damaged or truncated input yields the bytes recovered so far —
+    * never an exception (the downstream [[parse]] is already built to
+    * stop at structural damage, so a half-recovered last record drops
+    * cleanly). Same stops-never-throws contract as the rest of the
+    * container tier.
+    */
+  def gunzipMembers(blob: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: java.io.IOException => () }
+    out.toByteArray
+  }
+
   final case class WarcRecord(
       uri: String, date: String, contentLength: Long, payload: Array[Byte],
       headers: Map[String, String] = Map.empty)
@@ -127,7 +161,8 @@ object Warc {
       idCol: String,
       textCol: String,
       groupCol: String,
-      docsPerBlob: Int = 256): DataFrame = {
+      docsPerBlob: Int = 256,
+      gzipMembers: Boolean = false): DataFrame = {
     // blob granularity is (group, id-range) so no blob row outgrows a
     // task at any corpus size — the file granularity a real crawl
     // writes; the group and id travel in DEDICATED record headers
@@ -145,7 +180,8 @@ object Warc {
         val g = r.getString(0)
         val bos = new java.io.ByteArrayOutputStream()
         r.getSeq[Row](2).foreach { d =>
-          bos.write(record(s"https://example.org/$g/${d.getLong(0)}",
+          val mk = if (gzipMembers) recordGz _ else record _
+          bos.write(mk(s"https://example.org/$g/${d.getLong(0)}",
             "2026-01-01T00:00:00Z", d.getString(1).getBytes(UTF_8),
             Seq("WARC-Record-ID" -> s"<urn:graft:${d.getLong(0)}>",
               "X-Warc-Group" -> g)))
@@ -158,7 +194,9 @@ object Warc {
       StructField("content_length", LongType), StructField("text", StringType)))
     built.mapPartitions { it =>
       it.flatMap { r =>
-        parse(r.getAs[Array[Byte]](0)).flatMap { rec =>
+        val raw = r.getAs[Array[Byte]](0)
+        val bytes = if (gzipMembers) gunzipMembers(raw) else raw
+        parse(bytes).flatMap { rec =>
           // group and id ride in dedicated headers; the payload text is
           // what the parser recovered from raw bytes, graded against
           // the source. The id parse is LENIENT like the rest of the

@@ -13,6 +13,71 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  test("GLOBAL SWEEP: every BroadcastNestedLoopJoin in every registered plan has a 1-row build side") {
+    // the scalar-broadcast pattern crossJoin(broadcast(<global agg>))
+    // is the ONLY sanctioned nested-loop shape (~200 BNLJ nodes across
+    // PLANS.md are these 1-row builds); this sweep fails loudly if a
+    // future change regresses a real join to a nested loop over a
+    // multi-row side
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    def descend(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.inputPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    def bnljs(p: SparkPlan): Seq[BroadcastNestedLoopJoinExec] = {
+      val here = p match {
+        case b: BroadcastNestedLoopJoinExec => Seq(b)
+        case _ => Seq.empty
+      }
+      here ++ descend(p).flatMap(bnljs) ++
+        p.subqueries.flatMap(sp => bnljs(sp))
+    }
+    // a build side is provably ≤1 row when, descending through
+    // exchanges/projections, it bottoms out in a grouping-key-free
+    // aggregate, a ≤1-row local relation, or a reuse of an exchange
+    // (whose original is audited where it appears)
+    def oneRow(p: SparkPlan): Boolean = p match {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty
+      // driver-literal VALUES data (TPC-H constant in-lists written as
+      // literal tables) — scale-independent by construction, any size
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => oneRow(q.plan)
+      case _ if p.children.length == 1 => oneRow(p.children.head)
+      case _ => false
+    }
+    // sanctioned BOUNDED-multi-row broadcast builds (each documented at
+    // its operator): the broadcast-query brute-force pattern (queries ≪
+    // corpus by contract — annTopKBruteForce), and domain-bounded
+    // aggregate tables (per-source HLL registers, fixed histogram
+    // buckets). Everything else must prove ≤1 row structurally.
+    val boundedBuildAllowlist = Set(
+      "ann_topk",             // broadcast query set, ≤10 by registration
+      "contrastive_triplets", // anchors broadcast via annTopKBruteForce
+      "quantile_gate_sketch", // fixed-bucket histogram broadcast
+      "source_overlap_hll")   // per-source register tables, #sources-bounded
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    (SparkEntry.queries.keys.toSet -- boundedBuildAllowlist).toSeq.sorted.foreach { name =>
+      val exec = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      bnljs(exec).foreach { b =>
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+        }
+        if (!oneRow(build))
+          offenders += s"$name: ${b.simpleStringWithNodeId()} build=${build.nodeName}"
+      }
+      graft.operators.Caching.release()
+      spark.catalog.clearCache()
+    }
+    assert(offenders.isEmpty,
+      s"BNLJ with a non-1-row build side:\n${offenders.mkString("\n")}")
+  }
+
   test("filter_rows: predicates reach the parquet scan (PushedFilters)") {
     val p = plan("filter_rows")
     assert(p.contains("PushedFilters: ["), s"no pushdown:\n$p")

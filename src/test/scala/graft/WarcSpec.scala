@@ -83,6 +83,46 @@ class WarcSpec extends SparkSpec {
       (3L, "s2", 18L, "delta epsilon zeta")))
   }
 
+  test("gzip members: multi-member stream round trip, truncation and corruption sweeps") {
+    val r1 = Warc.recordGz("https://e.org/1", "2026-01-01T00:00:00Z",
+      "hello world".getBytes("UTF-8"))
+    val r2 = Warc.recordGz("https://e.org/2", "2026-01-01T00:00:00Z",
+      Array.empty[Byte])
+    val blob = r1 ++ r2
+    // concatenated members decompress transparently into both records
+    val recs = Warc.parse(Warc.gunzipMembers(blob))
+    assert(recs.map(_.uri) == List("https://e.org/1", "https://e.org/2"))
+    assert(new String(recs(0).payload, "UTF-8") == "hello world")
+    // truncation at every byte offset: never throws, yields a prefix
+    (0 until blob.length).foreach { cut =>
+      val got = Warc.parse(Warc.gunzipMembers(blob.take(cut)))
+      assert(got.length <= 2)
+    }
+    // single-byte corruption sweep: never throws (gzip CRC or the
+    // record walker stops cleanly)
+    (0 until blob.length).foreach { i =>
+      val bad = blob.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+      Warc.parse(Warc.gunzipMembers(bad))
+    }
+    // non-gzip garbage is empty, not an exception
+    assert(Warc.gunzipMembers("not gzip at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("gzip roundTrip operator recovers every doc, same truth as the plain path") {
+    val docs = Seq(
+      (1L, "café au lait", "a/b"), (2L, "", "s1"), (3L, "naïve plain", "s2"))
+      .toDF("doc_id", "text", "source")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val plain = key(Warc.roundTrip(docs, "doc_id", "text", "source"))
+    val gz = key(Warc.roundTrip(docs, "doc_id", "text", "source",
+      gzipMembers = true))
+    assert(gz == plain)
+    assert(gz == Seq((1L, "a/b", 13L, "café au lait"), (2L, "s1", 0L, ""),
+      (3L, "s2", 12L, "naïve plain")))
+  }
+
   test("roundTrip is safe for group values containing '/', empty, and multibyte text") {
     // keys travel in dedicated headers, not the URI path — a slashed
     // or empty group used to mis-attribute every record in the blob;
