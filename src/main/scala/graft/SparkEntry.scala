@@ -790,6 +790,16 @@ object SparkEntry {
     // each rule, kept by both). Greedy runs as a row-local fold over
     // each cell's sorted member array — bounded because cellsPlan
     // bounds expected cell size at ANY corpus size
+    // the eps OPERATING CURVE for the same dedup — prune rate at each
+    // eps from ONE pair join (per-row max better-priority cosine ranks
+    // against every eps at once); the knob the paper itself sweeps
+    "semdedup_rate_curve" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semDedupRateCurve(emb, "vec_id", "embedding",
+        nCells = Similarity.cellsPlan(emb.count(), 64), iters = 1,
+        epss = Seq(0.2, 0.3, 0.4, 0.5, 0.6), targetRows = 64)
+    }),
+
     "semdedup_fidelity_eval" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.semDedupFidelityEval(emb, "vec_id", "embedding",
@@ -3953,6 +3963,31 @@ object SparkEntry {
              AND (b.p < a.p OR (b.p = a.p AND b.nid < a.nid))
              AND ${duckCos("a.ce", "b.ce")} >= 0.4) AS kept
          FROM pm a""",
+
+    "semdedup_rate_curve" -> {
+      val epss = Seq(0.2, 0.3, 0.4, 0.5, 0.6)
+      val rows = epss.map { e =>
+        s"""SELECT $e AS eps, tot.n_total,
+             (SELECT count(*) FROM mbc WHERE max_better_cos >= $e)::BIGINT
+               AS n_pruned,
+             floor((SELECT count(*) FROM mbc WHERE max_better_cos >= $e)::DOUBLE
+               / tot.n_total::DOUBLE * 10000 + 0.5) / 10000 AS prune_rate
+           FROM tot"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v),
+         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
+         pm AS MATERIALIZED (SELECT nid, ce, cell_id,
+                  CAST(floor(cent_cos * 1000000 + 0.5) AS BIGINT) AS p
+                FROM fasg),
+         mbc AS MATERIALIZED (SELECT a.nid, max(${duckCos("a.ce", "b.ce")})
+               AS max_better_cos
+             FROM pm a JOIN pm b ON a.cell_id = b.cell_id
+               AND (b.p < a.p OR (b.p = a.p AND b.nid < a.nid))
+             GROUP BY a.nid),
+         tot AS (SELECT count(*)::BIGINT AS n_total FROM pm)
+         $rows"""
+    },
 
     // greedy fold note: the reduce lambda ALWAYS returns
     // list_concat(gacc, ...) — returning gacc unchanged from a CASE

@@ -1285,6 +1285,52 @@ object Similarity {
         not(coalesce(col("hit"), lit(false))).as("kept"))
   }
 
+  /** Prune-rate OPERATING CURVE for [[semDedup]]: the fraction of the
+    * corpus the dominance rule prunes at each eps in a ladder — the
+    * knob a SemDeDup consumer actually tunes (the paper sweeps eps to
+    * hit a target dedup rate). Assignments and the intra-cell pair
+    * join are computed ONCE: each row's MAX cosine to a
+    * strictly-better-priority cluster-mate ranks it against every eps
+    * simultaneously (pruned at eps ⟺ max_better_cos ≥ eps), so the
+    * whole ladder costs one pair join + one aggregation, not
+    * |ladder| dedup runs.
+    *
+    * @return one row per eps: (eps, n_total, n_pruned, prune_rate) —
+    *         exact integer counts, rate rounded floor(x·10⁴+0.5)/10⁴.
+    */
+  def semDedupRateCurve(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int,
+      epss: Seq[Double],
+      targetRows: Int = 0): DataFrame = {
+    val assigned =
+      semDedupAssigned(corpus, idCol, vecCol, nCells, iters, targetRows)
+    val a = assigned.select(col("cell_id"), col("vid").as("id_a"),
+      col("cv").as("va"), col("cent_cos_micro").as("p_a"))
+    val b = assigned.select(col("cell_id"), col("vid").as("id_b"),
+      col("cv").as("vb"), col("cent_cos_micro").as("p_b"))
+    val best = a.join(b, Seq("cell_id"))
+      .where(col("p_b") < col("p_a") ||
+        (col("p_b") === col("p_a") && col("id_b") < col("id_a")))
+      .groupBy(col("id_a"))
+      .agg(max(cosine(col("va"), col("vb"))).as("max_better_cos"))
+    val prunedCols = epss.zipWithIndex.map { case (e, i) =>
+      sum(when(col("max_better_cos") >= e, 1L).otherwise(0L)).as(s"np$i")
+    }
+    val prunedRow = best.agg(prunedCols.head, prunedCols.tail: _*)
+    val totalRow = assigned.agg(count(lit(1)).as("n_total"))
+    val base = totalRow.crossJoin(broadcast(prunedRow))
+    epss.zipWithIndex.map { case (e, i) =>
+      base.select(lit(e).as("eps"), col("n_total"),
+        col(s"np$i").as("n_pruned"),
+        (floor(col(s"np$i").cast("double") / col("n_total").cast("double")
+          * 10000 + lit(0.5)) / 10000).as("prune_rate"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Measured fidelity of [[semDedup]]'s order-independent DOMINANCE
     * keep rule against the paper's SEQUENTIAL GREEDY scan — the two
     * deliberately differ on eps-chains (dominance prunes a chain to

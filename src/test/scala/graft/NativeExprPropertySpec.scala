@@ -97,6 +97,54 @@ class NativeExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("FrozenVecSum/Min2ByVid == declarative formulations under adversarial partitioning") {
+    // the typed aggregates exist for stage count, not semantics: their
+    // (update, merge, serialize) path must reproduce the posexplode /
+    // min+min_by formulations bit-for-bit at ANY partitioning (merge()
+    // runs only when partial aggregation actually splits a group)
+    val gen = new scala.util.Random(11L)
+    val rows = (0 until 400).map { i =>
+      (i.toLong, i.toLong % 7, Array.fill(8)(gen.nextDouble() * 2 - 1))
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("vid", "node", "cv").repartition(parts).cache()
+      val fused = df.groupBy(col("node"))
+        .agg(graft.functions.VectorAggs.frozenVecSum(col("cv")).as("s"))
+        .select(col("node"), col("s.sx"), col("s.nx"))
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Long](1).toList, r.getLong(2))).sortBy(_._1).toList
+      val ref = df.select(col("node"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy(col("node"), col("dim"))
+        .agg(sum(floor(col("x") * lit(1048576.0) + lit(0.5)).cast("long")).as("sx"),
+          count(lit(1)).as("nx"))
+        .groupBy(col("node"))
+        .agg(transform(sort_array(collect_list(struct(col("dim"), col("sx")))),
+          t => t.getField("sx")).as("sxs"), max(col("nx")).as("nx"))
+        .collect().map(r => (r.getLong(0),
+          r.getSeq[Long](1).toList, r.getLong(2))).sortBy(_._1).toList
+      assert(fused == ref, s"FrozenVecSum diverges at parts=$parts")
+      val seeds = df.groupBy(col("node"))
+        .agg(graft.functions.VectorAggs.min2ByVid(col("vid"), col("cv")).as("s2"))
+        .select(col("node"), col("s2.c0"), col("s2.c1"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList,
+          Option(r.getSeq[Double](2)).map(_.toList)))
+        .sortBy(_._1).toList
+      val refSeeds = rows.groupBy(_._2).map { case (n, rs) =>
+        val sorted = rs.sortBy(_._1)
+        (n, sorted.head._3.toList,
+          sorted.lift(1).map(_._3.toList))
+      }.toList.sortBy(_._1)
+      assert(seeds == refSeeds, s"Min2ByVid diverges at parts=$parts")
+      df.unpersist()
+    }
+    // single-row groups: c1 must be NULL, not a duplicate of c0
+    val one = Seq((5L, 0L, Array(1.0, 2.0))).toDF("vid", "node", "cv")
+      .groupBy(col("node"))
+      .agg(graft.functions.VectorAggs.min2ByVid(col("vid"), col("cv")).as("s2"))
+      .select(col("s2.c1")).collect()(0)
+    assert(one.isNullAt(0))
+  }
+
   test("BpeMerge native kernel == declarative mergePositions/mergeApply on random runs") {
     val gen = new scala.util.Random(7L)
     // heavy-run alphabet so merge adjacencies (incl. even/odd runs of

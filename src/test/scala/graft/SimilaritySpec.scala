@@ -232,6 +232,22 @@ class SimilaritySpec extends SparkSpec {
       s"recall not monotone: $curve")
   }
 
+  test("semdedup rate curve: ladder point equals an independent semDedup run, monotone in eps") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nCells = Similarity.cellsPlan(emb.count(), 16)
+    val curve = Similarity.semDedupRateCurve(emb, "vec_id", "embedding",
+      nCells = nCells, iters = 1, epss = Seq(0.2, 0.4, 0.6), targetRows = 16)
+      .collect().map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val full = Similarity.semDedup(emb, "vec_id", "embedding",
+      nCells = nCells, iters = 1, eps = 0.4, targetRows = 16)
+    val pruned = full.where(!col("kept")).count()
+    assert(curve(0.4)._2 == pruned,
+      s"curve n_pruned at deployed eps: ${curve(0.4)._2} != semDedup's $pruned")
+    assert(curve(0.4)._1 == full.count())
+    // a stricter threshold can only prune fewer
+    assert(curve(0.2)._2 >= curve(0.4)._2 && curve(0.4)._2 >= curve(0.6)._2)
+  }
+
   test("dot/norm fold is bit-deterministic (fixed operation order)") {
     val df = Seq((1L, Array(0.1f, 0.2f, 0.3f, 0.4f))).toDF("id", "v")
     val d1 = df.select(Similarity.dot(Similarity.asDouble(col("v")),
