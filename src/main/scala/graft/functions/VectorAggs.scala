@@ -72,6 +72,8 @@ case class FrozenVecSum(
       val arr = v.asInstanceOf[ArrayData]
       val d = arr.numElements()
       if (b.sx == null) b.sx = new Array[Long](d)
+      else require(d == b.sx.length,
+        s"FrozenVecSum: ragged embedding input (dim $d != ${b.sx.length})")
       var i = 0
       while (i < d) {
         b.sx(i) += math.floor(arr.getDouble(i) * 1048576.0 + 0.5).toLong
@@ -86,6 +88,8 @@ case class FrozenVecSum(
     if (o.sx != null) {
       if (b.sx == null) { b.sx = o.sx.clone(); b.n = o.n }
       else {
+        require(b.sx.length == o.sx.length,
+          s"FrozenVecSum: ragged merge (dim ${o.sx.length} != ${b.sx.length})")
         var i = 0
         while (i < b.sx.length) { b.sx(i) += o.sx(i); i += 1 }
         b.n += o.n

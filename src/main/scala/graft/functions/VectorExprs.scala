@@ -300,7 +300,13 @@ case class MinHashSig(child: Expression, numHashes: Int)
 case class BpeMerge(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // element nullability follows the input array: compute() copies
+  // unmatched elements through, so a nullable source stays nullable
+  override def dataType: DataType = ArrayType(StringType,
+    containsNull = first.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
 
   protected override def nullSafeEval(s: Any, l: Any, r: Any): Any =
     compute(s.asInstanceOf[ArrayData],
@@ -316,7 +322,10 @@ case class BpeMerge(first: Expression, second: Expression, third: Expression)
     val buf = new scala.collection.mutable.ArrayBuffer[Any](n)
     var i = 0
     while (i < n) {
-      if (i + 1 < n && l.numBytes() > 0
+      if (syms.isNullAt(i)) {
+        buf += null
+        i += 1
+      } else if (i + 1 < n && l.numBytes() > 0 && !syms.isNullAt(i + 1)
           && syms.getUTF8String(i) == l && syms.getUTF8String(i + 1) == r) {
         buf += org.apache.spark.unsafe.types.UTF8String.concat(l, r)
         i += 2

@@ -47,7 +47,22 @@ class PlanAuditSpec extends SparkSpec {
       case _: org.apache.spark.sql.execution.LocalTableScanExec => true
       case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => oneRow(q.plan)
-      case _ if p.children.length == 1 => oneRow(p.children.head)
+      // a Generate multiplies rows, but exploding a FOLDABLE (literal)
+      // array over a ≤1-row child is bounded by the literal's length —
+      // scale-independent by construction (e.g. posexplode([0.5,0.9,0.99]))
+      case g: org.apache.spark.sql.execution.GenerateExec =>
+        g.generator.children.forall(_.foldable) && oneRow(g.children.head)
+      // descend ONLY through unary nodes that preserve (or reduce) row
+      // count; other Generate/Expand shapes can multiply a 1-row child
+      case _: org.apache.spark.sql.execution.ProjectExec
+         | _: org.apache.spark.sql.execution.FilterExec
+         | _: org.apache.spark.sql.execution.SortExec
+         | _: org.apache.spark.sql.execution.WholeStageCodegenExec
+         | _: org.apache.spark.sql.execution.InputAdapter
+         | _: org.apache.spark.sql.execution.CoalesceExec
+         | _: org.apache.spark.sql.execution.exchange.Exchange
+         | _: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+        oneRow(p.children.head)
       case _ => false
     }
     // sanctioned BOUNDED-multi-row broadcast builds (each documented at
