@@ -17,6 +17,8 @@ import graft.operators.{Corpus, Curation, Dedup, Embeddings, Multimodal, Similar
   * are bit-identical across engines.
   */
 object SparkEntry {
+  import OracleDsl._
+  private def portableTpch = OraclesTpch.portableTpch
 
   /** Table reads memoized per (session, path): repeated queries in one
     * run skip re-listing files and re-reading parquet footers — the
@@ -57,79 +59,6 @@ object SparkEntry {
   private def r2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
   private def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
   private def r6(c: Column): Column = floor(c * 1000000 + lit(0.5)) / 1000000
-
-  /** Merge-rule count shared by the bpe_train_steps / bpe_encode
-    * queries and their oracles (the plans unroll per step).
-    */
-  private val bpeSteps = 5
-
-  /** DuckDB replay of `TextAnalysis.canonicalMerge` part 1 — the
-    * merge START positions of pair (l, r) in symbol list `syms`: an
-    * append-only list_reduce (a position merges iff it matches and
-    * the previous position did not merge). The accumulator is NEVER
-    * returned unchanged from a CASE branch — always
-    * list_concat(acc, …) — the DuckDB 1.0.0 list_reduce corruption
-    * workaround (see semdedup_fidelity_eval). NULL l/r → no matches →
-    * empty positions → identity merge.
-    */
-  private def duckMergePos(syms: String, l: String, r: String): String =
-    s"""list_reduce(
-         list_prepend(CAST([] AS BIGINT[]),
-           list_transform(generate_series(1, len($syms) - 1), i -> [i])),
-         (acc, xi) -> list_concat(acc,
-           CASE WHEN $syms[xi[1]] = $l AND $syms[xi[1] + 1] = $r
-                 AND (len(acc) = 0 OR acc[-1] != xi[1] - 1)
-                THEN [xi[1]] ELSE [] END))"""
-
-  /** Part 2 — rebuild the symbol list from merge positions `mp`:
-    * merged positions emit l||r, their right symbols drop, everything
-    * else passes through.
-    */
-  private def duckMergeApply(
-      syms: String, mp: String, l: String, r: String): String =
-    s"""list_filter(list_transform(generate_series(1, len($syms)), i ->
-         CASE WHEN list_contains($mp, i) THEN $l || $r
-              WHEN list_contains($mp, i - 1) THEN NULL
-              ELSE $syms[i] END), x -> x IS NOT NULL)"""
-
-  /** The BPE trainer replayed as DuckDB CTEs — words → seqs0 → K
-    * rounds of (pair-explode → weighted count → deterministic argmax
-    * b$s → CANONICAL Sennrich merge via [[duckMergePos]] +
-    * [[duckMergeApply]], the same left-to-right non-overlapping rule
-    * as the engine). Shared by the trainer oracle (reads b1..bK) and
-    * the encoder oracle (joins b1..bK against the per-document token
-    * stream). Word state is a symbol LIST throughout.
-    */
-  private val bpeTrainCtes: String = {
-    // the step's (l, r) rule rides as COLUMNS via a 1-row aggregate
-    // cross join (max over the ≤1-row b$s; NULL when absent) — DuckDB
-    // rejects scalar subqueries INSIDE lambda expressions, but lambda
-    // capture of outer columns is fine
-    def ruleJoin(st: Int) = s"(SELECT max(l) AS rl, max(r) AS rr FROM b$st) jr$st"
-    val stepCtes = (1 to bpeSteps).map { s =>
-      s"""pr$s AS (SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
-             i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p, freq
-           FROM seqs${s - 1} WHERE len(syms) >= 2),
-         pc$s AS (SELECT p.l AS l, p.r AS r, sum(freq)::BIGINT AS cnt
-                  FROM pr$s GROUP BY 1, 2),
-         b$s AS MATERIALIZED (SELECT $s::BIGINT AS step, l, r, cnt FROM pc$s
-                 ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-         mp$s AS MATERIALIZED (SELECT syms, freq, rl, rr,
-             ${duckMergePos("syms", "rl", "rr")} AS mp
-           FROM seqs${s - 1}, ${ruleJoin(s)}),
-         seqs$s AS MATERIALIZED (SELECT
-             ${duckMergeApply("syms", "mp", "rl", "rr")} AS syms, freq
-           FROM mp$s)"""
-    }.mkString(",\n         ")
-    s"""toks AS (SELECT unnest(list_filter(string_split(
-           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-             ' +', ' ', 'g')), ' '), x -> x <> '')) AS w FROM documents),
-       words AS (SELECT w, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
-       seqs0 AS MATERIALIZED (SELECT
-             list_transform(generate_series(1, length(w)), i -> w[i]) AS syms,
-             freq FROM words),
-       $stepCtes"""
-  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Region×year revenue rollup: broadcast dim joins, single fact scan.
@@ -2345,582 +2274,6 @@ object SparkEntry {
     })
   )
 
-  /** Deterministic derivation CTEs that reconstruct the TPC-H columns
-    * the 7-table testdata lacks (partsupp, l_commitdate/l_receiptdate/
-    * l_shipmode/l_shipinstruct, p_mfgr/p_container, s_address/s_phone/
-    * s_comment), so q2/q4/q11/q12/q16/q19/q20/q21 can run with their
-    * LITERAL spec structure instead of schema-adapted stand-ins
-    * (VERDICT r8 item 4). Every derivation is a pure key-modulo
-    * function computed identically by Spark and DuckDB from the same
-    * SQL text — the single-source-of-truth property of [[portableTpch]]
-    * is preserved, and cross-engine portability of each construct
-    * (inline VALUES, window row_number/count, `||`, CASE over fixed
-    * INTERVAL literals, CAST AS STRING) is pinned by the oracle gate
-    * itself. Scale note: these CTEs are test scaffolding that makes the
-    * spec shapes runnable on this corpus — `sup`'s global row_number is
-    * a single-partition sort of the SUPPLIER dim (the broadcast-side
-    * table by assumption), and `partsupp` is part×4 with a broadcast
-    * join; both scan-linear in the fact tables' terms.
-    */
-  private val tpchSupCte: String =
-    """sup AS (
-        SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
-               row_number() OVER (ORDER BY s_suppkey) - 1 AS sidx,
-               'Address#' || CAST(s_suppkey AS STRING) AS s_address,
-               '27-' || CAST(s_suppkey % 900 + 100 AS STRING) || '-' ||
-                 CAST(s_suppkey * 7 % 9000 + 1000 AS STRING) AS s_phone,
-               CASE WHEN s_suppkey % 13 = 2
-                    THEN 'wake Customer slyly Complaints about the even deposits'
-                    ELSE 'blithely regular requests haggle carefully' END AS s_comment
-        FROM supplier)"""
-
-  /** partsupp: 4 suppliers per part, TPC-H-style, with ps_suppkey drawn
-    * from the ACTUAL supplier key domain via the sup index (so it also
-    * works on DataGen key-shifted replicas); ps_supplycost is integer
-    * cents per the money protocol. The supplier count is hoisted into a
-    * 1-row cross join so the bucket key is computed entirely on the
-    * probe side — with `% sup.scnt` inline, the join condition
-    * referenced sup on BOTH sides and Spark planned a
-    * BroadcastNestedLoopJoin: |part|·4 × |supplier| comparisons,
-    * invisible at sf0.01 and quadratic at sf3 (q11 98s → the r9
-    * 3-point scaling sweep caught it). With the scalar hoisted it is a
-    * plain broadcast hash equi-join on sidx.
-    */
-  private val tpchPartsuppCte: String =
-    """partsupp AS (
-        SELECT ps_partkey, sup.s_suppkey AS ps_suppkey, ps_availqty, ps_supplycost
-        FROM (SELECT p_partkey AS ps_partkey,
-                     (p_partkey * 4 + g.i) % sc.n AS sidx_key,
-                     (p_partkey * 13 + g.i * 7) % 9999 + 1 AS ps_availqty,
-                     (p_partkey * 31 + g.i * 17) % 100000 + 100 AS ps_supplycost
-              FROM part
-              CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(i)
-              CROSS JOIN (SELECT count(*) AS n FROM supplier) AS sc)
-        JOIN sup ON sup.sidx = sidx_key)"""
-
-  /** lineitem + commit/receipt dates (fixed-interval offsets from
-    * shipdate, branch by key modulo — ~50% of lines arrive after the
-    * commit date, matching the spec's intent for q4/q12/q21) and
-    * shipmode/shipinstruct over the spec value domains.
-    */
-  private val tpchLineitemCte: String =
-    """lineitem_d AS (
-        SELECT lineitem.*,
-          CASE (l_orderkey * 3 + l_linenumber) % 5
-            WHEN 0 THEN l_shipdate - INTERVAL 10 DAY
-            WHEN 1 THEN l_shipdate + INTERVAL 5 DAY
-            WHEN 2 THEN l_shipdate + INTERVAL 12 DAY
-            WHEN 3 THEN l_shipdate + INTERVAL 25 DAY
-            ELSE l_shipdate + INTERVAL 40 DAY END AS l_commitdate,
-          CASE (l_orderkey + l_linenumber * 7) % 4
-            WHEN 0 THEN l_shipdate + INTERVAL 3 DAY
-            WHEN 1 THEN l_shipdate + INTERVAL 8 DAY
-            WHEN 2 THEN l_shipdate + INTERVAL 18 DAY
-            ELSE l_shipdate + INTERVAL 30 DAY END AS l_receiptdate,
-          CASE (l_orderkey * 5 + l_linenumber) % 7
-            WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR' WHEN 2 THEN 'RAIL'
-            WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'MAIL'
-            ELSE 'FOB' END AS l_shipmode,
-          CASE (l_orderkey + l_linenumber) % 4
-            WHEN 0 THEN 'DELIVER IN PERSON' WHEN 1 THEN 'COLLECT COD'
-            WHEN 2 THEN 'NONE' ELSE 'TAKE BACK RETURN' END AS l_shipinstruct
-        FROM lineitem)"""
-
-  /** part + p_mfgr (5 manufacturers keyed off partkey, dbgen-style) and
-    * p_container over the spec's 5×8 container grid.
-    */
-  private val tpchPartCte: String =
-    """part_d AS (
-        SELECT part.*,
-          'Manufacturer#' || CAST(p_partkey % 5 + 1 AS STRING) AS p_mfgr,
-          CASE p_partkey % 5 WHEN 0 THEN 'SM' WHEN 1 THEN 'MED' WHEN 2 THEN 'LG'
-            WHEN 3 THEN 'JUMBO' ELSE 'WRAP' END || ' ' ||
-          CASE (p_partkey * 3) % 8 WHEN 0 THEN 'CASE' WHEN 1 THEN 'BOX'
-            WHEN 2 THEN 'BAG' WHEN 3 THEN 'JAR' WHEN 4 THEN 'PKG'
-            WHEN 5 THEN 'PACK' WHEN 6 THEN 'CAN' ELSE 'DRUM' END AS p_container
-        FROM part)"""
-
-  /** Builds one WITH block from derivation CTEs + query-specific CTEs,
-    * then the query body — keeps each [[portableTpch]] entry's body the
-    * literal TPC-H text (modulo the _d table-name suffixes and the
-    * integer-cents money protocol).
-    */
-  private def tpchSql(ctes: Seq[String], body: String): String =
-    ctes.mkString("WITH ", ", ", "\n") + body
-
-  /** TPC-H shapes whose SQL is engine-portable verbatim: registered as
-    * Spark queries AND as their own DuckDB oracles from one source of
-    * truth (no drift possible). Together with the hand-built
-    * q1/q3/q5/q6/q7/q8/q9/q10/q13/q14/q17/q18/q22 this completes all
-    * 22 TPC-H query shapes. q2/q4/q11/q12/q16/q19/q20/q21 run the
-    * LITERAL spec structure over the derivation CTEs above (predicate
-    * constants adapted to this corpus's value domains so each query is
-    * non-degenerate). Money follows the integer-cents protocol; every
-    * ratio output is computed in doubles (never Spark DECIMAL division).
-    */
-  private val portableTpch: Map[String, (Seq[String], String)] = Map(
-
-    // Q2 LITERAL: min-cost supplier per part, correlated min subquery
-    // over partsupp re-restricted to the region — decorrelates to one
-    // aggregate + self-join, no per-row probe. Constants adapted to the
-    // corpus domain (p_type has no BRASS; ends-with LIKE preserved).
-    "sql_tpch_q2" -> (Seq("part", "supplier", "nation", "region") ->
-      tpchSql(Seq(tpchSupCte, tpchPartsuppCte, tpchPartCte),
-        """SELECT s_acctbal, s_name, n_name, p_partkey, p_mfgr,
-             s_address, s_phone, s_comment
-         FROM part_d, sup, partsupp, nation, region
-         WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
-           AND p_size = 20 AND p_type LIKE '%DARD'
-           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-           AND r_name = 'ASIA'
-           AND ps_supplycost = (
-             SELECT min(ps_supplycost)
-             FROM partsupp, sup, nation, region
-             WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
-               AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-               AND r_name = 'ASIA')
-         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")),
-
-    // Q4 LITERAL: priority count of orders with at least one line
-    // received after its commit date — correlated EXISTS = left semi
-    // hash join against the derived lineitem.
-    "sql_tpch_q4" -> (Seq("orders", "lineitem") ->
-      tpchSql(Seq(tpchLineitemCte),
-        """SELECT o_orderpriority, count(*) AS order_count
-         FROM orders
-         WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
-           AND EXISTS (SELECT 1 FROM lineitem_d
-                       WHERE l_orderkey = o_orderkey
-                         AND l_commitdate < l_receiptdate)
-         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
-
-    // Q11 LITERAL: partsupp stock value per part for one nation's
-    // suppliers, kept above a fraction of the global total — the
-    // HAVING scalar subquery recomputes the same aggregate (spec
-    // shape); sums are exact integer cents·qty, the fraction multiply
-    // is a double on values < 2^53 so both engines agree bit-exactly.
-    // Fraction 0.003 (spec: 0.0001/SF) sized to this corpus so the
-    // filter genuinely splits the groups.
-    "sql_tpch_q11" -> (Seq("part", "supplier", "nation") ->
-      tpchSql(Seq(tpchSupCte, tpchPartsuppCte),
-        """SELECT ps_partkey,
-           CAST(sum(ps_supplycost * ps_availqty) AS BIGINT) AS value_cents
-         FROM partsupp, sup, nation
-         WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
-           AND n_name = 'NATION_1'
-         GROUP BY ps_partkey
-         HAVING sum(ps_supplycost * ps_availqty) > (
-           SELECT sum(ps_supplycost * ps_availqty) * 0.003
-           FROM partsupp, sup, nation
-           WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
-             AND n_name = 'NATION_1')
-         ORDER BY value_cents DESC, ps_partkey""")),
-
-    // Q12 LITERAL: shipmode receipt-discipline pivot — the canonical
-    // conditional-count over a fact-fact join, with the spec's full
-    // commit/receipt/ship ordering predicate.
-    "sql_tpch_q12" -> (Seq("orders", "lineitem") ->
-      tpchSql(Seq(tpchLineitemCte),
-        """SELECT l_shipmode,
-           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-         FROM orders JOIN lineitem_d ON o_orderkey = l_orderkey
-         WHERE l_shipmode IN ('MAIL', 'SHIP')
-           AND l_commitdate < l_receiptdate
-           AND l_shipdate < l_commitdate
-           AND l_receiptdate >= '1996-01-01' AND l_receiptdate < '1997-01-01'
-         GROUP BY l_shipmode ORDER BY l_shipmode""")),
-
-    // Q15: top supplier by quarterly revenue — the view + scalar-max
-    // pattern; the revenue CTE is evaluated once per consumer side
-    // (aggregate reuse), max compared in exact integer cents.
-    "sql_tpch_q15" -> (Seq("supplier", "lineitem") ->
-      """WITH revenue AS (SELECT l_suppkey AS supplier_no,
-             sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS total_cents
-           FROM lineitem
-           WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
-           GROUP BY l_suppkey)
-         SELECT s_suppkey, s_name, CAST(total_cents AS BIGINT) AS total_cents
-         FROM supplier JOIN revenue ON s_suppkey = supplier_no
-         WHERE total_cents = (SELECT max(total_cents) FROM revenue)
-         ORDER BY s_suppkey"""),
-
-    // Q16 LITERAL: distinct-supplier counts per part attribute over
-    // partsupp, excluding complaint suppliers via NOT IN — the
-    // null-aware anti join shape (the subquery's LIKE hits the
-    // deterministic complaint fraction baked into sup.s_comment).
-    "sql_tpch_q16" -> (Seq("part", "supplier") ->
-      tpchSql(Seq(tpchSupCte, tpchPartsuppCte),
-        """SELECT p_brand, p_type, p_size,
-           count(DISTINCT ps_suppkey) AS supplier_cnt
-         FROM partsupp JOIN part ON p_partkey = ps_partkey
-         WHERE p_brand <> 'Brand#21' AND p_type NOT LIKE 'MEDIUM%'
-           AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
-           AND ps_suppkey NOT IN (
-             SELECT s_suppkey FROM sup
-             WHERE s_comment LIKE '%Customer%Complaints%')
-         GROUP BY p_brand, p_type, p_size
-         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
-
-    // Q19 LITERAL: disjunction of brand×container×size×quantity blocks
-    // with the spec's shipmode/shipinstruct conjuncts — Catalyst
-    // extracts the common conjuncts (shipmode IN, shipinstruct =) into
-    // the scan and plans ONE hash join over the union of ranges, not
-    // three scans. Brand/size windows adapted to the corpus domain so
-    // every block is non-empty.
-    "sql_tpch_q19" -> (Seq("lineitem", "part") ->
-      tpchSql(Seq(tpchLineitemCte, tpchPartCte),
-        """SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
-               AS BIGINT) AS revenue_cents
-         FROM lineitem_d JOIN part_d ON p_partkey = l_partkey
-         WHERE (p_brand = 'Brand#12'
-                AND p_container IN ('SM CASE', 'SM BOX', 'SM PACK', 'SM PKG')
-                AND l_quantity >= 1 AND l_quantity <= 21
-                AND p_size BETWEEN 1 AND 15
-                AND l_shipmode IN ('AIR', 'REG AIR')
-                AND l_shipinstruct = 'DELIVER IN PERSON')
-            OR (p_brand = 'Brand#23'
-                AND p_container IN ('MED BAG', 'MED BOX', 'MED PKG', 'MED PACK')
-                AND l_quantity >= 10 AND l_quantity <= 30
-                AND p_size BETWEEN 1 AND 25
-                AND l_shipmode IN ('AIR', 'REG AIR')
-                AND l_shipinstruct = 'DELIVER IN PERSON')
-            OR (p_brand = 'Brand#15'
-                AND p_container IN ('LG CASE', 'LG BOX', 'LG PACK', 'LG PKG')
-                AND l_quantity >= 20 AND l_quantity <= 40
-                AND p_size BETWEEN 1 AND 35
-                AND l_shipmode IN ('AIR', 'REG AIR')
-                AND l_shipinstruct = 'DELIVER IN PERSON')""")),
-
-    // Q20 LITERAL: suppliers of 'red' parts holding more stock than
-    // half a year's shipments — nested IN over partsupp with the
-    // correlated 0.5·sum(l_quantity) scalar subquery; quantities are
-    // integral so the double threshold is exact. Pairs with no 1996
-    // shipments compare against NULL and drop, in both engines alike.
-    "sql_tpch_q20" -> (Seq("supplier", "lineitem", "part", "nation") ->
-      tpchSql(Seq(tpchSupCte, tpchPartsuppCte),
-        """SELECT s_name, s_address
-         FROM sup, nation
-         WHERE s_suppkey IN (
-             SELECT ps_suppkey FROM partsupp
-             WHERE ps_partkey IN (
-                 SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
-               AND ps_availqty > (
-                 SELECT 0.5 * sum(l_quantity) FROM lineitem
-                 WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
-                   AND l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'))
-           AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
-         ORDER BY s_name""")),
-
-    // Q21 LITERAL: the EXISTS + NOT EXISTS pair over the derived
-    // lineitem — semi join and anti join against the same subplan, the
-    // q21 signature shape; late = l_receiptdate > l_commitdate per
-    // spec (the derivation makes that true for ~50% of lines).
-    "sql_tpch_q21" -> (Seq("supplier", "lineitem", "orders", "nation") ->
-      tpchSql(Seq(tpchLineitemCte),
-        """SELECT s_name, count(*) AS numwait
-         FROM supplier, lineitem_d l1, orders, nation
-         WHERE s_suppkey = l1.l_suppkey
-           AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
-           AND l1.l_receiptdate > l1.l_commitdate
-           AND EXISTS (SELECT 1 FROM lineitem_d l2
-                       WHERE l2.l_orderkey = l1.l_orderkey
-                         AND l2.l_suppkey <> l1.l_suppkey)
-           AND NOT EXISTS (SELECT 1 FROM lineitem_d l3
-                           WHERE l3.l_orderkey = l1.l_orderkey
-                             AND l3.l_suppkey <> l1.l_suppkey
-                             AND l3.l_receiptdate > l3.l_commitdate)
-           AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
-         GROUP BY s_name ORDER BY numwait DESC, s_name"""))
-  )
-
-  /** DuckDB dot-product snippet with the same sequential left-to-right
-    * fold order as the native DotProduct expression — bit-identical
-    * doubles on both engines.
-    */
-  private def duckDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($a)), " +
-      s"i -> $a[i] * $b[i])), (acc, x) -> acc + x)"
-
-  /** DuckDB cosine(a,b) built from [[duckDot]] folds. */
-  private def duckCos(a: String, b: String): String =
-    s"(${duckDot(a, b)} / sqrt(${duckDot(a, a)} * ${duckDot(b, b)}))"
-
-  /** Bisecting-tree CTE unroll over a prior CTE `c(nid, ce)` — the
-    * DuckDB replay of [[graft.operators.Similarity.bisectAssigned]]:
-    * ⌈log₂ nCells⌉ deterministic 2-way splits (seeds = the node's two
-    * lowest-nid vectors; `iters` integer-frozen 2-means refinements
-    * per level; child = 2·node + {0,1} by (cosine desc, child asc)
-    * argmax on the SAME sequential-fold doubles as the engine),
-    * followed by up to 4 SIZE-GUARDED extension levels in which only
-    * nodes still holding more than `target` rows keep splitting —
-    * the guard is the per-node integer member count, recomputed per
-    * level from the same data as the engine's.
-    *
-    * The nominal depth `dd` is a scalar CTE computed from the SAME
-    * count-derived cell expression as the engine's
-    * (`Similarity.treeDepth(cellsPlan(n, t))` as pure integers);
-    * levels are unrolled to `maxDepth` with act-guarded no-ops beyond
-    * (a level where no node is active rewrites nothing), so one
-    * static SQL replays any corpus whose dd + 4 ≤ maxDepth (maxDepth
-    * = 10 covers corpora to ~4k rows at target 64; grading runs at
-    * ≤2k). Emits per level the node-count table `ns$l(node, cnt,
-    * act)`, the child tables `bk${l}_0..iters(node, child, ctv)`
-    * plus the level's EFFECTIVE kid table `bkx$l` (refined kids on
-    * nominal levels or when an active node exceeds 2x target, seed
-    * kids otherwise — the engine's refinement-skip rule; the beam
-    * replay probes `bkx$l`) and finally `fasg(nid,
-    * ce, cell_id, cent_cos)` where cent_cos is the row's last
-    * assignment cosine (never-split rows: cosine to the corpus'
-    * frozen mean — the flat k=1 behavior).
-    *
-    * Every CTE is MATERIALIZED: the level chain references its
-    * predecessor multiple times, and DuckDB's inliner would
-    * otherwise re-expand the parquet scan exponentially in depth
-    * (observed as a file-handle exhaustion at 10 levels).
-    */
-  private def duckBisectTree(
-      iters: Int, maxDepth: Int, ncells: String, target: Int): String = {
-    require(target > 0, "size guard needs a positive row target")
-    val dd = "(SELECT dd FROM dp)"
-    def level(l: Int): String = {
-      val refine = (1 to iters).map { j =>
-        s"""ba${l}_$j AS MATERIALIZED (SELECT nid, ce, node, child FROM (
-               SELECT a.nid, a.ce, a.node, k.child,
-                 row_number() OVER (PARTITION BY a.nid
-                   ORDER BY ${duckCos("a.ce", "k.ctv")} DESC, k.child) AS rn
-               FROM av$l a JOIN bk${l}_${j - 1} k USING (node)) WHERE rn = 1),
-           bm${l}_$j AS MATERIALIZED (SELECT node, child, d,
-                 CAST(sum(CAST(floor(ce[d] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                   / CAST(count(*) * 1048576 AS DOUBLE) AS m
-               FROM ba${l}_$j, generate_series(1, 64) t(d) GROUP BY node, child, d),
-           bk${l}_$j AS MATERIALIZED (SELECT node, child, list(m ORDER BY d) AS ctv
-               FROM bm${l}_$j GROUP BY node, child)"""
-      }.mkString(",\n")
-      val refineBlock = if (refine.isEmpty) "" else s"$refine,\n"
-      s"""ns$l AS MATERIALIZED (SELECT node, count(*) AS cnt,
-             (($l < $dd) OR ($l < $dd + 4 AND count(*) > $target)) AS act
-           FROM lv$l GROUP BY node),
-         av$l AS MATERIALIZED (SELECT a.nid, a.ce, a.node, a.acs
-           FROM lv$l a JOIN ns$l n USING (node) WHERE n.act),
-         bk${l}_0 AS MATERIALIZED (SELECT node, rn - 1 AS child, ce AS ctv FROM (
-             SELECT node, ce, row_number() OVER (PARTITION BY node ORDER BY nid) AS rn
-             FROM av$l) WHERE rn <= 2),
-         ${refineBlock}bkx$l AS MATERIALIZED (
-           -- the engine's refinement-skip rule, replayed from the same
-           -- integer counts: extension levels (l >= dd) whose active
-           -- nodes are ALL within 2x target use the seed kids
-           SELECT node, child, ctv FROM bk${l}_$iters
-             WHERE $l < $dd OR EXISTS (
-               SELECT 1 FROM ns$l WHERE act AND cnt > 2 * $target)
-           UNION ALL
-           SELECT node, child, ctv FROM bk${l}_0
-             WHERE NOT ($l < $dd OR EXISTS (
-               SELECT 1 FROM ns$l WHERE act AND cnt > 2 * $target))),
-         bf$l AS MATERIALIZED (SELECT nid, ce, node, child, kc FROM (
-             SELECT a.nid, a.ce, a.node, k.child,
-               ${duckCos("a.ce", "k.ctv")} AS kc,
-               row_number() OVER (PARTITION BY a.nid
-                 ORDER BY ${duckCos("a.ce", "k.ctv")} DESC, k.child) AS rn
-             FROM av$l a JOIN bkx$l k USING (node)) WHERE rn = 1),
-         lv${l + 1} AS MATERIALIZED (
-           SELECT nid, ce, node * 2 + child AS node, kc AS acs FROM bf$l
-           UNION ALL
-           SELECT a.nid, a.ce, a.node, a.acs
-           FROM lv$l a JOIN ns$l n USING (node) WHERE NOT n.act)"""
-    }
-    val levels = (0 until maxDepth).map(level).mkString(",\n")
-    // FAIL LOUDLY when the corpus outgrows the static unroll: the
-    // guarded extension needs dd + 4 <= maxDepth, i.e. the cell count
-    // m <= 2^(maxDepth-4). Beyond that the replay would silently
-    // truncate relative to the engine (and past 2^maxDepth the dd
-    // subquery would go NULL, collapsing every row into one cell), so
-    // dp raises instead of grading a diverged query.
-    s"""dp AS MATERIALIZED (SELECT CASE
-           WHEN m > (1::BIGINT << ${maxDepth - 4}) THEN
-             error('duckBisectTree unroll overflow: nCells=' || m ||
-                   ' needs depth+4 > $maxDepth levels; regenerate with larger maxDepth')
-           WHEN m <= 1 THEN 0 ELSE
-           (SELECT min(d) FROM generate_series(1, $maxDepth) t(d)
-            WHERE (1::BIGINT << d) >= m) END AS dd
-         FROM (SELECT ($ncells) AS m)),
-       lv0 AS MATERIALIZED (SELECT nid, ce, 1::BIGINT AS node,
-           NULL::DOUBLE AS acs FROM c),
-       $levels,
-       rmm AS MATERIALIZED (SELECT d,
-             CAST(sum(CAST(floor(ce[d] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
-               / CAST(count(*) * 1048576 AS DOUBLE) AS m
-           FROM c, generate_series(1, 64) t(d) GROUP BY d),
-       rmv AS MATERIALIZED (SELECT list(m ORDER BY d) AS ctv FROM rmm),
-       fasg AS MATERIALIZED (SELECT a.nid, a.ce, a.node AS cell_id,
-           coalesce(a.acs, ${duckCos("a.ce", "r.ctv")}) AS cent_cos
-         FROM lv$maxDepth a, rmv r)"""
-  }
-
-  /** Beam-descent CTE unroll over a prior CTE `q(query_id, qe)` — the
-    * query-side replay of [[graft.operators.Similarity.knnJoinIvf]]'s
-    * probe ladder: per level score the beam nodes' children from
-    * `bkx$l` (emitted by [[duckBisectTree]] with the same
-    * iters/maxDepth), keep the nProbe best by (score desc, node asc);
-    * a beam node the level did not split has no child rows and passes
-    * through with its carried score, competing in the same rank.
-    * Emits `pr(query_id, qe, cell_id)`.
-    */
-  private def duckBeam(
-      iters: Int, maxDepth: Int, nProbe: Int, pfx: String = ""): String = {
-    // `pfx` namespaces the beam CTEs so one statement can descend the
-    // same tree at several probe widths (the recall-curve oracle);
-    // the final probe table is `pr$pfx`.
-    def level(l: Int): String =
-      s"""bx$pfx$l AS MATERIALIZED (SELECT b.query_id, b.qe,
-             b.node * 2 + k.child AS cnode, ${duckCos("b.qe", "k.ctv")} AS sc
-           FROM bq$pfx$l b JOIN bkx$l k USING (node)),
-         bp$pfx$l AS MATERIALIZED (SELECT b.query_id, b.qe, b.node AS cnode, b.sc
-           FROM bq$pfx$l b WHERE NOT EXISTS (
-             SELECT 1 FROM bkx$l k WHERE k.node = b.node)),
-         bq$pfx${l + 1} AS MATERIALIZED (
-           SELECT query_id, qe, cnode AS node, sc FROM (
-               SELECT query_id, qe, cnode, sc,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY sc DESC, cnode) AS rn
-               FROM (SELECT * FROM bx$pfx$l UNION ALL SELECT * FROM bp$pfx$l))
-             WHERE rn <= $nProbe)"""
-    val levels = (0 until maxDepth).map(level).mkString(",\n")
-    s"""bq${pfx}0 AS MATERIALIZED (SELECT query_id, qe, 1::BIGINT AS node,
-           1.0::DOUBLE AS sc FROM q),
-       $levels,
-       pr$pfx AS MATERIALIZED (SELECT query_id, qe, node AS cell_id FROM bq$pfx$maxDepth)"""
-  }
-
-  /** Integer replay of `Similarity.cellsPlan(count(c), target)` as a
-    * scalar subquery — the self-scaling cell count the engine derives
-    * from the same corpus count.
-    */
-  private def duckCellsPlan(target: Int): String =
-    s"(SELECT greatest(1, (count(*) + ${target - 1}) // $target) FROM c)"
-
-  /** DuckDB FNV-1a 64 over a token's characters in unsigned-HUGEINT
-    * mod-2^64 arithmetic — the same bit pattern as the native
-    * `Fnv.mixBytes` (the xor only ever touches the low byte, so it is
-    * computed on the BIGINT low byte and recombined). Tokens here are
-    * ASCII, so `unicode(char)` IS the UTF-8 byte.
-    */
-  /** Staged-CTE replay of [[graft.functions.VectorExprs.fmix64]] (the
-    * murmur3 finalizer) over an unsigned-HUGEINT hash column: xor via
-    * signed-BIGINT round trips (two's complement keeps the bits), and
-    * the wrapping 64-bit multiplies split at 2³² so no intermediate
-    * exceeds HUGEINT range. Emits CTEs `f1..f5`; the input CTE must
-    * expose (tok, h0), and `f5` exposes (tok, h).
-    */
-  private def duckFmixCtes(): String = {
-    val u64 = "'18446744073709551616'::HUGEINT"
-    def sgn(x: String) =
-      s"(CASE WHEN $x >= '9223372036854775808'::HUGEINT THEN $x - $u64 ELSE $x END)::BIGINT"
-    def uns(x: String) =
-      s"(CASE WHEN $x < 0 THEN $x::HUGEINT + $u64 ELSE $x::HUGEINT END)"
-    def xor64(a: String, b: String) = uns(s"xor(${sgn(a)}, ${sgn(b)})")
-    def mulmod(u: String, c: String) =
-      s"""((($u % 4294967296) * '$c'::HUGEINT +
-          ((($u // 4294967296) * '$c'::HUGEINT) % 4294967296) * 4294967296) % $u64)"""
-    s"""f1 AS (SELECT tok, ${xor64("h0", "(h0 // 8589934592)")} AS x1 FROM hh),
-       f2 AS (SELECT tok, ${mulmod("x1", "18397679294719823053")} AS x2 FROM f1),
-       f3 AS (SELECT tok, ${xor64("x2", "(x2 // 8589934592)")} AS x3 FROM f2),
-       f4 AS (SELECT tok, ${mulmod("x3", "14181476777654086739")} AS x4 FROM f3),
-       f5 AS (SELECT tok, ${xor64("x4", "(x4 // 8589934592)")} AS h FROM f4)"""
-  }
-
-  private def duckFnv(tok: String): String =
-    s"""list_reduce(
-       list_prepend('14695981039346656037'::HUGEINT,
-         list_transform(generate_series(1, length($tok)), i -> unicode($tok[i])::HUGEINT)),
-       (h, c) -> ((h - (h % 256) + xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT)
-                  * 1099511628211::HUGEINT) % '18446744073709551616'::HUGEINT)"""
-
-  /** VALUES list (bit, 2^bit) for extracting the 64 bits of an
-    * unsigned-HUGEINT hash: bit i of h = (h // 2^i) % 2.
-    */
-  private def duckBitPowers: String =
-    (0 until 64).map(i => s"($i,'${BigInt(1) << i}'::HUGEINT)").mkString(",")
-
-  /** The ±1 hyperplane row for one LSH bit as a DuckDB list literal —
-    * the exact sign matrix of the native `HyperplaneBucket` kernel
-    * (single source of truth: `VectorExprs.hyperplaneSign`).
-    */
-  private def duckHyperplaneArr(bit: Int, dims: Int): String =
-    (0 until dims).map(d =>
-      if (graft.functions.VectorExprs.hyperplaneSign(bit, d) > 0) "1.0" else "-1.0")
-      .mkString("[", ",", "]")
-
-  /** Projection of vector column `e` onto hyperplane `bit`, folded in
-    * index order so the double is bit-identical to the native kernel's
-    * sequential loop.
-    */
-  private def duckHyperplaneProj(bit: Int, dims: Int): String =
-    s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(e)),
-       i -> e[i] * (${duckHyperplaneArr(bit, dims)})[i])), (acc, x) -> acc + x)"""
-
-  /** The full ±1 hyperplane sign matrix (maxBits × dims) as one DuckDB
-    * list-of-lists literal — single source of truth
-    * `VectorExprs.hyperplaneSign`, row b = hyperplane b of the global
-    * stream, so a DYNAMIC bit count (the bits-from-n rule) can index
-    * it at replay time where the per-bit [[duckHyperplaneArr]] embeds
-    * a static bit.
-    */
-  private def duckSignMatrix(maxBits: Int, dims: Int): String =
-    (0 until maxBits).map(b => (0 until dims).map(d =>
-      if (graft.functions.VectorExprs.hyperplaneSign(b, d) > 0) "1.0" else "-1.0")
-      .mkString("[", ",", "]")).mkString("[", ",", "]")
-
-  /** Bits-per-table ceiling the banded oracle can replay: CASE chain
-    * and sign matrix are both GENERATED from this one constant, so the
-    * two can never disagree. 16 bits covers n = 64·2¹⁶ ≈ 4.2M
-    * embedding rows — far past any verify scale (the r6 hardcoded
-    * 8-bit/48-row literal silently coupled verify coverage to tables
-    * ≤ 16384 rows); beyond the ceiling the oracle still errors loudly
-    * instead of replaying wrong.
-    */
-  private val duckBandedMaxBits: Int = 16
-
-  /** Integer replay of `Similarity.lshPlanBits(n, 64)` from m =
-    * ⌈n/64⌉: smallest nb with 2^nb ≥ m, min 1 — a generated CASE
-    * chain (no log2 floats, no engine-specific bit functions).
-    */
-  private val duckBandedNb: String =
-    (1 to duckBandedMaxBits)
-      .map(b => s"WHEN m <= ${1L << b} THEN $b")
-      .mkString("CASE ", " ", " ELSE CAST(error('banded oracle sign matrix supports at most " +
-        s"$duckBandedMaxBits bits per table') AS INTEGER) END")
-
-  /** CTE block replaying `Similarity.nearDupCosineBanded(_, _, _, thr,
-    * 64, 6)` bit-exactly on top of a caller-supplied
-    * `v(vec_id, e DOUBLE[])` CTE: bits-from-count rule (bpar), sign
-    * matrix (bsgm), per-table bucket as the sign-bit sum of
-    * index-order-folded projections (bbv — table t reads matrix rows
-    * t·nb+1 .. t·nb+nb, matching the kernel's bitOffset = t·nBits),
-    * candidate pairs from per-table bucket equality (bcand), exact
-    * cosine on candidates (bpairs, unthresholded — callers filter).
-    */
-  private def duckBandedCtes(nTables: Int = 6, countWhere: String = ""): String =
-    s"""bpar AS (SELECT $duckBandedNb AS nb
-                 FROM (SELECT (count(*) + 63) // 64 AS m FROM v $countWhere)),
-       bsgm AS (SELECT ${duckSignMatrix(nTables * duckBandedMaxBits, 64)} AS sm),
-       bbv AS (SELECT vec_id, e, tt.tbl,
-                 list_sum(list_transform(generate_series(1, nb),
-                   j -> CASE WHEN list_reduce(list_prepend(0.0,
-                               list_transform(generate_series(1, len(e)),
-                                 i -> e[i] * sm[tbl * nb + j][i])), (acc, x) -> acc + x) > 0
-                             THEN 2 ** (j - 1) ELSE 0 END))::BIGINT AS bucket
-               FROM v, bsgm, bpar, generate_series(0, ${nTables - 1}) tt(tbl)),
-       bcand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                 FROM bbv a JOIN bbv b
-                   ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-                 GROUP BY 1, 2),
-       bpairs AS (SELECT c.id_a, c.id_b, ${duckCos("va.e", "vb.e")} AS cs
-                  FROM bcand c JOIN v va ON va.vec_id = c.id_a
-                  JOIN v vb ON vb.vec_id = c.id_b)"""
-
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approx ANN, simhash with engine-native hashing) → rows-only check.
@@ -2939,2783 +2292,8 @@ object SparkEntry {
       "stream_dedup_window" -> base("events_dedup_window"))
   }
 
-  private def baseOracleSql: Map[String, String] = Map(
-    "entry" ->
-      """SELECT r_name, year(o_orderdate) AS o_year,
-         floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS revenue,
-         count(*)::BIGINT AS n_items
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN customer ON o_custkey = c_custkey
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         GROUP BY 1, 2""",
+  private def baseOracleSql: Map[String, String] =
+    OraclesLaygo.sql ++ OraclesTemporalQ.sql ++ OraclesDedup.sql ++ OraclesSimilarityQ.sql ++ OraclesText.sql ++ OraclesCorpusQ.sql ++ OraclesMultimodalQ.sql ++ OraclesCuration.sql ++ OraclesTpchSql.sql ++ OraclesRelational.sql ++
+      portableTpch.map { case (name, (_, sql)) => name -> sql }
 
-    "map_project" ->
-      """SELECT l_orderkey, l_linenumber,
-         floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue FROM lineitem""",
-
-    "filter_rows" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-         WHERE l_quantity > 30 AND l_returnflag = 'R'""",
-
-    "flatten_explode" ->
-      """SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-         FROM documents""",
-
-    "reduce_global" ->
-      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev FROM lineitem""",
-
-    "reduce_per_key" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order
-         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
-
-    "first_n" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
-
-    "union_chain" ->
-      """SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
-         UNION ALL
-         SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS src FROM supplier""",
-
-    "join_broadcast" ->
-      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_acctbal
-         FROM customer JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         GROUP BY r_name, n_name""",
-
-    "join_shuffle" ->
-      """SELECT o_orderstatus, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total
-         FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderstatus""",
-
-    "join_semi" ->
-      """SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
-         FROM orders
-         WHERE EXISTS (SELECT 1 FROM lineitem
-                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-         GROUP BY o_orderpriority""",
-
-    "join_anti" ->
-      """SELECT o_orderstatus, count(*) AS n_orders
-         FROM orders
-         WHERE NOT EXISTS (SELECT 1 FROM lineitem
-                           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-         GROUP BY o_orderstatus""",
-
-    "branch_fanout" ->
-      """SELECT 'by_status' AS branch, o_orderstatus AS k, count(*) AS v FROM orders GROUP BY 2
-         UNION ALL
-         SELECT 'by_priority' AS branch, o_orderpriority AS k, count(*) AS v FROM orders GROUP BY 2""",
-
-    "branch_router" ->
-      """SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent'
-                     WHEN o_orderpriority = '2-HIGH' THEN 'high'
-                     ELSE 'other' END AS branch,
-         count(*) AS n, round(sum(o_totalprice), 2) AS total
-         FROM orders GROUP BY 1""",
-
-    "branch_broadcast" ->
-      """SELECT 'bigspender' AS branch, count(*) AS n, round(sum(o_totalprice), 2) AS total
-         FROM orders WHERE o_totalprice > 200000
-         UNION ALL
-         SELECT 'urgentish' AS branch, count(*) AS n, round(sum(o_totalprice), 2) AS total
-         FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""",
-
-    "tap_observe" ->
-      """SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'""",
-
-    "compose_apply" ->
-      """SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_size > 20""",
-
-    "loop_converge" ->
-      """WITH RECURSIVE r AS (
-           SELECT o_orderkey, o_totalprice AS v, 0 AS it FROM orders
-           UNION ALL
-           SELECT o_orderkey, v / 2, it + 1 FROM r WHERE v > 1000 AND it < 32)
-         SELECT o_orderkey, floor(v * 10000 + 0.5) / 10000 AS v FROM r
-         WHERE v <= 1000 OR it = 32""",
-
-    "catch_quarantine" ->
-      """SELECT doc_id,
-         CASE WHEN n_chars % 7 = 0 THEN NULL
-              ELSE round(1000.0 / (n_chars % 7), 4) END AS result,
-         CASE WHEN n_chars % 7 = 0 THEN 'error' ELSE 'ok' END AS status
-         FROM documents""",
-
-    "short_circuit" ->
-      """SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag""",
-
-    "context_broadcast" ->
-      """SELECT event_type, count(*) AS n, round(sum(value * 3), 2) AS sum_scaled
-         FROM events WHERE value * 3 > 100 GROUP BY event_type""",
-
-    "buffer_repartition" ->
-      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
-         FROM events GROUP BY event_type""",
-
-    "set_chunker" ->
-      """SELECT o_orderkey % 8 AS chunk, count(*) AS n, round(sum(o_totalprice), 2) AS total
-         FROM orders GROUP BY 1""",
-
-    "window_running" ->
-      """SELECT event_id, user_id,
-         round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
-         FROM events""",
-
-    "window_topn" ->
-      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
-           SELECT o_orderpriority, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_orderpriority
-               ORDER BY o_totalprice DESC, o_orderkey) AS rank
-           FROM orders) WHERE rank <= 3""",
-
-    "window_ntile" ->
-      """SELECT o_orderkey, o_orderpriority, quartile, rnk FROM (
-           SELECT o_orderkey, o_orderpriority,
-             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-             CAST(rank() OVER w AS BIGINT) AS rnk
-           FROM orders
-           WINDOW w AS (PARTITION BY o_orderpriority
-                        ORDER BY o_totalprice DESC, o_orderkey))
-         WHERE rnk <= 100""",
-
-    "pivot_status" ->
-      """SELECT o_orderpriority,
-           count(*) FILTER (o_orderstatus = 'F') AS n_f,
-           count(*) FILTER (o_orderstatus = 'O') AS n_o,
-           count(*) FILTER (o_orderstatus = 'P') AS n_p
-         FROM orders GROUP BY o_orderpriority""",
-
-    "events_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts::TIMESTAMP) AS tus FROM events),
-         m AS (SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
-                 OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) > 1800000000
-                 THEN 1 ELSE 0 END AS is_new FROM e),
-         s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM m)
-         SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
-           round(sum(value), 2) AS session_value
-         FROM s GROUP BY user_id, session_seq""",
-
-    "asof_join_forward" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tus, value
-                    FROM events),
-         p AS (SELECT event_id, user_id, tus, value FROM e WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, event_id AS click_event_id, tus AS click_tus FROM e
-               WHERE event_type = 'click'),
-         u AS (
-           SELECT user_id AS k, tus AS t, 1 AS side, 0::BIGINT AS tie,
-                  event_id, tus, value, NULL::BIGINT AS click_event_id, NULL::BIGINT AS click_tus
-           FROM p
-           UNION ALL
-           SELECT user_id, click_tus, 0, click_event_id,
-                  NULL, NULL, NULL, click_event_id, click_tus
-           FROM c),
-         m AS (SELECT *,
-                 first_value(click_event_id IGNORE NULLS) OVER win AS m_id,
-                 first_value(click_tus IGNORE NULLS) OVER win AS m_tus
-               FROM u
-               WINDOW win AS (PARTITION BY k ORDER BY t, side DESC, tie
-                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-         SELECT event_id, k AS user_id, tus, value, m_id AS click_event_id,
-           m_tus AS click_tus, m_tus - tus AS gap_us
-         FROM m WHERE side = 1""",
-
-    "asof_join" ->
-      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS tus, value
-                    FROM events),
-         p AS (SELECT event_id, user_id, tus, value FROM e WHERE event_type = 'purchase'),
-         c AS (SELECT user_id, event_id AS click_event_id, tus AS click_tus FROM e
-               WHERE event_type = 'click'),
-         u AS (
-           SELECT user_id AS k, tus AS t, 1 AS side, 0::BIGINT AS tie,
-                  event_id, tus, value, NULL::BIGINT AS click_event_id, NULL::BIGINT AS click_tus
-           FROM p
-           UNION ALL
-           SELECT user_id, click_tus, 0, click_event_id,
-                  NULL, NULL, NULL, click_event_id, click_tus
-           FROM c),
-         m AS (SELECT *,
-                 last_value(click_event_id IGNORE NULLS) OVER win AS m_id,
-                 last_value(click_tus IGNORE NULLS) OVER win AS m_tus
-               FROM u
-               WINDOW win AS (PARTITION BY k ORDER BY t, side, tie
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT event_id, k AS user_id, tus, value, m_id AS click_event_id,
-           m_tus AS click_tus, tus - m_tus AS gap_us
-         FROM m WHERE side = 1""",
-
-    "range_join_bands" ->
-      """SELECT band, count(*) AS n_events, round(sum(value), 2) AS sum_value
-         FROM events e
-         JOIN (VALUES ('low', 0.0, 50.0), ('mid', 40.0, 200.0), ('high', 150.0, 500.0))
-           AS b(band, lo, hi)
-           ON e.value >= b.lo AND e.value < b.hi
-         GROUP BY band""",
-
-    "window_time_range" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS tus,
-                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
-         SELECT event_id, user_id, tus,
-           count(*) OVER win AS trailing_n,
-           CAST(sum(cents) OVER win AS BIGINT) AS trailing_cents
-         FROM e
-         WINDOW win AS (PARTITION BY user_id ORDER BY tus
-                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
-
-    "events_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS tus FROM events),
-         s0 AS (SELECT user_id, min(tus) AS t0 FROM e
-                WHERE event_type = 'view' GROUP BY user_id),
-         s1 AS (SELECT s0.user_id, min(e.tus) AS t1 FROM s0 JOIN e USING (user_id)
-                WHERE e.event_type = 'click' AND e.tus >= s0.t0 GROUP BY s0.user_id),
-         s2 AS (SELECT s1.user_id, min(e.tus) AS t2 FROM s1 JOIN e USING (user_id)
-                WHERE e.event_type = 'purchase' AND e.tus >= s1.t1 GROUP BY s1.user_id)
-         SELECT 0::BIGINT AS step_idx, 'view' AS step, (SELECT count(*) FROM s0) AS n_users
-         UNION ALL
-         SELECT 1, 'click', (SELECT count(*) FROM s1)
-         UNION ALL
-         SELECT 2, 'purchase', (SELECT count(*) FROM s2)""",
-
-    "dedup_exact" ->
-      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text""",
-
-    "dedup_normalized" ->
-      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
-         GROUP BY trim(regexp_replace(regexp_replace(lower(text),
-           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""",
-
-    "span_corrupt" -> {
-      def mk(off: Int) =
-        s"(((((doc_id * 1000003 + i - $off) % 2147483647) * 48271 + 11) % 2147483647) % 1000) < 150"
-      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
-               AS toks FROM documents),
-         m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-             list_transform(generate_series(1, len(toks)), i -> struct_pack(
-               t := toks[i],
-               m := ${mk(1)},
-               rs := (${mk(1)}) AND (i = 1 OR NOT (${mk(2)})))) AS mk
-           FROM t)
-         SELECT doc_id, n_tokens,
-           len(list_filter(mk, e -> e.m))::BIGINT AS n_masked,
-           coalesce(array_to_string(list_filter(list_transform(mk, e ->
-             CASE WHEN e.rs THEN '<X>' WHEN NOT e.m THEN e.t END),
-             x -> x IS NOT NULL), ' '), '') AS corrupted_text,
-           coalesce(array_to_string(list_filter(list_transform(mk, e ->
-             CASE WHEN e.rs THEN '<X> ' || e.t WHEN e.m THEN e.t END),
-             x -> x IS NOT NULL), ' '), '') AS target_text
-         FROM m"""
-    },
-
-    "group_sample_topk" ->
-      """SELECT doc_id, lang, source FROM (
-           SELECT doc_id, lang, source, row_number() OVER (
-             PARTITION BY lang
-             ORDER BY (doc_id * 48271 + 11) % 2147483647, doc_id) AS rk
-           FROM documents) WHERE rk <= 50""",
-
-    // strlen = BYTE count (the parser reports the WARC Content-Length,
-    // written as UTF-8 octets); length() counts characters and would
-    // diverge on the first multibyte character
-    "warc_roundtrip" ->
-      """SELECT doc_id, source, strlen(text)::BIGINT AS content_length, text
-         FROM documents""",
-
-    // gzip members are a transparent transport layer: recovery is graded
-    // against the identical source-field truth
-    "warc_gzip_roundtrip" ->
-      """SELECT doc_id, source, strlen(text)::BIGINT AS content_length, text
-         FROM documents""",
-
-    "jsonl_roundtrip" ->
-      """SELECT lang, count(*)::BIGINT AS n_docs, min(doc_id) AS min_id,
-           max(doc_id) AS max_id, sum(length(text))::BIGINT AS sum_text_len
-         FROM documents GROUP BY 1""",
-
-    "bpe_train_steps" -> {
-      val unions = (1 to bpeSteps).map(s => s"SELECT * FROM b$s").mkString(" UNION ALL ")
-      s"""WITH $bpeTrainCtes
-         SELECT step, l AS sym_left, r AS sym_right, cnt AS pair_freq
-         FROM ($unions)"""
-    },
-
-    // encode = the trainer chain (b1..bK learned identically), then the
-    // same per-step CANONICAL merge applied to each DOCUMENT's words
-    // (duplicates kept) instead of the aggregated vocabulary
-    "bpe_encode" -> {
-      // absent merge rules (degenerate corpus) leave the scalar
-      // subqueries NULL — the canonical merge with NULL symbols is the
-      // identity, the same no-op default as the engine's bpeEncode
-      val encCtes = (1 to bpeSteps).map { s =>
-        s"""encm$s AS MATERIALIZED (SELECT doc_id, syms, rl, rr,
-               ${duckMergePos("syms", "rl", "rr")} AS mp
-             FROM enc${s - 1}, (SELECT max(l) AS rl, max(r) AS rr FROM b$s) jre$s),
-           enc$s AS MATERIALIZED (SELECT doc_id,
-               ${duckMergeApply("syms", "mp", "rl", "rr")} AS syms
-             FROM encm$s)"""
-      }.mkString(",\n         ")
-      s"""WITH $bpeTrainCtes,
-         dtoks AS (SELECT doc_id, unnest(list_filter(string_split(
-             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-               ' +', ' ', 'g')), ' '), x -> x <> '')) AS w FROM documents),
-         enc0 AS MATERIALIZED (SELECT doc_id,
-             list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
-           FROM dtoks),
-         $encCtes
-         SELECT doc_id, count(*)::BIGINT AS n_words,
-           sum(len(syms))::BIGINT AS n_bpe_tokens
-         FROM enc$bpeSteps GROUP BY doc_id"""
-    },
-
-    "bpe_vocab" ->
-      s"""WITH $bpeTrainCtes,
-         vsyms AS (SELECT unnest(syms) AS symbol, freq FROM seqs$bpeSteps)
-         SELECT symbol, sum(freq)::BIGINT AS n_tokens,
-           count(*)::BIGINT AS n_occurrences
-         FROM vsyms GROUP BY symbol""",
-
-    "dedup_incremental" ->
-      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-         FROM documents
-         WHERE doc_id % 10 <> 0
-           AND text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)
-         GROUP BY text""",
-
-    "ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-               FROM s a JOIN s b ON a.doc_id < b.doc_id)
-         SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.6""",
-
-    // positioned 16-token windows grouped by shingle TEXT (the
-    // injective-in-practice FNV equivalence every shingle oracle
-    // uses); coverage = win + Σ min(win, Δpos) over sorted starts —
-    // exact interval union in closed integer form
-    "substring_dup_stats" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         sh AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, unnest(
-                  CASE WHEN len(toks) >= 16
-                    THEN list_transform(generate_series(1, len(toks) - 15),
-                           i -> struct_pack(pos := (i - 1)::BIGINT,
-                                            s := array_to_string(toks[i:i+15], ' ')))
-                    ELSE [struct_pack(pos := 0::BIGINT, s := array_to_string(toks, ' '))]
-                  END) AS w FROM t),
-         ww AS (SELECT doc_id, n_tokens, w.pos AS pos, w.s AS s FROM sh),
-         dup AS (SELECT s FROM (SELECT s, count(*) AS c FROM ww GROUP BY s) WHERE c >= 2),
-         dp AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
-                  count(*) AS n_dup_windows, list_sort(list(pos)) AS ps
-                FROM ww WHERE s IN (SELECT s FROM dup) GROUP BY doc_id),
-         cov AS (SELECT doc_id, n_dup_windows,
-                   least(16, n_tokens)
-                   + coalesce(list_sum(list_transform(generate_series(2, len(ps)),
-                       i -> least(least(16, n_tokens), ps[i] - ps[i-1]))), 0) AS covered
-                 FROM dp),
-         tot AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
-                   count(*) AS n_windows FROM ww GROUP BY doc_id)
-         SELECT t.doc_id, t.n_tokens, t.n_windows,
-           coalesce(c.n_dup_windows, 0)::BIGINT AS n_dup_windows,
-           floor(coalesce(c.covered, 0)::DOUBLE / greatest(t.n_tokens, 1) * 10000 + 0.5)
-             / 10000 AS dup_token_frac
-         FROM tot t LEFT JOIN cov c USING (doc_id)""",
-
-    "substring_dedup_apply" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         sh AS (SELECT doc_id, unnest(
-                  CASE WHEN len(toks) >= 16
-                    THEN list_transform(generate_series(1, len(toks) - 15),
-                           i -> struct_pack(pos := (i - 1)::BIGINT,
-                                            s := array_to_string(toks[i:i+15], ' ')))
-                    ELSE [struct_pack(pos := 0::BIGINT, s := array_to_string(toks, ' '))]
-                  END) AS w FROM t),
-         ww AS (SELECT doc_id, w.pos AS pos, w.s AS s,
-                  doc_id * 1048576 + w.pos AS okey FROM sh),
-         wk AS (SELECT s, min(okey) AS wkey FROM ww GROUP BY 1),
-         rm AS (SELECT doc_id, list_sort(list(pos)) AS rp
-                FROM ww JOIN wk USING (s) WHERE okey <> wkey GROUP BY 1),
-         k AS (SELECT t.doc_id, toks, coalesce(rm.rp, []) AS rp,
-                 least(16, len(toks))::BIGINT AS weff
-               FROM t LEFT JOIN rm USING (doc_id)),
-         f AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-                 list_filter(list_transform(generate_series(1, len(toks)),
-                   i -> CASE WHEN len(list_filter(rp,
-                          p -> p <= i - 1 AND i - 1 < p + weff)) > 0
-                        THEN NULL ELSE toks[i] END), x -> x IS NOT NULL) AS kept
-               FROM k)
-         SELECT doc_id, n_tokens, len(kept)::BIGINT AS n_kept,
-           coalesce(array_to_string(kept, ' '), '') AS cleaned_text
-         FROM f""",
-
-    "dedup_minhash" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-               FROM s a JOIN s b ON a.doc_id < b.doc_id)
-         SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.8""",
-
-    "neardup_incremental" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         p AS (SELECT a.doc_id AS id_new, b.doc_id AS id_old,
-                 len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
-               FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
-         SELECT id_new, id_old, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.8""",
-
-    "dedup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-               FROM s a JOIN s b ON a.doc_id < b.doc_id
-               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
-         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
-         reach(a, b) AS (SELECT a, b FROM e
-           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-         SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
-         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id""",
-
-    // dedup_clusters' reach CTE over the UNION of the text-pair and
-    // banded-cosine-pair predicates (both replayed exactly as in their
-    // own oracles)
-    "dedup_multisignal" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         tp AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-               FROM s a JOIN s b ON a.doc_id < b.doc_id
-               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
-         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         ${duckBandedCtes()},
-         vp AS (SELECT id_a AS ia, id_b AS ib FROM bpairs WHERE cs >= 0.4),
-         p AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM vp),
-         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
-         reach(a, b) AS (SELECT a, b FROM e
-           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-         SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
-         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id""",
-
-    // minhash-fed multisignal: the text channel is the banded-MinHash
-    // candidate set verified at 0.6 — the SplitMix64 permutations and
-    // 32×4 band-equality predicate replayed as in minhash_recall_eval
-    // — unioned with the banded-cosine channel, same reach CTE.
-    "dedup_multisignal_lsh" -> {
-      val (mas, mbs) = graft.functions.MinHashSig.coeffs(128)
-      val mp = graft.functions.MinHashSig.P
-      val minsSql = (0 until 128)
-        .map(j => s"min((${mas(j)} * h + ${mbs(j)}) % $mp) AS m$j").mkString(", ")
-      val bandEq = (0 until 32).map(b =>
-        (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}")
-          .mkString("(", " AND ", ")")).mkString(" OR ")
-      s"""WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         hs AS (SELECT doc_id,
-                  ((((CASE WHEN hu >= '9223372036854775808'::HUGEINT
-                       THEN hu - '18446744073709551616'::HUGEINT ELSE hu END)
-                     % $mp) + $mp) % $mp)::BIGINT AS h
-                FROM (SELECT doc_id, ${duckFnv("(g || ' ')")} AS hu
-                      FROM (SELECT doc_id, unnest(sh) AS g FROM s))),
-         sig AS (SELECT doc_id, $minsSql FROM hs GROUP BY doc_id),
-         mcand AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-                   FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)),
-         tp AS (SELECT x.ia, x.ib FROM mcand x
-                JOIN s sa ON sa.doc_id = x.ia JOIN s sb ON sb.doc_id = x.ib
-                WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                  / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6),
-         v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         ${duckBandedCtes()},
-         vp AS (SELECT id_a AS ia, id_b AS ib FROM bpairs WHERE cs >= 0.4),
-         p AS (SELECT ia, ib FROM tp UNION SELECT ia, ib FROM vp),
-         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
-         reach(a, b) AS (SELECT a, b FROM e
-           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-         SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
-         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id"""
-    },
-
-    // THE FULL RECOMPUTE at 0.8 over every pair — deliberately not the
-    // incremental composition: a green hash proves the engine's
-    // incremental path (prev labels as star edges + delta links)
-    // equals clustering from scratch
-    "dedup_clusters_incremental" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-               FROM s a JOIN s b ON a.doc_id < b.doc_id
-               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
-         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
-         reach(a, b) AS (SELECT a, b FROM e
-           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-         SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
-         FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id""",
-
-    // same reach CTE as dedup_clusters; family sizes re-aggregated by
-    // size class with exact integer doc/removable mass
-    "dedup_cluster_sizes" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-               FROM s a JOIN s b ON a.doc_id < b.doc_id
-               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
-         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
-         reach(a, b) AS (SELECT a, b FROM e
-           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-         lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
-                 FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id),
-         m AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
-         SELECT cluster_size, count(*) AS n_clusters,
-           (cluster_size * count(*))::BIGINT AS n_docs,
-           ((cluster_size - 1) * count(*))::BIGINT AS n_removable
-         FROM m GROUP BY cluster_size""",
-
-    // same reach CTE as dedup_clusters; survivor = longest member
-    // (ties to min id) via a deterministic per-cluster window
-    "cluster_survivors" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-               FROM s a JOIN s b ON a.doc_id < b.doc_id
-               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
-         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
-         reach(a, b) AS (SELECT a, b FROM e
-           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-         lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
-                 FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id),
-         m AS (SELECT cluster, count(*) AS n_members FROM lab GROUP BY cluster),
-         w AS (SELECT l.cluster, d.doc_id, d.n_chars,
-                 row_number() OVER (PARTITION BY l.cluster
-                                    ORDER BY d.n_chars DESC, d.doc_id) AS rn
-               FROM lab l JOIN documents d USING (doc_id))
-         SELECT w.cluster, w.doc_id, w.n_chars, m.n_members
-         FROM w JOIN m USING (cluster) WHERE rn = 1""",
-
-    // Replays the self-scaling banded path exactly: bits from the
-    // integer count rule, the ±1 sign matrix as a literal, per-table
-    // index-order-folded projections — so the candidate SET (not just
-    // the verified pairs) is pinned by the hash match.
-    "neardup_cosine_bucketed" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         ${duckBandedCtes()}
-         SELECT id_a, id_b, round(cs, 6) AS cosine FROM bpairs WHERE cs >= 0.4""",
-
-    // Deployed-parameter recall harness replay: exact pairs on the
-    // id%2 sample, banded pairs via the same bits-from-n + sign-matrix
-    // CTEs, recall from the two exact integer counts.
-    "lsh_recall_eval_deployed" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         ${duckBandedCtes()},
-         lshp AS (SELECT id_a, id_b FROM bpairs WHERE cs >= 0.4),
-         ssm AS (SELECT greatest(2, (count(*) + 2047) // 2048) AS m FROM v),
-         sv AS (SELECT v.* FROM v, ssm WHERE vec_id % ssm.m = 0),
-         ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                FROM sv a JOIN sv b ON a.vec_id < b.vec_id
-                WHERE ${duckCos("a.e", "b.e")} >= 0.4),
-         h AS (SELECT count(*) AS n_hit FROM ex
-               WHERE EXISTS (SELECT 1 FROM lshp
-                             WHERE lshp.id_a = ex.id_a AND lshp.id_b = ex.id_b)),
-         t AS (SELECT count(*) AS n_exact FROM ex)
-         SELECT (SELECT nb FROM bpar)::BIGINT AS n_bits, n_exact, n_hit,
-           CASE WHEN n_exact = 0 THEN 1.0
-                ELSE floor(n_hit::DOUBLE / n_exact * 10000 + 0.5) / 10000 END AS recall
-         FROM t, h""",
-
-    // batch×corpus banded replay: bits from the CORPUS-side count,
-    // candidates only across the new/old boundary — the oracle pins
-    // that no corpus×corpus (or batch×batch) pair can ever appear
-    "neardup_cosine_incremental" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         ${duckBandedCtes(6, "WHERE vec_id % 10 <> 0")},
-         icand AS (SELECT a.vec_id AS id_new, b.vec_id AS id_old
-                   FROM bbv a JOIN bbv b
-                     ON a.tbl = b.tbl AND a.bucket = b.bucket
-                     AND a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
-                   GROUP BY 1, 2),
-         ip AS (SELECT c.id_new, c.id_old, ${duckCos("va.e", "vb.e")} AS cs
-                FROM icand c JOIN v va ON va.vec_id = c.id_new
-                JOIN v vb ON vb.vec_id = c.id_old)
-         SELECT id_new, id_old, round(cs, 6) AS cosine FROM ip WHERE cs >= 0.4""",
-
-    // max over bit-identical per-pair cosines is order-independent,
-    // so the aggregate max equals the packed-array row-local max
-    "decontaminate_semantic" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         bench AS (SELECT vec_id, e FROM v WHERE vec_id < 10),
-         corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 10),
-         m AS (SELECT c.vec_id, max(${duckCos("c.e", "b.e")}) AS mc
-               FROM corp c CROSS JOIN bench b GROUP BY c.vec_id)
-         SELECT vec_id, floor(mc * 1000000 + 0.5) / 1000000 AS max_cos,
-           mc >= 0.35 AS contaminated
-         FROM m""",
-
-    // Replays the native hyperplane bucketing exactly: the ±1 sign
-    // matrix is embedded as literals (same SplitMix64 derivation as
-    // the kernel), and each projection folds in index order, so the
-    // bucket bits — and therefore the candidate set — are identical.
-    "neardup_cosine_lsh" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         bv AS (SELECT vec_id, e, ${(0 until 8).map(b =>
-        s"(CASE WHEN ${duckHyperplaneProj(b, 64)} > 0 THEN ${1 << b} ELSE 0 END)")
-        .mkString(" + ")} AS bucket FROM v),
-         p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${duckCos("a.e", "b.e")} AS c
-               FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         SELECT id_a, id_b, round(c, 6) AS cosine FROM p WHERE c >= 0.4""",
-
-    // Lehmer rounds and pool filter replayed verbatim; positives from
-    // the exact top-1; slot = rank within the anchor's sampled pool.
-    "contrastive_triplets" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         a AS (SELECT vec_id AS anchor_id, e AS ae FROM v WHERE vec_id < 10),
-         c AS (SELECT vec_id, e AS ce FROM v WHERE vec_id >= 10),
-         pos AS (SELECT anchor_id, pos_id, pos_cos FROM (
-                   SELECT a.anchor_id, c.vec_id AS pos_id,
-                     ${duckCos("a.ae", "c.ce")} AS pos_cos,
-                     row_number() OVER (PARTITION BY a.anchor_id
-                       ORDER BY ${duckCos("a.ae", "c.ce")} DESC, c.vec_id) AS rn
-                   FROM a, c) WHERE rn = 1),
-         ai AS (SELECT anchor_id,
-                  row_number() OVER (ORDER BY anchor_id) - 1 AS aidx FROM a),
-         s1 AS (SELECT vec_id AS neg_id,
-                  (vec_id * 48271) % 2147483647 AS l1 FROM c),
-         s2 AS (SELECT neg_id, l1 % 10 AS aidx,
-                  (l1 * 48271) % 2147483647 AS l2 FROM s1),
-         pool AS (SELECT * FROM s2 WHERE l2 % 1000 < 250),
-         slotted AS (SELECT neg_id, aidx,
-                       row_number() OVER (PARTITION BY aidx
-                         ORDER BY l2, neg_id) AS slot FROM pool)
-         SELECT ai.anchor_id, p.pos_id, round(p.pos_cos, 6) AS pos_cos,
-           s.neg_id, s.slot::BIGINT AS slot
-         FROM slotted s JOIN ai USING (aidx) JOIN pos p USING (anchor_id)
-         WHERE s.slot <= 3 AND s.neg_id <> p.pos_id""",
-
-    // Multi-table replay: the same hyperplane sign matrix, bits
-    // t·8..t·8+7 per table, pair kept on collision in ANY table
-    // (UNION dedups), exact cosine verify.
-    "neardup_cosine_lsh_multi" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         lmb AS (SELECT ${(1 to 16).map(b => s"WHEN m <= ${1L << b} THEN $b")
-        .mkString("CASE ", " ", " ELSE 16 END")} AS nb
-                 FROM (SELECT (count(*) + 63) // 64 AS m FROM v)),
-         lms AS (SELECT ${duckSignMatrix(3 * 16, 64)} AS sm),
-         lmv AS (SELECT vec_id, e, tt.tbl,
-                   list_sum(list_transform(generate_series(1, nb),
-                     j -> CASE WHEN list_reduce(list_prepend(0.0,
-                                 list_transform(generate_series(1, len(e)),
-                                   i -> e[i] * sm[tbl * nb + j][i])), (acc, x) -> acc + x) > 0
-                               THEN 2 ** (j - 1) ELSE 0 END))::BIGINT AS bucket
-                 FROM v, lms, lmb, generate_series(0, 2) tt(tbl)),
-         lmc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                 FROM lmv a JOIN lmv b
-                   ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-                 GROUP BY 1, 2),
-         p AS (SELECT c.id_a, c.id_b, ${duckCos("va.e", "vb.e")} AS cs
-               FROM lmc c JOIN v va ON va.vec_id = c.id_a
-               JOIN v vb ON vb.vec_id = c.id_b)
-         SELECT id_a, id_b, round(cs, 6) AS cosine FROM p WHERE cs >= 0.4""",
-
-    // Recall harness oracle: exact pairs on the id%2 sample, LSH pairs
-    // via the same hyperplane replay as neardup_cosine_lsh, recall
-    // from the two exact integer counts.
-    "lsh_recall_eval" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         sm AS (SELECT greatest(2, (count(*) + 2047) // 2048) AS m FROM v),
-         sv AS (SELECT v.* FROM v, sm WHERE vec_id % sm.m = 0),
-         ex AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                FROM sv a JOIN sv b ON a.vec_id < b.vec_id
-                WHERE ${duckCos("a.e", "b.e")} >= 0.4),
-         bv AS (SELECT vec_id, e, ${(0 until 8).map(b =>
-        s"(CASE WHEN ${duckHyperplaneProj(b, 64)} > 0 THEN ${1 << b} ELSE 0 END)")
-        .mkString(" + ")} AS bucket FROM v),
-         lsh AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                 FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-                 WHERE ${duckCos("a.e", "b.e")} >= 0.4),
-         h AS (SELECT count(*) AS n_hit FROM ex
-               WHERE EXISTS (SELECT 1 FROM lsh
-                             WHERE lsh.id_a = ex.id_a AND lsh.id_b = ex.id_b)),
-         t AS (SELECT count(*) AS n_exact FROM ex)
-         SELECT n_exact, n_hit,
-           CASE WHEN n_exact = 0 THEN 1.0
-                ELSE floor(n_hit::DOUBLE / n_exact * 10000 + 0.5) / 10000 END AS recall
-         FROM t, h""",
-
-    // Replays the native banded MinHash bit-exactly: shingle hash =
-    // FNV-1a over the shingle text plus trailing separator (the
-    // kernel's per-token `(h^0x20)*prime` IS the FNV-1a step on a
-    // space byte), folded mod P with Scala floorMod semantics; the
-    // 128 permutation (a,b) pairs are the kernel's own SplitMix64
-    // stream embedded as literals; candidates = ≥1 of 32 four-slot
-    // bands equal; recall = caught/exact at threshold 0.6.
-    "minhash_recall_eval" -> {
-      val (mas, mbs) = graft.functions.MinHashSig.coeffs(128)
-      val mp = graft.functions.MinHashSig.P
-      val minsSql = (0 until 128)
-        .map(j => s"min((${mas(j)} * h + ${mbs(j)}) % $mp) AS m$j").mkString(", ")
-      val bandEq = (0 until 32).map(b =>
-        (0 until 4).map(r => s"a.m${b * 4 + r} = b.m${b * 4 + r}")
-          .mkString("(", " AND ", ")")).mkString(" OR ")
-      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                     FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         hs AS (SELECT doc_id,
-                  ((((CASE WHEN hu >= '9223372036854775808'::HUGEINT
-                       THEN hu - '18446744073709551616'::HUGEINT ELSE hu END)
-                     % $mp) + $mp) % $mp)::BIGINT AS h
-                FROM (SELECT doc_id, ${duckFnv("(g || ' ')")} AS hu
-                      FROM (SELECT doc_id, unnest(sh) AS g FROM s))),
-         sig AS (SELECT doc_id, $minsSql FROM hs GROUP BY doc_id),
-         cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)),
-         jac AS (SELECT x.id_a, x.id_b FROM cand x
-                 JOIN s sa ON sa.doc_id = x.id_a JOIN s sb ON sb.doc_id = x.id_b
-                 WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
-                   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6),
-         ex AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM s a JOIN s b ON a.doc_id < b.doc_id
-                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)
-         SELECT (SELECT count(*) FROM ex)::BIGINT AS n_exact,
-           (SELECT count(*) FROM jac)::BIGINT AS n_lsh,
-           CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 1.0
-                ELSE floor((SELECT count(*) FROM jac)::DOUBLE
-                  / (SELECT count(*) FROM ex) * 10000 + 0.5) / 10000 END AS recall"""
-    },
-
-    "quantile_sketch" ->
-      """WITH b AS (SELECT greatest(0, least(floor(o_totalprice * 100 + 0.5)::BIGINT // 65536, 1023))
-                      AS bin FROM orders),
-         hist AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
-         cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
-                   AS cum FROM hist),
-         tot AS (SELECT sum(c)::BIGINT AS n FROM hist),
-         ex AS (SELECT quantile_cont(floor(o_totalprice * 100 + 0.5)::BIGINT,
-                  [0.5, 0.9, 0.99]) AS exs FROM orders),
-         ranks AS (SELECT v.i AS qi, v.q AS q, ceil(v.q * n)::BIGINT AS rank
-                   FROM tot CROSS JOIN (VALUES (1, 0.5), (2, 0.9), (3, 0.99)) AS v(i, q))
-         SELECT q, rank, ((min(bin) + 1) * 65536)::DOUBLE / 100 AS est_upper,
-           floor(exs[qi] / 100 * 10000 + 0.5) / 10000 AS exact
-         FROM cum JOIN ranks ON cum >= rank CROSS JOIN ex
-         GROUP BY qi, q, rank, exs""",
-
-    // Replays the CMS bit-exactly: FNV token hash reduced into [0,p),
-    // the engine's SplitMix64 permutation constants inlined per row,
-    // counter sums, min-over-rows estimate
-    "freq_sketch" -> {
-      val (cas, cbs) = graft.functions.MinHashSig.coeffs(4)
-      val cp = graft.functions.MinHashSig.P
-      val rows = (0 until 4).map(i => s"($i, ${cas(i)}, ${cbs(i)})").mkString(", ")
-      s"""WITH t AS (SELECT unnest(list_filter(string_split(text, ' '),
-                       x -> x <> '')) AS tok FROM documents),
-         c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
-         h AS (SELECT tok, n,
-                 ((((CASE WHEN hu >= '9223372036854775808'::HUGEINT
-                      THEN hu - '18446744073709551616'::HUGEINT ELSE hu END)
-                    % $cp) + $cp) % $cp)::BIGINT AS hh
-               FROM (SELECT tok, n, ${duckFnv("tok")} AS hu FROM c)),
-         sg AS (SELECT tok, n, p.i AS i, ((p.a * hh + p.b) % $cp) % 1024 AS slot
-                FROM h CROSS JOIN (VALUES $rows) AS p(i, a, b)),
-         cms AS (SELECT i, slot, sum(n)::BIGINT AS c FROM sg GROUP BY 1, 2),
-         topk AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 20)
-         SELECT topk.tok, topk.n::BIGINT AS n_exact, min(cms.c) AS n_est
-         FROM topk JOIN sg USING (tok) JOIN cms USING (i, slot)
-         GROUP BY 1, 2"""
-    },
-
-    // Replays the sketch bit-exactly: FNV-1a per distinct token (the
-    // vocabulary-once-then-join trick below), low-bits slot, linear-
-    // counting MLE under the half-up floor protocol
-    "cardinality_sketch" ->
-      s"""WITH t AS (SELECT source AS g, unnest(list_filter(string_split(text, ' '),
-                       x -> x <> '')) AS tok FROM documents),
-         vocab AS (SELECT DISTINCT tok FROM t),
-         hashed AS (SELECT tok, (${duckFnv("tok")} % 4096)::BIGINT AS slot FROM vocab),
-         sl AS (SELECT g, count(DISTINCT slot) AS v_filled
-                FROM (SELECT DISTINCT g, tok FROM t) d JOIN hashed USING (tok)
-                GROUP BY g),
-         ex AS (SELECT g, count(DISTINCT tok) AS n_exact FROM t GROUP BY g)
-         SELECT ex.g AS source, n_exact, v_filled,
-           CASE WHEN v_filled < 4096
-             THEN floor(-4096 * ln(1 - v_filled::DOUBLE / 4096) + 0.5)::BIGINT
-             ELSE NULL END AS n_est
-         FROM ex JOIN sl USING (g)""",
-
-    // Replays the native SimHash64: FNV-1a per DISTINCT token (hash
-    // values are a pure function of the token bytes, so hashing the
-    // vocabulary once and joining is exactly the per-occurrence vote),
-    // ±1 votes summed per (doc, bit), sign vector banded 4×16 bits,
-    // pigeonhole band join, exact per-bit Hamming verify.
-    "dedup_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
-                          x -> x <> '')) AS tok FROM documents),
-         vocab AS (SELECT DISTINCT tok FROM toks),
-         hashed AS (SELECT tok, ${duckFnv("tok")} AS h FROM vocab),
-         pw(bit, p) AS (VALUES $duckBitPowers),
-         bits AS (SELECT tok, bit, ((h // p) % 2)::BIGINT AS b FROM hashed, pw),
-         perdoc AS (SELECT t.doc_id, b.bit, sum(CASE WHEN b.b = 1 THEN 1 ELSE -1 END) AS cnt
-                    FROM toks t JOIN bits b USING (tok) GROUP BY 1, 2),
-         fp AS (SELECT doc_id, bit, CASE WHEN cnt > 0 THEN 1 ELSE 0 END AS fb FROM perdoc),
-         bands AS (SELECT doc_id, bit // 16 AS band, sum(fb * (1 << (bit % 16)))::BIGINT AS band_val
-                   FROM fp GROUP BY 1, 2),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val
-                    AND a.doc_id < b.doc_id),
-         ham AS (SELECT c.id_a, c.id_b,
-                   sum(CASE WHEN fa.fb <> fb2.fb THEN 1 ELSE 0 END)::BIGINT AS hamming
-                 FROM cand c JOIN fp fa ON fa.doc_id = c.id_a
-                   JOIN fp fb2 ON fb2.doc_id = c.id_b AND fb2.bit = fa.bit
-                 GROUP BY 1, 2)
-         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""",
-
-    "ann_ivf" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
-         c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
-         ct AS (SELECT neighbor_id AS cell_id, ce AS cte FROM c ORDER BY neighbor_id LIMIT 16),
-         asg AS (SELECT neighbor_id, ce, cell_id FROM (
-                   SELECT c.neighbor_id, c.ce, ct.cell_id,
-                     row_number() OVER (PARTITION BY c.neighbor_id
-                       ORDER BY ${duckCos("c.ce", "ct.cte")} DESC, ct.cell_id) AS rn
-                   FROM c, ct) WHERE rn = 1),
-         pr AS (SELECT query_id, qe, cell_id FROM (
-                  SELECT q.query_id, q.qe, ct.cell_id,
-                    row_number() OVER (PARTITION BY q.query_id
-                      ORDER BY ${duckCos("q.qe", "ct.cte")} DESC, ct.cell_id) AS rn
-                  FROM q, ct) WHERE rn <= 4),
-         cand AS (SELECT pr.query_id, asg.neighbor_id, ${duckCos("pr.qe", "asg.ce")} AS cosine
-                  FROM asg JOIN pr USING (cell_id)),
-         r AS (SELECT query_id, neighbor_id, cosine,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
-         SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM r
-         WHERE rank <= 5""",
-
-    // IVF assignment/probes replayed as in ann_ivf; PQ codes as in
-    // embed_pq_encode (argmin per corpus sub-vector); coarse score =
-    // integer sum of floor(d2·1e9+0.5) table entries; exact rerank.
-    "ann_ivf_pq" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
-         c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
-         ct AS (SELECT neighbor_id AS cell_id, ce AS cte FROM c ORDER BY neighbor_id LIMIT 16),
-         asg AS (SELECT neighbor_id, cell_id FROM (
-                   SELECT c.neighbor_id, ct.cell_id,
-                     row_number() OVER (PARTITION BY c.neighbor_id
-                       ORDER BY ${duckCos("c.ce", "ct.cte")} DESC, ct.cell_id) AS rn
-                   FROM c, ct) WHERE rn = 1),
-         pr AS (SELECT query_id, cell_id FROM (
-                  SELECT q.query_id, ct.cell_id,
-                    row_number() OVER (PARTITION BY q.query_id
-                      ORDER BY ${duckCos("q.qe", "ct.cte")} DESC, ct.cell_id) AS rn
-                  FROM q, ct) WHERE rn <= 4),
-         sp AS (SELECT s FROM generate_series(0, 7) t(s)),
-         cbs AS (SELECT cb0.code, sp.s AS subspace, cb0.ce[sp.s*8+1 : sp.s*8+8] AS cv
-                 FROM (SELECT neighbor_id AS code, ce FROM c
-                       ORDER BY neighbor_id LIMIT 16) cb0, sp),
-         csub AS (SELECT neighbor_id, s AS subspace, ce[s*8+1 : s*8+8] AS sv FROM c, sp),
-         codes AS (SELECT neighbor_id, subspace, code FROM (
-                     SELECT csub.neighbor_id, csub.subspace, cbs.code,
-                       row_number() OVER (PARTITION BY csub.neighbor_id, csub.subspace
-                         ORDER BY list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
-                           i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), (acc, x) -> acc + x),
-                         cbs.code) AS rn
-                     FROM csub JOIN cbs USING (subspace)) WHERE rn = 1),
-         dt AS (SELECT query_id, subspace, code,
-                  CAST(floor(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
-                    i -> (qsv[i] - cv[i]) * (qsv[i] - cv[i]))), (acc, x) -> acc + x)
-                    * 1000000000 + 0.5) AS BIGINT) AS d2_e9
-                FROM (SELECT query_id, s AS subspace, qe[s*8+1 : s*8+8] AS qsv FROM q, sp)
-                JOIN cbs USING (subspace)),
-         cand AS (SELECT pr.query_id, asg.neighbor_id FROM asg JOIN pr USING (cell_id)),
-         ad AS (SELECT query_id, neighbor_id, CAST(sum(d2_e9) AS BIGINT) AS adist
-                FROM cand JOIN codes USING (neighbor_id)
-                JOIN dt USING (query_id, subspace, code)
-                GROUP BY query_id, neighbor_id),
-         sl AS (SELECT query_id, neighbor_id FROM (
-                  SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id
-                      ORDER BY adist, neighbor_id) AS srn FROM ad) WHERE srn <= 20),
-         rr AS (SELECT sl.query_id, sl.neighbor_id, ${duckCos("q.qe", "c.ce")} AS cosine
-                FROM sl JOIN q USING (query_id) JOIN c USING (neighbor_id))
-         SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
-           SELECT query_id, neighbor_id, cosine,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, neighbor_id) AS rank FROM rr)
-         WHERE rank <= 5""",
-
-    // trained-IVF recall: the 3 Lloyd iterations unroll as CTE blocks
-    // (assign = argmax cosine over the previous centroids; update =
-    // integer-frozen per-dim means, the same 2⁻²⁰-unit sums / single
-    // division the Spark side computes), then the deployed IVF top-5
-    // and the brute-force top-5 intersect as exact integer counts
-    "ann_recall_eval" -> {
-      val iters = 3
-      def step(i: Int) =
-        s"""asg$i AS (SELECT neighbor_id, ce, cell_id FROM (
-               SELECT c.neighbor_id, c.ce, p.cell_id,
-                 row_number() OVER (PARTITION BY c.neighbor_id
-                   ORDER BY ${duckCos("c.ce", "p.cte")} DESC, p.cell_id) AS rn
-               FROM c, ct${i - 1} p) WHERE rn = 1),
-           cm$i AS (SELECT cell_id, d,
-                 CAST(sum(CAST(floor(ce[d] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
-                   / CAST(count(*) * 1048576 AS DOUBLE) AS m
-               FROM asg$i, generate_series(1, 64) t(d) GROUP BY cell_id, d),
-           ct$i AS (SELECT cell_id, list(m ORDER BY d) AS cte FROM cm$i GROUP BY cell_id)"""
-      val loops = (1 to iters).map(step).mkString(",\n")
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
-         c AS (SELECT vec_id AS neighbor_id, e AS ce FROM v WHERE vec_id >= 10),
-         ct0 AS (SELECT row_number() OVER (ORDER BY neighbor_id) AS cell_id, ce AS cte
-                 FROM (SELECT neighbor_id, ce FROM c ORDER BY neighbor_id LIMIT 16)),
-         $loops,
-         fasg AS (SELECT neighbor_id, ce, cell_id FROM (
-               SELECT c.neighbor_id, c.ce, p.cell_id,
-                 row_number() OVER (PARTITION BY c.neighbor_id
-                   ORDER BY ${duckCos("c.ce", "p.cte")} DESC, p.cell_id) AS rn
-               FROM c, ct$iters p) WHERE rn = 1),
-         pr AS (SELECT query_id, qe, cell_id FROM (
-               SELECT q.query_id, q.qe, p.cell_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY ${duckCos("q.qe", "p.cte")} DESC, p.cell_id) AS rn
-               FROM q, ct$iters p) WHERE rn <= 4),
-         cand AS (SELECT pr.query_id, fasg.neighbor_id,
-                 ${duckCos("pr.qe", "fasg.ce")} AS cosine
-               FROM fasg JOIN pr USING (cell_id)),
-         ivf AS (SELECT query_id, neighbor_id FROM (
-               SELECT query_id, neighbor_id,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
-             WHERE rank <= 5),
-         tr AS (SELECT query_id, neighbor_id FROM (
-               SELECT q.query_id, c.neighbor_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY ${duckCos("q.qe", "c.ce")} DESC, c.neighbor_id) AS rank
-               FROM q, c) WHERE rank <= 5),
-         nh AS (SELECT tr.query_id, count(*) AS n_hit
-               FROM tr JOIN ivf USING (query_id, neighbor_id) GROUP BY 1),
-         nt AS (SELECT query_id, count(*) AS n_truth FROM tr GROUP BY 1)
-         SELECT nt.query_id, n_truth::BIGINT AS n_truth,
-           coalesce(n_hit, 0)::BIGINT AS n_hit,
-           floor(coalesce(n_hit, 0)::DOUBLE / n_truth::DOUBLE * 10000 + 0.5) / 10000
-             AS recall
-         FROM nt LEFT JOIN nh USING (query_id)"""
-    },
-
-    "semdedup_prune" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v),
-         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
-         pm AS (SELECT nid, ce, cell_id,
-                  CAST(floor(cent_cos * 1000000 + 0.5) AS BIGINT) AS p
-                FROM fasg)
-         SELECT a.nid AS vec_id, a.cell_id, a.p AS cent_cos_micro,
-           NOT EXISTS (SELECT 1 FROM pm b WHERE b.cell_id = a.cell_id
-             AND (b.p < a.p OR (b.p = a.p AND b.nid < a.nid))
-             AND ${duckCos("a.ce", "b.ce")} >= 0.4) AS kept
-         FROM pm a""",
-
-    "semdedup_rate_curve" -> {
-      val epss = Seq(0.2, 0.3, 0.4, 0.5, 0.6)
-      val rows = epss.map { e =>
-        s"""SELECT $e AS eps, tot.n_total,
-             (SELECT count(*) FROM mbc WHERE max_better_cos >= $e)::BIGINT
-               AS n_pruned,
-             floor((SELECT count(*) FROM mbc WHERE max_better_cos >= $e)::DOUBLE
-               / tot.n_total::DOUBLE * 10000 + 0.5) / 10000 AS prune_rate
-           FROM tot"""
-      }.mkString("\nUNION ALL\n")
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v),
-         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
-         pm AS MATERIALIZED (SELECT nid, ce, cell_id,
-                  CAST(floor(cent_cos * 1000000 + 0.5) AS BIGINT) AS p
-                FROM fasg),
-         mbc AS MATERIALIZED (SELECT a.nid, max(${duckCos("a.ce", "b.ce")})
-               AS max_better_cos
-             FROM pm a JOIN pm b ON a.cell_id = b.cell_id
-               AND (b.p < a.p OR (b.p = a.p AND b.nid < a.nid))
-             GROUP BY a.nid),
-         tot AS (SELECT count(*)::BIGINT AS n_total FROM pm)
-         $rows"""
-    },
-
-    // greedy fold note: the reduce lambda ALWAYS returns
-    // list_concat(gacc, ...) — returning gacc unchanged from a CASE
-    // branch corrupts the accumulator in DuckDB 1.0.0 (verified:
-    // [[1],[2],[3],[4]] with a "prune consecutive" rule yields [3]
-    // instead of [1,3] when the prune branch returns gacc directly);
-    // the kept set accumulates POSITIONS (plain BIGINT[]) for the
-    // same reason — struct-typed accumulators corrupt too
-    "semdedup_fidelity_eval" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v),
-         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
-         pm AS (SELECT nid, ce, cell_id,
-                  CAST(floor(cent_cos * 1000000 + 0.5) AS BIGINT) AS p
-                FROM fasg),
-         dom AS (SELECT a.nid, a.cell_id,
-             NOT EXISTS (SELECT 1 FROM pm b WHERE b.cell_id = a.cell_id
-               AND (b.p < a.p OR (b.p = a.p AND b.nid < a.nid))
-               AND ${duckCos("a.ce", "b.ce")} >= 0.4) AS kept_dom
-           FROM pm a),
-         cells AS (SELECT cell_id,
-             list(struct_pack(p := p, vid := nid, cv := ce) ORDER BY p, nid)
-               AS items
-           FROM pm GROUP BY cell_id),
-         gk AS (SELECT cell_id, list_transform(
-             list_reduce(
-               list_prepend([]::BIGINT[],
-                 list_transform(generate_series(1, len(items)), j -> [j])),
-               (gacc, gx) -> list_concat(gacc,
-                 CASE WHEN len(list_filter(gacc, kk ->
-                     ${duckCos("items[kk].cv", "items[gx[1]].cv")} >= 0.4)) > 0
-                 THEN []::BIGINT[] ELSE gx END)),
-             kp -> items[kp].vid) AS kept_ids
-           FROM cells),
-         greedy AS (SELECT cell_id, unnest(kept_ids) AS nid FROM gk)
-         SELECT dom.cell_id, count(*)::BIGINT AS n_items,
-           sum(CASE WHEN kept_dom THEN 1 ELSE 0 END)::BIGINT AS n_kept_dom,
-           sum(CASE WHEN g.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-             AS n_kept_greedy,
-           sum(CASE WHEN kept_dom AND g.nid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
-             AS n_kept_both
-         FROM dom LEFT JOIN greedy g
-           ON dom.cell_id = g.cell_id AND dom.nid = g.nid
-         GROUP BY dom.cell_id""",
-
-    "knn_join_ivf" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
-         q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
-         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
-         ${duckBeam(iters = 1, maxDepth = 10, nProbe = 2)},
-         cand AS (SELECT pr.query_id, fasg.nid AS neighbor_id,
-                 ${duckCos("pr.qe", "fasg.ce")} AS cosine
-               FROM fasg JOIN pr USING (cell_id)),
-         r AS (SELECT query_id, neighbor_id, cosine,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
-         SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
-         FROM r WHERE rank <= 3""",
-
-    "knn_recall_eval" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
-         qall AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
-         -- max(registered sampleMod, ceil(nQ/256)) — the FULL engine
-         -- sampling contract (knnJoinRecallEval), not just the ceiling,
-         -- so a future registration with sampleMod > 1 grades the same
-         -- query set (registered sampleMod = 1 today)
-         qpar AS (SELECT greatest(1, (count(*) + 255) // 256) AS md FROM qall),
-         q AS MATERIALIZED (SELECT query_id, qe FROM qall
-               WHERE query_id % (SELECT md FROM qpar) = 0),
-         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
-         ${duckBeam(iters = 1, maxDepth = 10, nProbe = 2)},
-         cand AS (SELECT pr.query_id, fasg.nid AS neighbor_id,
-                 ${duckCos("pr.qe", "fasg.ce")} AS cosine
-               FROM fasg JOIN pr USING (cell_id)),
-         ivf AS (SELECT query_id, neighbor_id FROM (
-               SELECT query_id, neighbor_id,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
-             WHERE rank <= 3),
-         tr AS (SELECT query_id, neighbor_id FROM (
-               SELECT q.query_id, c.nid AS neighbor_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY ${duckCos("q.qe", "c.ce")} DESC, c.nid) AS rank
-               FROM q, c) WHERE rank <= 3),
-         nh AS (SELECT tr.query_id, count(*) AS n_hit
-               FROM tr JOIN ivf USING (query_id, neighbor_id) GROUP BY 1),
-         nt AS (SELECT query_id, count(*) AS n_truth FROM tr GROUP BY 1)
-         SELECT nt.query_id, n_truth::BIGINT AS n_truth,
-           coalesce(n_hit, 0)::BIGINT AS n_hit,
-           floor(coalesce(n_hit, 0)::DOUBLE / n_truth::DOUBLE * 10000 + 0.5) / 10000
-             AS recall
-         FROM nt LEFT JOIN nh USING (query_id)""",
-
-    "knn_recall_curve" -> {
-      // fused-mask replay of Similarity.knnJoinRecallCurve: one beam
-      // descent carries the SET of probe widths each row survives at
-      // as a bitmask (the width values are the bits, ladder mask 30);
-      // per level one window counts, per width p, the strictly-better
-      // rows whose mask has p — exact per-width beam rank without
-      // materializing per-width beams. The candidate stage reuses the
-      // trick on cosine rank for each width's top-3.
-      val probePoints = Seq(2, 4, 8, 16)
-      val maskAll = probePoints.sum
-      def cnts(flagCol: String, ord: String) = probePoints.map(p =>
-        s"""sum(CASE WHEN ($flagCol & $p) != 0 THEN 1 ELSE 0 END)
-             OVER (PARTITION BY query_id ORDER BY $ord
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c$p""")
-        .mkString(",\n")
-      def pmExpr = probePoints.map(p =>
-        s"(CASE WHEN (pm & $p) != 0 AND coalesce(c$p, 0) < $p THEN $p ELSE 0 END)")
-        .mkString(" + ")
-      def level(l: Int): String =
-        s"""mc$l AS MATERIALIZED (
-             SELECT b.query_id, b.qe, b.pm,
-               b.node * 2 + k.child AS cnode, ${duckCos("b.qe", "k.ctv")} AS sc
-             FROM mq$l b JOIN bkx$l k USING (node)
-             UNION ALL
-             SELECT b.query_id, b.qe, b.pm, b.node AS cnode, b.sc
-             FROM mq$l b WHERE NOT EXISTS (
-               SELECT 1 FROM bkx$l k WHERE k.node = b.node)),
-           mr$l AS MATERIALIZED (SELECT *, ${cnts("pm", "sc DESC, cnode")}
-             FROM mc$l),
-           mq${l + 1} AS MATERIALIZED (
-             SELECT query_id, qe, cnode AS node, sc, ($pmExpr) AS pm
-             FROM mr$l WHERE ($pmExpr) != 0)"""
-      val levels = (0 until 10).map(level).mkString(",\n")
-      val hitSums = probePoints.map(p =>
-        s"""sum(CASE WHEN (pm & $p) != 0 AND coalesce(c$p, 0) < 3
-                 AND is_t THEN 1 ELSE 0 END) AS h$p""").mkString(",\n")
-      val rows = probePoints.map { p =>
-        s"""SELECT $p AS n_probe, tc.n_queries, tc.n_truth,
-             hs.h$p::BIGINT AS n_hit,
-             floor(hs.h$p::DOUBLE / tc.n_truth::DOUBLE * 10000 + 0.5) / 10000
-               AS recall
-           FROM tc, hs"""
-      }.mkString("\nUNION ALL\n")
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
-         qall AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
-         qpar AS (SELECT greatest(1, (count(*) + 255) // 256) AS md FROM qall),
-         q AS MATERIALIZED (SELECT query_id, qe FROM qall
-               WHERE query_id % (SELECT md FROM qpar) = 0),
-         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
-         mq0 AS MATERIALIZED (SELECT query_id, qe, 1::BIGINT AS node,
-               1.0::DOUBLE AS sc, $maskAll AS pm FROM q),
-         $levels,
-         mcand AS MATERIALIZED (SELECT b.query_id, fasg.nid AS neighbor_id,
-               ${duckCos("b.qe", "fasg.ce")} AS cosine, b.pm
-             FROM fasg JOIN mq10 b ON fasg.cell_id = b.node),
-         mrank AS MATERIALIZED (SELECT query_id, neighbor_id, pm,
-               ${cnts("pm", "cosine DESC, neighbor_id")}
-             FROM mcand),
-         tr AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
-               SELECT q.query_id, c.nid AS neighbor_id,
-                 row_number() OVER (PARTITION BY q.query_id
-                   ORDER BY ${duckCos("q.qe", "c.ce")} DESC, c.nid) AS rank
-               FROM q, c) WHERE rank <= 3),
-         tc AS (SELECT count(*)::BIGINT AS n_truth,
-               count(DISTINCT query_id)::BIGINT AS n_queries FROM tr),
-         hs AS (SELECT $hitSums
-             FROM mrank LEFT JOIN (SELECT query_id, neighbor_id, TRUE AS is_t
-               FROM tr) t USING (query_id, neighbor_id))
-         $rows"""
-    },
-
-    "ann_topk" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         q AS (SELECT * FROM v WHERE vec_id < 10),
-         c AS (SELECT * FROM v WHERE vec_id >= 10),
-         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.e)),
-                   i -> q.e[i] * c.e[i])), (acc, x) -> acc + x) /
-                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(q.e)),
-                   i -> q.e[i] * q.e[i])), (acc, x) -> acc + x) *
-                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(c.e)),
-                   i -> c.e[i] * c.e[i])), (acc, x) -> acc + x)) AS cosine
-               FROM q, c),
-         r AS (SELECT query_id, neighbor_id, cosine,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
-         SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM r
-         WHERE rank <= 5""",
-
-    "embed_pq_encode" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         cb AS (SELECT vec_id AS code, e AS ce FROM v ORDER BY vec_id LIMIT 16),
-         sp AS (SELECT s FROM generate_series(0, 7) t(s)),
-         sub AS (SELECT vec_id, s AS subspace, e[s*8+1 : s*8+8] AS sv FROM v, sp),
-         cbs AS (SELECT code, s AS subspace, ce[s*8+1 : s*8+8] AS cv FROM cb, sp),
-         d AS (SELECT vec_id, subspace, code,
-                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
-                   i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), (acc, x) -> acc + x) AS d2
-               FROM sub JOIN cbs USING (subspace)),
-         r AS (SELECT vec_id, subspace, code, d2,
-                 row_number() OVER (PARTITION BY vec_id, subspace
-                                    ORDER BY d2, code) AS rn FROM d)
-         SELECT vec_id, subspace::BIGINT AS subspace, code, round(d2, 6) AS dist2
-         FROM r WHERE rn = 1""",
-
-    "embed_normalize" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         n AS (SELECT vec_id, e,
-                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(e)),
-                   i -> e[i] * e[i])), (acc, x) -> acc + x)) AS norm
-               FROM v),
-         x AS (SELECT vec_id, norm, e, unnest(generate_series(1, len(e))) AS i FROM n)
-         SELECT vec_id, norm, i - 1 AS dim,
-           CASE WHEN norm = 0 THEN 0.0 ELSE e[i] / norm END AS unit_val
-         FROM x""",
-
-    "embed_quantize" ->
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         m AS (SELECT vec_id, e,
-                 coalesce(list_max(list_transform(e, x -> abs(x))), 0.0) AS maxabs FROM v),
-         s AS (SELECT vec_id, e,
-                 CASE WHEN maxabs = 0 THEN 0.0 ELSE 127.0 / maxabs END AS scale FROM m),
-         x AS (SELECT vec_id, scale, e, unnest(generate_series(1, len(e))) AS i FROM s)
-         SELECT vec_id, scale, i - 1 AS dim,
-           CAST(floor(e[i] * scale + 0.5) AS INTEGER) AS q
-         FROM x""",
-
-    "embed_norm_stats" ->
-      """WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
-         n AS (SELECT label,
-                 CAST(floor(sqrt(list_reduce(list_prepend(0.0,
-                   list_transform(generate_series(1, len(e)), i -> e[i] * e[i])),
-                   (acc, x) -> acc + x)) * 10000 + 0.5) AS BIGINT) AS norm_e4
-               FROM v)
-         SELECT label, count(*) AS n_vectors, min(norm_e4) AS min_norm_e4,
-           max(norm_e4) AS max_norm_e4, CAST(sum(norm_e4) AS BIGINT) AS sum_norm_e4
-         FROM n GROUP BY label""",
-
-    "embed_centroids" ->
-      """WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
-         x AS (SELECT label, e, unnest(generate_series(1, len(e))) AS i FROM v),
-         c AS (SELECT label, i - 1 AS dim,
-                 CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT) AS c_e6 FROM x)
-         SELECT label, dim, count(*) AS n, CAST(sum(c_e6) AS BIGINT) AS sum_e6
-         FROM c GROUP BY label, dim""",
-
-    "embed_drift" ->
-      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-         x AS (SELECT label, vec_id % 2 AS snap, e, unnest(generate_series(1, len(e))) AS i
-               FROM v),
-         c AS (SELECT label, snap, i - 1 AS dim,
-                 CAST(floor(e[i] * 1000000 + 0.5) AS BIGINT) AS c_e6 FROM x),
-         g AS (SELECT label, snap, dim, count(*) AS n, sum(c_e6)::BIGINT AS s
-               FROM c GROUP BY 1, 2, 3),
-         j AS (SELECT a.label, a.dim, a.n AS n_a, b.n AS n_b,
-                 a.s::DOUBLE / a.n / 1000000 AS m_a, b.s::DOUBLE / b.n / 1000000 AS m_b
-               FROM g a JOIN g b ON a.label = b.label AND a.dim = b.dim
-                 AND a.snap = 0 AND b.snap = 1),
-         l AS (SELECT label, max(n_a) AS n_a, max(n_b) AS n_b,
-                 list_sort(list(struct_pack(dim := dim, m_a := m_a, m_b := m_b))) AS ds
-               FROM j GROUP BY label),
-         f AS (SELECT label, n_a, n_b,
-                 list_reduce(list_prepend(0.0, list_transform(ds, x -> x.m_a * x.m_b)),
-                   (a, b) -> a + b) AS dot,
-                 list_reduce(list_prepend(0.0, list_transform(ds, x -> x.m_a * x.m_a)),
-                   (a, b) -> a + b) AS na2,
-                 list_reduce(list_prepend(0.0, list_transform(ds, x -> x.m_b * x.m_b)),
-                   (a, b) -> a + b) AS nb2,
-                 list_reduce(list_prepend(0.0,
-                     list_transform(ds, x -> (x.m_a - x.m_b) * (x.m_a - x.m_b))),
-                   (a, b) -> a + b) AS l2
-               FROM l)
-         SELECT label, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
-           floor(dot / sqrt(na2) / sqrt(nb2) * 1000000 + 0.5) / 1000000 AS cosine,
-           floor(sqrt(l2) * 1000000 + 0.5) / 1000000 AS l2_shift
-         FROM f""",
-
-    "neardup_rate_by_source" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-               FROM s a JOIN s b ON a.doc_id < b.doc_id
-               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
-         m AS (SELECT DISTINCT doc_id FROM
-                 (SELECT id_a AS doc_id FROM p UNION ALL SELECT id_b FROM p))
-         SELECT d.source, count(*) AS n_docs,
-           count(m.doc_id) AS n_near_dup,
-           floor(count(m.doc_id)::DOUBLE / count(*) * 10000 + 0.5) / 10000 AS dup_rate
-         FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
-         GROUP BY d.source""",
-
-    "text_langid" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         sc AS (SELECT doc_id,
-           len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
-           len(list_filter(toks, t -> t IN ('el','la','de','que','y'))) AS s_es,
-           len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
-           len(list_filter(toks, t -> t IN ('le','les','et','est','une'))) AS s_fr
-           FROM t)
-         SELECT doc_id, CASE
-           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-           WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-           WHEN s_de >= s_fr THEN 'de'
-           ELSE 'fr' END AS lang_pred FROM sc""",
-
-    "langid_confusion" ->
-      """WITH t AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         sc AS (SELECT doc_id, lang,
-           len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
-           len(list_filter(toks, t -> t IN ('el','la','de','que','y'))) AS s_es,
-           len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
-           len(list_filter(toks, t -> t IN ('le','les','et','est','une'))) AS s_fr
-           FROM t),
-         p AS (SELECT lang, CASE
-           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-           WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-           WHEN s_de >= s_fr THEN 'de'
-           ELSE 'fr' END AS lang_pred FROM sc)
-         SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2""",
-
-    "text_quality" ->
-      """WITH t AS (SELECT doc_id, text,
-                      list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents),
-         m AS (SELECT doc_id, text, len(toks) AS n,
-           list_sum(list_transform(toks, x -> length(x))) AS char_sum,
-           len(list_filter(toks,
-             x -> x IN ('the','a','of','and','is','to','in','it','that','for'))) AS stops,
-           length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
-             greatest(length(text), 1) AS digit_ratio
-           FROM t)
-         SELECT doc_id, n::BIGINT AS n_tokens,
-           round(char_sum::DOUBLE / greatest(n, 1), 4) AS avg_token_len,
-           round(stops::DOUBLE / greatest(n, 1), 4) AS stop_ratio,
-           round(least(1.0, greatest(0.0,
-             0.2 + 0.01 * n + stops::DOUBLE / greatest(n, 1) - 5.0 * digit_ratio)), 4) AS quality
-         FROM m""",
-
-    "text_tokens" ->
-      """SELECT doc_id,
-         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_ws_tokens,
-         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens
-         FROM documents""",
-
-    "text_fingerprint" ->
-      """SELECT doc_id,
-         list_reduce(list_prepend(0::BIGINT,
-           list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
-             t -> (length(t) * 256 + ascii(t))::BIGINT)),
-           (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
-         FROM documents""",
-
-    // expected fields recomputed from the SOURCE columns — the Spark
-    // side must construct the headers and parse them back to match
-    "multimodal_meta" ->
-      """SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
-         (16 + doc_id % 1904)::BIGINT AS width,
-         (16 + n_chars % 1064)::BIGINT AS height,
-         (CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 51 END)::BIGINT AS n_bytes
-         FROM documents""",
-
-    // closed-form replay of the construct→decode round trip: dims from
-    // the id, channel c's sums over logical pixel order p = 0..n_pix-1
-    // of (doc_id + 3p + c) mod 256, plain and (p+1)-weighted
-    "multimodal_decode" ->
-      """SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS kind,
-         (2 + doc_id % 7)::BIGINT AS width,
-         (2 + doc_id % 5)::BIGINT AS height,
-         ((2 + doc_id % 7) * (2 + doc_id % 5))::BIGINT AS n_pix,
-         list_sum(list_transform(px, p -> (doc_id + 3*p + 0) % 256))::BIGINT AS r_sum,
-         list_sum(list_transform(px, p -> (doc_id + 3*p + 1) % 256))::BIGINT AS g_sum,
-         list_sum(list_transform(px, p -> (doc_id + 3*p + 2) % 256))::BIGINT AS b_sum,
-         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 0) % 256)))::BIGINT AS r_wsum,
-         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 1) % 256)))::BIGINT AS g_wsum,
-         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 2) % 256)))::BIGINT AS b_wsum
-         FROM (SELECT doc_id,
-                 generate_series(0, (2 + doc_id % 7) * (2 + doc_id % 5) - 1) AS px
-               FROM documents)""",
-
-    "multimodal_png_decode" ->
-      """SELECT doc_id,
-         'png' AS kind,
-         (2 + doc_id % 6)::BIGINT AS width,
-         (2 + doc_id % 5)::BIGINT AS height,
-         ((2 + doc_id % 6) * (2 + doc_id % 5))::BIGINT AS n_pix,
-         list_sum(list_transform(px, p -> (doc_id + 3*p + 0) % 256))::BIGINT AS r_sum,
-         list_sum(list_transform(px, p -> (doc_id + 3*p + 1) % 256))::BIGINT AS g_sum,
-         list_sum(list_transform(px, p -> (doc_id + 3*p + 2) % 256))::BIGINT AS b_sum,
-         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 0) % 256)))::BIGINT AS r_wsum,
-         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 1) % 256)))::BIGINT AS g_wsum,
-         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*p + 2) % 256)))::BIGINT AS b_wsum
-         FROM (SELECT doc_id,
-                 generate_series(0, (2 + doc_id % 6) * (2 + doc_id % 5) - 1) AS px
-               FROM documents)""",
-
-    // closed-form replay of the GIF decode: pixel p of image doc_id is
-    // palette entry (doc_id + p) mod 256, whose channel c value is
-    // (doc_id + 3k + c) mod 256 — LZW and the interlace permutation
-    // cancel in the round trip, so the oracle needs neither
-    "multimodal_gif_decode" ->
-      """SELECT doc_id,
-         'gif' AS kind,
-         (2 + doc_id % 6)::BIGINT AS width,
-         (5 + doc_id % 5)::BIGINT AS height,
-         ((2 + doc_id % 6) * (5 + doc_id % 5))::BIGINT AS n_pix,
-         list_sum(list_transform(px, p -> (doc_id + 3*((doc_id + p) % 256) + 0) % 256))::BIGINT AS r_sum,
-         list_sum(list_transform(px, p -> (doc_id + 3*((doc_id + p) % 256) + 1) % 256))::BIGINT AS g_sum,
-         list_sum(list_transform(px, p -> (doc_id + 3*((doc_id + p) % 256) + 2) % 256))::BIGINT AS b_sum,
-         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*((doc_id + p) % 256) + 0) % 256)))::BIGINT AS r_wsum,
-         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*((doc_id + p) % 256) + 1) % 256)))::BIGINT AS g_wsum,
-         list_sum(list_transform(px, p -> (p + 1) * ((doc_id + 3*((doc_id + p) % 256) + 2) % 256)))::BIGINT AS b_wsum
-         FROM (SELECT doc_id,
-                 generate_series(0, (2 + doc_id % 6) * (5 + doc_id % 5) - 1) AS px
-               FROM documents)""",
-
-    // closed-form replay of the JPEG decode: block b of image doc_id
-    // carries constant YCbCr (7id+16b, 11id+32b, 13id+8b) mod 256;
-    // per-pixel RGB is the decoder's fixed-point BT.601 transform
-    // (floor((x + 32768)/65536) == the JVM's arithmetic >> 16)
-    "multimodal_jpeg_decode" ->
-      """WITH px AS (SELECT doc_id,
-                unnest(generate_series(0,
-                  (8*(1 + doc_id % 4)) * (8*(1 + doc_id % 3)) - 1)) AS p
-              FROM documents),
-         v AS (SELECT doc_id, p,
-                 ((p // (8*(1 + doc_id % 4))) // 8) * (1 + doc_id % 4)
-                   + ((p % (8*(1 + doc_id % 4))) // 8) AS b
-               FROM px),
-         c AS (SELECT doc_id, p,
-                 (doc_id*7 + 16*b) % 256 AS yv,
-                 (doc_id*11 + 32*b) % 256 - 128 AS cb_,
-                 (doc_id*13 + 8*b) % 256 - 128 AS cr_
-               FROM v),
-         rgb AS (SELECT doc_id, p,
-                 LEAST(255, GREATEST(0, CAST(floor((yv*65536 + 91881*cr_ + 32768)/65536.0) AS BIGINT))) AS r,
-                 LEAST(255, GREATEST(0, CAST(floor((yv*65536 - 22554*cb_ - 46802*cr_ + 32768)/65536.0) AS BIGINT))) AS g,
-                 LEAST(255, GREATEST(0, CAST(floor((yv*65536 + 116130*cb_ + 32768)/65536.0) AS BIGINT))) AS bb
-               FROM c)
-         SELECT doc_id, 'jpeg' AS kind,
-           (8*(1 + doc_id % 4))::BIGINT AS width,
-           (8*(1 + doc_id % 3))::BIGINT AS height,
-           ((8*(1 + doc_id % 4)) * (8*(1 + doc_id % 3)))::BIGINT AS n_pix,
-           sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum,
-           sum(bb)::BIGINT AS b_sum,
-           sum((p + 1) * r)::BIGINT AS r_wsum,
-           sum((p + 1) * g)::BIGINT AS g_wsum,
-           sum((p + 1) * bb)::BIGINT AS b_wsum
-         FROM rgb GROUP BY ALL""",
-
-    // the progressive twin: same closed forms, dims swapped
-    // (w = 8*(1 + id%3), h = 8*(1 + id%4)) — the decoder runs the full
-    // ten-scan SOF2 pipeline yet lands on the same block-constant RGB
-    "multimodal_jpeg_progressive" ->
-      """WITH px AS (SELECT doc_id,
-                unnest(generate_series(0,
-                  (8*(1 + doc_id % 3)) * (8*(1 + doc_id % 4)) - 1)) AS p
-              FROM documents),
-         v AS (SELECT doc_id, p,
-                 ((p // (8*(1 + doc_id % 3))) // 8) * (1 + doc_id % 3)
-                   + ((p % (8*(1 + doc_id % 3))) // 8) AS b
-               FROM px),
-         c AS (SELECT doc_id, p,
-                 (doc_id*7 + 16*b) % 256 AS yv,
-                 (doc_id*11 + 32*b) % 256 - 128 AS cb_,
-                 (doc_id*13 + 8*b) % 256 - 128 AS cr_
-               FROM v),
-         rgb AS (SELECT doc_id, p,
-                 LEAST(255, GREATEST(0, CAST(floor((yv*65536 + 91881*cr_ + 32768)/65536.0) AS BIGINT))) AS r,
-                 LEAST(255, GREATEST(0, CAST(floor((yv*65536 - 22554*cb_ - 46802*cr_ + 32768)/65536.0) AS BIGINT))) AS g,
-                 LEAST(255, GREATEST(0, CAST(floor((yv*65536 + 116130*cb_ + 32768)/65536.0) AS BIGINT))) AS bb
-               FROM c)
-         SELECT doc_id, 'jpeg' AS kind,
-           (8*(1 + doc_id % 3))::BIGINT AS width,
-           (8*(1 + doc_id % 4))::BIGINT AS height,
-           ((8*(1 + doc_id % 3)) * (8*(1 + doc_id % 4)))::BIGINT AS n_pix,
-           sum(r)::BIGINT AS r_sum, sum(g)::BIGINT AS g_sum,
-           sum(bb)::BIGINT AS b_sum,
-           sum((p + 1) * r)::BIGINT AS r_wsum,
-           sum((p + 1) * g)::BIGINT AS g_wsum,
-           sum((p + 1) * bb)::BIGINT AS b_wsum
-         FROM rgb GROUP BY ALL""",
-
-    // channel c of pixel p in frame f is (doc_id + 5f + 3p + c) mod 256
-    "multimodal_avi_frames" ->
-      """WITH fr AS (SELECT doc_id,
-                unnest(generate_series(0, (2 + doc_id % 4) - 1)) AS f
-              FROM documents),
-         px AS (SELECT doc_id, f,
-                  generate_series(0, (2 + doc_id % 5) * (2 + doc_id % 3) - 1) AS ps
-                FROM fr)
-         SELECT doc_id, f AS frame_idx,
-           (2 + doc_id % 5)::BIGINT AS width,
-           (2 + doc_id % 3)::BIGINT AS height,
-           list_sum(list_transform(ps, p -> (doc_id + 5*f + 3*p + 0) % 256))::BIGINT AS r_sum,
-           list_sum(list_transform(ps, p -> (doc_id + 5*f + 3*p + 1) % 256))::BIGINT AS g_sum,
-           list_sum(list_transform(ps, p -> (doc_id + 5*f + 3*p + 2) % 256))::BIGINT AS b_sum,
-           list_sum(list_transform(ps, p -> (p + 1) * ((doc_id + 5*f + 3*p + 0) % 256)))::BIGINT AS r_wsum,
-           list_sum(list_transform(ps, p -> (p + 1) * ((doc_id + 5*f + 3*p + 1) % 256)))::BIGINT AS g_wsum,
-           list_sum(list_transform(ps, p -> (p + 1) * ((doc_id + 5*f + 3*p + 2) % 256)))::BIGINT AS b_wsum
-         FROM px""",
-
-    // channel c of frame s is ((doc_id + 7s + 3c) mod 65536) - 32768;
-    // mono clips (even ids) report zeros for channel 1
-    // law decode tables inlined from the Scala single source of truth;
-    // law = id bit 1 (matches syntheticCompandedAudio), channels = bit 0
-    "multimodal_companded_decode" -> {
-      val alawL = graft.operators.Multimodal.alawDecodeTable.mkString("[", ",", "]")
-      val mulawL = graft.operators.Multimodal.mulawDecodeTable.mkString("[", ",", "]")
-      s"""SELECT doc_id,
-         (1 + doc_id % 2)::BIGINT AS channels,
-         8000::BIGINT AS sample_rate,
-         (30 + doc_id % 40)::BIGINT AS n_frames,
-         list_sum(list_transform(fr, s -> tbl[((doc_id + 7*s) % 256) + 1]))::BIGINT AS c0_sum,
-         (CASE WHEN doc_id % 2 = 1
-            THEN list_sum(list_transform(fr, s -> tbl[((doc_id + 7*s + 3) % 256) + 1]))
-            ELSE 0 END)::BIGINT AS c1_sum,
-         list_sum(list_transform(fr, s -> (s + 1) * tbl[((doc_id + 7*s) % 256) + 1]))::BIGINT AS c0_wsum,
-         (CASE WHEN doc_id % 2 = 1
-            THEN list_sum(list_transform(fr, s -> (s + 1) * tbl[((doc_id + 7*s + 3) % 256) + 1]))
-            ELSE 0 END)::BIGINT AS c1_wsum
-         FROM (SELECT doc_id,
-                 CASE WHEN (doc_id // 2) % 2 = 0 THEN $alawL ELSE $mulawL END AS tbl,
-                 generate_series(0, 30 + doc_id % 40 - 1) AS fr
-               FROM documents)"""
-    },
-
-    // per-block-constant closed form: block b contributes 9·v to the
-    // plain sum and v·(81b + 45) to the position-weighted sum
-    "multimodal_adpcm_decode" ->
-      """WITH blk AS (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS b
-                      FROM documents),
-         v AS (SELECT doc_id, b,
-                 (doc_id * 31 + b * 17) % 65536 - 32768 AS v0,
-                 (doc_id * 31 + b * 17 + 7) % 65536 - 32768 AS v1
-               FROM blk)
-         SELECT doc_id,
-           (1 + doc_id % 2)::BIGINT AS channels,
-           8000::BIGINT AS sample_rate,
-           (9 * (2 + doc_id % 3))::BIGINT AS n_frames,
-           sum(9 * v0)::BIGINT AS c0_sum,
-           (CASE WHEN doc_id % 2 = 1 THEN sum(9 * v1) ELSE 0 END)::BIGINT AS c1_sum,
-           sum(v0 * (81 * b + 45))::BIGINT AS c0_wsum,
-           (CASE WHEN doc_id % 2 = 1 THEN sum(v1 * (81 * b + 45)) ELSE 0 END)::BIGINT AS c1_wsum
-         FROM v GROUP BY doc_id""",
-
-    // lossless claim: the FLAC oracle IS the WAV oracle (same closed-
-    // form samples, same frames/channels formulas) — the decode must
-    // recover the identical integers through the entropy coding
-    "multimodal_flac_decode" ->
-      """SELECT doc_id,
-         (1 + doc_id % 2)::BIGINT AS channels,
-         8000::BIGINT AS sample_rate,
-         (40 + doc_id % 60)::BIGINT AS n_frames,
-         list_sum(list_transform(fr, s -> (doc_id + 7*s) % 65536 - 32768))::BIGINT AS c0_sum,
-         (CASE WHEN doc_id % 2 = 1
-            THEN list_sum(list_transform(fr, s -> (doc_id + 7*s + 3) % 65536 - 32768))
-            ELSE 0 END)::BIGINT AS c1_sum,
-         list_sum(list_transform(fr, s -> (s + 1) * ((doc_id + 7*s) % 65536 - 32768)))::BIGINT AS c0_wsum,
-         (CASE WHEN doc_id % 2 = 1
-            THEN list_sum(list_transform(fr, s -> (s + 1) * ((doc_id + 7*s + 3) % 65536 - 32768)))
-            ELSE 0 END)::BIGINT AS c1_wsum
-         FROM (SELECT doc_id, generate_series(0, 40 + doc_id % 60 - 1) AS fr
-               FROM documents)""",
-
-    "multimodal_wav_decode" ->
-      """SELECT doc_id,
-         (1 + doc_id % 2)::BIGINT AS channels,
-         8000::BIGINT AS sample_rate,
-         (40 + doc_id % 60)::BIGINT AS n_frames,
-         list_sum(list_transform(fr, s -> (doc_id + 7*s) % 65536 - 32768))::BIGINT AS c0_sum,
-         (CASE WHEN doc_id % 2 = 1
-            THEN list_sum(list_transform(fr, s -> (doc_id + 7*s + 3) % 65536 - 32768))
-            ELSE 0 END)::BIGINT AS c1_sum,
-         list_sum(list_transform(fr, s -> (s + 1) * ((doc_id + 7*s) % 65536 - 32768)))::BIGINT AS c0_wsum,
-         (CASE WHEN doc_id % 2 = 1
-            THEN list_sum(list_transform(fr, s -> (s + 1) * ((doc_id + 7*s + 3) % 65536 - 32768)))
-            ELSE 0 END)::BIGINT AS c1_wsum
-         FROM (SELECT doc_id, generate_series(0, 40 + doc_id % 60 - 1) AS fr
-               FROM documents)""",
-
-    "multimodal_frames" ->
-      """SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx,
-         floor(unnest(generate_series(0, 3)) * octet_length(encode(text)) / 4)::BIGINT AS frame_pos
-         FROM documents""",
-
-    "text_pii" ->
-      """SELECT doc_id,
-         len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::BIGINT AS n_email,
-         len(regexp_extract_all(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b'))::BIGINT AS n_phone,
-         len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
-         len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS n_ssn,
-         (regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')
-          OR regexp_matches(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')
-          OR regexp_matches(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')
-          OR regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b')) AS has_pii
-         FROM documents""",
-
-    // replacement nesting mirrors the Spark fold order (email, phone,
-    // ipv4, ssn); 'g' flag = replace-all, matching Spark regexp_replace
-    "pii_redact" ->
-      """SELECT doc_id,
-         regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
-           '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
-           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
-           '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS redacted
-         FROM documents
-         WHERE regexp_matches(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')
-            OR regexp_matches(text, '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')
-            OR regexp_matches(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')
-            OR regexp_matches(text, '\b\d{3}-\d{2}-\d{4}\b')""",
-
-    "events_json" ->
-      """SELECT event_type, count(*) AS n,
-         CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
-         FROM events GROUP BY event_type""",
-
-    "orders_by_month" ->
-      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
-         round(sum(o_totalprice), 2) AS total
-         FROM orders GROUP BY 1""",
-
-    "token_cooccurrence" ->
-      """WITH dt AS (SELECT doc_id AS doc,
-             unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS tok
-           FROM documents),
-         tf AS (SELECT tok, count(*) AS df_tok FROM dt GROUP BY tok),
-         n AS (SELECT count(*) AS n_docs FROM documents),
-         pc AS (SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_pair
-                FROM dt a JOIN dt b ON a.doc = b.doc AND a.tok < b.tok
-                GROUP BY 1, 2 HAVING count(*) >= 50)
-         SELECT pc.tok_a, pc.tok_b, pc.n_pair,
-           round(pc.n_pair::DOUBLE * (SELECT n_docs FROM n) /
-             (fa.df_tok::DOUBLE * fb.df_tok::DOUBLE), 6) AS lift
-         FROM pc JOIN tf fa ON pc.tok_a = fa.tok JOIN tf fb ON pc.tok_b = fb.tok""",
-
-    "sample_stratified" ->
-      """SELECT doc_id, lang, source FROM documents
-         WHERE ((doc_id * 48271 + 11) % 2147483647) % 1000 <
-           CASE lang WHEN 'en' THEN 800 WHEN 'es' THEN 500 WHEN 'de' THEN 500
-                     WHEN 'fr' THEN 300 WHEN 'zh' THEN 100 ELSE 1000 END""",
-
-    "weighted_sample" ->
-      """WITH s AS (SELECT sum(n_chars)::BIGINT AS sum_w FROM documents),
-         p AS (SELECT lang,
-                 least(1000000, (n_chars::BIGINT * 2000 * 1000000) // sum_w)::BIGINT
-                   AS p_micro,
-                 ((doc_id * 48271 + 11) % 2147483647) % 1000000 AS u_micro
-               FROM documents, s)
-         SELECT lang, count(*)::BIGINT AS n_docs,
-           sum(CASE WHEN u_micro < p_micro THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-           sum(p_micro)::BIGINT AS expected_micro,
-           (sum(CASE WHEN u_micro < p_micro THEN 1 ELSE 0 END) * 1000000
-             - sum(p_micro))::BIGINT AS gap_micro
-         FROM p GROUP BY 1""",
-
-    // pack CTE re-aggregated: (shard, pack) totals -> clamped fill
-    // decile histogram, all exact integers
-    "pack_fill_report" ->
-      """WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
-             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
-           FROM documents),
-         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t),
-         pk AS (SELECT shard, (cum - n_tokens) // 512 AS pack_id,
-                  sum(n_tokens) AS pack_tokens, count(*) AS n_docs
-                FROM c GROUP BY 1, 2)
-         SELECT least(pack_tokens * 10 // 512, 10)::BIGINT AS fill_decile,
-           count(*) AS n_packs, sum(n_docs)::BIGINT AS n_docs,
-           sum(pack_tokens)::BIGINT AS total_tokens
-         FROM pk GROUP BY 1""",
-
-    "pack_sequences" ->
-      """WITH t AS (SELECT doc_id, doc_id % 4 AS shard,
-             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
-           FROM documents),
-         c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
-         SELECT doc_id, shard, n_tokens, ((cum - n_tokens) // 512)::BIGINT AS pack_id
-         FROM c""",
-
-    "dedup_survivors" ->
-      """WITH w AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
-         SELECT d.doc_id, d.lang, d.source, d.n_chars
-         FROM documents d JOIN w USING (doc_id)""",
-
-    "decontaminate" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         bench AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 10 = 0),
-         corp AS (SELECT doc_id, sh FROM s WHERE doc_id % 10 <> 0),
-         hits AS (SELECT c.doc_id, count(*) AS n_shared
-                  FROM (SELECT doc_id, unnest(sh) AS g FROM corp) c
-                  JOIN bench USING (g) GROUP BY c.doc_id)
-         SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
-           coalesce(h.n_shared, 0) AS n_shared,
-           coalesce(h.n_shared, 0) > 0 AS contaminated
-         FROM corp c LEFT JOIN hits h USING (doc_id)""",
-
-    "repetition_stats" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, CASE WHEN len(toks) >= 2
-                 THEN list_transform(generate_series(1, len(toks) - 1),
-                        i -> array_to_string(toks[i:i+1], ' '))
-                 ELSE [array_to_string(toks, ' ')] END sh FROM t),
-         c AS (SELECT doc_id, gm, count(*) AS c
-               FROM (SELECT doc_id, unnest(sh) AS gm FROM s) GROUP BY doc_id, gm)
-         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
-           count(*) AS n_distinct, max(c) AS max_repeat
-         FROM c GROUP BY doc_id""",
-
-    "token_diversity" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         c AS (SELECT doc_id, tok, count(*) AS c
-               FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
-         a AS (SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*) AS n_distinct,
-                 sum(c * c)::BIGINT AS sum_sq
-               FROM c GROUP BY doc_id)
-         SELECT doc_id, n_tokens, n_distinct, sum_sq,
-           floor((1 - sum_sq::DOUBLE / (n_tokens * n_tokens)) * 1000000 + 0.5) / 1000000
-             AS simpson,
-           floor((n_tokens * n_tokens)::DOUBLE / sum_sq * 10000 + 0.5) / 10000
-             AS effective_vocab
-         FROM a""",
-
-    // interpolated-quantile threshold: quantile_cont matches Spark's
-    // percentile() definition (index p·(n−1), linear interpolation)
-    "quantile_gate" ->
-      """WITH s AS (SELECT doc_id,
-             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
-               AS n_bpe_tokens
-           FROM documents)
-         SELECT doc_id, n_bpe_tokens FROM s
-         WHERE n_bpe_tokens >= (SELECT quantile_cont(n_bpe_tokens, 0.75) FROM s)""",
-
-    // histogram threshold replay: same clamped integer bins, cumulative
-    // walk to rank = ceil(q*n), est threshold = upper bin edge; exact
-    // quantile_cont rides along for the measured error columns
-    "quantile_gate_sketch" ->
-      """WITH s AS (SELECT doc_id,
-             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
-               AS n_bpe_tokens
-           FROM documents),
-         b AS (SELECT greatest(0, least(floor(n_bpe_tokens * 100 + 0.5)::BIGINT // 100, 1023))
-                 AS bin FROM s),
-         hist AS (SELECT bin, count(*) AS c FROM b GROUP BY bin),
-         cum AS (SELECT bin, sum(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
-                 FROM hist),
-         tot AS (SELECT sum(c)::BIGINT AS n FROM hist),
-         est AS (SELECT ((min(bin) + 1) * 100)::DOUBLE / 100 AS thr_est
-                 FROM cum, tot WHERE cum >= ceil(0.75 * n)),
-         ex AS (SELECT floor(quantile_cont(floor(n_bpe_tokens * 100 + 0.5)::BIGINT, 0.75)
-                  / 100 * 10000 + 0.5) / 10000 AS thr_exact FROM s)
-         SELECT doc_id, n_bpe_tokens, thr_est, thr_exact,
-           floor((thr_est - thr_exact) * 10000 + 0.5) / 10000 AS thr_err
-         FROM s, est, ex WHERE n_bpe_tokens >= thr_est""",
-
-    "chunk_sliding" ->
-      """WITH t AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS tk
-           FROM documents),
-         z AS (SELECT doc_id, tk,
-             greatest(1, CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT) + 1) AS nc
-           FROM t),
-         i AS (SELECT doc_id, tk, unnest(range(0, nc)) AS chunk_id FROM z)
-         SELECT doc_id, chunk_id,
-           len(tk[chunk_id*48+1 : chunk_id*48+64])::BIGINT AS n_tokens,
-           array_to_string(tk[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text
-         FROM i""",
-
-    // cut points are cumulative permille: train [0,900) val [900,950)
-    // test [950,1000) over the same Lehmer bucket
-    "split_assign" ->
-      """SELECT CASE WHEN b < 900 THEN 'train'
-                     WHEN b < 950 THEN 'val'
-                     ELSE 'test' END AS split,
-           count(*) AS n, min(doc_id) AS min_id
-         FROM (SELECT doc_id,
-                 ((doc_id * 48271 + 11) % 2147483647) % 1000 AS b
-               FROM documents)
-         GROUP BY 1""",
-
-    "source_mixture_weights" ->
-      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-         t AS (SELECT list_reduce(list_prepend(0.0,
-                 list(sqrt(n_docs::DOUBLE) ORDER BY source)),
-                 (acc, x) -> acc + x) AS tot FROM c)
-         SELECT c.source, c.n_docs,
-           floor(sqrt(c.n_docs::DOUBLE) / t.tot * 1000000 + 0.5) / 1000000 AS weight
-         FROM c, t""",
-
-    "events_retention" ->
-      """WITH ud AS (SELECT DISTINCT user_id,
-             epoch_us(ts::TIMESTAMP) // 86400000000 AS day FROM events),
-         f AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id),
-         j AS (SELECT DISTINCT ud.user_id, f.cohort_day // 7 AS cohort_week,
-                 (ud.day - f.cohort_day) // 7 AS week_offset
-               FROM ud JOIN f USING (user_id))
-         SELECT cohort_week, week_offset, count(*) AS n_users
-         FROM j GROUP BY 1, 2""",
-
-    "window_cume" ->
-      """SELECT event_id, user_id,
-           percent_rank() OVER (PARTITION BY user_id ORDER BY value, event_id) AS pr,
-           cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id) AS cd
-         FROM events""",
-
-    "boilerplate_score" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 2
-                 THEN list_transform(generate_series(1, len(toks) - 1),
-                        i -> array_to_string(toks[i:i+1], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
-         df AS (SELECT g, count(*) AS d FROM ex GROUP BY g),
-         freq AS (SELECT g FROM df WHERE d >= 30),
-         hits AS (SELECT ex.doc_id, count(*) AS n_boiler
-                  FROM ex JOIN freq USING (g) GROUP BY ex.doc_id)
-         SELECT s.doc_id, len(s.sh)::BIGINT AS n_shingles,
-           coalesce(h.n_boiler, 0)::BIGINT AS n_boiler,
-           floor((CASE WHEN len(s.sh) > 0
-                       THEN coalesce(h.n_boiler, 0)::DOUBLE / len(s.sh)
-                       ELSE 0.0 END) * 10000 + 0.5) / 10000 AS boiler_ratio
-         FROM s LEFT JOIN hits h USING (doc_id)""",
-
-    "split_cluster_safe" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
-               FROM s a JOIN s b ON a.doc_id < b.doc_id
-               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
-         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
-         reach(a, b) AS (SELECT a, b FROM e
-           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-         lab AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
-                 FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
-         SELECT doc_id, cluster,
-           CASE WHEN b < 900 THEN 'train'
-                WHEN b < 950 THEN 'val'
-                ELSE 'test' END AS split
-         FROM (SELECT doc_id, cluster,
-                 ((cluster * 48271 + 11) % 2147483647) % 1000 AS b FROM lab)""",
-
-    "sql_tpch_q7" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           CAST(year(l_shipdate) AS BIGINT) AS l_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-         FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
-         JOIN orders ON o_orderkey = l_orderkey
-         JOIN customer ON c_custkey = o_custkey
-         JOIN nation n1 ON s_nationkey = n1.n_nationkey
-         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-         WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-           AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
-         GROUP BY 1, 2, 3""",
-
-    "sql_tpch_q10" ->
-      """SELECT c_custkey, c_name,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
-             / 100.0 AS revenue,
-           c_acctbal
-         FROM customer JOIN orders ON c_custkey = o_custkey
-         JOIN lineitem ON l_orderkey = o_orderkey
-         WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
-           AND l_returnflag = 'R'
-         GROUP BY c_custkey, c_name, c_acctbal
-         ORDER BY revenue DESC, c_custkey LIMIT 20""",
-
-    "sql_tpch_q14" ->
-      """WITH l AS (SELECT
-             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
-             p_type
-           FROM lineitem JOIN part ON l_partkey = p_partkey
-           WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01')
-         SELECT
-           CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
-           CAST(sum(cents) AS BIGINT) AS total_cents,
-           floor(1000000.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END)
-                 / sum(cents) + 0.5) / 10000 AS promo_pct
-         FROM l""",
-
-    "sql_tpch_q8" ->
-      """WITH v AS (SELECT
-             CAST(year(o_orderdate) AS BIGINT) AS o_year,
-             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
-             n2.n_name AS supp_nation
-           FROM part JOIN lineitem ON p_partkey = l_partkey
-           JOIN supplier ON s_suppkey = l_suppkey
-           JOIN orders ON l_orderkey = o_orderkey
-           JOIN customer ON o_custkey = c_custkey
-           JOIN nation n1 ON c_nationkey = n1.n_nationkey
-           JOIN region ON n1.n_regionkey = r_regionkey
-           JOIN nation n2 ON s_nationkey = n2.n_nationkey
-           WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
-             AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01')
-         SELECT o_year,
-           CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
-           CAST(sum(cents) AS BIGINT) AS total_cents,
-           floor(1000000.0 * sum(CASE WHEN supp_nation = 'NATION_1' THEN cents ELSE 0 END)
-                 / sum(cents) + 0.5) / 10000 AS mkt_share_pct
-         FROM v GROUP BY o_year""",
-
-    "sql_tpch_q9" ->
-      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
-             / 100.0 AS profit
-         FROM lineitem JOIN part ON p_partkey = l_partkey
-         JOIN supplier ON s_suppkey = l_suppkey
-         JOIN orders ON o_orderkey = l_orderkey
-         JOIN nation ON s_nationkey = n_nationkey
-         WHERE p_name LIKE '%red%'
-         GROUP BY n_name, year(o_orderdate)""",
-
-    "sql_tpch_q13" ->
-      """SELECT c_count, count(*) AS custdist
-         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
-               FROM customer LEFT JOIN orders
-                 ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
-               GROUP BY c_custkey) AS c_orders
-         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
-
-    "sql_tpch_q17" ->
-      """SELECT
-           CAST(sum(cents) AS BIGINT) AS total_cents,
-           floor(sum(cents) / 7.0 + 0.5) / 100.0 AS avg_yearly
-         FROM (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-               FROM lineitem JOIN part ON p_partkey = l_partkey
-               WHERE p_brand = 'Brand#1' AND p_type = 'SMALL'
-                 AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
-                                   FROM lineitem l2
-                                   WHERE l2.l_partkey = p_partkey)) AS small_qty""",
-
-    "sql_tpch_q22" ->
-      """WITH avg_bal AS (
-           SELECT sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) * 1.0 / count(*) AS avg_cents
-           FROM customer WHERE c_acctbal > 0.0)
-         SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
-           count(*) AS numcust,
-           CAST(sum(cents) AS BIGINT) AS totacctbal_cents
-         FROM (SELECT c_custkey, c_nationkey,
-                 CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
-               FROM customer CROSS JOIN avg_bal
-               WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) > avg_cents
-                 AND NOT EXISTS (SELECT 1 FROM orders
-                                 WHERE o_custkey = c_custkey
-                                   AND o_orderdate >= '2000-01-01')) AS rich_idle
-         GROUP BY c_nationkey % 5 ORDER BY cntrycode""",
-
-    "tfidf_top_terms" ->
-      """WITH toks AS (SELECT doc_id,
-             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-           FROM documents),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-         docfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-         n AS (SELECT count(*) AS n_docs FROM documents),
-         scored AS (SELECT t.doc_id, t.term, t.tf,
-             t.tf * ((n.n_docs * 1000) // d.df) AS score
-           FROM tf t JOIN docfreq d USING (term) CROSS JOIN n)
-         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
-           CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
-         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                 ORDER BY score DESC, term) AS rank FROM scored) AS ranked
-         WHERE rank <= 3""",
-
-    "shuffle_shards" ->
-      """WITH s AS (SELECT doc_id,
-             (((doc_id * 48271 + 11) % 2147483647) * 48271) % 2147483647 AS scramble
-           FROM documents)
-         SELECT doc_id, scramble % 8 AS shard,
-           row_number() OVER (PARTITION BY scramble % 8
-                              ORDER BY scramble, doc_id) AS pos
-         FROM s""",
-
-    // identical IEEE op order as capSources: floor(min(1, f·tot/cnt)·1000)
-    "source_cap" ->
-      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
-         g AS (SELECT count(*) AS tot FROM documents),
-         r AS (SELECT source, floor(least(1.0, 0.3 * tot / cnt) * 1000) AS permille
-               FROM c, g)
-         SELECT d.source, count(*) AS n_kept
-         FROM documents d JOIN r USING (source)
-         WHERE ((d.doc_id * 48271 + 11) % 2147483647) % 1000 < permille
-         GROUP BY d.source""",
-
-    "crossmodal_join" ->
-      """WITH t AS (SELECT doc_id, text,
-                      list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents),
-         q AS (SELECT doc_id,
-           least(1.0, greatest(0.0,
-             0.2 + 0.01 * len(toks) +
-             len(list_filter(toks,
-               x -> x IN ('the','a','of','and','is','to','in','it','that','for')))::DOUBLE /
-               greatest(len(toks), 1) -
-             5.0 * length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
-               greatest(length(text), 1))) AS quality
-           FROM t)
-         SELECT label, count(*) AS n, round(avg(quality), 4) AS avg_quality
-         FROM embeddings JOIN q ON vec_id = doc_id
-         WHERE quality > 0.5 GROUP BY label""",
-
-    "throughput_rangescan" ->
-      """SELECT count(*) AS n, CAST(sum(x * 2) AS BIGINT) AS total
-         FROM range(100000000) t(x) WHERE x % 3 = 0""",
-
-    "distinct_agg" ->
-      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
-         count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
-         FROM lineitem GROUP BY l_returnflag""",
-
-    "filtered_agg" ->
-      """SELECT o_orderstatus,
-         count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
-         round(sum(o_totalprice) FILTER (WHERE o_totalprice > 200000), 2) AS big_total,
-         count(*) AS n
-         FROM orders GROUP BY o_orderstatus""",
-
-    "string_shape" ->
-      """SELECT c_custkey, upper(substr(c_name, 1, 8)) AS prefix,
-         length(c_name)::BIGINT AS name_len,
-         lpad(c_custkey::VARCHAR, 8, '0') AS padded
-         FROM customer""",
-
-    "window_lag" ->
-      """SELECT event_id, user_id,
-         round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
-         FROM events""",
-
-    "rollup_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-         GROUPING(l_returnflag, l_linestatus)::BIGINT AS g,
-         count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
-         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
-
-    "cube_agg" ->
-      """SELECT o_orderstatus, o_orderpriority,
-         GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS g,
-         count(*) AS n, round(sum(o_totalprice), 2) AS total
-         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
-
-    "percentile_agg" ->
-      """SELECT l_returnflag,
-         round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
-         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
-         FROM lineitem GROUP BY l_returnflag""",
-
-    "sql_tpch_q6" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
-         FROM lineitem
-         WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
-           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
-
-    "sql_tpch_q1" ->
-      """SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 2) AS avg_qty,
-           round(avg(l_extendedprice), 2) AS avg_price,
-           round(avg(l_discount), 2) AS avg_disc,
-           count(*) AS count_order
-         FROM lineitem
-         WHERE l_shipdate <= '1998-09-02'
-         GROUP BY l_returnflag, l_linestatus""",
-
-    "corpus_top_terms" ->
-      """WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-                       FROM documents)
-         SELECT term, count(*) AS n FROM toks GROUP BY term
-         ORDER BY n DESC, term LIMIT 20""",
-
-    "sql_tpch_q18" ->
-      """SELECT o_orderkey, o_orderdate::VARCHAR AS orderdate, o_totalprice,
-           round(sum(l_quantity), 2) AS total_qty
-         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
-                              GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
-         GROUP BY o_orderkey, o_orderdate, o_totalprice""",
-
-    "scalar_subquery" ->
-      """SELECT o_orderstatus, count(*) AS n_above,
-           round(sum(o_totalprice), 2) AS total_above
-         FROM orders
-         WHERE o_totalprice >
-           (SELECT floor(avg(o_totalprice) * 100 + 0.5) / 100 FROM orders)
-         GROUP BY o_orderstatus""",
-
-    "sql_tpch_q3" ->
-      """SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-           o_orderdate::VARCHAR AS orderdate,
-           o_orderpriority AS priority
-         FROM customer JOIN orders ON c_custkey = o_custkey
-         JOIN lineitem ON l_orderkey = o_orderkey
-         WHERE c_mktsegment = 'BUILDING'
-           AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
-         GROUP BY l_orderkey, o_orderdate, o_orderpriority
-         ORDER BY revenue DESC, orderdate, l_orderkey LIMIT 10""",
-
-    "sql_tpch_q5" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-         FROM customer JOIN orders ON c_custkey = o_custkey
-         JOIN lineitem ON l_orderkey = o_orderkey
-         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-         JOIN nation ON c_nationkey = n_nationkey
-         JOIN region ON n_regionkey = r_regionkey
-         WHERE r_name = 'ASIA'
-           AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
-         GROUP BY n_name""",
-
-    "skew_salted_join" ->
-      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment""",
-
-    "skew_two_phase" ->
-      """SELECT l_partkey AS k, round(sum(l_quantity), 2) AS total
-         FROM lineitem GROUP BY l_partkey""",
-
-    "hot_key_report" ->
-      """WITH c AS (SELECT user_id AS k, count(*)::BIGINT AS n
-                    FROM events GROUP BY 1),
-         t AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM c)
-         SELECT k, n, ((n * 1000) // total)::BIGINT AS share_permille,
-           ((n * n_keys * 1000000) // total)::BIGINT AS skew_ratio_micro
-         FROM c, t ORDER BY n DESC, k ASC LIMIT 20""",
-
-    "join_skew_hub" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
-         FROM lineitem JOIN orders
-           ON (CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE l_orderkey END) = o_orderkey
-         GROUP BY o_orderstatus""",
-
-    "group_boxplot" ->
-      """WITH li AS (SELECT l_returnflag,
-             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-           FROM lineitem),
-         g AS (SELECT l_returnflag, count(*) AS n,
-                 quantile_cont(cents, [0.25, 0.5, 0.75]) AS qs
-               FROM li GROUP BY l_returnflag)
-         SELECT l_returnflag, n, u.i - 1 AS q_idx, qs[u.i] AS q_value
-         FROM g, (SELECT unnest(generate_series(1, 3)) AS i) u""",
-
-    "orders_rfm" ->
-      """WITH base AS (SELECT o_custkey AS c_custkey,
-             max(epoch_us(o_orderdate) // 86400000000) AS recency_day,
-             count(*) AS frequency,
-             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS monetary_cents
-           FROM orders GROUP BY 1),
-         thr AS (SELECT
-             quantile_cont(recency_day, 0.25) AS r1, quantile_cont(recency_day, 0.5) AS r2,
-             quantile_cont(recency_day, 0.75) AS r3,
-             quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2,
-             quantile_cont(frequency, 0.75) AS f3,
-             quantile_cont(monetary_cents, 0.25) AS m1, quantile_cont(monetary_cents, 0.5) AS m2,
-             quantile_cont(monetary_cents, 0.75) AS m3
-           FROM base)
-         SELECT c_custkey, recency_day, frequency, monetary_cents,
-           (1 + (recency_day >= r1)::INT + (recency_day >= r2)::INT
-              + (recency_day >= r3)::INT)::BIGINT AS r_q,
-           (1 + (frequency >= f1)::INT + (frequency >= f2)::INT
-              + (frequency >= f3)::INT)::BIGINT AS f_q,
-           (1 + (monetary_cents >= m1)::INT + (monetary_cents >= m2)::INT
-              + (monetary_cents >= m3)::INT)::BIGINT AS m_q
-         FROM base, thr""",
-
-    "basket_pairs" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-         SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
-         FROM li a JOIN li b
-           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-         GROUP BY 1, 2 HAVING count(*) >= 3""",
-
-    "source_overlap" ->
-      """WITH t AS (SELECT source, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT source, CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END sh FROM t),
-         e AS (SELECT DISTINCT source, sh
-               FROM (SELECT source, unnest(sh) AS sh FROM s)),
-         sz AS (SELECT source, count(*) AS n FROM e GROUP BY 1),
-         i AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
-               FROM e a JOIN e b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
-         SELECT source_a, source_b, za.n AS n_a, zb.n AS n_b, n_inter,
-           floor(n_inter::DOUBLE / (za.n + zb.n - n_inter) * 1000000 + 0.5) / 1000000
-             AS jaccard
-         FROM i JOIN sz za ON source_a = za.source JOIN sz zb ON source_b = zb.source""",
-
-    "bigram_condprob" ->
-      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
-                 i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
-               FROM t WHERE len(toks) >= 2),
-         c AS (SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS n_bigram FROM b GROUP BY 1, 2),
-         p AS (SELECT w1, sum(n_bigram)::BIGINT AS n_prefix FROM c GROUP BY 1)
-         SELECT c.w1, c.w2, n_bigram, n_prefix,
-           floor(n_bigram::DOUBLE / n_prefix * 1000000 + 0.5) / 1000000 AS condprob
-         FROM c JOIN p USING (w1) WHERE n_bigram >= 5
-         ORDER BY n_bigram DESC, w1, w2 LIMIT 50""",
-
-    "corpus_gate" ->
-      """WITH t AS (SELECT doc_id, lang, text,
-                      list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         m AS (SELECT doc_id, lang, len(toks) AS n,
-             len(list_filter(toks,
-               x -> x IN ('the','a','of','and','is','to','in','it','that','for'))) AS stops,
-             length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
-               greatest(length(text), 1) AS digit_ratio,
-             len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
-             len(list_filter(toks, t -> t IN ('el','la','de','que','y'))) AS s_es,
-             len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS s_de,
-             len(list_filter(toks, t -> t IN ('le','les','et','est','une'))) AS s_fr
-           FROM t),
-         r AS (SELECT doc_id, max(c) AS mr FROM (
-                 SELECT doc_id, gm, count(*) AS c FROM (
-                   SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
-                     THEN list_transform(generate_series(1, len(toks) - 1),
-                            i -> array_to_string(toks[i:i+1], ' '))
-                     ELSE [array_to_string(toks, ' ')] END) AS gm FROM t)
-                 GROUP BY doc_id, gm)
-               GROUP BY doc_id),
-         f AS (SELECT m.doc_id,
-             n < 30 AS f_short,
-             least(1.0, greatest(0.0, 0.2 + 0.01 * n
-               + stops::DOUBLE / greatest(n, 1) - 5.0 * digit_ratio)) < 0.6 AS f_quality,
-             mr > 2 AS f_repeat,
-             (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-                   WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-                   WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END) <> lang AS f_lang
-           FROM m JOIN r ON m.doc_id = r.doc_id)
-         SELECT 'too_short' AS rule, count(*) FILTER (f_short)::BIGINT AS n_docs FROM f
-         UNION ALL SELECT 'low_quality', count(*) FILTER (f_quality)::BIGINT FROM f
-         UNION ALL SELECT 'repetitive', count(*) FILTER (f_repeat)::BIGINT FROM f
-         UNION ALL SELECT 'off_language', count(*) FILTER (f_lang)::BIGINT FROM f
-         UNION ALL SELECT 'pass', count(*) FILTER (NOT f_short AND NOT f_quality
-           AND NOT f_repeat AND NOT f_lang)::BIGINT FROM f""",
-
-    "embed_covariance" ->
-      """WITH v AS (SELECT embedding AS e FROM embeddings),
-         pr AS (SELECT unnest(flatten(list_transform(generate_series(1, 16), i ->
-                  list_transform(generate_series(i, 16), j ->
-                    struct_pack(i := i - 1, j := j - 1,
-                      p := floor(e[i]::DOUBLE * e[j]::DOUBLE * 100000000 + 0.5)::BIGINT)))))
-                  AS s
-                FROM v),
-         m AS (SELECT s.i AS i, s.j AS j, count(*) AS n, sum(s.p)::BIGINT AS sp
-               FROM pr GROUP BY 1, 2),
-         d AS (SELECT s.i AS i, sum(s.x)::BIGINT AS sx FROM (
-                 SELECT unnest(list_transform(generate_series(1, 16), k ->
-                   struct_pack(i := k - 1,
-                     x := floor(e[k]::DOUBLE * 10000 + 0.5)::BIGINT))) AS s
-                 FROM v) GROUP BY 1)
-         SELECT m.i::BIGINT AS i, m.j::BIGINT AS j, n,
-           floor((sp::DOUBLE / 100000000 / n
-             - (di.sx::DOUBLE / 10000 / n) * (dj.sx::DOUBLE / 10000 / n)) * 1000000
-             + 0.5) / 1000000 AS cov
-         FROM m JOIN d di ON m.i = di.i JOIN d dj ON m.j = dj.i""",
-
-    "doc_perplexity" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-                 i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
-               FROM t WHERE len(toks) >= 2),
-         bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
-         c AS (SELECT w1, w2, count(*) AS n_bigram FROM bb GROUP BY 1, 2),
-         p AS (SELECT w1, sum(n_bigram)::BIGINT AS n_prefix FROM c GROUP BY 1),
-         lm AS (SELECT c.w1, c.w2,
-                  floor(-log2(n_bigram::DOUBLE / n_prefix) * 1000000 + 0.5)::BIGINT
-                    AS ubits
-                FROM c JOIN p USING (w1))
-         SELECT doc_id, count(*) AS n_bigrams,
-           floor(sum(ubits)::DOUBLE / count(*) + 0.5) / 1000000 AS avg_bits
-         FROM bb JOIN lm USING (w1, w2) GROUP BY doc_id""",
-
-    // add-one-smoothed target/corpus LM log-ratio, frozen per bigram
-    // as micro-bits (same libm-double protocol as doc_perplexity),
-    // doc weight = integer sum
-    "dsir_weights" ->
-      """WITH t AS (SELECT doc_id, lang = 'en' AS is_t,
-                      list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         b AS (SELECT doc_id, is_t, unnest(list_transform(generate_series(1, len(toks) - 1),
-                 i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
-               FROM t WHERE len(toks) >= 2),
-         bb AS (SELECT doc_id, is_t, bg.w1 AS w1, bg.w2 AS w2 FROM b),
-         c AS (SELECT w1, w2, count(*) AS n_all,
-                 coalesce(sum(CASE WHEN is_t THEN 1 ELSE 0 END), 0) AS n_t
-               FROM bb GROUP BY 1, 2),
-         tot AS (SELECT sum(n_all)::BIGINT AS nn_all, sum(n_t)::BIGINT AS nn_t,
-                   count(*)::BIGINT AS vocab FROM c),
-         lm AS (SELECT w1, w2,
-                  floor((log2((n_t + 1)::DOUBLE / (nn_t + vocab))
-                       - log2((n_all + 1)::DOUBLE / (nn_all + vocab)))
-                    * 1000000 + 0.5)::BIGINT AS rbits
-                FROM c, tot)
-         SELECT doc_id, count(*) AS n_bigrams, sum(rbits)::BIGINT AS dsir_mbits,
-           sum(rbits) > 0 AS target_like
-         FROM bb JOIN lm USING (w1, w2) GROUP BY doc_id""",
-
-    "quality_buckets" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         b AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-                 i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
-               FROM t WHERE len(toks) >= 2),
-         bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
-         c AS (SELECT w1, w2, count(*) AS n_bigram FROM bb GROUP BY 1, 2),
-         p AS (SELECT w1, sum(n_bigram)::BIGINT AS n_prefix FROM c GROUP BY 1),
-         lm AS (SELECT c.w1, c.w2,
-                  floor(-log2(n_bigram::DOUBLE / n_prefix) * 1000000 + 0.5)::BIGINT
-                    AS ubits
-                FROM c JOIN p USING (w1)),
-         ppl AS (SELECT doc_id, floor(sum(ubits)::DOUBLE / count(*) + 0.5) / 1000000
-                   AS avg_bits
-                 FROM bb JOIN lm USING (w1, w2) GROUP BY doc_id),
-         s AS (SELECT d.doc_id, d.lang, avg_bits
-               FROM documents d JOIN ppl ON d.doc_id = ppl.doc_id),
-         thr AS (SELECT lang, quantile_cont(avg_bits, 1.0 / 3) AS t1,
-                   quantile_cont(avg_bits, 2.0 / 3) AS t2
-                 FROM s GROUP BY lang)
-         SELECT s.doc_id, s.lang, avg_bits,
-           CASE WHEN avg_bits <= t1 THEN 'head'
-                WHEN avg_bits <= t2 THEN 'middle'
-                ELSE 'tail' END AS bucket
-         FROM s JOIN thr USING (lang)""",
-
-    "event_daily_anomaly" ->
-      """WITH d AS (SELECT event_type, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
-                      count(*) AS n_events
-                    FROM events GROUP BY 1, 2),
-         st AS (SELECT event_type, count(*) AS n_days, sum(n_events)::BIGINT AS s1,
-                  sum(n_events * n_events)::BIGINT AS s2 FROM d GROUP BY 1),
-         j AS (SELECT d.event_type, day, n_events,
-                 s1::DOUBLE / n_days AS mean,
-                 (s2::DOUBLE - s1::DOUBLE * s1 / n_days) / n_days AS variance
-               FROM d JOIN st USING (event_type))
-         SELECT event_type, day, n_events,
-           floor((n_events::DOUBLE - mean) / sqrt(variance) * 10000 + 0.5) / 10000 AS z
-         FROM j WHERE variance > 0
-           AND abs((n_events::DOUBLE - mean) / sqrt(variance)) >= 2.0""",
-
-    "graph_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
-               FROM li a JOIN li b
-                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-               GROUP BY 1, 2 HAVING count(*) >= 2),
-         d AS (SELECT node, count(*) AS deg
-               FROM (SELECT u AS node FROM p UNION ALL SELECT v FROM p) GROUP BY 1),
-         o AS (SELECT CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.u ELSE p.v END AS s,
-                 CASE WHEN (da.deg, p.u) < (db.deg, p.v) THEN p.v ELSE p.u END AS t
-               FROM p JOIN d da ON da.node = p.u JOIN d db ON db.node = p.v),
-         w AS (SELECT o1.t AS x, o2.t AS y
-               FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t)
-         SELECT count(*)::BIGINT AS n_triangles FROM w
-         WHERE EXISTS (SELECT 1 FROM p WHERE p.u = w.x AND p.v = w.y)""",
-
-    "graph_pagerank" -> {
-      def it(prev: String, cur: String) =
-        s"""$cur AS (SELECT e.dst AS node,
-              CAST(150000 + (85 * sum(r.r // deg.d)) // 100 AS BIGINT) AS r
-            FROM e JOIN deg ON deg.src = e.src JOIN $prev r ON r.node = e.src
-            GROUP BY e.dst)"""
-      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         p AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
-               FROM li a JOIN li b
-                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-               GROUP BY 1, 2 HAVING count(*) >= 3),
-         e AS (SELECT pa AS src, pb AS dst FROM p UNION ALL SELECT pb, pa FROM p),
-         deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
-         r0 AS (SELECT DISTINCT src AS node, 1000000::BIGINT AS r FROM e),
-         ${it("r0", "r1")}, ${it("r1", "r2")}, ${it("r2", "r3")},
-         ${it("r3", "r4")}, ${it("r4", "r5")}
-         SELECT node AS part, r AS rank_e6 FROM r5"""
-    },
-
-    "dq_audit" ->
-      """SELECT 'lineitem_null_orderkey' AS rule,
-           count(*) FILTER (l_orderkey IS NULL)::BIGINT AS n_bad FROM lineitem
-         UNION ALL SELECT 'lineitem_nonpositive_price',
-           count(*) FILTER (l_extendedprice <= 0)::BIGINT FROM lineitem
-         UNION ALL SELECT 'lineitem_discount_range',
-           count(*) FILTER (l_discount < 0 OR l_discount > 0.5)::BIGINT FROM lineitem
-         UNION ALL SELECT 'orders_orphan_customer', count(*)::BIGINT FROM orders
-           WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
-         UNION ALL SELECT 'lineitem_dup_pk', coalesce(sum(c), 0)::BIGINT
-           FROM (SELECT count(*) AS c FROM lineitem
-                 GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)""",
-
-    "budget_select" ->
-      """WITH t AS (SELECT doc_id, source,
-             len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT AS n_tokens
-           FROM documents),
-         c AS (SELECT doc_id, source, n_tokens,
-                 sum(n_tokens) OVER (PARTITION BY source
-                                     ORDER BY n_tokens DESC, doc_id
-                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM t)
-         SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
-         FROM c WHERE cum_tokens <= 800""",
-
-    "mixture_epochs" ->
-      """WITH reps AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-         nm AS (SELECT max(n) AS n_max FROM reps),
-         f AS (SELECT lang,
-                 CAST(ceil(sqrt(n_max::DOUBLE / n)) AS BIGINT) AS repeats
-               FROM reps, nm)
-         SELECT d.doc_id, d.lang, f.repeats,
-           unnest(generate_series(1, f.repeats)) AS epoch
-         FROM documents d JOIN f USING (lang)""",
-
-    "snapshot_diff" ->
-      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
-         n AS (SELECT doc_id,
-                 CASE WHEN doc_id % 13 = 0 THEN text || ' rev' ELSE text END AS text
-               FROM documents WHERE doc_id % 5 <> 0)
-         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-           CASE WHEN o.doc_id IS NULL THEN 'added'
-                WHEN n.doc_id IS NULL THEN 'removed'
-                WHEN o.text = n.text THEN 'unchanged'
-                ELSE 'changed' END AS status
-         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""",
-
-    "shingle_novelty" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
-                    FROM documents),
-         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
-                 THEN list_transform(generate_series(1, len(toks) - 2),
-                        i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [array_to_string(toks, ' ')] END) sh FROM t),
-         ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
-         f AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g),
-         nov AS (SELECT first_doc AS doc_id, count(*) AS n_novel FROM f GROUP BY first_doc)
-         SELECT s.doc_id, len(s.sh)::BIGINT AS n_shingles,
-           coalesce(nov.n_novel, 0)::BIGINT AS n_novel,
-           floor(coalesce(nov.n_novel, 0)::DOUBLE / len(s.sh) * 10000 + 0.5) / 10000 AS novelty
-         FROM s LEFT JOIN nov ON s.doc_id = nov.doc_id""",
-
-    "gopher_rules" ->
-      """WITH t AS (SELECT doc_id, text,
-                      list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents),
-         m AS (SELECT doc_id, len(toks) AS n,
-           list_sum(list_transform(toks, x -> length(x))) AS char_sum,
-           len(list_filter(toks,
-             x -> x IN ('the','a','of','and','is','to','in','it','that','for'))) AS stops,
-           length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
-             greatest(length(text), 1) AS digit_ratio,
-           len(list_distinct(toks)) AS n_dist
-           FROM t)
-         SELECT doc_id, n::BIGINT AS n_tokens,
-           (n BETWEEN 5 AND 1000) AS r_word_count,
-           (char_sum::DOUBLE / greatest(n, 1) BETWEEN 2.0 AND 10.0) AS r_avg_len,
-           (stops >= 2) AS r_stop,
-           (digit_ratio < 0.1) AS r_digit,
-           (n_dist::DOUBLE / greatest(n, 1) >= 0.3) AS r_dup,
-           ((n BETWEEN 5 AND 1000) AND (char_sum::DOUBLE / greatest(n, 1) BETWEEN 2.0 AND 10.0)
-             AND (stops >= 2) AND (digit_ratio < 0.1)
-             AND (n_dist::DOUBLE / greatest(n, 1) >= 0.3)) AS keep
-         FROM m""",
-
-    "bloom_semi_join" ->
-      """SELECT l_returnflag, count(*)::BIGINT AS n, sum(l_quantity) AS sum_qty
-         FROM lineitem
-         WHERE l_orderkey IN
-           (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
-         GROUP BY 1""",
-
-    "bm25_topk" ->
-      """WITH t AS (SELECT doc_id,
-                      list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents),
-         d AS (SELECT doc_id, toks, len(toks)::BIGINT AS dl FROM t),
-         s AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
-           sum(CASE WHEN list_contains(toks, 'spark')  THEN 1 ELSE 0 END)::BIGINT AS df_0,
-           sum(CASE WHEN list_contains(toks, 'hash')   THEN 1 ELSE 0 END)::BIGINT AS df_1,
-           sum(CASE WHEN list_contains(toks, 'merge')  THEN 1 ELSE 0 END)::BIGINT AS df_2,
-           sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END)::BIGINT AS df_3
-           FROM d),
-         i AS (SELECT *,
-           floor(ln((n_docs::DOUBLE - df_0::DOUBLE + 0.5) / (df_0::DOUBLE + 0.5) + 1.0) * 1000000 + 0.5) / 1000000 AS idf_0,
-           floor(ln((n_docs::DOUBLE - df_1::DOUBLE + 0.5) / (df_1::DOUBLE + 0.5) + 1.0) * 1000000 + 0.5) / 1000000 AS idf_1,
-           floor(ln((n_docs::DOUBLE - df_2::DOUBLE + 0.5) / (df_2::DOUBLE + 0.5) + 1.0) * 1000000 + 0.5) / 1000000 AS idf_2,
-           floor(ln((n_docs::DOUBLE - df_3::DOUBLE + 0.5) / (df_3::DOUBLE + 0.5) + 1.0) * 1000000 + 0.5) / 1000000 AS idf_3
-           FROM s),
-         c AS (SELECT doc_id,
-           len(list_filter(toks, x -> x = 'spark'))::DOUBLE  AS tf0,
-           len(list_filter(toks, x -> x = 'hash'))::DOUBLE   AS tf1,
-           len(list_filter(toks, x -> x = 'merge'))::DOUBLE  AS tf2,
-           len(list_filter(toks, x -> x = 'window'))::DOUBLE AS tf3,
-           0.25 + 0.75 * (dl::DOUBLE * (SELECT n_docs FROM i)::DOUBLE / (SELECT sum_dl FROM i)::DOUBLE) AS dn
-           FROM d),
-         sc AS (SELECT doc_id, floor((
-             (SELECT idf_0 FROM i) * tf0 * 2.2 / (tf0 + 1.2 * dn)
-           + (SELECT idf_1 FROM i) * tf1 * 2.2 / (tf1 + 1.2 * dn)
-           + (SELECT idf_2 FROM i) * tf2 * 2.2 / (tf2 + 1.2 * dn)
-           + (SELECT idf_3 FROM i) * tf3 * 2.2 / (tf3 + 1.2 * dn)
-           ) * 1000000 + 0.5)::BIGINT AS score_u FROM c)
-         SELECT doc_id, score_u FROM sc WHERE score_u > 0
-         ORDER BY score_u DESC, doc_id LIMIT 50""",
-
-    "er_blocked_pairs" ->
-      """WITH p AS (SELECT doc_id, lang, source, substr(text, 1, 32) AS pref FROM documents),
-         r AS (SELECT *, row_number() OVER (PARTITION BY lang, source
-                 ORDER BY pref, doc_id) AS rn FROM p),
-         a AS (SELECT r.*, floor((rn - 1) / 8)::BIGINT + x.o AS buck
-               FROM r, (VALUES (0), (1)) x(o)),
-         b AS (SELECT r.*, floor((rn - 1) / 8)::BIGINT AS buck FROM r),
-         j AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
-                 greatest(a.doc_id, b.doc_id) AS id_b,
-                 levenshtein(a.pref, b.pref) AS dist
-               FROM a JOIN b ON a.lang = b.lang AND a.source = b.source
-                 AND a.buck = b.buck AND b.rn > a.rn AND b.rn - a.rn <= 8)
-         SELECT id_a, id_b, dist::BIGINT AS dist FROM j WHERE dist <= 18""",
-
-    "cardinality_hll" -> {
-      val m = 256
-      val rhoCase = (1 to 32).map(r => s"WHEN w >= ${1L << (32 - r)} THEN $r")
-        .mkString("CASE ", " ", " ELSE 33 END")
-      s"""WITH t AS (SELECT source AS g, unnest(list_filter(string_split(text, ' '),
-                       x -> x <> '')) AS tok FROM documents),
-         vocab AS (SELECT DISTINCT tok FROM t),
-         hh AS (SELECT tok, ${duckFnv("tok")} AS h0 FROM vocab),
-         ${duckFmixCtes()},
-         hw AS (SELECT tok, (h // ${1L << 56})::BIGINT AS j,
-                  ((h // ${1L << 24}) % ${1L << 32})::BIGINT AS w FROM f5),
-         rr AS (SELECT tok, j, $rhoCase AS r FROM hw),
-         dt AS (SELECT DISTINCT g, tok FROM t),
-         regs AS (SELECT g, j, max(r) AS mreg FROM dt JOIN rr USING (tok) GROUP BY 1, 2),
-         gs AS (SELECT DISTINCT g FROM t),
-         fl AS (SELECT gs.g, s.j, coalesce(regs.mreg, 0) AS mreg
-                FROM gs CROSS JOIN generate_series(0, ${m - 1}) s(j)
-                LEFT JOIN regs ON regs.g = gs.g AND regs.j = s.j),
-         z AS (SELECT g, sum(1::BIGINT << (33 - mreg))::BIGINT AS z_scaled,
-                 sum(CASE WHEN mreg = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero
-               FROM fl GROUP BY 1),
-         ex AS (SELECT g, count(DISTINCT tok) AS n_exact FROM t GROUP BY 1),
-         e AS (SELECT g, z_scaled, v_zero,
-                 0.7213 / (1.0 + (1.079 / ${m.toDouble})) * ${(m * m).toDouble}
-                   * 8589934592.0 / z_scaled::DOUBLE AS eraw FROM z)
-         SELECT ex.g AS source, n_exact::BIGINT AS n_exact,
-           CASE WHEN eraw <= ${2.5 * m} AND v_zero > 0
-             THEN floor(${m.toDouble} * ln(${m.toDouble} / v_zero::DOUBLE) + 0.5)
-             ELSE floor(eraw + 0.5) END::BIGINT AS n_est_hll
-         FROM ex JOIN e USING (g)"""
-    },
-
-    "column_stats" -> {
-      val m = 256
-      val rhoCase = (1 to 32).map(r => s"WHEN w >= ${1L << (32 - r)} THEN $r")
-        .mkString("CASE ", " ", " ELSE 33 END")
-      s"""WITH pairs AS (
-           SELECT 'lang' AS g, lang::VARCHAR AS v FROM documents
-           UNION ALL SELECT 'source', source::VARCHAR FROM documents
-           UNION ALL SELECT 'doc_id', doc_id::VARCHAR FROM documents
-           UNION ALL SELECT 'n_chars', n_chars::VARCHAR FROM documents),
-         basic AS (SELECT g, count(*)::BIGINT AS n_rows,
-             sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
-             min(v) AS min_str, max(v) AS max_str,
-             sum(CASE WHEN v IS NULL THEN 0 ELSE length(v) END)::BIGINT AS sum_len
-           FROM pairs GROUP BY 1),
-         vocab AS (SELECT DISTINCT v AS tok FROM pairs WHERE v IS NOT NULL),
-         hh AS (SELECT tok, ${duckFnv("tok")} AS h0 FROM vocab),
-         ${duckFmixCtes()},
-         hw AS (SELECT tok, (h // ${1L << 56})::BIGINT AS j,
-                  ((h // ${1L << 24}) % ${1L << 32})::BIGINT AS w FROM f5),
-         rr AS (SELECT tok, j, $rhoCase AS r FROM hw),
-         dt AS (SELECT DISTINCT g, v AS tok FROM pairs WHERE v IS NOT NULL),
-         regs AS (SELECT g, j, max(r) AS mreg FROM dt JOIN rr USING (tok) GROUP BY 1, 2),
-         zs AS (SELECT g,
-             (sum(1::BIGINT << (33 - mreg)) + ($m - count(*)) * (1::BIGINT << 33))::BIGINT
-               AS z_scaled,
-             ($m - count(*))::BIGINT AS v_zero FROM regs GROUP BY 1),
-         es AS (SELECT g, v_zero,
-             0.7213 / (1.0 + (1.079 / ${m.toDouble})) * ${(m * m).toDouble}
-               * 8589934592.0 / z_scaled::DOUBLE AS eraw FROM zs),
-         sing AS (SELECT g,
-             CASE WHEN eraw <= ${2.5 * m} AND v_zero > 0
-               THEN floor(${m.toDouble} * ln(${m.toDouble} / v_zero::DOUBLE) + 0.5)
-               ELSE floor(eraw + 0.5) END::BIGINT AS ndv_est_hll FROM es),
-         ex AS (SELECT g, count(DISTINCT v)::BIGINT AS ndv_exact
-                FROM pairs WHERE v IS NOT NULL GROUP BY 1)
-         SELECT b.g AS col_name, n_rows, n_nulls,
-           coalesce(ex.ndv_exact, 0)::BIGINT AS ndv_exact,
-           coalesce(sing.ndv_est_hll, 0)::BIGINT AS ndv_est_hll,
-           min_str, max_str,
-           ((sum_len * 1000000) // greatest(n_rows, 1))::BIGINT AS avg_len_micro
-         FROM basic b LEFT JOIN ex USING (g) LEFT JOIN sing USING (g)"""
-    },
-
-    "source_overlap_hll" -> {
-      val m = 256
-      val rhoCase = (1 to 32).map(r => s"WHEN w >= ${1L << (32 - r)} THEN $r")
-        .mkString("CASE ", " ", " ELSE 33 END")
-      // sparse z: absent registers contribute 2^33 to the sum and 1 to
-      // v_zero — identical integers to the dense 0-filled form
-      def zAgg(keys: String) =
-        s"""SELECT $keys,
-            (sum(1::BIGINT << (33 - mreg)) + ($m - count(*)) * (1::BIGINT << 33))::BIGINT
-              AS z_scaled,
-            ($m - count(*))::BIGINT AS v_zero"""
-      val eraw = s"0.7213 / (1.0 + (1.079 / ${m.toDouble})) * ${(m * m).toDouble}" +
-        s" * 8589934592.0 / z_scaled::DOUBLE"
-      val estCase = s"""CASE WHEN eraw <= ${2.5 * m} AND v_zero > 0
-             THEN floor(${m.toDouble} * ln(${m.toDouble} / v_zero::DOUBLE) + 0.5)
-             ELSE floor(eraw + 0.5) END::BIGINT"""
-      s"""WITH t AS (SELECT source AS g, unnest(list_filter(string_split(text, ' '),
-                       x -> x <> '')) AS tok FROM documents),
-         vocab AS (SELECT DISTINCT tok FROM t),
-         hh AS (SELECT tok, ${duckFnv("tok")} AS h0 FROM vocab),
-         ${duckFmixCtes()},
-         hw AS (SELECT tok, (h // ${1L << 56})::BIGINT AS j,
-                  ((h // ${1L << 24}) % ${1L << 32})::BIGINT AS w FROM f5),
-         rr AS (SELECT tok, j, $rhoCase AS r FROM hw),
-         dt AS (SELECT DISTINCT g, tok FROM t),
-         regs AS (SELECT g, j, max(r) AS mreg FROM dt JOIN rr USING (tok) GROUP BY 1, 2),
-         zs AS (${zAgg("g")} FROM regs GROUP BY 1),
-         es AS (SELECT g, v_zero, $eraw AS eraw FROM zs),
-         sing AS (SELECT g, $estCase AS est FROM es),
-         gs AS (SELECT DISTINCT g FROM regs),
-         pairs AS (SELECT a.g AS source_a, b.g AS source_b
-                   FROM gs a JOIN gs b ON a.g < b.g),
-         uregs AS (SELECT p.source_a, p.source_b, r.j, max(r.mreg) AS mreg
-                   FROM pairs p JOIN regs r ON r.g = p.source_a OR r.g = p.source_b
-                   GROUP BY 1, 2, 3),
-         zu AS (${zAgg("source_a, source_b")} FROM uregs GROUP BY 1, 2),
-         eu AS (SELECT source_a, source_b, v_zero, $eraw AS eraw FROM zu),
-         un AS (SELECT source_a, source_b, $estCase AS est_union FROM eu),
-         dh AS (SELECT DISTINCT t.g, f5.h FROM t JOIN f5 USING (tok)),
-         inter AS (SELECT a.g AS source_a, b.g AS source_b,
-                     count(*)::BIGINT AS n_inter_exact
-                   FROM dh a JOIN dh b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2)
-         SELECT p.source_a, p.source_b,
-           coalesce(i.n_inter_exact, 0)::BIGINT AS n_inter_exact,
-           sa.est AS est_a, sb.est AS est_b, u.est_union,
-           greatest(sa.est + sb.est - u.est_union, 0)::BIGINT AS n_inter_est,
-           CASE WHEN coalesce(i.n_inter_exact, 0) = 0 THEN NULL
-             ELSE floor((greatest(sa.est + sb.est - u.est_union, 0)
-                 - i.n_inter_exact)::DOUBLE / i.n_inter_exact * 1000000 + 0.5)
-               / 1000000 END AS inter_err
-         FROM pairs p
-         JOIN sing sa ON sa.g = p.source_a
-         JOIN sing sb ON sb.g = p.source_b
-         JOIN un u ON u.source_a = p.source_a AND u.source_b = p.source_b
-         LEFT JOIN inter i ON i.source_a = p.source_a AND i.source_b = p.source_b"""
-    },
-
-    "join_size_estimate" -> {
-      val (cas, cbs) = graft.functions.MinHashSig.coeffs(4)
-      val cp = graft.functions.MinHashSig.P
-      val rows = (0 until 4).map(i => s"($i, ${cas(i)}, ${cbs(i)})").mkString(", ")
-      def side(table: String, key: String, where: String, n: String, out: String) =
-        s"""${out}0 AS (SELECT CAST($key AS VARCHAR) AS k, count(*) AS $n
-               FROM $table $where GROUP BY 1),
-           ${out}h AS (SELECT k, $n,
-                 ((((CASE WHEN hu >= '9223372036854775808'::HUGEINT
-                      THEN hu - '18446744073709551616'::HUGEINT ELSE hu END)
-                    % $cp) + $cp) % $cp)::BIGINT AS hh
-               FROM (SELECT k, $n, ${duckFnv("k")} AS hu FROM ${out}0)),
-           s$out AS (SELECT p.i AS i, ((p.a * hh + p.b) % $cp) % 1024 AS slot,
-                 sum($n)::BIGINT AS c$out
-               FROM ${out}h CROSS JOIN (VALUES $rows) AS p(i, a, b) GROUP BY 1, 2)"""
-      s"""WITH ${side("lineitem", "l_orderkey", "", "na", "a")},
-         ${side("orders", "o_orderkey", "WHERE o_orderpriority = '1-URGENT'", "nb", "b")},
-         ex AS (SELECT coalesce(sum(a0.na * b0.nb), 0)::BIGINT AS n_exact
-                FROM a0 JOIN b0 USING (k)),
-         e AS (SELECT i, sum(ca * cb)::BIGINT AS est_i
-               FROM sa JOIN sb USING (i, slot) GROUP BY 1),
-         m AS (SELECT CASE WHEN count(*) < 4 THEN 0
-                 ELSE min(est_i) END::BIGINT AS n_est FROM e)
-         SELECT n_exact, n_est,
-           CASE WHEN n_exact = 0 THEN NULL
-             ELSE floor((n_est - n_exact)::DOUBLE / n_exact * 1000000 + 0.5) / 1000000
-           END AS err
-         FROM ex, m"""
-    },
-
-    "events_dedup_window" ->
-      """WITH e AS (SELECT user_id, event_type, event_id,
-                      epoch_us(ts::TIMESTAMP) AS tus FROM events),
-         m AS (SELECT *, (lag(tus) OVER (PARTITION BY user_id, event_type
-                 ORDER BY tus, event_id) IS NULL
-               OR tus - lag(tus) OVER (PARTITION BY user_id, event_type
-                 ORDER BY tus, event_id) > 60000000) AS keep FROM e)
-         SELECT event_type, count(*)::BIGINT AS n_total,
-           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
-           sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
-         FROM m GROUP BY 1""",
-
-    "events_gap_stats" ->
-      """WITH e AS (SELECT user_id, event_id,
-                      epoch_us(ts::TIMESTAMP) AS tus FROM events),
-         m AS (SELECT user_id,
-                 tus - lag(tus) OVER (PARTITION BY user_id
-                   ORDER BY tus, event_id) AS gap FROM e)
-         SELECT user_id, count(*)::BIGINT AS n_events,
-           count(gap)::BIGINT AS n_gaps,
-           min(gap) AS min_gap_us, max(gap) AS max_gap_us,
-           floor(sum(gap) / greatest(count(gap), 1))::BIGINT AS avg_gap_us
-         FROM m GROUP BY 1""",
-
-    "zorder_layout" -> s"""
-         WITH m AS (SELECT l_partkey % 65536 AS zx, l_suppkey % 65536 AS zy FROM lineitem),
-         z AS (SELECT zx, zy, ${(0 until 16).map(i =>
-           s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
-           .mkString(" + ")} AS zval FROM m)
-         SELECT (zval >> 26)::INTEGER AS file_id, count(*)::BIGINT AS n_rows,
-           min(zx) AS x_min, max(zx) AS x_max, min(zy) AS y_min, max(zy) AS y_max
-         FROM z GROUP BY 1"""
-  ) ++ portableTpch.map { case (name, (_, sql)) => name -> sql }
 }
