@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Curation, Dedup, Embeddings, Multimodal, Similarity, Skew, Temporal, TextAnalysis, Warc}
+import graft.operators.{Corpus, Curation, Dedup, Embeddings, Multimodal, Similarity, Skew, Temporal, TextAnalysis, Warc, Web}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,6 +59,35 @@ object SparkEntry {
   private def r2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
   private def r4(c: Column): Column = floor(c * 10000 + lit(0.5)) / 10000
   private def r6(c: Column): Column = floor(c * 1000000 + lit(0.5)) / 1000000
+
+  /** Deterministic MESSY url manufactured from row fields — the
+    * url_canonicalize / crawl_domain_stats test input (same discipline
+    * as the WARC tier: graded queries build the raw artifact from row
+    * fields, the operator normalizes it back). Covers mixed-case
+    * scheme/host/tld, www, default + nonstandard ports, lowercase %xx
+    * hex, trailing slash, tracking params, unsorted query, fragment.
+    */
+  private def messyUrl(docId: Column, source: Column, pathKey: Column): Column = {
+    val m2 = pmod(docId, lit(2)); val m3 = pmod(docId, lit(3))
+    val m4 = pmod(docId, lit(4)); val m5 = pmod(docId, lit(5))
+    val m6 = pmod(docId, lit(6))
+    concat(
+      when(m2 === 0, "HTTP").otherwise("https"), lit("://"),
+      when(m3 === 0, "WWW.").otherwise(""),
+      when(m5 === 0, upper(source)).otherwise(source),
+      when(m3 === 1, ".CO.UK").otherwise(".com"),
+      when(m4 === 0, ":80").when(m4 === 1, ":443")
+        .when(m4 === 2, ":8080").otherwise(""),
+      lit("/Docs/%2fitem/"), pathKey.cast("string"),
+      when(m6 === 0, "/").otherwise(""),
+      when(m6 === 0, "?b=2&utm_source=x&a=1")
+        .when(m6 === 1, "?gclid=g1&z=9")
+        .when(m6 === 2, "?fbclid=f&ref=r")
+        .when(m6 === 3, "?a=1")
+        .when(m6 === 4, "?utm_campaign=c")
+        .otherwise(""),
+      when(m2 === 0, "#Top").otherwise(""))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Region×year revenue rollup: broadcast dim joins, single fact scan.
@@ -513,6 +542,11 @@ object SparkEntry {
     // drop-the-span policy substring_dup_stats prices
     "substring_dedup_apply" -> ((s, dir) =>
       Dedup.substringDedupApply(t(s, dir, "documents"), "doc_id", "text", 16)),
+
+    // C4-style whole-LINE exact dedup: 8-token lines, global
+    // first-occurrence winner, byte-exact reassembled text graded
+    "line_dedup_apply" -> ((s, dir) =>
+      Dedup.lineDedupApply(t(s, dir, "documents"), "doc_id", "text", 8)),
 
     // clustering input is the EXACT Jaccard pair set (PPJoin), not
     // minhash: LSH recall at threshold 0.6 is ~98.8% per pair, which
@@ -1087,6 +1121,33 @@ object SparkEntry {
     "warc_gzip_roundtrip" -> ((s, dir) =>
       Warc.roundTrip(t(s, dir, "documents"), "doc_id", "text", "source",
         gzipMembers = true)),
+
+    // crawl-tier URL canonicalization: deterministic MESSY urls are
+    // manufactured from row fields (mixed-case scheme/host, default +
+    // nonstandard ports, tracking params, unsorted query, lowercase
+    // %xx hex, trailing slash, fragment) exactly as the WARC tier
+    // manufactures blobs, then canonicalized in the scan stage —
+    // pure column string ops, zero shuffle, both engines replay
+    "url_canonicalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val canon = Web.canonicalizeUrl(messyUrl(col("doc_id"), col("source"), col("doc_id")))
+      docs.select(col("doc_id"), canon.as("url_canon"),
+        Web.registrableDomain(Web.urlHost(canon)).as("domain"))
+    }),
+
+    // registrable-domain rollup over canonical urls; path keys are
+    // doc_id % 97 so canonical COLLISIONS exist and the dup counts
+    // are non-trivial — the per-domain doc/dup census every crawl
+    // pipeline runs before content dedup. One shuffle on the domain.
+    "crawl_domain_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val canon = Web.canonicalizeUrl(
+        messyUrl(col("doc_id"), col("source"), pmod(col("doc_id"), lit(97))))
+      docs.select(Web.registrableDomain(Web.urlHost(canon)).as("domain"), canon.as("c"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("c")).as("n_unique"))
+        .withColumn("n_dups", col("n_urls") - col("n_unique"))
+    }),
 
     // serialization surface: documents → JSONL lines → parsed back,
     // graded against the source fields — proves the to_json/from_json

@@ -650,6 +650,59 @@ object Dedup {
         concat_ws(" ", col("kept")).as("cleaned_text"))
   }
 
+  /** C4-style exact LINE dedup (Raffel et al. 2020 §2.2 discipline):
+    * the corpus is re-chunked into fixed-width token "lines"
+    * (`lineTokens` per line — the deterministic stand-in for newline
+    * splits on this corpus, whose documents are single-line), every
+    * line occurrence elects the globally-first (doc, line) winner, and
+    * each document is reassembled from ONLY its winning lines, original
+    * line order preserved. Complements [[substringDedupApply]]: that
+    * removes overlapping windows, this removes whole lines — the
+    * boilerplate policy (nav bars, cookie banners) every C4-style
+    * cleanup runs.
+    *
+    * First-occurrence policy identical to substring dedup: winner =
+    * min (id·2²⁰ + line_no) per line; deterministic on any cluster.
+    *
+    * Scale shape: the dedup shuffle carries (8-byte FNV line hash,
+    * 8-byte okey) rows — line TEXT never goes on the wire; surviving
+    * line NUMBERS come back as one doc-keyed agg (bounded by the
+    * doc's own line count), and reassembly re-slices the doc's own
+    * token array row-locally. Two hash-keyed shuffles total, both
+    * fixed-width.
+    */
+  def lineDedupApply(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lineTokens: Int = 8): DataFrame = {
+    val L = lineTokens
+    val base = rebalance(df).select(
+      col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .withColumn("n_lines", ceil(size(col("toks")) / lit(L.toDouble)).cast("long"))
+      .persistTracked
+    val lines = base
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), col("n_lines").cast("int")),
+          j => concat_ws(" ", slice(col("toks"), (j - 1) * L + 1, lit(L)))))
+          .as(Seq("line_no", "line")))
+      .select(col(idCol), col("line_no").cast("long").as("line_no"),
+        graft.functions.VectorExprs.tokenHash64(col("line")).as("h"))
+      .withColumn("okey", col(idCol) * lit(1048576L) + col("line_no"))
+    val winners = lines.groupBy(col("h")).agg(min(col("okey")).as("wkey"))
+    val keepNos = lines.join(winners, Seq("h"))
+      .where(col("okey") === col("wkey"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("line_no"))).as("kl"))
+    base.join(keepNos, Seq(idCol), "left")
+      .withColumn("kl", coalesce(col("kl"), array().cast("array<bigint>")))
+      .select(col(idCol), col("n_lines"),
+        size(col("kl")).cast("long").as("n_kept"),
+        concat_ws("\n", transform(col("kl"), j =>
+          concat_ws(" ", slice(col("toks"), (j * L + 1).cast("int"), lit(L)))))
+          .as("text_clean"))
+  }
+
   // ---- SimHash ------------------------------------------------------
 
   /** 64-bit SimHash per doc: each token's hash votes ±1 on 64 bit

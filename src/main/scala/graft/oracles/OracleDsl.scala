@@ -363,4 +363,72 @@ private[graft] object OracleDsl {
                   FROM bcand c JOIN v va ON va.vec_id = c.id_a
                   JOIN v vb ON vb.vec_id = c.id_b)"""
 
+  /** CTE chain replaying Web.canonicalizeUrl + registrableDomain over
+    * the SparkEntry.messyUrl construction, parameterized by the path
+    * key expression. Final CTE `canon(doc_id, url_canon, domain)`.
+    * Every step mirrors the Column chain 1:1 (anchored regexes are
+    * first-match in DuckDB and can only match once under Spark's
+    * global replace; str_split keeps trailing empties like Spark's
+    * split(_, _, -1); empty array_to_string is coalesced to '').
+    */
+  def duckUrlCanonCtes(pathKey: String): String =
+    raw"""u AS (
+         SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+           (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+           (CASE WHEN doc_id % 3 = 1 THEN '.CO.UK' ELSE '.com' END) ||
+           (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                 WHEN 2 THEN ':8080' ELSE '' END) ||
+           '/Docs/%2fitem/' || CAST($pathKey AS VARCHAR) ||
+           (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+           (CASE doc_id % 6 WHEN 0 THEN '?b=2&utm_source=x&a=1'
+                 WHEN 1 THEN '?gclid=g1&z=9' WHEN 2 THEN '?fbclid=f&ref=r'
+                 WHEN 3 THEN '?a=1' WHEN 4 THEN '?utm_campaign=c'
+                 ELSE '' END) ||
+           (CASE WHEN doc_id % 2 = 0 THEN '#Top' ELSE '' END) AS url
+         FROM documents),
+       c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS uu FROM u),
+       c2 AS (SELECT doc_id,
+                lower(regexp_extract(uu, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                regexp_replace(uu, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM c1),
+       c3 AS (SELECT *, CASE WHEN instr(rest, '/') = 0 THEN len(rest) + 1
+                             ELSE instr(rest, '/') END AS cut FROM c2),
+       c4 AS (SELECT doc_id, scheme, substr(rest, 1, cut - 1) AS hostport,
+                substr(rest, cut) AS pathq FROM c3),
+       c5 AS (SELECT *, regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+                regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$$', '')),
+                  '^www\.', '') AS host FROM c4),
+       c6 AS (SELECT *,
+                CASE WHEN port != '' AND NOT ((scheme = 'http' AND port = '80')
+                       OR (scheme = 'https' AND port = '443'))
+                     THEN ':' || port ELSE '' END AS portsuf,
+                instr(pathq, '?') AS qpos FROM c5),
+       c7 AS (SELECT *,
+                CASE WHEN qpos = 0 THEN pathq ELSE substr(pathq, 1, qpos - 1) END AS rawpath,
+                CASE WHEN qpos = 0 THEN '' ELSE substr(pathq, qpos + 1) END AS rawq
+              FROM c6),
+       c8 AS (SELECT *, CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+                             ELSE regexp_replace(rawpath, '/+$$', '') END AS ptrim FROM c7),
+       c9 AS (SELECT *, str_split(ptrim, '%') AS pp FROM c8),
+       c10 AS (SELECT *, coalesce(array_to_string(
+                 list_transform(generate_series(1, len(pp)),
+                   i -> CASE WHEN i = 1 THEN pp[i]
+                             ELSE upper(substr(pp[i], 1, 2)) || substr(pp[i], 3) END),
+                 '%'), '') AS path FROM c9),
+       c11 AS (SELECT *, coalesce(array_to_string(list_sort(
+                 list_filter(str_split(rawq, '&'),
+                   x -> x != '' AND NOT regexp_matches(x,
+                     '^(utm_[a-z]+|gclid|fbclid|ref)='))), '&'), '') AS qs FROM c10),
+       c12 AS (SELECT *, str_split(host, '.') AS hl FROM c11),
+       canon AS (SELECT doc_id,
+           scheme || '://' || host || portsuf || path ||
+             CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_canon,
+           CASE WHEN len(hl) <= 2 THEN host
+                WHEN hl[-2] IN ('co','com','net','org','ac','gov','edu')
+                  THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
+                ELSE hl[-2] || '.' || hl[-1] END AS domain
+         FROM c12)"""
+
 }

@@ -96,6 +96,30 @@ private[graft] object OraclesDedup {
            coalesce(array_to_string(kept, ' '), '') AS cleaned_text
          FROM f""",
 
+    // line granularity: 8-token chunks, winner = min(doc·2^20+line_no)
+    // per line TEXT (the same injective-in-practice FNV equivalence as
+    // the substring oracles); text_clean is byte-exact reassembly of
+    // the surviving lines in original order
+    "line_dedup_apply" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         b AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_lines FROM t),
+         l0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, n_lines),
+                  j -> struct_pack(ln := (j - 1)::BIGINT,
+                                   s := array_to_string(toks[(j-1)*8+1:(j-1)*8+8], ' ')))) AS w
+                FROM b),
+         l AS (SELECT doc_id, w.ln AS line_no, w.s AS line,
+                 doc_id * 1048576 + w.ln AS okey FROM l0),
+         wk AS (SELECT line, min(okey) AS wkey FROM l GROUP BY 1),
+         kn AS (SELECT doc_id, list_sort(list(line_no)) AS kl
+                FROM l JOIN wk USING (line) WHERE okey = wkey GROUP BY 1),
+         f AS (SELECT b.doc_id, b.n_lines, coalesce(kl, []) AS kl, toks
+               FROM b LEFT JOIN kn USING (doc_id))
+         SELECT doc_id, n_lines, len(kl)::BIGINT AS n_kept,
+           coalesce(array_to_string(list_transform(kl,
+             j -> array_to_string(toks[j*8+1:j*8+8], ' ')), chr(10)), '') AS text_clean
+         FROM f""",
+
     "dedup_minhash" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
                     FROM documents),

@@ -21,6 +21,24 @@ private[graft] object OraclesMultimodalQ {
       """SELECT doc_id, source, strlen(text)::BIGINT AS content_length, text
          FROM documents""",
 
+    // Web.canonicalizeUrl replayed step-for-step (duckUrlCanonCtes)
+    // over the same manufactured messy urls — the canonical STRING is
+    // hash-graded, so every rule (scheme/host case, www, default
+    // ports, %xx hex case, trailing slash, tracking-param filter,
+    // param sort) is pinned exactly
+    "url_canonicalize" ->
+      s"""WITH ${duckUrlCanonCtes("doc_id")}
+         SELECT doc_id, url_canon, domain FROM canon""",
+
+    // registrable-domain rollup with REAL canonical collisions
+    // (path key doc_id % 97): per-domain url/unique/dup census
+    "crawl_domain_stats" ->
+      s"""WITH ${duckUrlCanonCtes("doc_id % 97")}
+         SELECT domain, count(*)::BIGINT AS n_urls,
+           count(DISTINCT url_canon)::BIGINT AS n_unique,
+           (count(*) - count(DISTINCT url_canon))::BIGINT AS n_dups
+         FROM canon GROUP BY 1""",
+
     "jsonl_roundtrip" ->
       """SELECT lang, count(*)::BIGINT AS n_docs, min(doc_id) AS min_id,
            max(doc_id) AS max_id, sum(length(text))::BIGINT AS sum_text_len

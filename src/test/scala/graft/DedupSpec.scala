@@ -241,4 +241,29 @@ class DedupSpec extends SparkSpec {
     assert(!s7.getString(3).drop(run.length).contains("dup1 dup2"),
       s"second in-doc copy not removed: ${s7.getString(3)}")
   }
+
+  test("lineDedupApply: global first-occurrence wins, order-preserving reassembly") {
+    import spark.implicits._
+    // 2-token lines: doc 1 = [a b][c d], doc 2 = [c d][e f] (line [c d]
+    // duplicated across docs), doc 3 = [a b][a b] (within-doc dup),
+    // doc 4 = [c d] alone (loses everything to doc 1)
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "c d e f"), (3L, "a b a b"), (4L, "c d")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedupApply(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 2L, "a b\nc d")))      // owns both lines
+    assert(got(2L) == ((2L, 1L, "e f")))           // [c d] lost to doc 1
+    assert(got(3L) == ((2L, 0L, "")))              // both copies of [a b] lost
+    assert(got(4L) == ((1L, 0L, "")))              // whole doc was a dup line
+  }
+
+  test("lineDedupApply: a short tail line keeps its exact remainder tokens") {
+    import spark.implicits._
+    val docs = Seq((9L, "p q r s t")).toDF("doc_id", "text") // lines [p q][r s][t]
+    val r = Dedup.lineDedupApply(docs, "doc_id", "text", 2).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
+    assert(r.getString(3) == "p q\nr s\nt")
+  }
 }
