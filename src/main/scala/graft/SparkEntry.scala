@@ -961,6 +961,22 @@ object SparkEntry {
         Multimodal.syntheticImages(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "img")),
 
+    // image near-dup via perceptual hash: REAL payloads (PNG for even
+    // ids, BMP for odd — planted cross-format copies share a raster
+    // key, ids % 3 == 0 carry a one-pixel perturbation), full decode →
+    // integer dHash in one scan pass, then the 4×16-bit band join +
+    // exact Hamming verify shared with dedup_simhash. The oracle
+    // replays the dHash in closed form from the pixel formula, so a
+    // green hash proves decode(encode(raster)) == raster ACROSS
+    // formats and the box-filter/bit pipeline bit-exactly.
+    "image_phash_neardup" -> ((s, dir) =>
+      Dedup.hashNearDups(
+        Multimodal.imageDHash(
+          Multimodal.syntheticNearDupImages(
+            t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+          "doc_id", "img"),
+        "doc_id", "dhash", 3)),
+
     // PNG is NOT stubbed: java.util.zip IS zlib, so construct real
     // compressed PNGs (per-row filters cycling through all five types)
     // and fully decode them back — chunk walk, CRC32 verify, inflate,

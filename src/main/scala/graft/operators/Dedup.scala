@@ -728,21 +728,30 @@ object Dedup {
     * the band equi-join has full recall for maxHamming ≤ 3, and the
     * popcount check verifies. Shuffle key = (band, 16-bit value).
     */
-  def simHashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    hashNearDups(simHash(df, idCol, textCol), idCol, "simhash", maxHamming)
+
+  /** Hamming-≤k pairs over ANY 64-bit fingerprint column (SimHash,
+    * image dHash, …) via 4×16-bit band blocking: a pair within
+    * Hamming ≤ 3 must agree exactly on ≥1 band (pigeonhole), so the
+    * band equi-join has full recall for maxHamming ≤ 3 and the
+    * popcount check verifies exactly. Shuffle key = (band, 16-bit
+    * value) — candidates are O(n·4) rows of longs, never all pairs.
+    */
+  def hashNearDups(hashed: DataFrame, idCol: String, hashCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding guarantees recall only for Hamming <= 3")
-    val sh = simHash(df, idCol, textCol)
     val bandVals = (0 until 4).map(b =>
-      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
-    val banded = sh.select(
-      col(idCol), col("simhash"),
+      shiftright(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = hashed.select(
+      col(idCol), col(hashCol),
       posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"), col("band"), col("band_val"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"), col("band"), col("band_val"))
+    val a = banded.select(col(idCol).as("id_a"), col(hashCol).as("sh_a"), col("band"), col("band_val"))
+    val b = banded.select(col(idCol).as("id_b"), col(hashCol).as("sh_b"), col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sh_a", "sh_b")
       .distinct()
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)"))
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

@@ -363,6 +363,18 @@ object Multimodal {
     * must invert.
     */
   def bmpPayloadBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Int](w * h * 3)
+    var i = 0
+    while (i < rgb.length) { rgb(i) = syntheticPixel(id, i / 3, i % 3); i += 1 }
+    encodeBmp(w, h, rgb)
+  }
+
+  /** General BMP 24-bit encoder over an arbitrary RGB raster (the
+    * construct half [[bmpPayloadBytes]] specializes): little-endian
+    * headers, bottom-up rows, BGR order, padded stride.
+    */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "rgb must be w*h*3 channel values")
     val stride = (w * 3 + 3) & ~3
     val size = 54 + stride * h
     val b = new Array[Byte](size)
@@ -379,10 +391,10 @@ object Multimodal {
       val off = 54 + (h - 1 - y) * stride
       var x = 0
       while (x < w) {
-        val p = y * w + x
-        b(off + x * 3) = syntheticPixel(id, p, 2).toByte     // B
-        b(off + x * 3 + 1) = syntheticPixel(id, p, 1).toByte // G
-        b(off + x * 3 + 2) = syntheticPixel(id, p, 0).toByte // R
+        val p = (y * w + x) * 3
+        b(off + x * 3) = rgb(p + 2).toByte     // B
+        b(off + x * 3 + 1) = rgb(p + 1).toByte // G
+        b(off + x * 3 + 2) = rgb(p).toByte     // R
         x += 1
       }
       y += 1
@@ -605,6 +617,118 @@ object Multimodal {
         val id = r.getAs[Number](idIdx).longValue()
         Row(r.get(idIdx), Jpeg.jpegProgressivePayloadBytes(id,
           (8 * (1 + id % 3)).toInt, (8 * (1 + id % 4)).toInt))
+      }
+    }(enc)
+  }
+
+  // ---- perceptual hash (dHash) --------------------------------------
+
+  /** 64-bit difference hash over a decoded raster — the standard
+    * image near-dup fingerprint (format-independent: any encode of
+    * the same raster hashes identically). Integer-only pipeline so
+    * any engine replays it bit-exactly:
+    *   1. grayscale per pixel: (299·R + 587·G + 114·B) / 1000 (floor)
+    *   2. integer box-filter downsample to a 9×8 grid: cell(i,j) =
+    *      floor(Σ gray / area) over the box [j·w/9,(j+1)·w/9) ×
+    *      [i·h/8,(i+1)·h/8) (floored bounds; for w ≥ 9, h ≥ 8 the
+    *      boxes partition the raster and the ≥1-pixel clamp below
+    *      never fires — the regime the closed-form oracle replays)
+    *   3. bit i·8+j set iff cell(i,j) < cell(i,j+1)
+    */
+  def dHash64(img: DecodedImage): Long = {
+    val gw = 9; val gh = 8
+    val cells = new Array[Long](gh * gw)
+    var i = 0
+    while (i < gh) {
+      val y0 = i * img.height / gh
+      val y1 = math.max(y0 + 1, (i + 1) * img.height / gh)
+      var j = 0
+      while (j < gw) {
+        val x0 = j * img.width / gw
+        val x1 = math.max(x0 + 1, (j + 1) * img.width / gw)
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = (y * img.width + x) * 3
+            s += (299L * img.rgb(p) + 587L * img.rgb(p + 1) + 114L * img.rgb(p + 2)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        cells(i * gw + j) = s / ((x1 - x0).toLong * (y1 - y0))
+        j += 1
+      }
+      i += 1
+    }
+    var hash = 0L
+    i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        if (cells(i * gw + j) < cells(i * gw + j + 1)) hash |= 1L << (i * 8 + j)
+        j += 1
+      }
+      i += 1
+    }
+    hash
+  }
+
+  /** (id, dhash) via full decode — one fused partition-parallel pass
+    * (decode + grayscale + box filter + bits), no shuffle: at 100 TB
+    * the fingerprint is computed in the scan stage and only 16-byte
+    * (id, hash) rows ever reach the band join. Undecodable payloads
+    * are dropped (corpus-scale media errors are data, and a shared
+    * sentinel hash would become a quadratic pair blowup downstream —
+    * same rule as the empty-doc exclusion in simHash).
+    */
+  def imageDHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outType = StructType(Seq(idField, StructField("dhash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeImage(r.getAs[Array[Byte]](binIdx))
+          .map(img => Row(r.get(idIdx), dHash64(img)))
+      }
+    }(enc)
+  }
+
+  /** Construct REAL image payloads with planted near-duplicates: docs
+    * sharing a raster key (id mod `nKeys`) get the SAME synthetic
+    * raster — encoded as PNG for even ids and BMP for odd ids, so
+    * cross-FORMAT copies must collide — except that ids divisible by
+    * 3 carry a one-pixel perturbation (+16 on the red channel of
+    * pixel key mod n_pix), which moves exactly one box-filter cell
+    * and flips at most its two adjacent dHash comparisons: a planted
+    * NEAR-duplicate at Hamming ≤ 2. Dims 16+key%16 × 16+key%8 keep
+    * every box ≥ 1 pixel with no clamping.
+    */
+  def syntheticNearDupImages(df: DataFrame, idCol: String, nKeys: Int = 37): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("img", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        val key = id % nKeys
+        val w = (16 + key % 16).toInt
+        val h = (16 + key % 8).toInt
+        val rgb = new Array[Int](w * h * 3)
+        var i = 0
+        while (i < rgb.length) { rgb(i) = syntheticPixel(key, i / 3, i % 3); i += 1 }
+        if (id % 3 == 0) {
+          val p0 = (key % (w * h)).toInt
+          rgb(p0 * 3) = (rgb(p0 * 3) + 16) % 256
+        }
+        val img =
+          if (id % 2 == 0) encodePng(w, h, rgb, y => (((key + y) % 5 + 5) % 5).toInt)
+          else encodeBmp(w, h, rgb)
+        Row(r.get(idIdx), img)
       }
     }(enc)
   }

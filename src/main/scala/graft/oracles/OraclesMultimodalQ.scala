@@ -21,6 +21,49 @@ private[graft] object OraclesMultimodalQ {
       """SELECT doc_id, source, strlen(text)::BIGINT AS content_length, text
          FROM documents""",
 
+    // closed-form dHash replay: grid cells from the synthetic pixel
+    // formula (never decoding — the Spark side proves the codecs
+    // invert), then the same bit-level band blocking + exact Hamming
+    // as the dedup_simhash oracle. w≥16, h≥16 keeps every box ≥1
+    // pixel so the floored bounds partition the raster exactly as
+    // Multimodal.dHash64 computes them.
+    "image_phash_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id % 37 AS key,
+             16 + (doc_id % 37) % 16 AS w, 16 + (doc_id % 37) % 8 AS h,
+             (doc_id % 3 = 0) AS pert FROM documents),
+         cells AS (
+           SELECT doc_id, gi.i AS i, gj.j AS j,
+             (list_sum(flatten(list_transform(
+                generate_series((gi.i * h) // 8, ((gi.i + 1) * h) // 8 - 1),
+                y -> list_transform(
+                  generate_series((gj.j * w) // 9, ((gj.j + 1) * w) // 9 - 1),
+                  x -> (299 * (CASE WHEN pert AND y * w + x = key % (w * h)
+                               THEN ((key + 3 * (y * w + x)) % 256 + 16) % 256
+                               ELSE (key + 3 * (y * w + x)) % 256 END)
+                        + 587 * ((key + 3 * (y * w + x) + 1) % 256)
+                        + 114 * ((key + 3 * (y * w + x) + 2) % 256)) // 1000))))
+              // ((((gi.i + 1) * h) // 8 - (gi.i * h) // 8)
+                 * (((gj.j + 1) * w) // 9 - (gj.j * w) // 9)))::BIGINT AS cell
+           FROM d, generate_series(0, 7) gi(i), generate_series(0, 8) gj(j)),
+         bits AS (SELECT a.doc_id, a.i * 8 + a.j AS bit,
+                    CASE WHEN a.cell < b.cell THEN 1 ELSE 0 END AS fb
+                  FROM cells a JOIN cells b
+                    ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
+                  WHERE a.j < 8),
+         bands AS (SELECT doc_id, bit // 16 AS band,
+                     sum(fb * (1 << (bit % 16)))::BIGINT AS band_val
+                   FROM bits GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+         ham AS (SELECT c.id_a, c.id_b,
+                   sum(CASE WHEN fa.fb <> fb2.fb THEN 1 ELSE 0 END)::BIGINT AS hamming
+                 FROM cand c JOIN bits fa ON fa.doc_id = c.id_a
+                   JOIN bits fb2 ON fb2.doc_id = c.id_b AND fb2.bit = fa.bit
+                 GROUP BY 1, 2)
+         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""",
+
     // Web.canonicalizeUrl replayed step-for-step (duckUrlCanonCtes)
     // over the same manufactured messy urls — the canonical STRING is
     // hash-graded, so every rule (scheme/host case, www, default

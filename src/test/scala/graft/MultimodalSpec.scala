@@ -464,4 +464,43 @@ class MultimodalSpec extends SparkSpec {
     for ((img, f) <- frames.zipWithIndex; p <- 0 until w * h; c <- 0 until 3)
       assert(img.rgb(p * 3 + c) == Multimodal.syntheticVideoPixel(id, f, p, c))
   }
+
+  test("dHash: a PNG and a BMP of the SAME raster collide exactly") {
+    val (w, h) = (19, 17)
+    val rgb = Array.tabulate(w * h * 3)(i => Multimodal.syntheticPixel(11L, i / 3, i % 3))
+    val png = Multimodal.encodePng(w, h, rgb, y => y % 5)
+    val bmp = Multimodal.encodeBmp(w, h, rgb)
+    val hPng = Multimodal.dHash64(Multimodal.decodeImage(png).get)
+    val hBmp = Multimodal.dHash64(Multimodal.decodeImage(bmp).get)
+    assert(hPng == hBmp, s"cross-format dHash mismatch: $hPng != $hBmp")
+    // and a STRUCTURALLY different raster does not collide (a mere
+    // constant brightness shift would: dHash is difference-based,
+    // invariant to uniform shifts away from wraparound — the point
+    // of a perceptual hash)
+    val rgb2 = Array.tabulate(w * h * 3)(i => (11 + 7 * (i / 3) + i % 3) % 256)
+    val hOther = Multimodal.dHash64(Multimodal.decodeImage(Multimodal.encodeBmp(w, h, rgb2)).get)
+    assert(hOther != hPng)
+  }
+
+  test("dHash: the planted one-pixel perturbation flips at most 2 bits") {
+    import spark.implicits._
+    // ids 0 and 6 share raster key 6? no - key = id % 37: use ids 3 and 40
+    // (key 3, id 3 perturbed % 3 == 0, id 40 not) encoded PNG/BMP resp.
+    val dh = Multimodal.imageDHash(
+      Multimodal.syntheticNearDupImages(Seq(3L, 40L).toDF("doc_id"), "doc_id"),
+      "doc_id", "img").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ham = java.lang.Long.bitCount(dh(3L) ^ dh(40L))
+    assert(ham <= 2, s"perturbation moved $ham bits")
+  }
+
+  test("image_phash_neardup pipeline: cross-format copies pair at Hamming 0") {
+    import spark.implicits._
+    // ids 1 and 38 share key 1 (neither perturbed), BMP vs PNG
+    val pairs = graft.operators.Dedup.hashNearDups(
+      Multimodal.imageDHash(
+        Multimodal.syntheticNearDupImages(Seq(1L, 38L, 2L).toDF("doc_id"), "doc_id"),
+        "doc_id", "img"),
+      "doc_id", "dhash", 3).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 38L, 0L)), s"got ${pairs.toSeq}")
+  }
 }
