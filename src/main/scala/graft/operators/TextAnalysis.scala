@@ -582,6 +582,38 @@ object TextAnalysis {
         col("cnt").as("pair_freq"))
   }
 
+  /** GPT-2-style regex PRE-TOKENIZATION (lookaround-free
+    * approximation of the gpt2 pattern, cf. the published encoder
+    * regex): contractions split off ('s 't 're 've 'm 'll 'd), then
+    * letter runs, digit runs, punctuation runs, stray apostrophes —
+    * so "it's doc-42, ok!" yields [it, 's, doc, -, 42, ,, ok, !]
+    * instead of whitespace blobs. Lowercased first (the trainer's
+    * existing normalization); the \\s+(?!\\S) tail of the original
+    * needs lookahead, which neither engine's regex replays — spaces
+    * here are separators only, the documented approximation. Pure
+    * scan-stage extraction; both engines run the identical pattern.
+    */
+  def preTokens(text: Column): Column =
+    filter(regexp_extract_all(lower(text),
+      lit("'(s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s']+|'+"), lit(0)),
+      w => w =!= "")
+
+  /** [[bpeTrainSteps]] with [[preTokens]] as the word source: merge
+    * tables learned over regex pre-tokens match HF-style tokenizers
+    * on mixed text/punctuation (punctuation can never merge across a
+    * pre-token boundary), where the whitespace trainer would learn
+    * cross-punctuation merges no reference tokenizer produces.
+    */
+  def bpeTrainStepsPretok(
+      df: DataFrame,
+      textCol: String,
+      steps: Int): DataFrame = {
+    val (_, merges) = bpeFold(df, textCol, steps, preTokens)
+    merges.reduce(_.unionByName(_))
+      .select(col("step"), col("l").as("sym_left"), col("r").as("sym_right"),
+        col("cnt").as("pair_freq"))
+  }
+
   /** The symbol VOCABULARY the trainer's final state induces — every
     * distinct symbol left in the (word, freq) table after `steps`
     * merges, with its corpus-weighted token count and its raw
@@ -607,10 +639,12 @@ object TextAnalysis {
   private def bpeFold(
       df: DataFrame,
       textCol: String,
-      steps: Int): (DataFrame, Seq[DataFrame]) = {
+      steps: Int,
+      wordsOf: Column => Column = c => tokens(Dedup.normalized(c)))
+      : (DataFrame, Seq[DataFrame]) = {
     require(steps >= 1 && steps <= 16, "unrolled plan: keep steps small")
     val words = Dedup.rebalance(df)
-      .select(explode(tokens(Dedup.normalized(col(textCol)))).as("w"))
+      .select(explode(wordsOf(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(split(col("w"), "").as("syms"), col("freq"))

@@ -52,8 +52,29 @@ private[graft] object OracleDsl {
     // cross join (max over the ≤1-row b$s; NULL when absent) — DuckDB
     // rejects scalar subqueries INSIDE lambda expressions, but lambda
     // capture of outer columns is fine
+    bpeTrainCtesFrom(
+      """toks AS (SELECT unnest(list_filter(string_split(
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g')), ' '), x -> x <> '')) AS w FROM documents)""",
+      bpeStepCtes)
+  }
+
+  /** The merge-unroll chain over an arbitrary `toks(w)` word-source
+    * CTE — [[bpeTrainCtes]] (whitespace words) and the regex-pretok
+    * variant share everything after tokenization.
+    */
+  def bpeTrainCtesFrom(toksCte: String, stepCtes: String): String =
+    s"""$toksCte,
+       words AS (SELECT w, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
+       seqs0 AS MATERIALIZED (SELECT
+             list_transform(generate_series(1, length(w)), i -> w[i]) AS syms,
+             freq FROM words),
+       $stepCtes"""
+
+  /** Step CTEs b1..bK / seqs1..seqsK shared by every trainer oracle. */
+  def bpeStepCtes: String = {
     def ruleJoin(st: Int) = s"(SELECT max(l) AS rl, max(r) AS rr FROM b$st) jr$st"
-    val stepCtes = (1 to bpeSteps).map { s =>
+    (1 to bpeSteps).map { s =>
       s"""pr$s AS (SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
              i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p, freq
            FROM seqs${s - 1} WHERE len(syms) >= 2),
@@ -68,14 +89,6 @@ private[graft] object OracleDsl {
              ${duckMergeApply("syms", "mp", "rl", "rr")} AS syms, freq
            FROM mp$s)"""
     }.mkString(",\n         ")
-    s"""toks AS (SELECT unnest(list_filter(string_split(
-           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
-             ' +', ' ', 'g')), ' '), x -> x <> '')) AS w FROM documents),
-       words AS (SELECT w, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
-       seqs0 AS MATERIALIZED (SELECT
-             list_transform(generate_series(1, length(w)), i -> w[i]) AS syms,
-             freq FROM words),
-       $stepCtes"""
   }
 
   /** DuckDB dot-product snippet with the same sequential left-to-right
@@ -362,6 +375,50 @@ private[graft] object OracleDsl {
        bpairs AS (SELECT c.id_a, c.id_b, ${duckCos("va.e", "vb.e")} AS cs
                   FROM bcand c JOIN v va ON va.vec_id = c.id_a
                   JOIN v vb ON vb.vec_id = c.id_b)"""
+
+  /** Per-width strictly-preceding counts over a masked candidate set
+    * (the fused-ladder rank trick shared with the knn_recall_curve
+    * oracle): c$p = rank-1 of the row within the width-p slice.
+    */
+  def duckMaskedCnts(probePoints: Seq[Int], ord: String): String =
+    probePoints.map(p =>
+      s"""sum(CASE WHEN (pm & $p) != 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY query_id ORDER BY $ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c$p""")
+      .mkString(",\n")
+
+  /** Masked multi-width beam descent CTEs over the shared bisect-tree
+    * levels (bkx$l): seeds `prefix`q0 from the `qCte` query set with
+    * the full width mask, keeps per width p the top-p nodes per level.
+    * Exact per-width beam semantics — the width-p slice equals an
+    * independent single-width descent (property-pinned by the curve
+    * spec on the engine side).
+    */
+  def duckMaskedBeamLevels(qCte: String, prefix: String,
+      probePoints: Seq[Int], maxDepth: Int = 10): String = {
+    val maskAll = probePoints.sum
+    val pmExpr = probePoints.map(p =>
+      s"(CASE WHEN (pm & $p) != 0 AND coalesce(c$p, 0) < $p THEN $p ELSE 0 END)")
+      .mkString(" + ")
+    def level(l: Int): String =
+      s"""${prefix}c$l AS MATERIALIZED (
+             SELECT b.query_id, b.qe, b.pm,
+               b.node * 2 + k.child AS cnode, ${duckCos("b.qe", "k.ctv")} AS sc
+             FROM ${prefix}q$l b JOIN bkx$l k USING (node)
+             UNION ALL
+             SELECT b.query_id, b.qe, b.pm, b.node AS cnode, b.sc
+             FROM ${prefix}q$l b WHERE NOT EXISTS (
+               SELECT 1 FROM bkx$l k WHERE k.node = b.node)),
+           ${prefix}r$l AS MATERIALIZED (SELECT *,
+               ${duckMaskedCnts(probePoints, "sc DESC, cnode")}
+             FROM ${prefix}c$l),
+           ${prefix}q${l + 1} AS MATERIALIZED (
+             SELECT query_id, qe, cnode AS node, sc, ($pmExpr) AS pm
+             FROM ${prefix}r$l WHERE ($pmExpr) != 0)"""
+    s"""${prefix}q0 AS MATERIALIZED (SELECT query_id, qe, 1::BIGINT AS node,
+             1.0::DOUBLE AS sc, $maskAll AS pm FROM $qCte),
+         ${(0 until maxDepth).map(level).mkString(",\n         ")}"""
+  }
 
   /** CTE chain replaying Web.canonicalizeUrl + registrableDomain over
     * the SparkEntry.messyUrl construction, parameterized by the path

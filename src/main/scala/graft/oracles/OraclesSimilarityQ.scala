@@ -372,20 +372,61 @@ private[graft] object OraclesSimilarityQ {
            ON dom.cell_id = g.cell_id AND dom.nid = g.nid
          GROUP BY dom.cell_id""",
 
-    "knn_join_ivf" ->
+    // replays the SELECTOR, not just the join: the masked-ladder
+    // recall on the sampled cohort picks the smallest width >= 0.9
+    // (CASE over the SQL-computed rounded recalls, ELSE = widest),
+    // then the deploy chain's width-`chosen` slice IS the single-
+    // width beam join at that width (fused-mask equivalence is
+    // property-pinned on the engine side)
+    "knn_join_ivf" -> {
+      val pps = Seq(2, 4, 8)
+      val hitSums = pps.map(p =>
+        s"""sum(CASE WHEN (pm & $p) != 0 AND coalesce(c$p, 0) < 3
+                 AND is_t THEN 1 ELSE 0 END) AS h$p""").mkString(",\n")
+      def rexpr(p: Int) =
+        s"floor(hs.h$p::DOUBLE / tc.n_truth::DOUBLE * 10000 + 0.5) / 10000"
+      def pick(colName: String) =
+        s"CASE s.chosen WHEN 2 THEN d.c2 WHEN 4 THEN d.c4 ELSE d.c8 END"
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
-         q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
+         qall AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 2 = 0),
+         qpar AS (SELECT greatest(1, (count(*) + 255) // 256) AS md FROM qall),
+         q AS MATERIALIZED (SELECT query_id, qe FROM qall
+               WHERE query_id % (SELECT md FROM qpar) = 0),
          ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
-         ${duckBeam(iters = 1, maxDepth = 10, nProbe = 2)},
-         cand AS (SELECT pr.query_id, fasg.nid AS neighbor_id,
-                 ${duckCos("pr.qe", "fasg.ce")} AS cosine
-               FROM fasg JOIN pr USING (cell_id)),
-         r AS (SELECT query_id, neighbor_id, cosine,
-                 row_number() OVER (PARTITION BY query_id
-                   ORDER BY cosine DESC, neighbor_id) AS rank FROM cand)
-         SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine
-         FROM r WHERE rank <= 3""",
+         ${duckMaskedBeamLevels("q", "m", pps)},
+         mcand AS MATERIALIZED (SELECT b.query_id, fasg.nid AS neighbor_id,
+               ${duckCos("b.qe", "fasg.ce")} AS cosine, b.pm
+             FROM fasg JOIN mq10 b ON fasg.cell_id = b.node),
+         mrank AS MATERIALIZED (SELECT query_id, neighbor_id, pm,
+               ${duckMaskedCnts(pps, "cosine DESC, neighbor_id")}
+             FROM mcand),
+         tr AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+               SELECT q.query_id, c.nid AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY ${duckCos("q.qe", "c.ce")} DESC, c.nid) AS rank
+               FROM q, c) WHERE rank <= 3),
+         tc AS (SELECT count(*)::BIGINT AS n_truth FROM tr),
+         hs AS (SELECT $hitSums
+             FROM mrank LEFT JOIN (SELECT query_id, neighbor_id, TRUE AS is_t
+               FROM tr) t USING (query_id, neighbor_id)),
+         sel AS (SELECT CASE WHEN ${rexpr(2)} >= 0.9 THEN 2
+                             WHEN ${rexpr(4)} >= 0.9 THEN 4
+                             ELSE 8 END AS chosen FROM tc, hs),
+         ${duckMaskedBeamLevels("qall", "d", pps)},
+         dcand AS MATERIALIZED (SELECT b.query_id, fasg.nid AS neighbor_id,
+               ${duckCos("b.qe", "fasg.ce")} AS cosine, b.pm
+             FROM fasg JOIN dq10 b ON fasg.cell_id = b.node),
+         drank AS MATERIALIZED (SELECT query_id, neighbor_id, cosine, pm,
+               ${duckMaskedCnts(pps, "cosine DESC, neighbor_id")}
+             FROM dcand)
+         SELECT d.query_id,
+           (coalesce(${pick("c")}, 0) + 1)::BIGINT AS rank,
+           d.neighbor_id, round(d.cosine, 6) AS cosine
+         FROM drank d, sel s
+         WHERE (d.pm & s.chosen) != 0
+           AND coalesce(${pick("c")}, 0) < 3"""
+    },
 
     "knn_recall_eval" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

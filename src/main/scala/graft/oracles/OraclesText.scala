@@ -15,6 +15,20 @@ private[graft] object OraclesText {
          FROM ($unions)"""
     },
 
+    // identical merge-unroll chain, but the word source is the GPT-2
+    // style regex pre-tokenizer over the punctuated mixed text (the
+    // same lookaround-free pattern both engines run verbatim)
+    "bpe_pretok_train" -> {
+      val unions = (1 to bpeSteps).map(s => s"SELECT * FROM b$s").mkString(" UNION ALL ")
+      val toks = """toks AS (SELECT unnest(list_filter(regexp_extract_all(
+           lower(text || ' it''s doc-' || CAST(doc_id AS VARCHAR) || ', ok!'),
+           '''(s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s'']+|''+'),
+           x -> x <> '')) AS w FROM documents)"""
+      s"""WITH ${bpeTrainCtesFrom(toks, bpeStepCtes)}
+         SELECT step, l AS sym_left, r AS sym_right, cnt AS pair_freq
+         FROM ($unions)"""
+    },
+
     // encode = the trainer chain (b1..bK learned identically), then the
     // same per-step CANONICAL merge applied to each DOCUMENT's words
     // (duplicates kept) instead of the aggregated vocabulary

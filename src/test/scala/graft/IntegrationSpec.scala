@@ -195,6 +195,29 @@ class IntegrationSpec extends SparkSpec {
       s"got ${steps.toSeq}")
   }
 
+  test("preTokens: GPT-2-style split of mixed text/punct, hand-checked") {
+    import spark.implicits._
+    val got = Seq("It's doc-42, OK!! can't 3.14 'x '").toDF("t")
+      .select(graft.operators.TextAnalysis.preTokens(col("t")))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("it", "'s", "doc", "-", "42", ",", "ok", "!!",
+      "can", "'t", "3", ".", "14", "'", "x", "'"), s"got $got")
+  }
+
+  test("bpeTrainStepsPretok: punctuation can never merge across a pre-token boundary") {
+    import spark.implicits._
+    // whitespace words would be "ab!" and learn (b,!) merges; pretok
+    // splits [ab][!] so only letter-letter pairs exist
+    val docs = Seq("ab! ab! ab! cd cd").toDF("text")
+    val steps = graft.operators.TextAnalysis.bpeTrainStepsPretok(docs, "text", 2)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // pre-tokens: ab x3, ! x3, cd x2 -> step1 (a,b)=3, step2 (c,d)=2;
+    // a (b,!) pair never forms
+    assert(steps.toSeq == Seq((1L, "a", "b", 3L), (2L, "c", "d", 2L)),
+      s"got ${steps.toSeq}")
+  }
+
   test("bpeEncode equals the trainer's final symbol state on its own training words") {
     import spark.implicits._
     val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab baa")).toDF("doc_id", "text")

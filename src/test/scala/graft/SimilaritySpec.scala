@@ -234,6 +234,30 @@ class SimilaritySpec extends SparkSpec {
       s"recall regressed beyond non-nested-beam tolerance: $curve")
   }
 
+  test("nProbeForRecall: smallest measured width meeting the target, widest as fallback") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.where(col("vec_id") % 2 === 0)
+    val c = emb.where(col("vec_id") % 2 === 1)
+    val nCells = Similarity.cellsPlan(c.count(), 16)
+    val curve = Similarity.knnJoinRecallCurve(q, c, "vec_id", "embedding",
+      k = 3, nCells = nCells, nProbes = Seq(2, 4, 8), iters = 1,
+      sampleMod = 1, targetRows = 16)
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).sortBy(_._1)
+    val chosen = Similarity.nProbeForRecall(q, c, "vec_id", "embedding",
+      3, nCells, Seq(2, 4, 8), 1, 1, 16, targetRecall = 0.9)
+    assert(chosen == curve.find(_._2 >= 0.9).map(_._1).getOrElse(8),
+      s"selector $chosen vs curve ${curve.toSeq}")
+    // an unreachable target degrades to the widest measured width
+    assert(Similarity.nProbeForRecall(q, c, "vec_id", "embedding",
+      3, nCells, Seq(2, 4, 8), 1, 1, 16, targetRecall = 2.0) == 8)
+    // the recall-targeted deployment IS knnJoinIvf at the chosen width
+    val dep = Similarity.knnJoinIvfAtRecall(q, c, "vec_id", "embedding",
+      3, nCells, 1, 16).collect().toSet
+    val ref = Similarity.knnJoinIvf(q, c, "vec_id", "embedding",
+      3, nCells, chosen, 1, 16).collect().toSet
+    assert(dep == ref)
+  }
+
   test("semdedup rate curve: ladder point equals an independent semDedup run, monotone in eps") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nCells = Similarity.cellsPlan(emb.count(), 16)
