@@ -9,6 +9,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pair-explosion aggregations (basket_pairs at sf3: ~36 M
+      // near-unique groups) are GC-bound when 32 reducers each build a
+      // ~1 M-entry hash: start every shuffle WIDE and let AQE coalesce
+      // small partitions back to the advisory size — the documented
+      // Spark pattern for sizing reducers by DATA, not by cluster
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
+      // ...and cap coalescing at 16 MB wire-bytes per reducer: agg hash
+      // entries cost ~3-5x their wire bytes on-heap, so 64 MB advisory
+      // re-collapses a 36 M-group shuffle to ~11 partitions of ~3 M
+      // groups each — the GC tail the r13 chain measured
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -120,7 +132,19 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
+    // chain hygiene (r14): in the shared-JVM sweep a heavy query's
+    // garbage is collected DURING the next query and reads as that
+    // query's regression — most r13 sf3 flags dissolved in isolation
+    // for exactly this reason. SPARK_GRAFT_GC_SETTLE=1 inserts an
+    // untimed full-GC barrier between queries so each query starts
+    // from a settled heap; default off (the graded protocol), the
+    // scaling chain's sf1/sf3 legs turn it on and stamp the field.
+    val gcSettle = sys.env.get("SPARK_GRAFT_GC_SETTLE").contains("1")
+    def settleHeap(): Unit = if (gcSettle) {
+      System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(200)
+    }
     val results: Map[String, Double] = selected.flatMap { case (name, fn) =>
+      settleHeap()
       val times = (0 until passes).flatMap { i =>
         val qBusy0 = totalBusyJiffies(); val qSelf0 = selfJiffies()
         val t0 = System.nanoTime()
@@ -255,7 +279,7 @@ object Bench {
       })
     },"errors":${
       jmap(errors.map { case (k, v) => k -> jstr(v) })
-    },"sf":"$sfDir","passes":$passes,"agg":"median","bench_protocol":"noop-write-r12","bench_protocol_note":"timed action is a noop WRITE of the full result (since r12); benches at r11 and earlier timed count(), which let Catalyst prune count-irrelevant subtrees (e.g. semdedup_prune's whole dominance join - a left join with a provably-unique right side preserves cardinality), so r11-era per-query times are NOT comparable for queries whose output stage a count() could skip (the semdedup/knn family, window-topn shapes)","load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"wall_secs":${f"$wallSecs%.1f"},"foreign_cpu_core_secs":${f"$foreignCoreSecs%.1f"},"foreign_cpu_ratio":${f"$foreignRatio%.4f"},"contaminated":$contaminated}"""
+    },"sf":"$sfDir","passes":$passes,"agg":"median","gc_settle":$gcSettle,"bench_protocol":"noop-write-r12","bench_protocol_note":"timed action is a noop WRITE of the full result (since r12); benches at r11 and earlier timed count(), which let Catalyst prune count-irrelevant subtrees (e.g. semdedup_prune's whole dominance join - a left join with a provably-unique right side preserves cardinality), so r11-era per-query times are NOT comparable for queries whose output stage a count() could skip (the semdedup/knn family, window-topn shapes)","load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"wall_secs":${f"$wallSecs%.1f"},"foreign_cpu_core_secs":${f"$foreignCoreSecs%.1f"},"foreign_cpu_ratio":${f"$foreignRatio%.4f"},"contaminated":$contaminated}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
