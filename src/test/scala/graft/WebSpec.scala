@@ -35,6 +35,23 @@ class WebSpec extends SparkSpec {
     assert(canon(once: _*) == once, s"not idempotent: $once -> ${canon(once: _*)}")
   }
 
+  test("withCanonicalUrl (staged) equals the Column-expression form on messy urls") {
+    val messy = Seq(
+      "HTTP://WWW.A.CO.UK:80/x%2f/?utm_source=s&b=1&a=2#f",
+      "https://B.com:443/Docs/%aa?gclid=1&z=9",
+      "http://c.net:9090//deep//", "https://www.d.org",
+      "http://e.com/p?b=2&utm_source=x&a=1#Top")
+    val df = messy.toDF("u")
+    val staged = Web.withCanonicalUrl(df, "u", "c", "d")
+      .select(col("c"), col("d")).collect().map(r => (r.getString(0), r.getString(1)))
+    val exprForm = df.select(
+      Web.canonicalizeUrl(col("u")).as("c"),
+      Web.registrableDomain(Web.urlHost(Web.canonicalizeUrl(col("u")))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(staged.toSeq == exprForm.toSeq,
+      s"staged ${staged.toSeq} != expression ${exprForm.toSeq}")
+  }
+
   test("registrableDomain: generic-SLD hosts take three labels") {
     val hosts = Seq("news.bbc.co.uk", "a.b.example.com", "example.com",
       "localhost", "x.gov.au", "deep.sub.tree.org")
