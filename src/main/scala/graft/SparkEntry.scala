@@ -985,13 +985,17 @@ object SparkEntry {
     // replays the dHash in closed form from the pixel formula, so a
     // green hash proves decode(encode(raster)) == raster ACROSS
     // formats and the box-filter/bit pipeline bit-exactly.
-    "image_phash_neardup" -> ((s, dir) =>
+    "image_phash_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      // key count scales with the corpus (nearDupKeysPlan): constant
+      // keys would make the planted-pair OUTPUT quadratic under growth
       Dedup.hashNearDups(
         Multimodal.imageDHash(
-          Multimodal.syntheticNearDupImages(
-            t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+          Multimodal.syntheticNearDupImages(docs, "doc_id",
+            Multimodal.nearDupKeysPlan(docs.count())),
           "doc_id", "img"),
-        "doc_id", "dhash", 3)),
+        "doc_id", "dhash", 3)
+    }),
 
     // PNG is NOT stubbed: java.util.zip IS zlib, so construct real
     // compressed PNGs (per-row filters cycling through all five types)

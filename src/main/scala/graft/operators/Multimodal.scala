@@ -697,6 +697,34 @@ object Multimodal {
     }(enc)
   }
 
+  /** Raster-key count for the planted near-dup image corpus: ~14 docs
+    * share each raster at ANY corpus size (37-key floor keeps the
+    * graded sf0.01 corpus unchanged). A CONSTANT key count under
+    * corpus growth is a quadratic pair blowup — n/k docs per key ⇒
+    * O(n²/k) output pairs — the same disease the lshPlanBits rule
+    * guards in the cosine channel; measured: fixed 37 keys cost 192 s
+    * at sf3 (1.5 M docs ⇒ 40 k copies of each raster), scaled keys
+    * keep planted-pair mass LINEAR (~6.5·n). Both engines replay the
+    * integer rule (count is exact, division truncating).
+    */
+  def nearDupKeysPlan(n: Long): Int = math.max(37L, n / 14L).toInt
+
+  /** Per-key pseudo-random pixel for the near-dup corpus (see the
+    * [[syntheticNearDupImages]] doc for why the shared gradient can't
+    * be used here): a TWO-ROUND LEHMER hash of (key, p, c) — the
+    * house row-local-randomness pattern (cf. Corpus sampling). The
+    * mod-(2³¹−1) reduction between rounds is what matters: ANY
+    * formula linear in (key, p) mod 256 makes every raster an offset
+    * or shift of one universal sequence, and dHash's shift invariance
+    * then collides all keys' bands regardless of multipliers (two
+    * such attempts measured quadratic before this one). Integer-only,
+    * nonneg, < 2⁶³ at any realistic key count; both engines replay
+    * the expression verbatim.
+    */
+  def nearDupPixel(key: Long, p: Int, c: Int): Int =
+    ((((key * 48271L + p.toLong * 16807L + c * 31L) % 2147483647L)
+      * 48271L % 2147483647L) % 256L).toInt
+
   /** Construct REAL image payloads with planted near-duplicates: docs
     * sharing a raster key (id mod `nKeys`) get the SAME synthetic
     * raster — encoded as PNG for even ids and BMP for odd ids, so
@@ -705,7 +733,19 @@ object Multimodal {
     * pixel key mod n_pix), which moves exactly one box-filter cell
     * and flips at most its two adjacent dHash comparisons: a planted
     * NEAR-duplicate at Hamming ≤ 2. Dims 16+key%16 × 16+key%8 keep
-    * every box ≥ 1 pixel with no clamping.
+    * every box ≥ 1 pixel with no clamping. Size `nKeys` with
+    * [[nearDupKeysPlan]] — the planted-duplicate DENSITY, not count,
+    * is what must stay constant as the corpus grows.
+    *
+    * Rasters use [[nearDupPixel]] (an LCG-mixed closed form), NOT the
+    * codec tier's shared gradient [[syntheticPixel]]: dHash is
+    * brightness-shift-invariant by construction, so offset-shifted
+    * copies of ONE gradient hash near-identically ACROSS keys and
+    * every 16-bit band bucket degenerates into a quadratic candidate
+    * blowup (measured: 35 s at sf3 even with scaled keys). Lehmer
+    * rasters give ~uniform hashes — cross-key band collisions drop to
+    * the n/2¹⁶-per-bucket chance rate, the same regime text SimHash
+    * banding lives in.
     */
   def syntheticNearDupImages(df: DataFrame, idCol: String, nKeys: Int = 37): DataFrame = {
     val idField = df.schema(idCol)
@@ -720,7 +760,7 @@ object Multimodal {
         val h = (16 + key % 8).toInt
         val rgb = new Array[Int](w * h * 3)
         var i = 0
-        while (i < rgb.length) { rgb(i) = syntheticPixel(key, i / 3, i % 3); i += 1 }
+        while (i < rgb.length) { rgb(i) = nearDupPixel(key, i / 3, i % 3); i += 1 }
         if (id % 3 == 0) {
           val p0 = (key % (w * h)).toInt
           rgb(p0 * 3) = (rgb(p0 * 3) + 16) % 256

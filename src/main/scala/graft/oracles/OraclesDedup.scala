@@ -360,7 +360,7 @@ private[graft] object OraclesDedup {
          perdoc AS (SELECT t.doc_id, b.bit, sum(CASE WHEN b.b = 1 THEN 1 ELSE -1 END) AS cnt
                     FROM toks t JOIN bits b USING (tok) GROUP BY 1, 2),
          fp AS (SELECT doc_id, bit, CASE WHEN cnt > 0 THEN 1 ELSE 0 END AS fb FROM perdoc),
-         bands AS (SELECT doc_id, bit // 16 AS band, sum(fb * (1 << (bit % 16)))::BIGINT AS band_val
+         bands AS (SELECT doc_id, bit % 4 AS band, sum(fb * (1 << (bit // 4)))::BIGINT AS band_val
                    FROM fp GROUP BY 1, 2),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM bands a JOIN bands b ON a.band = b.band AND a.band_val = b.band_val

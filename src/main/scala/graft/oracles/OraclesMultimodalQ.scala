@@ -28,8 +28,10 @@ private[graft] object OraclesMultimodalQ {
     // pixel so the floored bounds partition the raster exactly as
     // Multimodal.dHash64 computes them.
     "image_phash_neardup" ->
-      """WITH d AS (SELECT doc_id, doc_id % 37 AS key,
-             16 + (doc_id % 37) % 16 AS w, 16 + (doc_id % 37) % 8 AS h,
+      """WITH nk AS (SELECT greatest(37, count(*) // 14) AS nk FROM documents),
+         d AS (SELECT doc_id, doc_id % (SELECT nk FROM nk) AS key,
+             16 + (doc_id % (SELECT nk FROM nk)) % 16 AS w,
+             16 + (doc_id % (SELECT nk FROM nk)) % 8 AS h,
              (doc_id % 3 = 0) AS pert FROM documents),
          cells AS (
            SELECT doc_id, gi.i AS i, gj.j AS j,
@@ -38,10 +40,10 @@ private[graft] object OraclesMultimodalQ {
                 y -> list_transform(
                   generate_series((gj.j * w) // 9, ((gj.j + 1) * w) // 9 - 1),
                   x -> (299 * (CASE WHEN pert AND y * w + x = key % (w * h)
-                               THEN ((key + 3 * (y * w + x)) % 256 + 16) % 256
-                               ELSE (key + 3 * (y * w + x)) % 256 END)
-                        + 587 * ((key + 3 * (y * w + x) + 1) % 256)
-                        + 114 * ((key + 3 * (y * w + x) + 2) % 256)) // 1000))))
+                               THEN ((((key * 48271 + (y * w + x) * 16807) % 2147483647) * 48271 % 2147483647) % 256 + 16) % 256
+                               ELSE (((key * 48271 + (y * w + x) * 16807) % 2147483647) * 48271 % 2147483647) % 256 END)
+                        + 587 * ((((key * 48271 + (y * w + x) * 16807 + 31) % 2147483647) * 48271 % 2147483647) % 256)
+                        + 114 * ((((key * 48271 + (y * w + x) * 16807 + 62) % 2147483647) * 48271 % 2147483647) % 256)) // 1000))))
               // ((((gi.i + 1) * h) // 8 - (gi.i * h) // 8)
                  * (((gj.j + 1) * w) // 9 - (gj.j * w) // 9)))::BIGINT AS cell
            FROM d, generate_series(0, 7) gi(i), generate_series(0, 8) gj(j)),
@@ -50,8 +52,8 @@ private[graft] object OraclesMultimodalQ {
                   FROM cells a JOIN cells b
                     ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
                   WHERE a.j < 8),
-         bands AS (SELECT doc_id, bit // 16 AS band,
-                     sum(fb * (1 << (bit % 16)))::BIGINT AS band_val
+         bands AS (SELECT doc_id, bit % 4 AS band,
+                     sum(fb * (1 << (bit // 4)))::BIGINT AS band_val
                    FROM bits GROUP BY 1, 2),
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM bands a JOIN bands b
