@@ -71,7 +71,9 @@ object SparkEntry {
     * as the WARC tier: graded queries build the raw artifact from row
     * fields, the operator normalizes it back). Covers mixed-case
     * scheme/host/tld, www, default + nonstandard ports, lowercase %xx
-    * hex, trailing slash, tracking params, unsorted query, fragment.
+    * hex, a literal non-escape '%' ('/50%off'), trailing slash,
+    * tracking params (both name=value and value-less bare names),
+    * unsorted query, fragment.
     */
   private def messyUrl(docId: Column, source: Column, pathKey: Column): Column = {
     val m2 = pmod(docId, lit(2)); val m3 = pmod(docId, lit(3))
@@ -85,12 +87,13 @@ object SparkEntry {
       when(m4 === 0, ":80").when(m4 === 1, ":443")
         .when(m4 === 2, ":8080").otherwise(""),
       lit("/Docs/%2fitem/"), pathKey.cast("string"),
+      when(m5 === 1, "/50%off").otherwise(""),
       when(m6 === 0, "/").otherwise(""),
       when(m6 === 0, "?b=2&utm_source=x&a=1")
-        .when(m6 === 1, "?gclid=g1&z=9")
+        .when(m6 === 1, "?gclid=g1&z=9&fbclid")
         .when(m6 === 2, "?fbclid=f&ref=r")
         .when(m6 === 3, "?a=1")
-        .when(m6 === 4, "?utm_campaign=c")
+        .when(m6 === 4, "?utm_campaign=c&ref")
         .otherwise(""),
       when(m2 === 0, "#Top").otherwise(""))
   }

@@ -681,9 +681,17 @@ object Dedup {
       col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .withColumn("n_lines", ceil(size(col("toks")) / lit(L.toDouble)).cast("long"))
       .persistTracked
+    // n_lines = 0 (zero-token doc) must yield ZERO lines: Spark's
+    // sequence(1, 0) DESCENDS to [1, 0] instead of being empty (the
+    // same pitfall shingles()/substringDupStats guard), which would
+    // manufacture two phantom empty lines per empty doc and diverge
+    // from the oracle's generate_series(1, 0) = []
+    val lineNos = when(col("n_lines") > 0,
+      sequence(lit(1), col("n_lines").cast("int")))
+      .otherwise(array().cast("array<int>"))
     val lines = base
       .select(col(idCol),
-        posexplode(transform(sequence(lit(1), col("n_lines").cast("int")),
+        posexplode(transform(lineNos,
           j => concat_ws(" ", slice(col("toks"), (j - 1) * L + 1, lit(L)))))
           .as(Seq("line_no", "line")))
       .select(col(idCol), col("line_no").cast("long").as("line_no"),

@@ -707,7 +707,11 @@ object Multimodal {
     * keep planted-pair mass LINEAR (~6.5·n). Both engines replay the
     * integer rule (count is exact, division truncating).
     */
-  def nearDupKeysPlan(n: Long): Int = math.max(37L, n / 14L).toInt
+  def nearDupKeysPlan(n: Long): Int =
+    // min against Int.MaxValue BEFORE toInt: above ~30 B docs n/14
+    // would wrap negative on a bare .toInt, making id % nKeys negative
+    // and the raster Array allocation throw
+    math.min(math.max(37L, n / 14L), Int.MaxValue.toLong).toInt
 
   /** Per-key pseudo-random pixel for the near-dup corpus (see the
     * [[syntheticNearDupImages]] doc for why the shared gradient can't

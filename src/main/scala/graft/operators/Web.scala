@@ -22,14 +22,22 @@ import org.apache.spark.sql.functions._
   *   4. drop the port when it is the scheme default (http:80,
   *      https:443); keep any other explicit port
   *   5. path: collapse trailing `/`s (root stays `/`), uppercase the
-  *      hex digits of every `%xx` escape
+  *      hex digits of every `%xx` escape (a `%` NOT followed by two
+  *      hex digits is literal path text and passes through untouched)
   *   6. query: drop tracking params (`utm_*`, `gclid`, `fbclid`,
-  *      `ref`), sort the rest byte-lexicographically, drop the `?`
-  *      when nothing survives
+  *      `ref`) whether `name=value` or value-less bare names, sort
+  *      the rest byte-lexicographically, drop the `?` when nothing
+  *      survives
   */
 object Web {
 
-  private val trackingParam = "^(utm_[a-z]+|gclid|fbclid|ref)="
+  // (=|$) so VALUE-LESS tracking params ('?utm_source', '&ref',
+  // '&gclid') are dropped too, not just 'name=value' forms
+  private val trackingParam = "^(utm_[a-z]+|gclid|fbclid|ref)(=|$)"
+
+  // a '%' is only an escape when followed by two hex digits — '/50%off'
+  // must pass through untouched, not become '/50%OFf'
+  private val hexPair = "^[0-9a-fA-F]{2}$"
 
   /** Lowercased scheme of `url` ('' when there is no `://`). */
   def urlScheme(url: Column): Column =
@@ -68,13 +76,17 @@ object Web {
 
     val pathTrim = regexp_replace(rawPath, "/+$", "")
     val pathRoot = when(pathTrim === "", lit("/")).otherwise(pathTrim)
-    // %xx hex-uppercasing: split on '%', uppercase the 2 hex chars at
-    // the head of every fragment but the first, rejoin — index-aware
-    // transform, no regex-callback needed (neither engine has one)
+    // %xx hex-uppercasing: split on '%', uppercase the 2 chars at the
+    // head of every fragment but the first WHEN they are hex digits
+    // (a bare '%' followed by non-hex is literal path text), rejoin —
+    // index-aware transform, no regex-callback needed (neither engine
+    // has one)
     val parts = split(pathRoot, "%", -1)
     val path = concat_ws("%", transform(parts, (x, i) =>
       when(i === 0, x).otherwise(
-        concat(upper(x.substr(lit(1), lit(2))), x.substr(lit(3), length(x))))))
+        when(x.substr(lit(1), lit(2)).rlike(hexPair),
+          concat(upper(x.substr(lit(1), lit(2))), x.substr(lit(3), length(x))))
+          .otherwise(x))))
 
     val params = filter(split(rawQuery, "&", -1),
       x => x =!= "" && !x.rlike(trackingParam))
@@ -132,44 +144,52 @@ object Web {
       .withColumn("_pp", split(col("_proot"), "%", -1))
       .withColumn("_path", concat_ws("%", transform(col("_pp"), (x, i) =>
         when(i === 0, x).otherwise(
-          concat(upper(x.substr(lit(1), lit(2))), x.substr(lit(3), length(x)))))))
+          when(x.substr(lit(1), lit(2)).rlike(hexPair),
+            concat(upper(x.substr(lit(1), lit(2))), x.substr(lit(3), length(x))))
+            .otherwise(x)))))
       .withColumn("_qs", concat_ws("&", array_sort(
         filter(split(col("_rawq"), "&", -1),
           x => x =!= "" && !x.rlike(trackingParam)))))
       .withColumn(canonCol, concat(col("_scheme"), lit("://"), col("_host"),
         col("_portsuf"), col("_path"),
         when(col("_qs") === "", lit("")).otherwise(concat(lit("?"), col("_qs")))))
-      .withColumn("_hl", split(col("_host"), "\\.", -1))
-      .withColumn(domainCol,
-        when(size(col("_hl")) <= 2, col("_host"))
-          .when(element_at(col("_hl"), -2).isInCollection(genericSld),
-            concat_ws(".", element_at(col("_hl"), -3),
-              element_at(col("_hl"), -2), element_at(col("_hl"), -1)))
-          .otherwise(concat_ws(".",
-            element_at(col("_hl"), -2), element_at(col("_hl"), -1))))
+      // PSL longest-match lookup on the staged _host (the InSet
+      // probes are cheap; only the label split is staged)
+      .withColumn(domainCol, registrableDomain(col("_host")))
       .drop("_u1", "_scheme", "_rest", "_cut", "_hostport", "_pathq", "_port",
         "_host", "_portsuf", "_qpos", "_rawpath", "_rawq", "_ptrim", "_proot",
-        "_pp", "_path", "_qs", "_hl")
+        "_pp", "_path", "_qs")
   }
 
-  /** Suffixes that take a third label for the registrable domain — a
-    * deterministic approximation of the Public Suffix List's dominant
-    * rule (`<sld>.<cc>` where sld is a generic second-level). The full
-    * PSL would be a broadcast lookup table at this exact spot; the
-    * rollup shape (group by a scan-computed key) is identical.
-    */
-  private val genericSld = Seq("co", "com", "net", "org", "ac", "gov", "edu")
-
-  /** Registrable domain of a canonical host: last two labels, or last
-    * three when the second-level label is a generic SLD (`bbc.co.uk`).
+  /** Registrable domain of a canonical host via the Public Suffix
+    * List algorithm over the embedded [[Psl]] table: exception rules
+    * short-circuit (their own labels ARE the domain), else the
+    * longest matching rule (exact 3-label, 2-label wildcard, exact
+    * 2-label, 1-label wildcard, implicit `*` TLD) is the public
+    * suffix and the domain is that suffix plus one label. A host
+    * that is itself a public suffix maps to itself (keeps the
+    * rollup key total). Pure Column expression — the suffix sets
+    * compile to codegen'd `InSet` hash probes shipped with the plan
+    * (the broadcast-table shape), zero shuffle, zero UDF; the DuckDB
+    * oracle replays the identical lookup generated from the SAME
+    * sets ([[Psl.domainCaseSql]]).
     */
   def registrableDomain(host: Column): Column = {
     val labels = split(host, "\\.", -1)
     val n = size(labels)
-    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last1 = element_at(labels, -1)
+    val last2 = concat_ws(".", element_at(labels, -2), last1)
     val last3 = concat_ws(".", element_at(labels, -3), last2)
-    when(n <= 2, host)
-      .when(element_at(labels, -2).isInCollection(genericSld), last3)
-      .otherwise(last2)
+    val sufLen =
+      when((n >= 3) && (last3.isInCollection(Psl.suffix3) ||
+        last2.isInCollection(Psl.wildcard2)), lit(3))
+        .when(last2.isInCollection(Psl.suffix2) ||
+          last1.isInCollection(Psl.wildcard1), lit(2))
+        .otherwise(lit(1))
+    when(n <= 1, host)
+      .when((n >= 2) && last2.isInCollection(Psl.exception2), last2)
+      .when((n >= 3) && last3.isInCollection(Psl.exception3), last3)
+      .otherwise(concat_ws(".",
+        slice(labels, greatest(lit(1), n - sufLen), sufLen + 1)))
   }
 }

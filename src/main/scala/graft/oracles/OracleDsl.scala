@@ -438,10 +438,11 @@ private[graft] object OracleDsl {
            (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
                  WHEN 2 THEN ':8080' ELSE '' END) ||
            '/Docs/%2fitem/' || CAST($pathKey AS VARCHAR) ||
+           (CASE WHEN doc_id % 5 = 1 THEN '/50%off' ELSE '' END) ||
            (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
            (CASE doc_id % 6 WHEN 0 THEN '?b=2&utm_source=x&a=1'
-                 WHEN 1 THEN '?gclid=g1&z=9' WHEN 2 THEN '?fbclid=f&ref=r'
-                 WHEN 3 THEN '?a=1' WHEN 4 THEN '?utm_campaign=c'
+                 WHEN 1 THEN '?gclid=g1&z=9&fbclid' WHEN 2 THEN '?fbclid=f&ref=r'
+                 WHEN 3 THEN '?a=1' WHEN 4 THEN '?utm_campaign=c&ref'
                  ELSE '' END) ||
            (CASE WHEN doc_id % 2 = 0 THEN '#Top' ELSE '' END) AS url
          FROM documents),
@@ -472,20 +473,19 @@ private[graft] object OracleDsl {
        c10 AS (SELECT *, coalesce(array_to_string(
                  list_transform(generate_series(1, len(pp)),
                    i -> CASE WHEN i = 1 THEN pp[i]
-                             ELSE upper(substr(pp[i], 1, 2)) || substr(pp[i], 3) END),
+                             WHEN regexp_matches(substr(pp[i], 1, 2), '^[0-9a-fA-F]{2}$$')
+                               THEN upper(substr(pp[i], 1, 2)) || substr(pp[i], 3)
+                             ELSE pp[i] END),
                  '%'), '') AS path FROM c9),
        c11 AS (SELECT *, coalesce(array_to_string(list_sort(
                  list_filter(str_split(rawq, '&'),
                    x -> x != '' AND NOT regexp_matches(x,
-                     '^(utm_[a-z]+|gclid|fbclid|ref)='))), '&'), '') AS qs FROM c10),
+                     '^(utm_[a-z]+|gclid|fbclid|ref)(=|$$)'))), '&'), '') AS qs FROM c10),
        c12 AS (SELECT *, str_split(host, '.') AS hl FROM c11),
        canon AS (SELECT doc_id,
            scheme || '://' || host || portsuf || path ||
              CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_canon,
-           CASE WHEN len(hl) <= 2 THEN host
-                WHEN hl[-2] IN ('co','com','net','org','ac','gov','edu')
-                  THEN hl[-3] || '.' || hl[-2] || '.' || hl[-1]
-                ELSE hl[-2] || '.' || hl[-1] END AS domain
+           ${operators.Psl.domainCaseSql("hl", "host")} AS domain
          FROM c12)"""
 
 }

@@ -266,4 +266,19 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(1) == 3L && r.getLong(2) == 3L)
     assert(r.getString(3) == "p q\nr s\nt")
   }
+
+  test("lineDedupApply: zero-token docs yield zero lines, not phantom empties") {
+    import spark.implicits._
+    // sequence(1, 0) DESCENDS in Spark — unguarded, each empty doc
+    // would manufacture two phantom '' lines that join the global
+    // winner election (one doc would report n_kept=1) and diverge
+    // from the oracle's generate_series(1, 0) = []
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "a b")).toDF("doc_id", "text")
+    val got = Dedup.lineDedupApply(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((0L, 0L, "")), s"empty doc: ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, "")), s"whitespace doc: ${got(2L)}")
+    assert(got(3L) == ((1L, 1L, "a b")))
+  }
 }

@@ -20,8 +20,17 @@ class WebSpec extends SparkSpec {
     assert(canon("http://e.com/p?b=2&utm_source=x&a=1") == Seq("http://e.com/p?a=1&b=2"))
     assert(canon("http://e.com/p?utm_campaign=c&gclid=g&fbclid=f&ref=r")
       == Seq("http://e.com/p"))
-    // %xx hex uppercased, trailing slashes collapse, root path restored
-    assert(canon("http://e.com/a%2fb%a/") == Seq("http://e.com/a%2Fb%A"))
+    // VALUE-LESS tracking params drop too ('?utm_source', '&ref')
+    assert(canon("http://e.com/p?utm_source&a=1&ref") == Seq("http://e.com/p?a=1"))
+    assert(canon("http://e.com/p?gclid&fbclid") == Seq("http://e.com/p"))
+    // but non-tracking value-less params survive ('refx' is not 'ref')
+    assert(canon("http://e.com/p?refx&dl") == Seq("http://e.com/p?dl&refx"))
+    // %xx hex uppercased; a '%' NOT followed by two hex digits is
+    // literal text and passes through untouched ('%a' is 1 char,
+    // '%off' is non-hex); trailing slashes collapse, root restored
+    assert(canon("http://e.com/a%2fb%a/") == Seq("http://e.com/a%2Fb%a"))
+    assert(canon("http://e.com/50%off") == Seq("http://e.com/50%off"))
+    assert(canon("http://e.com/x%2f%zz%4d") == Seq("http://e.com/x%2F%zz%4D"))
     assert(canon("http://e.com///") == Seq("http://e.com/"))
     assert(canon("http://e.com") == Seq("http://e.com/"))
   }
@@ -52,12 +61,31 @@ class WebSpec extends SparkSpec {
       s"staged ${staged.toSeq} != expression ${exprForm.toSeq}")
   }
 
-  test("registrableDomain: generic-SLD hosts take three labels") {
-    val hosts = Seq("news.bbc.co.uk", "a.b.example.com", "example.com",
-      "localhost", "x.gov.au", "deep.sub.tree.org")
-    val got = hosts.toDF("h")
-      .select(Web.registrableDomain(col("h"))).collect().map(_.getString(0)).toSeq
-    assert(got == Seq("bbc.co.uk", "example.com", "example.com",
-      "localhost", "x.gov.au", "tree.org"))
+  test("registrableDomain: PSL longest-match over exact/wildcard/exception rules") {
+    def dom(hosts: String*): Seq[String] =
+      hosts.toDF("h")
+        .select(Web.registrableDomain(col("h"))).collect().map(_.getString(0)).toSeq
+    // exact 2-label ccTLD rules + the implicit '*' TLD rule
+    assert(dom("news.bbc.co.uk", "a.b.example.com", "example.com",
+      "localhost", "x.gov.au", "deep.sub.tree.org", "shop.foo.co.jp")
+      == Seq("bbc.co.uk", "example.com", "example.com",
+        "localhost", "x.gov.au", "tree.org", "foo.co.jp"))
+    // private-section hosting suffixes: every user site is its own
+    // registrable domain (the github.io-class case the old 7-entry
+    // genericSld approximation mislabeled)
+    assert(dom("user.github.io", "a.user.github.io", "app.herokuapp.com")
+      == Seq("user.github.io", "user.github.io", "app.herokuapp.com"))
+    // exact 3-label rules
+    assert(dom("mybucket.s3.amazonaws.com", "school.k12.ca.us")
+      == Seq("mybucket.s3.amazonaws.com", "school.k12.ca.us"))
+    // wildcard rules: *.ck / *.kawasaki.jp make the NEXT label a suffix
+    assert(dom("a.foo.ck", "b.x.kawasaki.jp")
+      == Seq("a.foo.ck", "b.x.kawasaki.jp"))
+    // exception rules beat the wildcard: !www.ck / !city.kawasaki.jp
+    assert(dom("www.ck", "sub.www.ck", "city.kawasaki.jp", "sub.city.kawasaki.jp")
+      == Seq("www.ck", "www.ck", "city.kawasaki.jp", "city.kawasaki.jp"))
+    // a host that IS a public suffix maps to itself (total rollup key)
+    assert(dom("co.uk", "github.io", "foo.ck", "x.kawasaki.jp")
+      == Seq("co.uk", "github.io", "foo.ck", "x.kawasaki.jp"))
   }
 }
