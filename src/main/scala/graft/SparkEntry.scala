@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Curation, Dedup, Embeddings, Multimodal, Similarity, Skew, Temporal, TextAnalysis, Warc, Web}
+import graft.operators.{Corpus, Curation, Dedup, Embeddings, Html, Multimodal, Similarity, Skew, Temporal, TextAnalysis, Warc, Web}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -96,6 +96,33 @@ object SparkEntry {
         .when(m6 === 4, "?utm_campaign=c&ref")
         .otherwise(""),
       when(m2 === 0, "#Top").otherwise(""))
+  }
+
+  /** Deterministic MESSY html page manufactured from row fields — the
+    * html_extract test input (same construct discipline as messyUrl /
+    * the WARC tier). Head noise (title/style/script — the script body
+    * carries a raw '<' so container-kill order is exercised), an
+    * all-link nav, the doc text as the one real content block, a
+    * mixed link-density block on every third doc, a short CTA
+    * fragment on doc_id%4==1, and a link-heavy footer.
+    */
+  private def messyHtml(docId: Column, source: Column, text: Column): Column = {
+    val m3 = pmod(docId, lit(3)); val m4 = pmod(docId, lit(4))
+    concat(
+      lit("<html><head><title>Doc "), docId.cast("string"),
+      lit("</title><style>p { margin:0 }</style>"),
+      lit("<script>var x = 1 < 2;</script></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> "),
+      lit("<a href=\"/contact\">Contact</a></nav>"),
+      lit("<div><p>"), text, lit("</p></div>"),
+      when(m3 === 0, concat(
+        lit("<p>Read more: <a href=\"/rel\">a related article from "), source,
+        lit("</a> and <a href=\"/arch\">the archive</a> end.</p>")))
+        .otherwise(""),
+      when(m4 === 1, "<p>Buy now!</p>").otherwise(""),
+      lit("<footer><a href=\"/privacy\">Privacy policy overview page</a> | "),
+      lit("<a href=\"/terms\">Terms of service agreement</a></footer>"),
+      lit("</body></html>"))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -655,6 +682,16 @@ object SparkEntry {
         0.4)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
 
+    // the threshold OPERATING CURVE for the banded channel — candidate
+    // + verified-pair mass at each threshold from ONE pair join (the
+    // semdedup_rate_curve trick): in-query evidence for the two
+    // OUTPUT-BOUND cosine channels' pair-mass growth, replacing the
+    // carried scaling adjudication with a measured curve a consumer
+    // tunes the threshold against
+    "neardup_cosine_rate_curve" -> ((s, dir) =>
+      Similarity.nearDupCosineRateCurve(t(s, dir, "embeddings"),
+        "vec_id", "embedding", Seq(0.3, 0.4, 0.5, 0.6, 0.7))),
+
     // measured recall of the DEPLOYED banded config (auto bits, 6
     // tables) vs exact ground truth on the id%2 sample — the number
     // that prices the graded parameters (LSH recall at near-orthogonal
@@ -1000,6 +1037,24 @@ object SparkEntry {
         "doc_id", "dhash", 3)
     }),
 
+    // incremental image near-dup — the production shape of crawl
+    // image dedup: the (id, dhash) index is persisted once (decode +
+    // dHash in a single scan pass, 8 bytes per image thereafter), the
+    // daily batch (doc_id%10=0) bands against the corpus slice
+    // (%10≠0) — batch×corpus only, never corpus×corpus. Same 4×16
+    // strided bands + exact Hamming verify as the full-corpus channel
+    "image_phash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val hashed = Multimodal.imageDHash(
+        Multimodal.syntheticNearDupImages(docs, "doc_id",
+          Multimodal.nearDupKeysPlan(docs.count())),
+        "doc_id", "img").persistTracked
+      Dedup.hashNearDupsIncremental(
+        hashed.where(pmod(col("doc_id"), lit(10)) === 0),
+        hashed.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "dhash", 3)
+    }),
+
     // PNG is NOT stubbed: java.util.zip IS zlib, so construct real
     // compressed PNGs (per-row filters cycling through all five types)
     // and fully decode them back — chunk walk, CRC32 verify, inflate,
@@ -1189,6 +1244,25 @@ object SparkEntry {
         .groupBy(col("domain"))
         .agg(count(lit(1)).as("n_urls"), countDistinct(col("c")).as("n_unique"))
         .withColumn("n_dups", col("n_urls") - col("n_unique"))
+    }),
+
+    // crawl-tier boilerplate extraction (WARC → extract → canonicalize
+    // → dedup): deterministic MESSY html pages are manufactured from
+    // row fields — script/style/title noise, an all-link nav, the doc
+    // text as the main block, a mixed link-density "related" block, a
+    // short CTA fragment, a link-heavy footer — then Html.extract's
+    // jusText/C4 rules (kill containers, segment on block tags, keep
+    // blocks with >=30 chars and <=1/3 link share) recover the main
+    // text. Pure row-local regex/array Column work, zero shuffle; the
+    // oracle replays the identical Java∩RE2 chain
+    "html_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Html.extract(
+        docs.select(col("doc_id"),
+          messyHtml(col("doc_id"), col("source"), col("text")).as("html")),
+        "doc_id", "html")
+        .select(col("doc_id"), col("n_blocks"), col("n_content"),
+          col("main_chars"), col("text_main"))
     }),
 
     // serialization surface: documents → JSONL lines → parsed back,

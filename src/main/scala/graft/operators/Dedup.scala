@@ -760,13 +760,7 @@ object Dedup {
     */
   def hashNearDups(hashed: DataFrame, idCol: String, hashCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4x16-bit banding guarantees recall only for Hamming <= 3")
-    val bandVals = (0 until 4).map(b =>
-      (0 until 16).map(i =>
-        shiftleft(shiftright(col(hashCol), 4 * i + b).bitwiseAND(lit(1L)), i))
-        .reduce(_ + _))
-    val banded = hashed.select(
-      col(idCol), col(hashCol),
-      posexplode(array(bandVals: _*)).as(Seq("band", "band_val")))
+    val banded = strideBanded(hashed, idCol, hashCol)
     val a = banded.select(col(idCol).as("id_a"), col(hashCol).as("sh_a"), col("band"), col("band_val"))
     val b = banded.select(col(idCol).as("id_b"), col(hashCol).as("sh_b"), col("band"), col("band_val"))
     a.join(b, Seq("band", "band_val"))
@@ -776,5 +770,50 @@ object Dedup {
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** The four stride-4 16-bit band values of a 64-bit fingerprint
+    * column (see [[hashNearDups]] for why strided, not contiguous).
+    * Shared by the batch joins and the stateless streaming twin.
+    */
+  def strideBandVals(hashCol: Column): Seq[Column] =
+    (0 until 4).map(b =>
+      (0 until 16).map(i =>
+        shiftleft(shiftright(hashCol, 4 * i + b).bitwiseAND(lit(1L)), i))
+        .reduce(_ + _))
+
+  private def strideBanded(hashed: DataFrame, idCol: String, hashCol: String): DataFrame =
+    hashed.select(
+      col(idCol), col(hashCol),
+      posexplode(array(strideBandVals(col(hashCol)): _*)).as(Seq("band", "band_val")))
+
+  /** Incremental Hamming-≤k near-dup over ANY 64-bit fingerprint: the
+    * daily batch banded against the persisted corpus index (id, hash)
+    * — batch×corpus only, NEVER corpus×corpus. The production shape of
+    * crawl image dedup: the dHash index is an 8-byte column appended
+    * at ingest; each new batch shuffles O(batch·4 + corpus·4) band
+    * rows, full recall for maxHamming ≤ 3 by the same 4×16 pigeonhole
+    * as [[hashNearDups]], exact popcount verify on collisions.
+    *
+    * @return (id_new, id_old, hamming) — every near-dup link from the
+    *         batch into the corpus (a batch image may hit many).
+    */
+  def hashNearDupsIncremental(
+      newHashed: DataFrame,
+      corpusHashed: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only for Hamming <= 3")
+    val a = strideBanded(newHashed, idCol, hashCol)
+      .select(col(idCol).as("id_new"), col(hashCol).as("sh_a"), col("band"), col("band_val"))
+    val b = strideBanded(corpusHashed, idCol, hashCol)
+      .select(col(idCol).as("id_old"), col(hashCol).as("sh_b"), col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .select("id_new", "id_old", "sh_a", "sh_b")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_new"), col("id_old"), col("hamming"))
   }
 }

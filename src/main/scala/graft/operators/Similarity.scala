@@ -369,6 +369,66 @@ object Similarity {
     * @return (id_new, id_old, cosine) — every near-dup link from the
     *         batch into the corpus (a batch vector may hit many)
     */
+  /** The threshold OPERATING CURVE of the banded cosine near-dup —
+    * candidate mass and verified-pair mass at every threshold of a
+    * ladder, from ONE banded pair join at the deployed config (auto
+    * bits via [[lshPlanBits]], `nTables` tables). The two channels'
+    * output growth is OUTPUT-BOUND (pair mass is a corpus property:
+    * how many embeddings actually lie within θ), so instead of a
+    * carried adjudication note, this query measures the
+    * threshold→mass curve in-band — the number a consumer tunes θ
+    * against, and the scaling chain cites directly.
+    *
+    * Cost: identical to one [[nearDupCosineBanded]] run — the
+    * threshold ladder is a multi-conditional aggregate over the same
+    * verified candidate set (the semDedupRateCurve trick), NOT one
+    * join per threshold.
+    *
+    * @return one row per threshold: (threshold, n_candidates,
+    *         n_pairs, pair_rate) — n_candidates is the banding's
+    *         distinct candidate-pair count (threshold-independent by
+    *         construction), pair_rate = n_pairs/n_candidates rounded
+    *         half-up to 4 decimals (0 when there are no candidates).
+    */
+  def nearDupCosineRateCurve(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      thresholds: Seq[Double],
+      targetBucketRows: Long = 64,
+      nTables: Int = 6): DataFrame = {
+    val nBits = lshPlanBits(df.count(), targetBucketRows)
+    val v = Dedup.rebalance(df)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .persistTracked
+    val tableBuckets = (0 until nTables).map(tb =>
+      graft.functions.VectorExprs.hyperplaneBucketAt(col("v"), nBits, tb * nBits))
+    val banded = v.select(col(idCol),
+      posexplode(array(tableBuckets: _*)).as(Seq("tbl", "bucket")))
+    val cands = banded.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
+      .join(banded.select(col(idCol).as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val withCos = cands
+      .join(v.select(col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(v.select(col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine", dot(col("va"), col("vb")) / sqrt(col("na") * col("nb")))
+    val cntCols = thresholds.zipWithIndex.map { case (t, i) =>
+      sum(when(col("cosine") >= t, 1L).otherwise(0L)).as(s"np$i")
+    }
+    val row = withCos.agg(count(lit(1)).as("n_candidates"), cntCols: _*)
+    thresholds.zipWithIndex.map { case (t, i) =>
+      row.select(lit(t).as("threshold"), col("n_candidates"),
+        col(s"np$i").as("n_pairs"),
+        (floor(col(s"np$i").cast("double") /
+          greatest(col("n_candidates"), lit(1L)).cast("double") * 10000
+          + lit(0.5)) / 10000).as("pair_rate"))
+    }.reduce(_.unionByName(_))
+  }
+
   def nearDupCosineBandedIncremental(
       newDf: DataFrame,
       corpusDf: DataFrame,

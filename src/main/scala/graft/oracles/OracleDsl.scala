@@ -420,6 +420,44 @@ private[graft] object OracleDsl {
          ${(0 until maxDepth).map(level).mkString(",\n         ")}"""
   }
 
+  /** Closed-form dHash replay for the synthetic near-dup image corpus:
+    * grid cells from the Lehmer pixel formula (never decoding — the
+    * Spark side proves the codecs invert), dHash comparison bits, and
+    * the stride-4 16-bit band values. Shared by image_phash_neardup /
+    * image_phash_incremental, which append their own candidate-join +
+    * Hamming-verify tail over `bands`/`bits`. w≥16, h≥16 keeps every
+    * box ≥1 pixel so the floored bounds partition the raster exactly
+    * as Multimodal.dHash64 computes them.
+    */
+  def duckDhashCtes: String =
+    """nk AS (SELECT least(greatest(37, count(*) // 14), 2147483647) AS nk FROM documents),
+         d AS (SELECT doc_id, doc_id % (SELECT nk FROM nk) AS key,
+             16 + (doc_id % (SELECT nk FROM nk)) % 16 AS w,
+             16 + (doc_id % (SELECT nk FROM nk)) % 8 AS h,
+             (doc_id % 3 = 0) AS pert FROM documents),
+         cells AS (
+           SELECT doc_id, gi.i AS i, gj.j AS j,
+             (list_sum(flatten(list_transform(
+                generate_series((gi.i * h) // 8, ((gi.i + 1) * h) // 8 - 1),
+                y -> list_transform(
+                  generate_series((gj.j * w) // 9, ((gj.j + 1) * w) // 9 - 1),
+                  x -> (299 * (CASE WHEN pert AND y * w + x = key % (w * h)
+                               THEN ((((key * 48271 + (y * w + x) * 16807) % 2147483647) * 48271 % 2147483647) % 256 + 16) % 256
+                               ELSE (((key * 48271 + (y * w + x) * 16807) % 2147483647) * 48271 % 2147483647) % 256 END)
+                        + 587 * ((((key * 48271 + (y * w + x) * 16807 + 31) % 2147483647) * 48271 % 2147483647) % 256)
+                        + 114 * ((((key * 48271 + (y * w + x) * 16807 + 62) % 2147483647) * 48271 % 2147483647) % 256)) // 1000))))
+              // ((((gi.i + 1) * h) // 8 - (gi.i * h) // 8)
+                 * (((gj.j + 1) * w) // 9 - (gj.j * w) // 9)))::BIGINT AS cell
+           FROM d, generate_series(0, 7) gi(i), generate_series(0, 8) gj(j)),
+         bits AS (SELECT a.doc_id, a.i * 8 + a.j AS bit,
+                    CASE WHEN a.cell < b.cell THEN 1 ELSE 0 END AS fb
+                  FROM cells a JOIN cells b
+                    ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
+                  WHERE a.j < 8),
+         bands AS (SELECT doc_id, bit % 4 AS band,
+                     sum(fb * (1 << (bit // 4)))::BIGINT AS band_val
+                   FROM bits GROUP BY 1, 2),"""
+
   /** CTE chain replaying Web.canonicalizeUrl + registrableDomain over
     * the SparkEntry.messyUrl construction, parameterized by the path
     * key expression. Final CTE `canon(doc_id, url_canon, domain)`.

@@ -28,33 +28,7 @@ private[graft] object OraclesMultimodalQ {
     // pixel so the floored bounds partition the raster exactly as
     // Multimodal.dHash64 computes them.
     "image_phash_neardup" ->
-      """WITH nk AS (SELECT greatest(37, count(*) // 14) AS nk FROM documents),
-         d AS (SELECT doc_id, doc_id % (SELECT nk FROM nk) AS key,
-             16 + (doc_id % (SELECT nk FROM nk)) % 16 AS w,
-             16 + (doc_id % (SELECT nk FROM nk)) % 8 AS h,
-             (doc_id % 3 = 0) AS pert FROM documents),
-         cells AS (
-           SELECT doc_id, gi.i AS i, gj.j AS j,
-             (list_sum(flatten(list_transform(
-                generate_series((gi.i * h) // 8, ((gi.i + 1) * h) // 8 - 1),
-                y -> list_transform(
-                  generate_series((gj.j * w) // 9, ((gj.j + 1) * w) // 9 - 1),
-                  x -> (299 * (CASE WHEN pert AND y * w + x = key % (w * h)
-                               THEN ((((key * 48271 + (y * w + x) * 16807) % 2147483647) * 48271 % 2147483647) % 256 + 16) % 256
-                               ELSE (((key * 48271 + (y * w + x) * 16807) % 2147483647) * 48271 % 2147483647) % 256 END)
-                        + 587 * ((((key * 48271 + (y * w + x) * 16807 + 31) % 2147483647) * 48271 % 2147483647) % 256)
-                        + 114 * ((((key * 48271 + (y * w + x) * 16807 + 62) % 2147483647) * 48271 % 2147483647) % 256)) // 1000))))
-              // ((((gi.i + 1) * h) // 8 - (gi.i * h) // 8)
-                 * (((gj.j + 1) * w) // 9 - (gj.j * w) // 9)))::BIGINT AS cell
-           FROM d, generate_series(0, 7) gi(i), generate_series(0, 8) gj(j)),
-         bits AS (SELECT a.doc_id, a.i * 8 + a.j AS bit,
-                    CASE WHEN a.cell < b.cell THEN 1 ELSE 0 END AS fb
-                  FROM cells a JOIN cells b
-                    ON b.doc_id = a.doc_id AND b.i = a.i AND b.j = a.j + 1
-                  WHERE a.j < 8),
-         bands AS (SELECT doc_id, bit % 4 AS band,
-                     sum(fb * (1 << (bit // 4)))::BIGINT AS band_val
-                   FROM bits GROUP BY 1, 2),
+      s"""WITH ${duckDhashCtes}
          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM bands a JOIN bands b
                     ON a.band = b.band AND a.band_val = b.band_val
@@ -65,6 +39,23 @@ private[graft] object OraclesMultimodalQ {
                    JOIN bits fb2 ON fb2.doc_id = c.id_b AND fb2.bit = fa.bit
                  GROUP BY 1, 2)
          SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""",
+
+    // incremental twin: the SAME closed-form dHash replay, but the
+    // daily batch (doc_id%10=0) banded against the corpus index
+    // (%10≠0) — batch×corpus only, never corpus×corpus, mirroring
+    // neardup_incremental's split
+    "image_phash_incremental" ->
+      s"""WITH ${duckDhashCtes}
+         cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_val = b.band_val
+                  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0),
+         ham AS (SELECT c.id_new, c.id_old,
+                   sum(CASE WHEN fa.fb <> fb2.fb THEN 1 ELSE 0 END)::BIGINT AS hamming
+                 FROM cand c JOIN bits fa ON fa.doc_id = c.id_new
+                   JOIN bits fb2 ON fb2.doc_id = c.id_old AND fb2.bit = fa.bit
+                 GROUP BY 1, 2)
+         SELECT id_new, id_old, hamming FROM ham WHERE hamming <= 3""",
 
     // Web.canonicalizeUrl replayed step-for-step (duckUrlCanonCtes)
     // over the same manufactured messy urls — the canonical STRING is
@@ -83,6 +74,54 @@ private[graft] object OraclesMultimodalQ {
            count(DISTINCT url_canon)::BIGINT AS n_unique,
            (count(*) - count(DISTINCT url_canon))::BIGINT AS n_dups
          FROM canon GROUP BY 1""",
+
+    // Html.extract replayed step-for-step: the same constructed page,
+    // the same container kills, block segmentation, per-block
+    // clean/score, and the same integer keep rules (>=30 chars,
+    // 3*link_chars <= text_chars) — text_main is hash-graded so every
+    // regex pass is pinned exactly
+    "html_extract" ->
+      """WITH u AS (SELECT doc_id,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+           '</title><style>p { margin:0 }</style>' ||
+           '<script>var x = 1 < 2;</script></head><body>' ||
+           '<nav><a href="/">Home</a> <a href="/about">About us</a> ' ||
+           '<a href="/contact">Contact</a></nav>' ||
+           '<div><p>' || text || '</p></div>' ||
+           (CASE WHEN doc_id % 3 = 0 THEN
+             '<p>Read more: <a href="/rel">a related article from ' || source ||
+             '</a> and <a href="/arch">the archive</a> end.</p>' ELSE '' END) ||
+           (CASE WHEN doc_id % 4 = 1 THEN '<p>Buy now!</p>' ELSE '' END) ||
+           '<footer><a href="/privacy">Privacy policy overview page</a> | ' ||
+           '<a href="/terms">Terms of service agreement</a></footer>' ||
+           '</body></html>' AS html
+         FROM documents),
+         k1 AS (SELECT doc_id, regexp_replace(html,
+                  '(?is)<script(\s[^>]*)?>.*?</script>', ' ', 'g') AS h FROM u),
+         k2 AS (SELECT doc_id, regexp_replace(h,
+                  '(?is)<style(\s[^>]*)?>.*?</style>', ' ', 'g') AS h FROM k1),
+         k3 AS (SELECT doc_id, regexp_replace(h,
+                  '(?is)<title(\s[^>]*)?>.*?</title>', ' ', 'g') AS h FROM k2),
+         k4 AS (SELECT doc_id, regexp_replace(h,
+                  '(?i)</?(p|div|h[1-6]|ul|ol|li|table|tr|td|nav|header|footer|article|section|br|body|html|head)(\s[^>]*)?/?>',
+                  chr(1), 'g') AS h FROM k3),
+         bl AS (SELECT doc_id, str_split(h, chr(1)) AS bls FROM k4),
+         st AS (SELECT doc_id, list_transform(bls, x -> struct_pack(
+             t := trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ', 'g'),
+                   '\s+', ' ', 'g')),
+             l := len(trim(regexp_replace(regexp_replace(
+                   coalesce(array_to_string(regexp_extract_all(x,
+                     '(?is)<a(\s[^>]*)?>(.*?)</a>', 2), ' '), ''),
+                   '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))))) AS st
+           FROM bl),
+         f AS (SELECT doc_id,
+             len(list_filter(st, s -> len(s.t) > 0))::BIGINT AS n_blocks,
+             list_filter(st, s -> len(s.t) >= 30 AND s.l * 3 <= len(s.t)) AS ct
+           FROM st)
+         SELECT doc_id, n_blocks, len(ct)::BIGINT AS n_content,
+           len(coalesce(array_to_string(list_transform(ct, s -> s.t), chr(10)), ''))::BIGINT AS main_chars,
+           coalesce(array_to_string(list_transform(ct, s -> s.t), chr(10)), '') AS text_main
+         FROM f""",
 
     "jsonl_roundtrip" ->
       """SELECT lang, count(*)::BIGINT AS n_docs, min(doc_id) AS min_id,

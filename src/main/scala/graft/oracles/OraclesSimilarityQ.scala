@@ -17,6 +17,27 @@ private[graft] object OraclesSimilarityQ {
          ${duckBandedCtes()}
          SELECT id_a, id_b, round(cs, 6) AS cosine FROM bpairs WHERE cs >= 0.4""",
 
+    // Threshold operating-curve replay: the same banded candidate CTEs,
+    // then one multi-conditional aggregate over bpairs unrolled to one
+    // row per ladder point — n_candidates is threshold-independent by
+    // construction, n_pairs/pair_rate pin the verify mass per theta.
+    "neardup_cosine_rate_curve" -> {
+      val ths = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
+      val rows = ths.map { t =>
+        s"""SELECT $t AS threshold, tot.n_candidates,
+             (SELECT count(*) FROM bp WHERE cs >= $t)::BIGINT AS n_pairs,
+             floor((SELECT count(*) FROM bp WHERE cs >= $t)::DOUBLE
+               / greatest(tot.n_candidates, 1)::DOUBLE * 10000 + 0.5) / 10000
+               AS pair_rate
+           FROM tot"""
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ${duckBandedCtes()},
+         bp AS MATERIALIZED (SELECT * FROM bpairs),
+         tot AS (SELECT count(*)::BIGINT AS n_candidates FROM bp)
+         $rows"""
+    },
+
     // Deployed-parameter recall harness replay: exact pairs on the
     // id%2 sample, banded pairs via the same bits-from-n + sign-matrix
     // CTEs, recall from the two exact integer counts.

@@ -331,6 +331,50 @@ object Streams {
       .select(col("id_new"), col("id_old"), col("jaccard"))
   }
 
+  /** Streaming incremental fingerprint (SimHash / image dHash)
+    * near-dup — the Hamming-channel twin of
+    * [[incrementalNearDupStream]], mirroring the batch
+    * [[graft.operators.Dedup.hashNearDupsIncremental]]: each
+    * micro-batch of (id, 64-bit hash) rows joins the STATIC corpus
+    * band index on (band, band_val) — the same stride-4 16-bit bands
+    * as batch — with exact popcount verify on collisions. STATELESS
+    * exactly-once pair emission via the first-matching-band trick:
+    * both sides carry their full 4-value band array, so "no earlier
+    * band also matched" is a row-local predicate, not a stateful
+    * distinct. No watermark, zero streaming state.
+    */
+  def incrementalHashNearDupStream(
+      newHashed: DataFrame,
+      corpusHashed: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    require(maxHamming <= 3, "4x16-bit banding guarantees recall only for Hamming <= 3")
+    def withBands(df: DataFrame, idAs: String, hAs: String, baAs: String) =
+      df.select(col(idCol).as(idAs), col(hashCol).as(hAs),
+        array(Dedup.strideBandVals(col(hashCol)): _*).as(baAs))
+    val s = withBands(newHashed, "id_new", "sh_a", "ba_new")
+      .select(col("id_new"), col("sh_a"), col("ba_new"),
+        posexplode(col("ba_new")).as(Seq("band", "band_val")))
+    val c = withBands(corpusHashed, "id_old", "sh_b", "ba_old")
+      .persistTracked
+      .select(col("id_old"), col("sh_b"), col("ba_old"),
+        posexplode(col("ba_old")).as(Seq("band", "band_val")))
+    // band is 0-based: slice length `band` = bands strictly before it
+    val firstMatch = !exists(
+      zip_with(
+        slice(col("ba_new"), lit(1), col("band")),
+        slice(col("ba_old"), lit(1), col("band")),
+        (x, y) => x === y),
+      b => b)
+    s.join(c, Seq("band", "band_val"))
+      .where(firstMatch)
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_new"), col("id_old"), col("hamming"))
+  }
+
   /** Streaming incremental cosine near-dup — the embedding-channel
     * twin of [[incrementalNearDupStream]], mirroring the batch
     * [[graft.operators.Similarity.nearDupCosineBandedIncremental]]:

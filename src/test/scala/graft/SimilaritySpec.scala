@@ -126,6 +126,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getAs[Double]("recall") > 0.0)
   }
 
+  test("cosine rate curve: monotone in threshold, consistent with the deployed join") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val curve = Similarity.nearDupCosineRateCurve(emb, "vec_id", "embedding",
+      Seq(0.3, 0.4, 0.5)).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        ((r.getAs[Long]("n_candidates"), r.getAs[Long]("n_pairs")))).toMap
+    // one candidate count across the whole ladder (one pair join)
+    assert(curve.values.map(_._1).toSet.size == 1)
+    // verified mass is monotone non-increasing in the threshold and
+    // bounded by the candidate mass
+    val ns = Seq(0.3, 0.4, 0.5).map(t => curve(t)._2)
+    assert(ns == ns.sorted.reverse, s"not monotone: $ns")
+    assert(ns.head <= curve(0.3)._1)
+    // the 0.4 ladder point recounts the graded bucketed join exactly
+    val deployed = Similarity.nearDupCosineBanded(emb, "vec_id", "embedding", 0.4).count()
+    assert(curve(0.4)._2 == deployed,
+      s"curve point ${curve(0.4)._2} != deployed join $deployed")
+  }
+
   test("incremental banded near-dup links only across the batch/corpus boundary") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val batch = emb.where(col("vec_id") % 10 === 0)

@@ -192,6 +192,43 @@ class StreamingEquivalenceSpec extends SparkSpec {
       "streaming incremental near-dup diverged from the batch operator")
   }
 
+  test("incrementalHashNearDupStream (micro-batched) == batch incremental hash near-dup") {
+    import graft.operators.{Dedup, Multimodal}
+    // real decode → dHash index once; the stream consumes (id, hash)
+    // rows — the persisted-index shape production feeds it
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    val hashed = Multimodal.imageDHash(
+      Multimodal.syntheticNearDupImages(docs, "doc_id",
+        Multimodal.nearDupKeysPlan(docs.count())),
+      "doc_id", "img").cache()
+    val newBatch = hashed.where(col("doc_id") % 10 === 0)
+    val corpus = hashed.where(col("doc_id") % 10 =!= 0)
+    val batch = Dedup.hashNearDupsIncremental(newBatch, corpus, "doc_id", "dhash", 3)
+
+    val rows = newBatch.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // two micro-batches: first-band-match emission must be exactly-once
+    // within and across batches (pair uniqueness is per-row, stateless)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val streamDf = in.toDS().toDF("doc_id", "dhash")
+    val out = Streams.incrementalHashNearDupStream(streamDf, corpus, "doc_id", "dhash", 3)
+    val q = out.writeStream.format("memory").queryName("eq_inchash")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rowSet(spark.table("eq_inchash")) == rowSet(batch),
+      "streaming incremental hash near-dup diverged from the batch operator")
+    assert(spark.table("eq_inchash").count() ==
+      spark.table("eq_inchash").distinct().count(),
+      "first-band-match emission must be exactly-once (no duplicate pairs)")
+    hashed.unpersist()
+  }
+
   test("incrementalClusterStream (micro-batched) == full batch recompute") {
     // the daily loop, streamed: labels + corpus index accumulate across
     // micro-batches; final labels must equal a ONE-SHOT full recompute
