@@ -632,6 +632,42 @@ object TextAnalysis {
       .agg(sum(col("freq")).as("n_tokens"), count(lit(1)).as("n_occurrences"))
   }
 
+  /** [[bpeVocab]] from an ALREADY-LEARNED merge table (the trainer's
+    * own output or a persisted tokenizer artifact): rebuild the
+    * (word, freq) state, apply the `steps` rules in order as
+    * row-local [[canonicalMerge]] passes (same broadcast-rules trick
+    * as [[bpeEncode]]), then the explode+agg. Skips the expensive
+    * part of training — the per-step pair-count + argmax rounds —
+    * which is the point: train once, derive the vocabulary (and any
+    * encoding) from the 5-row artifact. Provably identical output to
+    * [[bpeVocab]] because the fold's state after k merges IS the
+    * initial state with rules 1..k applied in order (spec-pinned).
+    */
+  def bpeVocabFromMerges(
+      df: DataFrame,
+      textCol: String,
+      merges: DataFrame,
+      steps: Int): DataFrame = {
+    val agg = (1 to steps).flatMap { s =>
+      Seq(
+        max(when(col("step") === s, col("sym_left"))).as(s"l$s"),
+        max(when(col("step") === s, col("sym_right"))).as(s"r$s"))
+    }
+    val rules = merges.agg(agg.head, agg.tail: _*)
+    var cur = Dedup.rebalance(df)
+      .select(explode(tokens(Dedup.normalized(col(textCol)))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .crossJoin(broadcast(rules))
+      .withColumn("syms", split(col("w"), ""))
+    for (s <- 1 to steps)
+      cur = cur.withColumn("syms",
+        canonicalMerge(col("syms"), col(s"l$s"), col(s"r$s")))
+    cur.select(explode(col("syms")).as("symbol"), col("freq"))
+      .groupBy(col("symbol"))
+      .agg(sum(col("freq")).as("n_tokens"), count(lit(1)).as("n_occurrences"))
+  }
+
   /** Shared trainer fold: (word,freq) table → `steps` rounds of
     * pair-count → argmax → delimiter replace. Returns the final
     * per-word symbol state plus the per-step merge rows.

@@ -8,6 +8,80 @@ private[graft] object OraclesCuration {
   import OracleDsl._
 
   val sql: Map[String, String] = Map(
+    // the composed curation chain replayed closed-form, stage for
+    // stage: gopher gate (gopher_rules CTEs) → normalized-hash min-id
+    // winners (dedup_normalized's group) → exact Jaccard ≥0.8 pairs +
+    // recursive-CTE components over the SURVIVOR set, min-id rep →
+    // bigram-LM perplexity + per-lang tertile buckets computed over
+    // the CLEANED corpus (the LM shifts with upstream filters — the
+    // composition being graded) → Lehmer split on the cluster label
+    "curation_e2e" ->
+      """WITH RECURSIVE
+         t0 AS (SELECT doc_id, lang, text,
+                  list_filter(string_split(text, ' '), x -> x <> '') toks
+                FROM documents),
+         gm AS (SELECT doc_id, lang, text, toks, len(toks) AS n,
+             list_sum(list_transform(toks, x -> length(x))) AS char_sum,
+             len(list_filter(toks,
+               x -> x IN ('the','a','of','and','is','to','in','it','that','for'))) AS stops,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+               greatest(length(text), 1) AS digit_ratio,
+             len(list_distinct(toks)) AS n_dist
+           FROM t0),
+         gated AS (SELECT doc_id, lang, text, toks FROM gm
+           WHERE (n BETWEEN 5 AND 1000)
+             AND (char_sum::DOUBLE / greatest(n, 1) BETWEEN 2.0 AND 10.0)
+             AND stops >= 2 AND digit_ratio < 0.1
+             AND n_dist::DOUBLE / greatest(n, 1) >= 0.3),
+         exw AS (SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM gated
+                 GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))),
+         exd AS (SELECT g.doc_id, g.lang, g.toks, e.n_copies
+                 FROM gated g JOIN exw e USING (doc_id)),
+         s AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+                 THEN list_transform(generate_series(1, len(toks) - 2),
+                        i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [array_to_string(toks, ' ')] END) sh FROM exd),
+         p AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+               FROM s a JOIN s b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+         e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+         reach(a, b) AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         lab AS (SELECT d.doc_id,
+                   least(d.doc_id, coalesce(min(r.b), d.doc_id))::BIGINT AS cluster
+                 FROM exd d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id),
+         surv AS (SELECT exd.doc_id, exd.lang, exd.toks, exd.n_copies, lab.cluster
+                  FROM exd JOIN lab USING (doc_id) WHERE lab.doc_id = lab.cluster),
+         bb0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                   i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+                 FROM surv WHERE len(toks) >= 2),
+         bb AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bb0),
+         c AS (SELECT w1, w2, count(*) AS n_bigram FROM bb GROUP BY 1, 2),
+         pr AS (SELECT w1, sum(n_bigram)::BIGINT AS n_prefix FROM c GROUP BY 1),
+         lm AS (SELECT c.w1, c.w2,
+                  floor(-log2(n_bigram::DOUBLE / n_prefix) * 1000000 + 0.5)::BIGINT
+                    AS ubits
+                FROM c JOIN pr USING (w1)),
+         ppl AS (SELECT doc_id, floor(sum(ubits)::DOUBLE / count(*) + 0.5) / 1000000
+                   AS avg_bits
+                 FROM bb JOIN lm USING (w1, w2) GROUP BY doc_id),
+         sc AS (SELECT surv.doc_id, surv.lang, surv.cluster, surv.n_copies, ppl.avg_bits
+                FROM surv JOIN ppl USING (doc_id)),
+         thr AS (SELECT lang, quantile_cont(avg_bits, 1.0 / 3) AS t1,
+                   quantile_cont(avg_bits, 2.0 / 3) AS t2
+                 FROM sc GROUP BY lang)
+         SELECT sc.doc_id, sc.n_copies::BIGINT AS n_copies, sc.cluster, sc.lang,
+           avg_bits,
+           CASE WHEN avg_bits <= t1 THEN 'head'
+                WHEN avg_bits <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CASE WHEN ((cluster * 48271 + 11) % 2147483647) % 1000 < 900 THEN 'train'
+                WHEN ((cluster * 48271 + 11) % 2147483647) % 1000 < 950 THEN 'val'
+                ELSE 'test' END AS split
+         FROM sc JOIN thr USING (lang)""",
+
     "skew_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey

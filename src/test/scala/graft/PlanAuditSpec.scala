@@ -125,6 +125,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(1)"), s"no codegen span:\n$p")
   }
 
+  test("curation_e2e: ONE corpus scan feeds the gate; dedup stages read the cache") {
+    // the gate output is persisted, so every downstream stage (exact
+    // dedup, minhash, perplexity, buckets, split) must read the cached
+    // slim projection, never re-scan the parquet corpus. The OPTIMIZED
+    // logical plan substitutes InMemoryRelation (a leaf) for cached
+    // subtrees, so any LogicalRelation still visible is a real
+    // (uncached) scan the execution would re-run.
+    val qe = SparkEntry.queries("curation_e2e")(spark, sfDir).queryExecution
+    val rawScans = qe.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if l.toString.contains("documents") => l
+    }
+    assert(rawScans.length <= 1, s"corpus scanned ${rawScans.length} times uncached")
+    val cached = qe.optimizedPlan.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+    }
+    assert(cached.nonEmpty, "no cache reuse in the chain")
+    assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+      "cartesian in curation_e2e plan")
+  }
+
   test("dedup: minhash and simhash plans contain no cartesian/nested-loop join") {
     for (q <- Seq("dedup_minhash", "dedup_simhash", "ngram_jaccard")) {
       val p = plan(q)
