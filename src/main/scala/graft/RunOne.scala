@@ -49,7 +49,26 @@ object RunOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
     if (explain) fn(spark, sfDir).explain("formatted")
+    // foreign CPU per rep (core-seconds other processes burned while
+    // the rep ran) — same /proc/stat-minus-self accounting as Bench;
+    // an adjudication number is only evidence if it carries its own
+    // contamination measurement (co-tenant bursts on this box fake
+    // 3-10x regressions within a single JVM's reps)
+    def totalBusyJiffies(): Long =
+      try {
+        val l = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0).split("\\s+")
+        l(1).toLong + l(2).toLong + l(3).toLong + l(6).toLong + l(7).toLong
+      } catch { case _: Throwable => -1L }
+    def selfJiffies(): Long =
+      try {
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/self/stat"))
+        val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+        rest(11).toLong + rest(12).toLong
+      } catch { case _: Throwable => -1L }
     (1 to reps).foreach { i =>
+      val b0 = totalBusyJiffies(); val s0 = selfJiffies()
       val t0 = System.nanoTime()
       // noop write = Bench's action (count-star pruning can skip
       // count-irrelevant subtrees and fake the timing)
@@ -57,7 +76,12 @@ object RunOne {
       val dt = (System.nanoTime() - t0) / 1e9
       graft.operators.Caching.release()
       spark.catalog.clearCache()
-      println(f"[runone] rep=$i $name t=$dt%.3fs")
+      val b1 = totalBusyJiffies(); val s1 = selfJiffies()
+      val foreign =
+        if (b0 >= 0 && s0 >= 0 && b1 >= 0 && s1 >= 0)
+          ((b1 - b0) - (s1 - s0)) / 100.0
+        else -1.0
+      println(f"[runone] rep=$i $name t=$dt%.3fs foreign=$foreign%.1fs")
     }
     spark.stop()
   }
