@@ -1076,6 +1076,36 @@ object SparkEntry {
         "doc_id", "dhash", 3)
     }),
 
+    // driver-graded STREAMING replay of image_phash_incremental: the
+    // batch images arrive as a stream (construct + decode + dHash run
+    // per micro-batch — mapPartitions is streaming-safe row-local
+    // work), band-joined against the STATIC corpus index with the
+    // stateless first-matching-band exactly-once emission; graded
+    // VERBATIM by the batch twin's oracle. Key count comes from the
+    // corpus-side count (an index-build-time constant — a stream
+    // cannot count its own corpus)
+    "stream_phash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nKeys = Multimodal.nearDupKeysPlan(docs.count())
+      val corpus = Multimodal.imageDHash(
+        Multimodal.syntheticNearDupImages(
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", nKeys),
+        "doc_id", "img")
+      val st0 = graft.sources.Sources.streamTable(s, dir, "documents",
+        t(s, dir, "documents").schema)
+      val stHashed = Multimodal.imageDHash(
+        Multimodal.syntheticNearDupImages(
+          st0.select(col("doc_id")).where(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", nKeys),
+        "doc_id", "img")
+      val out = graft.streaming.Streams.incrementalHashNearDupStream(
+        stHashed, corpus, "doc_id", "dhash", 3)
+      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_phash",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("g_stream_phash")
+        .select(col("id_new"), col("id_old"), col("hamming"))
+    }),
+
     // incremental image near-dup — the production shape of crawl
     // image dedup: the (id, dhash) index is persisted once (decode +
     // dHash in a single scan pass, 8 bytes per image thereafter), the
@@ -2564,7 +2594,8 @@ object SparkEntry {
       "stream_quantile_sketch" -> base("quantile_sketch"),
       "stream_daily_anomaly" -> base("event_daily_anomaly"),
       "stream_sessionize" -> base("events_sessionize"),
-      "stream_dedup_window" -> base("events_dedup_window"))
+      "stream_dedup_window" -> base("events_dedup_window"),
+      "stream_phash_incremental" -> base("image_phash_incremental"))
   }
 
   private def baseOracleSql: Map[String, String] =
