@@ -67,22 +67,10 @@ object Bench {
     // while we benched. A high foreign share means the numbers are
     // noise, and the snapshot must say so itself — the r8 graded bench
     // was a load-contaminated rerun that read as a phantom regression.
-    def totalBusyJiffies(): Long =
-      try {
-        val l = java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
-        // user nice system idle iowait irq softirq steal
-        Seq(1, 2, 3, 6, 7, 8).map(i =>
-          if (i < l.length) l(i).toLong else 0L).sum
-      } catch { case _: Throwable => -1L }
-    def selfJiffies(): Long =
-      try {
-        val s = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("/proc/self/stat"))
-        // fields 14/15 (utime/stime), counted after the parenthesized comm
-        val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
-        rest(11).toLong + rest(12).toLong
-      } catch { case _: Throwable => -1L }
+    // shared with RunOne (graft.ProcCpu) so adjudication reps and the
+    // graded bench can never disagree on the accounting
+    def totalBusyJiffies(): Long = ProcCpu.totalBusyJiffies()
+    def selfJiffies(): Long = ProcCpu.selfJiffies()
     val busy0 = totalBusyJiffies(); val self0 = selfJiffies()
     val wall0 = System.nanoTime()
     // a throwing query must NOT be recorded as a (tiny) time — the r7
@@ -140,9 +128,24 @@ object Bench {
     def settleHeap(): Unit = if (gcSettle) {
       System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(200)
     }
+    // memo-trainer honesty: the train-once artifacts (BPE merge table,
+    // bisecting tree) survive the inter-pass cache hygiene BY DESIGN —
+    // derived queries are supposed to measure reuse. But each family's
+    // designated TRAINER query must measure a real training run in
+    // every pass (not a memo lookup, the r15-advice gap), so its
+    // passes evict the family's memo first. Evicting the tree memo
+    // wholesale when one tree trainer runs costs the other family at
+    // most one cold rebuild — bounded, and each family's own trainer
+    // retrains regardless of sweep order.
+    val memoTrainers: Map[String, () => Unit] = Map(
+      "bpe_train_steps" -> (() => SparkEntry.evictBpeMemo()),
+      "bpe_pretok_train" -> (() => SparkEntry.evictBpeMemo()),
+      "semdedup_prune" -> (() => graft.operators.Similarity.evictTreeMemo()),
+      "knn_recall_eval" -> (() => graft.operators.Similarity.evictTreeMemo()))
     val results: Map[String, Double] = selected.flatMap { case (name, fn) =>
       settleHeap()
       val times = (0 until passes).flatMap { i =>
+        memoTrainers.get(name).foreach(_.apply())
         val qBusy0 = totalBusyJiffies(); val qSelf0 = selfJiffies()
         val t0 = System.nanoTime()
         val ok =

@@ -50,23 +50,13 @@ object RunOne {
     val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
     if (explain) fn(spark, sfDir).explain("formatted")
     // foreign CPU per rep (core-seconds other processes burned while
-    // the rep ran) — same /proc/stat-minus-self accounting as Bench;
-    // an adjudication number is only evidence if it carries its own
-    // contamination measurement (co-tenant bursts on this box fake
-    // 3-10x regressions within a single JVM's reps)
-    def totalBusyJiffies(): Long =
-      try {
-        val l = java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get("/proc/stat")).get(0).split("\\s+")
-        l(1).toLong + l(2).toLong + l(3).toLong + l(6).toLong + l(7).toLong
-      } catch { case _: Throwable => -1L }
-    def selfJiffies(): Long =
-      try {
-        val s = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("/proc/self/stat"))
-        val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
-        rest(11).toLong + rest(12).toLong
-      } catch { case _: Throwable => -1L }
+    // the rep ran) — the ONE shared /proc accounting (graft.ProcCpu)
+    // Bench uses, steal included; an adjudication number is only
+    // evidence if it carries its own contamination measurement
+    // (co-tenant bursts on this box fake 3-10x regressions within a
+    // single JVM's reps)
+    def totalBusyJiffies(): Long = ProcCpu.totalBusyJiffies()
+    def selfJiffies(): Long = ProcCpu.selfJiffies()
     (1 to reps).foreach { i =>
       val b0 = totalBusyJiffies(); val s0 = selfJiffies()
       val t0 = System.nanoTime()

@@ -48,6 +48,13 @@ object SparkEntry {
   private val bpeMergeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), Seq[org.apache.spark.sql.Row]]
 
+  /** Drop the learned BPE merge tables (Bench trainer-pass hygiene:
+    * the two TRAIN queries must measure a real training run every
+    * pass, while encode/vocab keep measuring the intended train-once
+    * family cost).
+    */
+  def evictBpeMemo(): Unit = bpeMergeCache.clear()
+
   private def bpeMergesCached(
       s: SparkSession, dir: String, variant: String): DataFrame = {
     // dev knob (driver never sets it): bypass the memo so RunOne can
@@ -74,9 +81,16 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // evict plans owned by STOPPED sessions so a long-lived JVM that
-    // cycles sessions doesn't pin their state (live sessions keep theirs)
+    // cycles sessions doesn't pin their state (live sessions keep
+    // theirs) — the calibration/artifact memos too, which pin the
+    // whole stopped SparkContext graph otherwise
     tableCache.keys.filter(k => (k._1 ne s) && k._1.sparkContext.isStopped)
       .foreach(tableCache.remove)
+    knnProbeCache.keys.filter(k => (k._1 ne s) && k._1.sparkContext.isStopped)
+      .foreach(knnProbeCache.remove)
+    bpeMergeCache.keys.filter(k => (k._1 ne s) && k._1.sparkContext.isStopped)
+      .foreach(bpeMergeCache.remove)
+    graft.operators.Similarity.evictTreeMemoForStopped(s)
     tableCache.getOrElseUpdate((s, s"$dir/$name.parquet"), {
       val raw = s.read.parquet(s"$dir/$name.parquet")
       // drift insurance (the round-7 events-encoding lesson): the

@@ -419,7 +419,14 @@ object Similarity {
     val cntCols = thresholds.zipWithIndex.map { case (t, i) =>
       sum(when(col("cosine") >= t, 1L).otherwise(0L)).as(s"np$i")
     }
+    // the whole ladder reads this ONE-ROW aggregate; persisting it
+    // makes the one-join cost STRUCTURAL — without it the union's N
+    // branches each reference the agg subtree and the claim "costs the
+    // same as one banded run" rests on ReuseExchange recognizing the
+    // identical subtrees, which a canonicalization/AQE change could
+    // silently break (r15 advice)
     val row = withCos.agg(count(lit(1)).as("n_candidates"), cntCols: _*)
+      .persistTracked
     thresholds.zipWithIndex.map { case (t, i) =>
       row.select(lit(t).as("threshold"), col("n_candidates"),
         col(s"np$i").as("n_pairs"),
@@ -850,6 +857,71 @@ object Similarity {
     *         ladder [[knnJoinIvf]]'s beam descends, passing through
     *         nodes a level did not split)
     */
+  /** Bisecting-tree memo per (session, corpus plan, params) — the
+    * bpeMergesCached train-once pattern applied to the tree: five
+    * graded queries (semdedup_prune / _rate_curve / _fidelity_eval,
+    * knn_recall_eval / _recall_curve / knn_join_ivf + its
+    * calibration descent) used to re-train the IDENTICAL size-guarded
+    * tree over the same corpus — ~17% of the whole sf0.1 bench was
+    * that retrain-by-design mass (r15 verdict #3). The tree's row
+    * table and per-level kid tables are already localCheckpoint'ed
+    * RDDs (lineage-free, MEMORY_AND_DISK, executor-side — NOT a
+    * driver collect), so holding the DataFrame handles makes reuse
+    * exact: later callers read the same materialized blocks.
+    * Catalog clearCache()/Caching.release() don't touch RDD-level
+    * checkpoint blocks, so the memo survives Bench's inter-query
+    * hygiene by construction. The key's corpus component is the
+    * CANONICALIZED analyzed plan string (value equality, no hash
+    * collisions); stopped sessions are evicted by the same pass that
+    * purges the other per-session memos. Outputs are hash-identical
+    * to a fresh build (spec-pinned); `SPARK_GRAFT_TREE_NO_MEMO`
+    * bypasses for fresh-build adjudication, and Bench evicts before
+    * every pass of each family's designated TRAINER query so the
+    * committed bench still measures a real tree build.
+    */
+  private val treeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int, Int, Int),
+      (DataFrame, Seq[DataFrame])]
+
+  /** Fresh bisecting-tree builds this JVM has run (spec instrument:
+    * proves the memo path skips the build).
+    */
+  private[graft] val treeBuilds = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Drop every memoized tree (Bench trainer-pass hygiene). */
+  def evictTreeMemo(): Unit = treeCache.clear()
+
+  /** Drop trees owned by stopped sessions (long-lived-JVM hygiene —
+    * a stopped session's entries would pin its SparkContext graph).
+    */
+  def evictTreeMemoForStopped(live: org.apache.spark.sql.SparkSession): Unit =
+    treeCache.keys.filter(k => (k._1 ne live) && k._1.sparkContext.isStopped)
+      .foreach(treeCache.remove)
+
+  private def bisectAssignedCached(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int,
+      targetRows: Int = 0,
+      slack: Int = 4): (DataFrame, Seq[DataFrame]) = {
+    def fresh() = {
+      treeBuilds.incrementAndGet()
+      bisectAssigned(corpus, idCol, vecCol, nCells, iters, targetRows, slack)
+    }
+    if (sys.env.contains("SPARK_GRAFT_TREE_NO_MEMO")) fresh()
+    else {
+      val s = corpus.sparkSession
+      evictTreeMemoForStopped(s)
+      val planKey = corpus
+        .select(col(idCol), col(vecCol))
+        .queryExecution.analyzed.canonicalized.toString
+      treeCache.getOrElseUpdate(
+        (s, planKey, nCells, iters, targetRows, slack), fresh())
+    }
+  }
+
   private def bisectAssigned(
       corpus: DataFrame,
       idCol: String,
@@ -1297,7 +1369,7 @@ object Similarity {
       iters: Int,
       targetRows: Int): DataFrame = {
     val (assigned, _) =
-      bisectAssigned(corpus, idCol, vecCol, nCells, iters, targetRows)
+      bisectAssignedCached(corpus, idCol, vecCol, nCells, iters, targetRows)
     assigned
       .select(col("vid"), col("cv"), col("cell_id"),
         floor(col("cent_cos") * lit(1000000.0) + lit(0.5))
@@ -1583,7 +1655,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
       .persistTracked
     val (asg, levels) =
-      bisectAssigned(corpus, idCol, vecCol, nCells, iters, targetRows)
+      bisectAssignedCached(corpus, idCol, vecCol, nCells, iters, targetRows)
     val assigned = asg
       .select(col("vid").as("neighbor_id"), col("cv"), col("cell_id"))
     // count of strictly-preceding rows in the (score desc, id asc)
@@ -1663,7 +1735,7 @@ object Similarity {
       iters: Int,
       targetRows: Int = 0): DataFrame = {
     val (asg, levels) =
-      bisectAssigned(corpus, idCol, vecCol, nCells, iters, targetRows)
+      bisectAssignedCached(corpus, idCol, vecCol, nCells, iters, targetRows)
     val assigned = asg
       .select(col("vid").as("neighbor_id"), col("cv"), col("cell_id"))
     val probes = beamDescend(queries, idCol, vecCol, levels, nProbe)

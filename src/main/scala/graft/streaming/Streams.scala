@@ -342,6 +342,17 @@ object Streams {
     * both sides carry their full 4-value band array, so "no earlier
     * band also matched" is a row-local predicate, not a stateful
     * distinct. No watermark, zero streaming state.
+    *
+    * PRECONDITION (the price of statelessness): each stream id must
+    * arrive ONCE. The batch twin runs `.distinct()` on (id, hash), so
+    * a REPLAYED stream id (duplicate within a micro-batch, an
+    * at-least-once source re-delivering across micro-batches) would
+    * emit its pairs again and diverge from the batch contract the
+    * oracle grades against. Exactly-once sources (files, Kafka with
+    * unique keys) satisfy this; for at-least-once sources, dedupe
+    * upstream (`dropDuplicatesWithinWatermark` on the id) — pushing
+    * that state into THIS operator would silently re-introduce the
+    * per-key state the first-matching-band design exists to avoid.
     */
   def incrementalHashNearDupStream(
       newHashed: DataFrame,

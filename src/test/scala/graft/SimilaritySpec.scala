@@ -378,6 +378,30 @@ class SimilaritySpec extends SparkSpec {
       4L -> false, 5L -> true, 6L -> true), s"kept map: $out")
   }
 
+  test("bisecting-tree memo: reuse is hash-identical to a fresh build and skips the build") {
+    // the train-once contract (r15 verdict #3): the five kNN/SemDeDup
+    // graded queries share one tree per (session, corpus, params); the
+    // memo must change NOTHING but the build count
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("vec_id") < 300)
+    def run() = Similarity.semDedup(emb, "vec_id", "embedding",
+      nCells = 8, iters = 1, eps = 0.4, targetRows = 16)
+      .collect().map(_.toString).sorted.toSeq
+    Similarity.evictTreeMemo()
+    val b0 = Similarity.treeBuilds.get()
+    val first = run()
+    assert(Similarity.treeBuilds.get() == b0 + 1, "first run trains the tree")
+    val second = run()
+    assert(Similarity.treeBuilds.get() == b0 + 1,
+      "second run must reuse the memoized tree, not retrain")
+    assert(second == first, "memoized outputs must be hash-identical")
+    Similarity.evictTreeMemo()
+    val freshAgain = run()
+    assert(Similarity.treeBuilds.get() == b0 + 2)
+    assert(freshAgain == first, "fresh rebuild must be hash-identical too")
+    Similarity.evictTreeMemo()
+  }
+
   test("semDedup keeps everything when eps exceeds every intra-cell cosine") {
     val out = Similarity.semDedup(semVecs, "vec_id", "embedding",
       nCells = 2, iters = 0, eps = 0.9999)
