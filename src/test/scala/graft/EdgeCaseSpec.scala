@@ -166,6 +166,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(drift.getDouble(3) == 1.0 && drift.getDouble(4) == 0.0, s"got $drift")
   }
 
+  test("backoff trigram LM: hand-checked trigram/bigram/unigram levels") {
+    import graft.operators.TextAnalysis
+    // train doc 0: trigrams {abc, bca, cab, abd}, bigrams {ab:2, bc,
+    // ca, bd}, unigrams N=6 V=4. Doc 1 "a b c x": (a,b,c) is a
+    // trigram hit at -log2(1/2) = 1 bit; (b,c,x) falls through to the
+    // OOV floor -log2(0.16/10) = 5.965784 bits. Doc 3 "b a b":
+    // (b,a,b) is unseen as a trigram but (a,b) is a seen bigram ->
+    // -log2(0.4*2/2) = 1.321928 bits.
+    val docs = Seq((0L, "a b c a b d"), (1L, "a b c x"), (3L, "b a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.docPerplexityTrigram(docs, "doc_id", "text",
+      pmod(col("doc_id"), lit(2)) === 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((2L, 0L, 1L, 3.482892)), s"got ${out(1L)}")
+    assert(out(3L) == ((1L, 1L, 0L, 1.321928)), s"got ${out(3L)}")
+  }
+
   test("round-5c operators tolerate empty and degenerate inputs") {
     import graft.operators.{Corpus, Embeddings, TextAnalysis}
     // no bigrams anywhere: empty LM, empty result — not a crash
