@@ -2437,6 +2437,13 @@ object SparkEntry {
       t(s, dir, "documents").select(
         (col("doc_id") +: Curation.gopherFlags(col("text"))): _*)),
 
+    // model-based quality filtering (the fastText-classifier slot):
+    // closed-form multinomial NB, gopher-keep weak labels, log-odds
+    // frozen as integer micro-bits, trained + applied in ONE plan;
+    // per-doc agreement with the weak label rides in the output
+    "quality_classifier" -> ((s, dir) =>
+      Curation.nbQualityClassifier(t(s, dir, "documents"), "doc_id", "text")),
+
     // END-TO-END curation flagship — the laygo fluent-pipeline story
     // (Pipeline.transform composition, pipeline.py:143) proven at the
     // composed-plan level, not per-operator: gopher quality gate →

@@ -48,6 +48,66 @@ object Curation {
       (rWc && rAvg && rStop && rDigit && rDup).as("keep"))
   }
 
+  /** Closed-form model-based quality classifier: multinomial naive
+    * Bayes over whitespace tokens, WEAK-LABELED by the [[gopherFlags]]
+    * keep rule — the step past rule gates every modern corpus run
+    * takes (the fastText-classifier slot in CCNet/RefinedWeb
+    * pipelines), with the one classifier whose training is a plain
+    * deterministic aggregation both engines can replay: per-class
+    * token counts in ONE groupBy, add-one smoothing, class-prior and
+    * per-token log-odds frozen as integer micro-bits (the
+    * [[TextAnalysis.dsirWeights]] protocol), applied row-locally as an
+    * order-independent integer sum. Train + apply live in one plan —
+    * no iteration, no driver-side model state; the "model" is a
+    * vocab-bounded table joined at scan time.
+    *
+    * Per-doc agreement with its own weak label rides in the output
+    * (the confusion matrix is one groupBy over `label, predicted`
+    * away), so the rule-vs-model divergence — the documents the model
+    * would rescue or reject against the rules — is graded evidence,
+    * not a side claim.
+    *
+    * Scale shape: two corpus scans (count pass, score pass), shuffles
+    * keyed on tokens with the LM side vocab-bounded, one broadcast
+    * totals row, one broadcast prior row. Docs with zero tokens carry
+    * no evidence and score exactly the prior (left join + coalesce).
+    *
+    * @return (id, label, n_toks, nb_mbits, predicted, agree)
+    */
+  def nbQualityClassifier(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val labeled = Dedup.rebalance(df)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"),
+        gopherFlags(col(textCol)).last.as("label"))
+    val inst = labeled.select(col(idCol), col("label"), explode(col("toks")).as("w"))
+    val cnt = inst.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+    val totals = cnt.agg(sum(col("n_pos")).as("np"),
+      sum(col("n_all") - col("n_pos")).as("nn"), count(lit(1)).as("vocab"))
+    val lm = cnt.crossJoin(broadcast(totals))
+      .select(col("w"),
+        floor((log2((col("n_pos") + 1).cast("double") / (col("np") + col("vocab")))
+          - log2((col("n_all") - col("n_pos") + 1).cast("double")
+            / (col("nn") + col("vocab"))))
+          * 1000000 + lit(0.5)).cast("long").as("rbits"))
+    val prior = labeled.agg(count(lit(1)).as("d_all"),
+      sum(when(col("label"), 1L).otherwise(0L)).as("d_pos"))
+      .select(floor(log2((col("d_pos") + 1).cast("double")
+        / (col("d_all") - col("d_pos") + 1)) * 1000000 + lit(0.5))
+        .cast("long").as("prior_mbits"))
+    val docScores = inst.join(lm, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("rbits")).as("sum_rbits"))
+    labeled.select(col(idCol), col("label"))
+      .join(docScores, Seq(idCol), "left")
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col("label"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        (col("prior_mbits") + coalesce(col("sum_rbits"), lit(0L))).as("nb_mbits"))
+      .withColumn("predicted", col("nb_mbits") > 0)
+      .withColumn("agree", col("predicted") === col("label"))
+  }
+
   // ---- Declarative Bloom filter -------------------------------------
 
   /** Build a Bloom bitmap over `key` values entirely with built-in

@@ -515,5 +515,47 @@ private[graft] object OraclesText {
              AND (n_dist::DOUBLE / greatest(n, 1) >= 0.3)) AS keep
          FROM m""",
 
+    // naive-Bayes quality classifier: gopher-keep weak labels, add-one
+    // per-class token counts, log-odds + class prior frozen as integer
+    // micro-bits (the dsir protocol), per-doc integer sum vs 0
+    "quality_classifier" ->
+      """WITH t AS (SELECT doc_id, text,
+                      list_filter(string_split(text, ' '), x -> x <> '') toks FROM documents),
+         m AS (SELECT doc_id, toks, len(toks) AS n,
+           list_sum(list_transform(toks, x -> length(x))) AS char_sum,
+           len(list_filter(toks,
+             x -> x IN ('the','a','of','and','is','to','in','it','that','for'))) AS stops,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE /
+             greatest(length(text), 1) AS digit_ratio,
+           len(list_distinct(toks)) AS n_dist
+           FROM t),
+         lab AS (SELECT doc_id, toks,
+           ((n BETWEEN 5 AND 1000) AND (char_sum::DOUBLE / greatest(n, 1) BETWEEN 2.0 AND 10.0)
+             AND (stops >= 2) AND (digit_ratio < 0.1)
+             AND (n_dist::DOUBLE / greatest(n, 1) >= 0.3)) AS label
+           FROM m),
+         inst AS (SELECT doc_id, label, unnest(toks) AS w FROM lab),
+         c AS (SELECT w, count(*) AS n_all,
+                 coalesce(sum(CASE WHEN label THEN 1 ELSE 0 END), 0) AS n_pos
+               FROM inst GROUP BY 1),
+         tot AS (SELECT sum(n_pos)::BIGINT AS np, sum(n_all - n_pos)::BIGINT AS nn,
+                   count(*)::BIGINT AS vocab FROM c),
+         lm AS (SELECT w,
+                  floor((log2((n_pos + 1)::DOUBLE / (np + vocab))
+                       - log2((n_all - n_pos + 1)::DOUBLE / (nn + vocab)))
+                    * 1000000 + 0.5)::BIGINT AS rbits
+                FROM c, tot),
+         pri AS (SELECT floor(log2(
+                   (sum(CASE WHEN label THEN 1 ELSE 0 END) + 1)::DOUBLE
+                   / (sum(CASE WHEN label THEN 0 ELSE 1 END) + 1))
+                   * 1000000 + 0.5)::BIGINT AS prior_mbits FROM lab),
+         ds AS (SELECT doc_id, count(*) AS n_toks, sum(rbits)::BIGINT AS sum_rbits
+                FROM inst JOIN lm USING (w) GROUP BY doc_id)
+         SELECT lab.doc_id, label, coalesce(n_toks, 0)::BIGINT AS n_toks,
+           (prior_mbits + coalesce(sum_rbits, 0))::BIGINT AS nb_mbits,
+           (prior_mbits + coalesce(sum_rbits, 0)) > 0 AS predicted,
+           ((prior_mbits + coalesce(sum_rbits, 0)) > 0) = label AS agree
+         FROM lab LEFT JOIN ds USING (doc_id) CROSS JOIN pri""",
+
   )
 }

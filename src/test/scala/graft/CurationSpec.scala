@@ -16,6 +16,35 @@ class CurationSpec extends SparkSpec {
 
   import spark.implicits._
 
+  test("NB quality classifier: total output, prior-only zero-token docs, consistency") {
+    val docs = Seq(
+      (1L, "the a of and is it that for good day"), // gopher keep
+      (2L, "1 1 1 1 1 1"),                          // digit-heavy: fail
+      (3L, ""),                                     // zero tokens: fail
+      (4L, "the of is in it and a that for morning walk")
+    ).toDF("doc_id", "text")
+    val out = Curation.nbQualityClassifier(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getBoolean(5)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "every doc scores, even token-free ones")
+    // zero-evidence doc scores exactly the class prior
+    val (lab3, n3, mbits3, pred3, agree3) = out(3L)
+    assert(!lab3 && n3 == 0L)
+    // prior = floor(log2((d_pos+1)/(d_neg+1))*1e6 + 0.5), d_pos=2 d_neg=2
+    assert(mbits3 == math.floor(math.log(3.0 / 3.0) / math.log(2.0) * 1e6 + 0.5).toLong)
+    assert(!pred3 && agree3 == (pred3 == lab3))
+    // n_toks is the token-instance count; agree is consistent everywhere
+    assert(out(1L)._2 == 10L)
+    out.values.foreach { case (lab, _, mbits, pred, agree) =>
+      assert(pred == (mbits > 0) && agree == (pred == lab))
+    }
+    // deterministic under re-run
+    val again = Curation.nbQualityClassifier(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    out.foreach { case (id, (_, _, mbits, _, _)) => assert(again(id) == mbits) }
+  }
+
   test("bloom: every inserted key probes true (no false negatives)") {
     val keys = (0L until 5000L).map(_ * 7919L)
     val df = keys.toDF("k")
