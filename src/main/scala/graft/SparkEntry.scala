@@ -573,6 +573,27 @@ object SparkEntry {
       Dedup.exactNormalized(t(s, dir, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("n_copies"))),
 
+    // NFC-first normalized dedup, graded on PLANTED composed/
+    // decomposed twins (the messyUrl discipline: both engines build
+    // the same raw artifact from row fields): every doc appears once
+    // with composed accents (é = U+00E9) and once, id-offset, with
+    // the canonically-equal decomposed bytes (e + U+0301). Without
+    // NFC the twins hash apart (the decomposed ASCII base letter
+    // survives the strip; the composed char is stripped whole) —
+    // with it every group collapses to its min-id survivor with the
+    // doubled copy count
+    "dedup_normalized_nfc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val composed = docs.select(col("doc_id"),
+        concat(col("text"), lit(" caf\u00e9 r\u00e9sum\u00e9")).as("mtext"))
+      val decomposed = docs.select(
+        (col("doc_id") + lit(1000000000L)).as("doc_id"),
+        concat(col("text"), lit(" cafe\u0301 re\u0301sume\u0301")).as("mtext"))
+      Dedup.exactNormalizedNfc(
+        composed.unionByName(decomposed), "doc_id", "mtext")
+        .select(col("doc_id"), col("n_copies"))
+    }),
+
     // daily-increment dedup: new batch (id%10 != 0) vs the existing
     // corpus's hash index (id%10 == 0) — anti join on 8-byte hashes
     "dedup_incremental" -> ((s, dir) => {

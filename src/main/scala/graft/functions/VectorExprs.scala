@@ -38,6 +38,10 @@ object VectorExprs {
   def minhashSig(hashes: Column, numHashes: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(hashes), numHashes))
 
+  /** Unicode NFC canonicalization of a string column ([[NfcNormalize]]). */
+  def nfc(text: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(text)))
+
   /** Sorted-distinct 64-bit hash set of token n-gram shingles — one
     * native pass replacing the interpreted transform/slice/concat_ws/
     * hash/array_distinct/array_sort chain (the dominant cost of the
@@ -237,6 +241,39 @@ object MinHashSig {
     }
     (Array.fill(numHashes)(next()), Array.fill(numHashes)(next()))
   }
+}
+
+/** Unicode NFC normalization (java.text.Normalizer, the JDK's ICU
+  * port of UAX #15) — the canonicalization step AHEAD of normalized
+  * dedup: composed vs decomposed accents (é vs e+U+0301), fullwidth
+  * forms, and other canonically-equivalent byte sequences hash apart
+  * under raw xxhash64 and so hide verbatim duplicates. Row-local,
+  * codegen'd through a reference-object call; already-NFC strings
+  * (the quick-check fast path covers all-ASCII, i.e. most of a crawl)
+  * return the input UTF8String untouched — no copy.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNormalize", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
 }
 
 case class MinHashSig(child: Expression, numHashes: Int)

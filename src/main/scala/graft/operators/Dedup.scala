@@ -69,6 +69,26 @@ object Dedup {
     df.groupBy(xxhash64(normalized(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** [[normalized]] with Unicode NFC canonicalization FIRST: composed
+    * vs decomposed accents (é vs e+U+0301), fullwidth forms and other
+    * canonically-equivalent byte sequences are invisible to the
+    * lower+strip chain alone — the decomposed form keeps its ASCII
+    * base letter where the composed form is stripped whole, so the
+    * same sentence hashes apart. NFC (codegen'd row-local
+    * [[graft.functions.NfcNormalize]]) folds both to one byte
+    * sequence before the chain; DuckDB's `nfc_normalize` is the exact
+    * oracle contract.
+    */
+  def normalizedNfc(text: Column): Column =
+    normalized(graft.functions.VectorExprs.nfc(text))
+
+  /** [[exactNormalized]] over the NFC-first canonical form — same
+    * min-id winner / copy count / 8-byte hash shuffle contract.
+    */
+  def exactNormalizedNfc(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(normalizedNfc(col(textCol))).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
   /** 128-bit variant: two independently-seeded 64-bit hashes as the
     * group key. At 1e11+ documents the 64-bit birthday bound starts to
     * matter for exactness guarantees; 128 bits does not. Still an

@@ -16,6 +16,19 @@ private[graft] object OraclesDedup {
          GROUP BY trim(regexp_replace(regexp_replace(lower(text),
            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""",
 
+    // NFC-first variant on planted composed (chr(233) = U+00E9) vs
+    // decomposed (chr(769) = combining acute) twins
+    "dedup_normalized_nfc" ->
+      """WITH u AS (
+           SELECT doc_id, text || ' caf' || chr(233) || ' r' || chr(233)
+             || 'sum' || chr(233) AS mtext FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000000, text || ' cafe' || chr(769) || ' re'
+             || chr(769) || 'sume' || chr(769) AS mtext FROM documents)
+         SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM u
+         GROUP BY trim(regexp_replace(regexp_replace(lower(nfc_normalize(mtext)),
+           '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))""",
+
     "dedup_incremental" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents

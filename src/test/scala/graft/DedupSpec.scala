@@ -63,6 +63,20 @@ class DedupSpec extends SparkSpec {
       3L -> ((1L, 3L, 2L))), s"got $got")
   }
 
+  test("NFC dedup folds composed/decomposed twins the plain chain misses") {
+    import graft.operators.Dedup
+    // same sentence, composed U+00E9 vs decomposed e + U+0301: raw
+    // canonicalization strips the composed char whole but keeps the
+    // decomposed ASCII base letter, so the twins hash apart; NFC-first
+    // folds them to one survivor
+    val docs = Seq((1L, "x caf\u00e9"), (2L, "x cafe\u0301"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactNormalized(docs, "doc_id", "text").count() == 2)
+    val nfc = Dedup.exactNormalizedNfc(docs, "doc_id", "text").collect()
+    assert(nfc.length == 1 && nfc.head.getLong(1) == 1L
+      && nfc.head.getLong(2) == 2L, s"got ${nfc.toSeq}")
+  }
+
   test("exact dedup keeps one survivor per distinct content") {
     val out = Dedup.exact(docs, "doc_id", "text")
       .select("doc_id", "n_copies").collect()
