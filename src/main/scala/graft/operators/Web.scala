@@ -180,9 +180,19 @@ object Web {
     val last1 = element_at(labels, -1)
     val last2 = concat_ws(".", element_at(labels, -2), last1)
     val last3 = concat_ws(".", element_at(labels, -3), last2)
+    val last4 = concat_ws(".", element_at(labels, -4), last3)
+    val last5 = concat_ws(".", element_at(labels, -5), last4)
+    // longest matching rule wins; a wildcard base of k labels yields a
+    // (k+1)-label suffix, so it sits in the k+1 tier next to the
+    // equal-length exact rules. Tier n is guarded on n host labels —
+    // a wildcard needs one label beyond its base to match at all
     val sufLen =
-      when((n >= 3) && (last3.isInCollection(Psl.suffix3) ||
-        last2.isInCollection(Psl.wildcard2)), lit(3))
+      when((n >= 5) && (last5.isInCollection(Psl.suffix5) ||
+        last4.isInCollection(Psl.wildcard4)), lit(5))
+        .when((n >= 4) && (last4.isInCollection(Psl.suffix4) ||
+          last3.isInCollection(Psl.wildcard3)), lit(4))
+        .when((n >= 3) && (last3.isInCollection(Psl.suffix3) ||
+          last2.isInCollection(Psl.wildcard2)), lit(3))
         .when(last2.isInCollection(Psl.suffix2) ||
           last1.isInCollection(Psl.wildcard1), lit(2))
         .otherwise(lit(1))

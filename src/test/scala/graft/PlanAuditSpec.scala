@@ -337,6 +337,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(globalWindows(scratch) == 1, "collector failed to flag an unbounded global window")
   }
 
+  test("full-PSL suffix probes stay codegen'd InSet hash lookups at 8k entries") {
+    import org.apache.spark.sql.catalyst.expressions.InSet
+    // the r15 claim "swapping in the complete list is a data refresh"
+    // holds only if the FULL list still plans as scan-stage hash
+    // probes: Catalyst must convert every suffix-tier In to InSet
+    // (O(1) per row), and no tier may materialize as a join
+    val df = SparkEntry.queries("url_canonicalize")(spark, sfDir)
+    val insets = df.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case i: InSet => i })
+    assert(insets.nonEmpty, "no InSet in the optimized plan")
+    // the 5473-entry exact2 tier is the big one — it must be an InSet,
+    // not an expanded In chain
+    assert(insets.map(_.hset.size).max == graft.operators.Psl.suffix2.size,
+      s"largest InSet ${insets.map(_.hset.size).max} != exact2 size " +
+        s"${graft.operators.Psl.suffix2.size}")
+    // the probe ships IN the plan: no join, no shuffle of a suffix table
+    val phys = df.queryExecution.executedPlan
+    assert(phys.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.CartesianProductExec => j
+    }.isEmpty, "suffix lookup must not materialize as a join")
+  }
+
   test("AQE skew-join split ENGAGES on the hub-skewed join (not just configured)") {
     // join_skew_hub puts ~20% of lineitem on one key. Production
     // defaults only call a partition skewed past 256MB — right for a

@@ -88,4 +88,31 @@ class WebSpec extends SparkSpec {
     assert(dom("co.uk", "github.io", "foo.ck", "x.kawasaki.jp")
       == Seq("co.uk", "github.io", "foo.ck", "x.kawasaki.jp"))
   }
+
+  test("registrableDomain: full-PSL deep tiers (4/5-label exact, 3/4-label wildcards)") {
+    def dom(hosts: String*): Seq[String] =
+      hosts.toDF("h")
+        .select(Web.registrableDomain(col("h"))).collect().map(_.getString(0)).toSeq
+    // exact 4-label rules (AWS regional S3, US school registries)
+    assert(dom("bkt.s3.ap-northeast-2.amazonaws.com", "sch.schools.nsw.edu.au")
+      == Seq("bkt.s3.ap-northeast-2.amazonaws.com", "sch.schools.nsw.edu.au"))
+    // exact 5-label rules (S3 dualstack / cn partitions)
+    assert(dom("bkt.s3.dualstack.ap-south-1.amazonaws.com",
+      "bkt.s3.cn-north-1.amazonaws.com.cn")
+      == Seq("bkt.s3.dualstack.ap-south-1.amazonaws.com",
+        "bkt.s3.cn-north-1.amazonaws.com.cn"))
+    // 3-label wildcard bases: *.compute.amazonaws.com makes the next
+    // label a suffix, so the instance hostname is its own domain
+    assert(dom("i-0abc.ec2.compute.amazonaws.com", "x.eu-1.elb.amazonaws.com")
+      == Seq("i-0abc.ec2.compute.amazonaws.com", "x.eu-1.elb.amazonaws.com"))
+    // 4-label wildcard bases (*.compute.amazonaws.com.cn)
+    assert(dom("vm.region.compute.amazonaws.com.cn")
+      == Seq("vm.region.compute.amazonaws.com.cn"))
+    // a deep host under a SHORTER rule still resolves by longest match:
+    // blogspot.com is a private-section 2-label rule
+    assert(dom("a.b.c.myblog.blogspot.com") == Seq("myblog.blogspot.com"))
+    // wildcard base itself (no extra label) falls back to the default
+    // tier: compute.amazonaws.com -> amazonaws.com
+    assert(dom("compute.amazonaws.com") == Seq("amazonaws.com"))
+  }
 }
