@@ -2514,6 +2514,55 @@ object SparkEntry {
         .toDF
     }),
 
+    // END-TO-END image curation flagship — the curation_e2e story on
+    // the IMAGE channel, composed through the same Pipeline.apply
+    // chain: construct real PNG/BMP payloads (planted cross-format
+    // near-dups) → LAION-style metadata gate from the PARSED header
+    // (resolution floor + aspect cap, BEFORE the expensive
+    // fingerprint) → full-decode dHash into a persisted 24-byte/image
+    // index (binary decoded ONCE; every downstream shuffle carries
+    // ids/hashes only) → banded Hamming near-dup clustered to min-id
+    // survivors → leakage-safe split keyed on the image CLUSTER
+    // label. The oracle replays construction, gate, dHash, bands,
+    // recursive connected components, and the Lehmer split closed-form
+    "curation_image_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nKeys = Multimodal.nearDupKeysPlan(docs.count())
+      Pipeline(Multimodal.syntheticNearDupImages(docs, "doc_id", nKeys))
+        .apply { imgs0 =>
+          val imgs = imgs0.persistTracked
+          val meta = Multimodal.imageMeta(imgs, "doc_id", "img")
+          imgs.join(
+            meta.where(col("width") * col("height") >= 400 &&
+              col("width") * 2 <= col("height") * 3)
+              .select(col("doc_id"), col("width"), col("height")),
+            Seq("doc_id"))
+        }
+        .apply { kept0 =>
+          val kept = kept0.persistTracked
+          Multimodal.imageDHash(kept, "doc_id", "img")
+            .join(kept.select(col("doc_id"), col("width"), col("height")),
+              Seq("doc_id"))
+            .persistTracked
+        }
+        .apply { idx =>
+          val pairs = Dedup.hashNearDups(idx, "doc_id", "dhash", 3)
+            .select(col("id_a"), col("id_b"))
+          val labels = Dedup.clusters(pairs, idx.select(col("doc_id")), "doc_id")
+          val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+          idx.join(labels.select(col("id").as("doc_id"), col("cluster")), Seq("doc_id"))
+            .join(sizes, Seq("cluster"))
+            .where(col("doc_id") === col("cluster"))
+        }
+        .apply { surv =>
+          Corpus.assignSplits(surv, "cluster",
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+            .select(col("doc_id"), col("width"), col("height"), col("cluster"),
+              col("n_members"), col("split"))
+        }
+        .toDF
+    }),
+
     // Bloom-pruned semi join: the probe side is compressed to a
     // 128 KB bitmap literal evaluated at SCAN time; the exact semi
     // join afterwards only sees Bloom survivors, so the result is

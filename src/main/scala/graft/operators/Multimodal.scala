@@ -111,6 +111,34 @@ object Multimodal {
         i = j + 1 + u16(j + 1).toInt // skip segment by declared length
       }
       ("jpeg", 0L, 0L)
+    } else if (bytes.length >= 2 && u8(0) == 'B' && u8(1) == 'M') {
+      // BMP: width i32 LE @18, height i32 LE @22 (negative = top-down
+      // storage; the logical raster height is its magnitude)
+      def i32le(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)).toLong
+      if (bytes.length >= 26) ("bmp", i32le(18), math.abs(i32le(22)))
+      else ("bmp", 0L, 0L)
+    } else if (bytes.length >= 2 && u8(0) == 'P' && u8(1) == '6') {
+      // PPM P6: whitespace/comment-tolerant ASCII "width height" after
+      // the magic — the same header walk the pixel decoder runs
+      var i = 2
+      val dims = new Array[Long](2)
+      var got = 0
+      var ok = true
+      while (got < 2 && ok) {
+        while (i < bytes.length && (u8(i) == ' ' || u8(i) == '\t' ||
+          u8(i) == '\n' || u8(i) == '\r' || u8(i) == '#')) {
+          if (u8(i) == '#') { while (i < bytes.length && u8(i) != '\n') i += 1 }
+          else i += 1
+        }
+        var v = 0L
+        var any = false
+        while (i < bytes.length && u8(i) >= '0' && u8(i) <= '9') {
+          v = v * 10 + (u8(i) - '0'); i += 1; any = true
+        }
+        if (!any) ok = false else { dims(got) = v; got += 1 }
+      }
+      if (ok) ("ppm", dims(0), dims(1)) else ("ppm", 0L, 0L)
     } else ("unknown", 0L, 0L)
   }
 

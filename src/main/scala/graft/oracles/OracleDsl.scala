@@ -429,12 +429,21 @@ private[graft] object OracleDsl {
     * box ≥1 pixel so the floored bounds partition the raster exactly
     * as Multimodal.dHash64 computes them.
     */
-  def duckDhashCtes: String =
-    """nk AS (SELECT least(greatest(37, count(*) // 14), 2147483647) AS nk FROM documents),
+  def duckDhashCtes: String = duckDhashCtesGated("TRUE")
+
+  /** [[duckDhashCtes]] with a metadata gate applied between raster
+    * construction and the cell/bit computation — `dk` is the gated
+    * doc set every downstream CTE (cells/bits/bands) reads, so a
+    * composed pipeline oracle fingerprints only the survivors of its
+    * gate (curation_image_e2e).
+    */
+  def duckDhashCtesGated(gate: String): String =
+    s"""nk AS (SELECT least(greatest(37, count(*) // 14), 2147483647) AS nk FROM documents),
          d AS (SELECT doc_id, doc_id % (SELECT nk FROM nk) AS key,
              16 + (doc_id % (SELECT nk FROM nk)) % 16 AS w,
              16 + (doc_id % (SELECT nk FROM nk)) % 8 AS h,
              (doc_id % 3 = 0) AS pert FROM documents),
+         dk AS (SELECT * FROM d WHERE $gate),
          cells AS (
            SELECT doc_id, gi.i AS i, gj.j AS j,
              (list_sum(flatten(list_transform(
@@ -448,7 +457,7 @@ private[graft] object OracleDsl {
                         + 114 * ((((key * 48271 + (y * w + x) * 16807 + 62) % 2147483647) * 48271 % 2147483647) % 256)) // 1000))))
               // ((((gi.i + 1) * h) // 8 - (gi.i * h) // 8)
                  * (((gj.j + 1) * w) // 9 - (gj.j * w) // 9)))::BIGINT AS cell
-           FROM d, generate_series(0, 7) gi(i), generate_series(0, 8) gj(j)),
+           FROM dk, generate_series(0, 7) gi(i), generate_series(0, 8) gj(j)),
          bits AS (SELECT a.doc_id, a.i * 8 + a.j AS bit,
                     CASE WHEN a.cell < b.cell THEN 1 ELSE 0 END AS fb
                   FROM cells a JOIN cells b

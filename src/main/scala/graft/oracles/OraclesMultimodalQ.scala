@@ -57,6 +57,40 @@ private[graft] object OraclesMultimodalQ {
                  GROUP BY 1, 2)
          SELECT id_new, id_old, hamming FROM ham WHERE hamming <= 3""",
 
+    // the composed image flagship: gate -> dHash -> bands -> Hamming
+    // pairs -> recursive connected components -> min-id survivors ->
+    // Lehmer cluster split, all closed-form (same construction replay
+    // as image_phash_neardup; gate applied between construction and
+    // fingerprint exactly as the Spark pipeline stages it)
+    "curation_image_e2e" ->
+      s"""WITH RECURSIVE
+         ${duckDhashCtesGated("w * h >= 400 AND 2 * w <= 3 * h")}
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+         ham AS (SELECT c.id_a, c.id_b,
+                   sum(CASE WHEN fa.fb <> fb2.fb THEN 1 ELSE 0 END)::BIGINT AS hamming
+                 FROM cand c JOIN bits fa ON fa.doc_id = c.id_a
+                   JOIN bits fb2 ON fb2.doc_id = c.id_b AND fb2.bit = fa.bit
+                 GROUP BY 1, 2),
+         pr AS (SELECT id_a, id_b FROM ham WHERE hamming <= 3),
+         e AS (SELECT id_a AS a, id_b AS b FROM pr
+               UNION SELECT id_b, id_a FROM pr),
+         reach(a, b) AS (SELECT a, b FROM e
+           UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         lab AS (SELECT dk.doc_id,
+                   least(dk.doc_id, coalesce(min(r.b), dk.doc_id))::BIGINT AS cluster
+                 FROM dk LEFT JOIN reach r ON r.a = dk.doc_id GROUP BY dk.doc_id),
+         sz AS (SELECT cluster, count(*)::BIGINT AS n_members FROM lab GROUP BY 1)
+         SELECT dk.doc_id, dk.w::BIGINT AS width, dk.h::BIGINT AS height,
+           lab.cluster, sz.n_members,
+           CASE WHEN ((lab.cluster * 48271 + 11) % 2147483647) % 1000 < 900 THEN 'train'
+                WHEN ((lab.cluster * 48271 + 11) % 2147483647) % 1000 < 950 THEN 'val'
+                ELSE 'test' END AS split
+         FROM dk JOIN lab USING (doc_id) JOIN sz USING (cluster)
+         WHERE dk.doc_id = lab.cluster""",
+
     // Web.canonicalizeUrl replayed step-for-step (duckUrlCanonCtes)
     // over the same manufactured messy urls — the canonical STRING is
     // hash-graded, so every rule (scheme/host case, www, default

@@ -102,6 +102,24 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Set((2L, "png", 800L, 600L, 33L), (3L, "jpeg", 33L, 47L, 51L)))
   }
 
+  test("parseImageMeta: BMP and PPM headers (the containers the decoder knows)") {
+    // BMP dims from the LE i32 fields; negative (top-down) height
+    // reports its magnitude
+    val bmp = Multimodal.encodeBmp(7, 3, Array.fill(7 * 3 * 3)(0))
+    assert(Multimodal.parseImageMeta(bmp) == (("bmp", 7L, 3L)))
+    val topDown = bmp.clone()
+    topDown(22) = (-3).toByte; topDown(23) = 0xFF.toByte
+    topDown(24) = 0xFF.toByte; topDown(25) = 0xFF.toByte
+    assert(Multimodal.parseImageMeta(topDown) == (("bmp", 7L, 3L)))
+    // PPM P6 with a comment between the magic and the dims
+    val ppm = ("P6\n# a comment\n12 34\n255\n").getBytes("UTF-8") ++
+      Array.fill(12 * 34 * 3)(0.toByte)
+    assert(Multimodal.parseImageMeta(ppm) == (("ppm", 12L, 34L)))
+    // truncated headers degrade to dims 0, never throw
+    assert(Multimodal.parseImageMeta("BM".getBytes) == (("bmp", 0L, 0L)))
+    assert(Multimodal.parseImageMeta("P6 #".getBytes) == (("ppm", 0L, 0L)))
+  }
+
   test("decodeImage: BMP bottom-up and top-down storage yield the same logical raster") {
     val id = 42L; val w = 5; val h = 3
     val bottomUp = Multimodal.bmpPayloadBytes(id, w, h)
