@@ -109,6 +109,10 @@ object Bench {
     // passes shows up HERE even when it is too brief to move the
     // whole-run ratio — the exact failure mode of the r8/r9 snapshots
     val foreignByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // per-query wall seconds (all passes, failed included — the same
+    // window foreignByQuery accumulates over): the denominator for the
+    // per-query contamination gate below
+    val wallByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     // dev loop: SPARK_GRAFT_BENCH_ONLY=a,b restricts the sweep for
     // A/B timing of one query family (driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -177,6 +181,7 @@ object Bench {
         graft.operators.Caching.release()
         spark.catalog.clearCache()
         val dt = (System.nanoTime() - t0) / 1e9
+        wallByQuery(name) = wallByQuery.getOrElse(name, 0.0) + dt
         val qBusy1 = totalBusyJiffies(); val qSelf1 = selfJiffies()
         if (qBusy0 >= 0 && qSelf0 >= 0 && qBusy1 >= 0 && qSelf1 >= 0)
           foreignByQuery(name) = foreignByQuery.getOrElse(name, 0.0) +
@@ -267,9 +272,21 @@ object Bench {
         (f, f / (wallSecs * Runtime.getRuntime.availableProcessors()))
       }
     }
-    // self-flag: >8% of the machine going to co-tenants mid-bench means
-    // per-query comparisons against other snapshots are unsafe
-    val contaminated = foreignRatio > 0.08
+    // self-flag, two gates (r16 lesson: the global 0.08 ratio read
+    // `false` while a burst CONCENTRATED — stream_sessionize absorbed
+    // 358 foreign core-s, 77% of its own wall×cores — so a brief burst
+    // that corrupts a handful of queries never moves the whole-run
+    // ratio). A query is contaminated when other processes burned more
+    // than half of its own wall×cores during its passes (with a
+    // 10 core-s absolute floor so a scheduler blip on a sub-second
+    // query doesn't trip it); the run is contaminated when the global
+    // ratio exceeds 8% OR any query tripped the per-query gate.
+    val cores = Runtime.getRuntime.availableProcessors()
+    val queriesContaminated = foreignByQuery.collect {
+      case (q, f) if f > 10.0 &&
+        f > 0.5 * wallByQuery.getOrElse(q, 0.0) * cores => q
+    }.toSeq
+    val contaminated = foreignRatio > 0.08 || queriesContaminated.nonEmpty
     // full-precision record for humans/judge, with noise context:
     // per-query medians, cold (first-pass) times, pass count, load
     // averages, foreign-CPU provenance, and any failed queries with
@@ -286,6 +303,8 @@ object Bench {
       })
     },"errors":${
       jmap(errors.map { case (k, v) => k -> jstr(v) })
+    },"queries_contaminated":${
+      queriesContaminated.map(jstr).mkString("[", ",", "]")
     },"sf":"$sfDir","passes":$passes,"agg":"median","gc_settle":$gcSettle,"bench_protocol":"noop-write-r12","bench_protocol_note":"timed action is a noop WRITE of the full result (since r12); benches at r11 and earlier timed count(), which let Catalyst prune count-irrelevant subtrees (e.g. semdedup_prune's whole dominance join - a left join with a provably-unique right side preserves cardinality), so r11-era per-query times are NOT comparable for queries whose output stage a count() could skip (the semdedup/knn family, window-topn shapes)","load_avg_start":$loadStart,"load_avg_end":${loadAvg()},"wall_secs":${f"$wallSecs%.1f"},"foreign_cpu_core_secs":${f"$foreignCoreSecs%.1f"},"foreign_cpu_ratio":${f"$foreignRatio%.4f"},"contaminated":$contaminated}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full + "\n")
@@ -297,11 +316,27 @@ object Bench {
     // full map is always in bench.json.
     val budget = 1750
     // a contaminated run must say so on the driver-captured line itself
-    val flag = if (contaminated) ""","contaminated":true""" else ""
+    val flag = (if (contaminated) ""","contaminated":true""" else "") +
+      (if (queriesContaminated.nonEmpty)
+         s""","queries_contaminated":${queriesContaminated.size}""" else "")
     val bySlow = results.toSeq.sortBy(-_._2)
     var keep = bySlow.length
     while (keep > 1 && line(bySlow.take(keep), bySlow.length - keep, flag).length > budget) keep -= 1
-    println(line(bySlow.take(keep), bySlow.length - keep, flag))
-    spark.stop()
+    val stdoutLine = line(bySlow.take(keep), bySlow.length - keep, flag)
+    // shutdown BEFORE the metric println — r16's official bench signal
+    // was lost because a streaming StateStore maintenance thread raced
+    // spark.stop() and dumped an RpcEnvStoppedException stack trace
+    // into stdout AFTER the metric line, flooding the driver's
+    // 2000-char tail capture (BENCH_r16 parsed:null). Stop any live
+    // streaming queries, then the StateStore maintenance task, then
+    // the session; only when the JVM can no longer emit Spark noise
+    // does the metric line print — physically the last stdout line.
+    try spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    } catch { case _: Throwable => () }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
+    println(stdoutLine)
   }
 }
