@@ -16,13 +16,20 @@ object RunOne {
     // drop flags AND their values ("--reps 3" must not leak "3" into
     // the positional sfDir slot)
     val pos = args.zipWithIndex.filterNot { case (a, i) =>
-      a.startsWith("--") || (i > 0 && args(i - 1) == "--reps")
+      a.startsWith("--") ||
+        (i > 0 && (args(i - 1) == "--reps" || args(i - 1) == "--json"))
     }.map(_._1)
     val name = pos.headOption.getOrElse(sys.error("usage: RunOne <query> [sfDir]"))
     val sfDir = pos.lift(1).getOrElse("/root/testdata/sf0.1")
     val explain = args.contains("--explain")
     val reps = args.sliding(2).collectFirst {
       case Array("--reps", n) => n.toInt }.getOrElse(2)
+    // --json <path>: append one machine-readable adjudication row —
+    // the tools/adjudicate.py harness composes these into
+    // adjudications_r{N}.json so burst-window flags are re-measured
+    // and recorded AUTOMATICALLY, not hand-written (r16 verdict #6)
+    val jsonOut = args.sliding(2).collectFirst {
+      case Array("--json", p) => p }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -57,6 +64,8 @@ object RunOne {
     // single JVM's reps)
     def totalBusyJiffies(): Long = ProcCpu.totalBusyJiffies()
     def selfJiffies(): Long = ProcCpu.selfJiffies()
+    val times = Array.ofDim[Double](reps)
+    val foreigns = Array.ofDim[Double](reps)
     (1 to reps).foreach { i =>
       val b0 = totalBusyJiffies(); val s0 = selfJiffies()
       val t0 = System.nanoTime()
@@ -71,7 +80,23 @@ object RunOne {
         if (b0 >= 0 && s0 >= 0 && b1 >= 0 && s1 >= 0)
           ((b1 - b0) - (s1 - s0)) / 100.0
         else -1.0
+      times(i - 1) = dt; foreigns(i - 1) = foreign
       println(f"[runone] rep=$i $name t=$dt%.3fs foreign=$foreign%.1fs")
+    }
+    jsonOut.foreach { path =>
+      // iso_mid = lower median of the WARM reps (rep 1 is the cold
+      // JIT/classload run) — the same statistic the hand-written
+      // adjudication rows have always reported
+      val warm = (if (reps > 1) times.drop(1) else times).sorted
+      val isoMid = warm((warm.length - 1) / 2)
+      def arr(a: Array[Double]) =
+        a.map(v => f"$v%.3f").mkString("[", ",", "]")
+      val row = s"""{"query":"$name","sf":"$sfDir","reps":${arr(times)},""" +
+        s""""foreign_cpu":${arr(foreigns)},"iso_mid":${f"$isoMid%.3f"}}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), row + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      ()
     }
     spark.stop()
   }

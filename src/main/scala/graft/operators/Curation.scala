@@ -67,17 +67,22 @@ object Curation {
     * would rescue or reject against the rules — is graded evidence,
     * not a side claim.
     *
-    * Scale shape: two corpus scans (count pass, score pass), shuffles
-    * keyed on tokens with the LM side vocab-bounded, one broadcast
-    * totals row, one broadcast prior row. Docs with zero tokens carry
-    * no evidence and score exactly the prior (left join + coalesce).
+    * Scale shape: the labeled frame (tokenize + gopher rule flags —
+    * the expensive row-local work) is persisted once and consumed by
+    * four plans (count pass, prior, doc scores, final join); shuffles
+    * are keyed on tokens with the LM side vocab-bounded, one
+    * broadcast totals row, one broadcast prior row. Docs with zero
+    * tokens carry no evidence and score exactly the prior (left join
+    * + coalesce).
     *
     * @return (id, label, n_toks, nb_mbits, predicted, agree)
     */
   def nbQualityClassifier(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import Caching.TrackedDf
     val labeled = Dedup.rebalance(df)
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"),
         gopherFlags(col(textCol)).last.as("label"))
+      .persistTracked
     val inst = labeled.select(col(idCol), col("label"), explode(col("toks")).as("w"))
     val cnt = inst.groupBy(col("w"))
       .agg(count(lit(1)).as("n_all"),

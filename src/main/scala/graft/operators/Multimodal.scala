@@ -1432,6 +1432,116 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- audio fingerprint dedup (the dHash idea on the time axis)
+
+  /** Per-key pseudo-random PCM sample for the planted near-dup audio
+    * corpus — the [[nearDupPixel]] two-round Lehmer mix over (key, s)
+    * mapped to signed 16-bit; the +11 offset decorrelates it from the
+    * pixel stream. Integer-only, closed-form in both engines.
+    */
+  def audioDupSample(key: Long, s: Int): Int =
+    (((((key * 48271L + s.toLong * 16807L + 11L) % 2147483647L)
+      * 48271L % 2147483647L) % 65536L) - 32768L).toInt
+
+  /** Construct REAL audio payloads with planted near-duplicates: docs
+    * sharing a clip key (id mod nKeys) get the SAME mono PCM —
+    * 192 + key%64 samples of [[audioDupSample]] — encoded as WAV for
+    * even ids and FLAC for odd ids (FLAC is lossless, so cross-FORMAT
+    * copies decode to identical PCM and MUST collide), except that
+    * ids divisible by 3 perturb the one sample at position key mod n
+    * by +512 (wrapping in int16 — the closed form both engines
+    * replay), which moves exactly one fingerprint segment and flips
+    * at most its two adjacent comparisons: a planted NEAR-duplicate
+    * at Hamming ≤ 2. Size nKeys with [[nearDupKeysPlan]].
+    */
+  def syntheticNearDupAudio(df: DataFrame, idCol: String, nKeys: Int): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("clip", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        val key = id % nKeys
+        val n = (192 + key % 64).toInt
+        val samples = new Array[Int](n)
+        var s = 0
+        while (s < n) { samples(s) = audioDupSample(key, s); s += 1 }
+        if (id % 3 == 0) {
+          val s0 = (key % n).toInt
+          samples(s0) =
+            (((samples(s0) + 32768 + 512) % 65536) - 32768)
+        }
+        val clip =
+          if (id % 2 == 0) encodeWav(samples, 1, 8000)
+          else Flac.encodeFlac(samples, 1, 8000, blockSize = 64,
+            stereoMode = "independent",
+            predictor = if (id % 6 < 3) "fixed" else "lpc",
+            partitionOrder = (id % 3).toInt)
+        Row(r.get(idIdx), clip)
+      }
+    }(enc)
+  }
+
+  /** 64-bit audio fingerprint of a decoded clip's FIRST channel — the
+    * dHash construction on the time axis: 65 floored-bound segments
+    * (j·n/65 ≤ s < (j+1)·n/65, a partition for n ≥ 65), exact integer
+    * segment sums, bit j set iff mean(j) < mean(j+1) compared CROSS-
+    * MULTIPLIED (sum_j·len_{j+1} < sum_{j+1}·len_j) so no division
+    * semantics (trunc vs floor on negatives) can diverge between
+    * engines. Amplitude-offset-invariant like dHash is brightness-
+    * invariant; re-encodings of the same PCM (WAV↔FLAC) fingerprint
+    * identically. None for clips shorter than 65 samples.
+    */
+  def audioFingerprint64(a: DecodedAudio): Option[Long] = {
+    val n = a.samples.length / a.channels
+    if (n < 65) return None
+    val sums = new Array[Long](65)
+    val lens = new Array[Long](65)
+    var j = 0
+    while (j < 65) {
+      val s0 = j * n / 65
+      val s1 = (j + 1) * n / 65
+      var acc = 0L
+      var s = s0
+      while (s < s1) { acc += a.samples(s * a.channels); s += 1 }
+      sums(j) = acc; lens(j) = (s1 - s0).toLong
+      j += 1
+    }
+    var hash = 0L
+    j = 0
+    while (j < 64) {
+      if (sums(j) * lens(j + 1) < sums(j + 1) * lens(j)) hash |= 1L << j
+      j += 1
+    }
+    Some(hash)
+  }
+
+  /** (id, afp) via full decode — one fused partition-parallel pass
+    * (magic-sniff WAV/FLAC + PCM decode + segment sums + bits), no
+    * shuffle: the fingerprint is computed in the scan stage and only
+    * 16-byte rows reach the band join — [[imageDHash]]'s contract for
+    * the audio channel. Undecodable or sub-65-sample payloads drop.
+    */
+  def audioFingerprint(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outType = StructType(Seq(idField, StructField("afp", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.getAs[Array[Byte]](binIdx)
+        val dec =
+          if (b != null && b.length >= 4 && b(0) == 'f' && b(1) == 'L'
+            && b(2) == 'a' && b(3) == 'C') Flac.decodeFlac(b)
+          else decodeWav(b)
+        dec.flatMap(audioFingerprint64)
+          .map(fp => Row(r.get(idIdx), fp))
+      }
+    }(enc)
+  }
+
   // ---- video: REAL AVI frame extraction (uncompressed DIB, pure JVM)
 
   /** Deterministic pixel for synthetic video: channel c of pixel p in
@@ -1447,7 +1557,23 @@ object Multimodal {
     * frames stored as bottom-up BGR DIB rows with 4-byte-padded stride
     * — the same raster rules a BMP decoder must invert, per frame.
     */
-  def aviPayloadBytes(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+  def aviPayloadBytes(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] =
+    encodeAvi(w, h, (0 until nFrames).map { f =>
+      val rgb = new Array[Int](w * h * 3)
+      var i = 0
+      while (i < rgb.length) {
+        rgb(i) = syntheticVideoPixel(id, f, i / 3, i % 3); i += 1
+      }
+      rgb
+    })
+
+  /** A REAL AVI from explicit RGB frames (all frames share the stream
+    * header's dims — the container's own constraint): RIFF/'AVI ' with
+    * hdrl (avih + vids/DIB strl, 24-bit BI_RGB) and a movi LIST of
+    * '00db' bottom-up BGR DIB frames, 4-byte-padded stride.
+    */
+  def encodeAvi(w: Int, h: Int, frameRgbs: Seq[Array[Int]]): Array[Byte] = {
+    val nFrames = frameRgbs.length
     val stride = (w * 3 + 3) & ~3
     val frameLen = stride * h
     val out = new java.io.ByteArrayOutputStream()
@@ -1473,17 +1599,17 @@ object Multimodal {
       Array.concat(ascii("LIST"), u32(body.length + 4), ascii(ltype), body)
     val strl = list("strl", Array.concat(chunk("strh", strh), chunk("strf", strf)))
     val hdrl = list("hdrl", Array.concat(chunk("avih", avih), strl))
-    val frames = (0 until nFrames).map { f =>
+    val frames = frameRgbs.map { rgb =>
       val d = new Array[Byte](frameLen)
       var y = 0
       while (y < h) {
         val off = (h - 1 - y) * stride // bottom-up rows
         var x = 0
         while (x < w) {
-          val p = y * w + x
-          d(off + x * 3) = syntheticVideoPixel(id, f, p, 2).toByte     // B
-          d(off + x * 3 + 1) = syntheticVideoPixel(id, f, p, 1).toByte // G
-          d(off + x * 3 + 2) = syntheticVideoPixel(id, f, p, 0).toByte // R
+          val p = (y * w + x) * 3
+          d(off + x * 3) = rgb(p + 2).toByte     // B
+          d(off + x * 3 + 1) = rgb(p + 1).toByte // G
+          d(off + x * 3 + 2) = rgb(p).toByte     // R
           x += 1
         }
         y += 1
@@ -1587,6 +1713,79 @@ object Multimodal {
         val id = r.getAs[Number](idIdx).longValue()
         Row(r.get(idIdx), aviPayloadBytes(id,
           (2 + id % 5).toInt, (2 + id % 3).toInt, (2 + id % 4).toInt))
+      }
+    }(enc)
+  }
+
+  /** Fixed raster dims of the planted near-dup video corpus: the AVI
+    * stream header binds ONE (w, h) to every frame of a clip, so
+    * cross-video frame collisions require corpus-wide shared dims
+    * (unlike the image corpus, whose dims vary per raster key).
+    * 18×16 keeps every dHash box ≥ 1 pixel with no clamping.
+    */
+  val videoDupW = 18
+  val videoDupH = 16
+
+  /** Construct REAL multi-frame AVIs with planted near-duplicate
+    * FRAMES ACROSS videos: frame `f` of video `id` carries the
+    * [[nearDupPixel]] raster of key (id + f) mod nKeys, so videos
+    * whose (id, f) slots land on the same key share a frame raster —
+    * except that slots with (id + f) divisible by 3 carry the same
+    * one-pixel perturbation as the image corpus (+16 red on pixel
+    * key mod n_pix): a planted near-duplicate frame at Hamming ≤ 2.
+    * nKeys follows [[nearDupKeysPlan]] over the TOTAL FRAME count
+    * (frames are the dedup rows here) so planted-pair density stays
+    * constant as the corpus grows — the same linear-pair-mass rule.
+    * Clips are 2 + id%3 frames (the multi-frame container shape with
+    * a closed-form frame count both engines replay).
+    */
+  def syntheticNearDupVideos(df: DataFrame, idCol: String, nKeys: Int): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("avi", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    val w = videoDupW; val h = videoDupH
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        val nFrames = (2 + id % 3).toInt
+        val frames = (0 until nFrames).map { f =>
+          val key = (id + f) % nKeys
+          val rgb = new Array[Int](w * h * 3)
+          var i = 0
+          while (i < rgb.length) { rgb(i) = nearDupPixel(key, i / 3, i % 3); i += 1 }
+          if ((id + f) % 3 == 0) {
+            val p0 = (key % (w * h)).toInt
+            rgb(p0 * 3) = (rgb(p0 * 3) + 16) % 256
+          }
+          rgb
+        }
+        Row(r.get(idIdx), encodeAvi(w, h, frames))
+      }
+    }(enc)
+  }
+
+  /** (id, frame_idx, dhash) via full AVI decode — the video twin of
+    * [[imageDHash]]: one fused partition-parallel pass (RIFF walk +
+    * per-frame DIB decode + grayscale box filter + comparison bits),
+    * no shuffle; at 100 TB the per-frame fingerprint is computed in
+    * the scan stage and only ~24-byte rows reach the band join.
+    * Undecodable clips contribute zero rows (corpus-scale media
+    * errors are data, same rule as [[imageDHash]]).
+    */
+  def videoFrameDHash(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outType = StructType(Seq(idField,
+      StructField("frame_idx", LongType), StructField("dhash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeAviFrames(r.getAs[Array[Byte]](binIdx)).getOrElse(Seq.empty)
+          .iterator.zipWithIndex.map { case (img, f) =>
+            Row(r.get(idIdx), f.toLong, dHash64(img))
+          }
       }
     }(enc)
   }

@@ -23,6 +23,13 @@ package graft.operators
   * host that IS a public suffix has no registrable domain — this
   * engine returns the host itself (documented convention, keeps the
   * rollup key total).
+  *
+  * IDN rules are embedded in BOTH forms — the list's Unicode form
+  * and the IDNA/punycode (xn--) form the generator derives — so
+  * punycode crawl hosts (the normal wire encoding) match their IDN
+  * registry rules instead of silently falling back to the implicit
+  * `*` rule (ADVICE r16). Hosts are expected lowercase (the
+  * canonicalizer's output); no IDNA mapping happens at match time.
   */
 object Psl {
 

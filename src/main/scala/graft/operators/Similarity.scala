@@ -879,24 +879,84 @@ object Similarity {
     * every pass of each family's designated TRAINER query so the
     * committed bench still measures a real tree build.
     */
-  private val treeCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int, Int, Int),
-      (DataFrame, Seq[DataFrame])]
+  private type TreeKey =
+    (org.apache.spark.sql.SparkSession, String, Int, Int, Int, Int)
+  private type TreeVal = (DataFrame, Seq[DataFrame])
+
+  /** Memo bound: a handful of (corpus, params) trees per JVM. The
+    * entries pin lineage-free localCheckpoint blocks (MEMORY_AND_DISK,
+    * executor-side) that `Caching.release()` deliberately cannot
+    * touch, so an UNBOUNDED memo in a long-lived library session
+    * iterating many corpora/params would accumulate pinned executor
+    * storage until GC happened to collect the dropped handles
+    * (ADVICE r16). Access-ordered LRU; evicted entries have their
+    * checkpoint RDDs unpersisted EXPLICITLY (below) instead of
+    * waiting for GC + ContextCleaner.
+    */
+  private val treeCacheCap = 4
+
+  private val treeCache = new java.util.LinkedHashMap[TreeKey, TreeVal](
+    16, 0.75f, /* accessOrder = */ true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[TreeKey, TreeVal]): Boolean =
+      if (size > treeCacheCap) { unpersistTree(e.getValue); true } else false
+  }
+
+  /** Explicitly free a memoized tree's checkpoint blocks: every
+    * LogicalRDD leaf under the row table and the per-level kid tables
+    * is a materialized localCheckpoint RDD — unpersist them directly
+    * (async) so eviction returns executor storage NOW, not at the
+    * next GC cycle.
+    */
+  private def unpersistTree(v: TreeVal): Unit =
+    (v._1 +: v._2).foreach { df =>
+      try org.apache.spark.sql.GraftBridge.checkpointRdds(df)
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
+
+  /** Driver-side memo-hit validation (no job): every checkpoint RDD
+    * must still report ALL partitions cached. On a real cluster an
+    * executor loss drops blocks of a LINEAGE-FREE checkpointed RDD
+    * unrecoverably — a memoized tree would then fail every later
+    * query where a fresh build would have recovered (ADVICE r16).
+    * A stale entry is evicted and rebuilt once instead.
+    */
+  private def treeBlocksIntact(v: TreeVal): Boolean =
+    try {
+      val sc = v._1.sparkSession.sparkContext
+      val info = sc.getRDDStorageInfo
+      (v._1 +: v._2)
+        .flatMap(df => org.apache.spark.sql.GraftBridge.checkpointRdds(df))
+        .forall { r =>
+          info.find(_.id == r.id)
+            .exists(i => i.numCachedPartitions == i.numPartitions)
+        }
+    } catch { case _: Throwable => false }
 
   /** Fresh bisecting-tree builds this JVM has run (spec instrument:
     * proves the memo path skips the build).
     */
   private[graft] val treeBuilds = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Drop every memoized tree (Bench trainer-pass hygiene). */
-  def evictTreeMemo(): Unit = treeCache.clear()
+  /** Drop every memoized tree (Bench trainer-pass hygiene), freeing
+    * the checkpoint blocks explicitly.
+    */
+  def evictTreeMemo(): Unit = treeCache.synchronized {
+    treeCache.values.forEach(v => unpersistTree(v))
+    treeCache.clear()
+  }
 
   /** Drop trees owned by stopped sessions (long-lived-JVM hygiene —
     * a stopped session's entries would pin its SparkContext graph).
+    * Block unpersist is skipped: a stopped context has no executors
+    * to message, dropping the references is all there is to do.
     */
   def evictTreeMemoForStopped(live: org.apache.spark.sql.SparkSession): Unit =
-    treeCache.keys.filter(k => (k._1 ne live) && k._1.sparkContext.isStopped)
-      .foreach(treeCache.remove)
+    treeCache.synchronized {
+      treeCache.keySet.removeIf(k => (k._1 ne live) && k._1.sparkContext.isStopped)
+      ()
+    }
 
   private def bisectAssignedCached(
       corpus: DataFrame,
@@ -914,11 +974,25 @@ object Similarity {
     else {
       val s = corpus.sparkSession
       evictTreeMemoForStopped(s)
-      val planKey = corpus
-        .select(col(idCol), col(vecCol))
-        .queryExecution.analyzed.canonicalized.toString
-      treeCache.getOrElseUpdate(
-        (s, planKey, nCells, iters, targetRows, slack), fresh())
+      // key = canonicalized-plan string + semanticHash: the string
+      // alone elides wide field lists past
+      // spark.sql.debug.maxToStringFields (a theoretical cross-corpus
+      // collision, ADVICE r16); a collision now needs both the elided
+      // string AND the full-plan semantic hash to agree
+      val plan = corpus.select(col(idCol), col(vecCol)).queryExecution.analyzed
+      val planKey =
+        s"${plan.semanticHash()}:${plan.canonicalized.toString}"
+      val key: TreeKey = (s, planKey, nCells, iters, targetRows, slack)
+      treeCache.synchronized {
+        val hit = treeCache.get(key)
+        if (hit != null && treeBlocksIntact(hit)) hit
+        else {
+          if (hit != null) { treeCache.remove(key); unpersistTree(hit) }
+          val v = fresh()
+          treeCache.put(key, v)
+          v
+        }
+      }
     }
   }
 

@@ -229,6 +229,45 @@ class StreamingEquivalenceSpec extends SparkSpec {
     hashed.unpersist()
   }
 
+  test("incrementalHashNearDupStream: a REPLAYED stream id re-emits its pairs (documented precondition)") {
+    // the operator's unique-id precondition (Streams.scala) as a
+    // CONTRACT, not a comment: statelessness means an id delivered in
+    // two micro-batches (an at-least-once source re-delivering) emits
+    // its corpus pairs once PER DELIVERY — exactly 2× the batch twin,
+    // which distincts. This is the documented batch/stream divergence;
+    // callers on at-least-once sources dedupe upstream.
+    import graft.operators.{Dedup, Multimodal}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    val hashed = Multimodal.imageDHash(
+      Multimodal.syntheticNearDupImages(docs, "doc_id",
+        Multimodal.nearDupKeysPlan(docs.count())),
+      "doc_id", "img").cache()
+    val corpus = hashed.where(col("doc_id") % 10 =!= 0)
+    val newBatch = hashed.where(col("doc_id") % 10 === 0)
+    val batch = Dedup.hashNearDupsIncremental(newBatch, corpus, "doc_id", "dhash", 3)
+    val someId = batch.select(col("id_new")).orderBy(col("id_new")).limit(1)
+      .collect().head.getLong(0)
+    val batchPairs = batch.where(col("id_new") === someId).count()
+    assert(batchPairs > 0, "need a new-batch id with at least one corpus pair")
+    val row = hashed.where(col("doc_id") === someId).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val out = Streams.incrementalHashNearDupStream(
+      in.toDS().toDF("doc_id", "dhash"), corpus, "doc_id", "dhash", 3)
+    val q = out.writeStream.format("memory").queryName("eq_inchash_replay")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(row.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(row.toIndexedSeq) // the replay
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("eq_inchash_replay").count() == 2 * batchPairs,
+      "a replayed id must emit its pair set once per delivery (2x batch)")
+    hashed.unpersist()
+  }
+
   test("incrementalClusterStream (micro-batched) == full batch recompute") {
     // the daily loop, streamed: labels + corpus index accumulate across
     // micro-batches; final labels must equal a ONE-SHOT full recompute

@@ -115,4 +115,25 @@ class WebSpec extends SparkSpec {
     // tier: compute.amazonaws.com -> amazonaws.com
     assert(dom("compute.amazonaws.com") == Seq("amazonaws.com"))
   }
+
+  test("registrableDomain: IDN rules match in BOTH punycode and Unicode form") {
+    def dom(hosts: String*): Seq[String] =
+      hosts.toDF("h")
+        .select(Web.registrableDomain(col("h"))).collect().map(_.getString(0)).toSeq
+    // 政府.hk (gov.hk's IDN twin) is a 2-label exact rule; crawl hosts
+    // arrive punycode (xn--mxtq1m.hk) — pre-r17 the Unicode-only table
+    // silently fell these back to the implicit * rule, yielding the
+    // bare registry as the "domain" (ADVICE r16)
+    assert(dom("dept.xn--mxtq1m.hk", "a.dept.xn--mxtq1m.hk")
+      == Seq("dept.xn--mxtq1m.hk", "dept.xn--mxtq1m.hk"))
+    // the Unicode form keeps matching too (both forms are embedded)
+    assert(dom("dept.政府.hk") == Seq("dept.政府.hk"))
+    // punycode twins exist for every tier the list populates: an IDN
+    // 3-label exact rule (mil.no's Unicode county twins live at 2-3
+    // labels) — use a generated entry directly so the assertion holds
+    // across list refreshes
+    val punyRule = graft.operators.Psl.suffix2.find(_.startsWith("xn--"))
+    assert(punyRule.nonEmpty, "generated table must contain punycode twins")
+    assert(dom("site." + punyRule.get) == Seq("site." + punyRule.get))
+  }
 }

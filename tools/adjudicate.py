@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Auto-adjudicate burst-contaminated bench queries (r16 verdict #6).
+
+Reads a bench.json (the FULL record Bench writes), selects every query
+that needs isolated re-measurement — the `queries_contaminated` list,
+plus any query whose recorded foreign-CPU exceeds the same gate Bench
+applies (foreign core-s > 0.5 x query wall x cores, floor 10 core-s) —
+and runs each through `graft.RunOne --json` in its own JVM,
+sequentially, composing tools/adjudications_r{N}.json automatically
+instead of by hand.
+
+Usage:
+  python3 tools/adjudicate.py bench.json tools/adjudications_r17.json \
+      [--reps 4] [--extra q1,q2]
+
+The output rows carry the isolated rep times, per-rep foreign-CPU and
+the warm lower-median (`iso_mid`). `resolved` is set mechanically:
+true when iso_mid <= 0.67 x the contaminated bench median (the bench
+number was burst inflation), else false (a real regression — look at
+the plan). The `note` records the evidence either way.
+"""
+import json
+import subprocess
+import sys
+import tempfile
+import os
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:]]
+    reps = 4
+    extra = []
+    if "--reps" in args:
+        i = args.index("--reps")
+        reps = int(args[i + 1])
+        del args[i:i + 2]
+    if "--extra" in args:
+        i = args.index("--extra")
+        extra = [q for q in args[i + 1].split(",") if q]
+        del args[i:i + 2]
+    if len(args) != 2:
+        print(__doc__)
+        return 2
+    bench_path, out_path = args
+    with open(bench_path) as f:
+        bench = json.load(f)
+    queries = {k: float(v) for k, v in bench.get("queries", {}).items()}
+    foreign = {k: float(v) for k, v in bench.get("queries_foreign_cpu", {}).items()}
+    passes = int(bench.get("passes", 3))
+    cores = os.cpu_count() or 32
+    sf = bench.get("sf", "/root/testdata/sf0.1")
+
+    flagged = list(bench.get("queries_contaminated", []))
+    # re-derive the per-query gate from the recorded fields so older
+    # bench.json files (no queries_contaminated) still adjudicate
+    for q, f_cs in foreign.items():
+        wall = queries.get(q, 0.0) * passes  # approx: median x passes
+        if q not in flagged and f_cs > 10.0 and f_cs > 0.5 * wall * cores:
+            flagged.append(q)
+    for q in extra:
+        if q not in flagged:
+            flagged.append(q)
+    if not flagged:
+        print("[adjudicate] nothing to adjudicate (no contaminated queries)")
+        with open(out_path, "w") as f:
+            json.dump({}, f)
+        return 0
+
+    print(f"[adjudicate] {len(flagged)} queries: {', '.join(flagged)}")
+    rows = {}
+    with tempfile.NamedTemporaryFile(suffix=".jsonl", delete=False) as tf:
+        tmp = tf.name
+    for q in flagged:
+        cmd = ["sbt", "-batch",
+               f"runMain graft.RunOne {q} {sf} --reps {reps} --json {tmp}"]
+        print(f"[adjudicate] {' '.join(cmd)}")
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            rows[q] = {"iso_mid": None, "resolved": False,
+                       "note": "RunOne failed: " + r.stdout[-300:].replace("\n", " ")}
+    with open(tmp) as f:
+        for line in f:
+            row = json.loads(line)
+            q = row["query"]
+            bench_med = queries.get(q)
+            iso = row["iso_mid"]
+            resolved = bench_med is not None and iso <= 0.67 * bench_med
+            rows[q] = {
+                "iso_mid": iso,
+                "resolved": bool(resolved),
+                "note": (
+                    f"auto-adjudicated (tools/adjudicate.py): bench median "
+                    f"{bench_med} s with {foreign.get(q, 0.0)} foreign core-s "
+                    f"recorded across its passes; isolated RunOne reps "
+                    f"{row['reps']} s (per-rep foreign {row['foreign_cpu']} "
+                    f"core-s), warm lower-median {iso} s. "
+                    + ("Bench number was burst inflation; iso steady state "
+                       "stands." if resolved else
+                       "iso does NOT clear the 0.67x gate - treat as a real "
+                       "change and inspect the plan.")),
+            }
+    os.unlink(tmp)
+    with open(out_path, "w") as f:
+        json.dump(rows, f, indent=1, sort_keys=True)
+    print(f"[adjudicate] wrote {len(rows)} rows to {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

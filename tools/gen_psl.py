@@ -16,8 +16,16 @@ The generator asserts the bucket bounds so a future list refresh that
 introduces e.g. a 6-label exact rule or a 4-label exception fails the
 build loudly instead of silently mis-matching.
 
+Non-ASCII (IDN) rules are emitted in BOTH forms: the list's Unicode
+form AND the IDNA/punycode (xn--) form, because crawl hosts normally
+arrive punycode-encoded — a Unicode-only table silently falls every
+IDN registry back to the implicit `*` rule (ADVICE r16). Per-label
+ToASCII, so each added form lands in the same label-count bucket as
+its source rule; ASCII rules are unaffected.
+
 Usage: python3 tools/gen_psl.py [src.dat] [out.scala]
 """
+import encodings.idna as _idna
 import sys
 from collections import defaultdict
 
@@ -44,27 +52,53 @@ def scala_escape(s: str) -> str:
     return '"' + "".join(out) + '"'
 
 
+def puny(rule: str):
+    """IDNA/punycode form of a rule (per-label ToASCII), or None when
+    the rule is already all-ASCII or a label refuses to encode (the
+    rule then ships Unicode-only, same as before)."""
+    if all(ord(c) < 128 for c in rule):
+        return None
+    try:
+        labs = [l if all(ord(c) < 128 for c in l)
+                else _idna.ToASCII(l).decode("ascii")
+                for l in rule.split(".")]
+        return ".".join(labs)
+    except (UnicodeError, ValueError):
+        return None
+
+
 def main():
     exact = defaultdict(list)
     wild = defaultdict(list)
     exc = defaultdict(list)
     n_exact1 = 0
+    n_puny = 0
+
+    def add(bucket, rule):
+        nonlocal n_puny
+        n = rule.count(".") + 1
+        bucket[n].append(rule)
+        p = puny(rule)
+        if p is not None:
+            bucket[n].append(p)  # same label count by construction
+            n_puny += 1
+
     for raw in open(SRC, encoding="utf-8"):
         line = raw.strip()
         if not line or line.startswith("//"):
             continue
         if line.startswith("!"):
-            rule = line[1:]
-            exc[rule.count(".") + 1].append(rule)
+            add(exc, line[1:])
         elif line.startswith("*."):
-            base = line[2:]
-            wild[base.count(".") + 1].append(base)
+            add(wild, line[2:])
         else:
             n = line.count(".") + 1
             if n == 1:
-                n_exact1 += 1  # ties the implicit default; dropped
+                # ties the implicit default; dropped (in either form —
+                # a 1-label punycode twin would tie it just the same)
+                n_exact1 += 1
             else:
-                exact[n].append(line)
+                add(exact, line)
     assert set(exact) <= {2, 3, 4, 5}, f"exact label counts {set(exact)}"
     assert set(wild) <= {1, 2, 3, 4}, f"wildcard base counts {set(wild)}"
     assert set(exc) <= {2, 3}, f"exception label counts {set(exc)}"
@@ -105,6 +139,9 @@ def main():
   *
   * Buckets ({stats}; 1-label exact rules dropped — they tie the
   * implicit `*` default and can never change the longest match).
+  * Non-ASCII (IDN) rules appear in BOTH their Unicode and their
+  * IDNA/punycode (xn--) forms so punycode crawl hosts match the IDN
+  * registries instead of falling back to the implicit `*` rule.
   * Entries are sorted and deduplicated so the generated SQL and the
   * broadcast sets are deterministic across regenerations.
   */
@@ -118,7 +155,8 @@ object PslData {{
         for v in vals:
             f.write(v + "\n")
         f.write("}\n")
-    print(f"wrote {OUT}: {stats} (dropped {n_exact1} 1-label exact rules)")
+    print(f"wrote {OUT}: {stats} (dropped {n_exact1} 1-label exact rules; "
+          f"added {n_puny} punycode twins for IDN rules)")
 
 
 if __name__ == "__main__":
