@@ -1214,6 +1214,64 @@ object SparkEntry {
         Multimodal.syntheticVideos(t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "doc_id", "avi")),
 
+    // frame-level video near-dup — the production dedup step for
+    // video corpora, composed end-to-end from pieces each proven
+    // alone: multi-frame AVIs with planted near-identical frames
+    // ACROSS videos (frame f of video id carries the raster of key
+    // (id+f) mod nKeys; slots divisible by 3 perturbed one pixel) →
+    // clips decoded ONCE into a persisted per-frame dHash index (the
+    // fused scan-stage pass, ~24-byte rows) → the SAME 4×16-bit
+    // banded Hamming join as image/simhash → cross-video frame pairs.
+    // Frames are the dedup rows, so the key count scales with the
+    // TOTAL FRAME count (nearDupKeysPlan) to keep pair mass linear.
+    "video_frame_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val totalFrames = docs
+        .agg(sum(lit(2L) + pmod(col("doc_id"), lit(3L)))).collect().head.getLong(0)
+      val nKeys = Multimodal.nearDupKeysPlan(totalFrames)
+      Pipeline(Multimodal.syntheticNearDupVideos(docs, "doc_id", nKeys))
+        .apply { vids =>
+          // fid packs (video, frame) into one band-join key: frames
+          // per clip ≤ 4 < 8, so 3 bits suffice and both engines
+          // split it back closed-form
+          Multimodal.videoFrameDHash(vids, "doc_id", "avi")
+            .select((col("doc_id") * 8 + col("frame_idx")).as("fid"),
+              col("dhash"))
+            .persistTracked
+        }
+        .apply { idx =>
+          Dedup.hashNearDups(idx, "fid", "dhash", 3)
+            .select(
+              shiftright(col("id_a"), 3).as("video_a"),
+              col("id_a").bitwiseAND(lit(7L)).as("frame_a"),
+              shiftright(col("id_b"), 3).as("video_b"),
+              col("id_b").bitwiseAND(lit(7L)).as("frame_b"),
+              col("hamming"))
+            .where(col("video_a") =!= col("video_b"))
+        }
+        .toDF
+    }),
+
+    // audio fingerprint dedup — the dHash idea on the time axis: the
+    // codec tier decodes five audio formats, this gives the channel a
+    // consumer. Planted re-encodings of the SAME PCM (WAV for even
+    // ids, lossless FLAC for odd) plus one-sample perturbed variants
+    // (ids % 3 == 0) → magic-sniffed decode + 65-segment band-energy
+    // fingerprint in one scan pass (exact integer segment sums,
+    // cross-multiplied mean compares — no FFT, closed-form oracle) →
+    // the SAME banded pigeonhole join; cross-format copies MUST
+    // collide at Hamming 0, perturbed ones at ≤ 2.
+    "audio_fingerprint_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nKeys = Multimodal.nearDupKeysPlan(docs.count())
+      Pipeline(Multimodal.syntheticNearDupAudio(docs, "doc_id", nKeys))
+        .apply { clips =>
+          Multimodal.audioFingerprint(clips, "doc_id", "clip").persistTracked
+        }
+        .apply { idx => Dedup.hashNearDups(idx, "doc_id", "afp", 3) }
+        .toDF
+    }),
+
     // audio is real too: WAV/PCM is uncompressed, so construct genuine
     // RIFF/WAVE clips (mono AND stereo, ancillary LIST chunk) and decode
     // them back — chunk walk, fmt validation, s16le samples; exact

@@ -91,6 +91,90 @@ private[graft] object OraclesMultimodalQ {
          FROM dk JOIN lab USING (doc_id) JOIN sz USING (cluster)
          WHERE dk.doc_id = lab.cluster""",
 
+    // frame-level video near-dup: closed-form dHash replay per FRAME
+    // (key (doc_id+f) mod nk, fixed 18x16 rasters — the AVI stream
+    // header binds one dim to all frames — perturbation on slots
+    // divisible by 3), then the same band blocking + exact Hamming as
+    // the image channel, frame ids packed doc_id*8+f and split back
+    "video_frame_neardup" ->
+      """WITH nf AS (SELECT least(greatest(37,
+             (SELECT sum(2 + doc_id % 3) FROM documents)::BIGINT // 14),
+             2147483647) AS nk),
+         vf AS (SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS f
+                FROM documents),
+         vk AS (SELECT doc_id, f, (doc_id + f) % (SELECT nk FROM nf) AS key,
+                  ((doc_id + f) % 3 = 0) AS pert, doc_id * 8 + f AS fid
+                FROM vf),
+         cells AS (
+           SELECT fid, gi.i AS i, gj.j AS j,
+             (list_sum(flatten(list_transform(
+                generate_series(gi.i * 2, gi.i * 2 + 1),
+                y -> list_transform(generate_series(gj.j * 2, gj.j * 2 + 1),
+                  x -> (299 * (CASE WHEN pert AND y * 18 + x = key % 288
+                               THEN ((((key * 48271 + (y * 18 + x) * 16807) % 2147483647) * 48271 % 2147483647) % 256 + 16) % 256
+                               ELSE (((key * 48271 + (y * 18 + x) * 16807) % 2147483647) * 48271 % 2147483647) % 256 END)
+                        + 587 * ((((key * 48271 + (y * 18 + x) * 16807 + 31) % 2147483647) * 48271 % 2147483647) % 256)
+                        + 114 * ((((key * 48271 + (y * 18 + x) * 16807 + 62) % 2147483647) * 48271 % 2147483647) % 256)) // 1000))))
+              // 4)::BIGINT AS cell
+           FROM vk, generate_series(0, 7) gi(i), generate_series(0, 8) gj(j)),
+         bits AS (SELECT a.fid, a.i * 8 + a.j AS bit,
+                    CASE WHEN a.cell < b.cell THEN 1 ELSE 0 END AS fb
+                  FROM cells a JOIN cells b
+                    ON b.fid = a.fid AND b.i = a.i AND b.j = a.j + 1
+                  WHERE a.j < 8),
+         bands AS (SELECT fid, bit % 4 AS band,
+                     sum(fb * (1 << (bit // 4)))::BIGINT AS band_val
+                   FROM bits GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.fid AS id_a, b.fid AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_val = b.band_val
+                      AND a.fid < b.fid),
+         ham AS (SELECT c.id_a, c.id_b,
+                   sum(CASE WHEN fa.fb <> fb2.fb THEN 1 ELSE 0 END)::BIGINT AS hamming
+                 FROM cand c JOIN bits fa ON fa.fid = c.id_a
+                   JOIN bits fb2 ON fb2.fid = c.id_b AND fb2.bit = fa.bit
+                 GROUP BY 1, 2)
+         SELECT (id_a // 8)::BIGINT AS video_a, (id_a % 8)::BIGINT AS frame_a,
+           (id_b // 8)::BIGINT AS video_b, (id_b % 8)::BIGINT AS frame_b, hamming
+         FROM ham WHERE hamming <= 3 AND id_a // 8 <> id_b // 8""",
+
+    // audio fingerprint near-dup: the time-axis dHash replayed in
+    // closed form (65 floored-bound segments over the Lehmer sample
+    // stream, perturbed one sample on ids % 3 = 0, cross-multiplied
+    // mean compares), then the same band blocking + exact Hamming
+    "audio_fingerprint_neardup" ->
+      """WITH nk AS (SELECT least(greatest(37, count(*) // 14), 2147483647) AS nk
+                     FROM documents),
+         ad AS (SELECT doc_id, doc_id % (SELECT nk FROM nk) AS key,
+                  192 + (doc_id % (SELECT nk FROM nk)) % 64 AS n,
+                  (doc_id % 3 = 0) AS pert FROM documents),
+         segs AS (SELECT doc_id, gj.j AS j,
+             (list_sum(list_transform(
+                generate_series((gj.j * n) // 65, ((gj.j + 1) * n) // 65 - 1),
+                s -> (CASE WHEN pert AND s = key % n
+                      THEN ((((key * 48271 + s * 16807 + 11) % 2147483647) * 48271 % 2147483647) % 65536 + 512) % 65536 - 32768
+                      ELSE (((key * 48271 + s * 16807 + 11) % 2147483647) * 48271 % 2147483647) % 65536 - 32768 END))))::BIGINT AS ssum,
+             (((gj.j + 1) * n) // 65 - (gj.j * n) // 65)::BIGINT AS slen
+           FROM ad, generate_series(0, 64) gj(j)),
+         bits AS (SELECT a.doc_id, a.j AS bit,
+                    CASE WHEN a.ssum * b.slen < b.ssum * a.slen THEN 1 ELSE 0 END AS fb
+                  FROM segs a JOIN segs b
+                    ON b.doc_id = a.doc_id AND b.j = a.j + 1
+                  WHERE a.j < 64),
+         bands AS (SELECT doc_id, bit % 4 AS band,
+                     sum(fb * (1 << (bit // 4)))::BIGINT AS band_val
+                   FROM bits GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+         ham AS (SELECT c.id_a, c.id_b,
+                   sum(CASE WHEN fa.fb <> fb2.fb THEN 1 ELSE 0 END)::BIGINT AS hamming
+                 FROM cand c JOIN bits fa ON fa.doc_id = c.id_a
+                   JOIN bits fb2 ON fb2.doc_id = c.id_b AND fb2.bit = fa.bit
+                 GROUP BY 1, 2)
+         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""",
+
     // Web.canonicalizeUrl replayed step-for-step (duckUrlCanonCtes)
     // over the same manufactured messy urls — the canonical STRING is
     // hash-graded, so every rule (scheme/host case, www, default

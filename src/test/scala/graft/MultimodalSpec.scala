@@ -521,4 +521,65 @@ class MultimodalSpec extends SparkSpec {
       "doc_id", "dhash", 3).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(pairs.toSeq == Seq((1L, 38L, 0L)), s"got ${pairs.toSeq}")
   }
+
+  test("videoFrameDHash: frames sharing a raster key collide ACROSS videos") {
+    import spark.implicits._
+    // nKeys = 37: video 1 frame 0 has key 1; video 38 frame 0 has key
+    // 38 % 37 = 1 — same raster, neither slot perturbed ((1+0) % 3 != 0,
+    // (38+0) % 3 != 0) ⇒ identical dHash; video 2 frame 0 (key 2) differs
+    val dh = Multimodal.videoFrameDHash(
+      Multimodal.syntheticNearDupVideos(Seq(1L, 38L, 2L).toDF("doc_id"), "doc_id", 37),
+      "doc_id", "avi").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(dh((1L, 0L)) == dh((38L, 0L)), "shared-key frames must hash equal")
+    assert(dh((1L, 0L)) != dh((2L, 0L)), "different keys must differ")
+    // a PERTURBED slot ((2+1) % 3 == 0, key 3) vs a clean slot with the
+    // same key ((1+2) % 3 == 0 is perturbed too — use video 40 frame 0:
+    // key 3, (40+0) % 3 != 0 clean): planted near-dup at Hamming ≤ 2
+    val dh2 = Multimodal.videoFrameDHash(
+      Multimodal.syntheticNearDupVideos(Seq(2L, 40L).toDF("doc_id"), "doc_id", 37),
+      "doc_id", "avi").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ham = java.lang.Long.bitCount(dh2((2L, 1L)) ^ dh2((40L, 0L)))
+    assert(ham <= 2, s"perturbation moved $ham bits (guarantee is <= 2; " +
+      "0 is legitimate when the nudged cell mean stays on its side of " +
+      "both neighboring comparisons)")
+  }
+
+  test("audioFingerprint: WAV and FLAC re-encodings of the same PCM collide") {
+    import spark.implicits._
+    // ids 2 and 39 share key 2 (2 % 37 = 39 % 37), WAV vs FLAC, neither
+    // perturbed (2 % 3 != 0, 39 % 3 == 0 — no wait, 39 % 3 == 0 IS
+    // perturbed; use 2 and 76: 76 % 37 = 2, 76 % 3 != 0, 76 even → WAV;
+    // pick 113: 113 % 37 = 2, odd → FLAC, 113 % 3 != 0 clean)
+    val fp = Multimodal.audioFingerprint(
+      Multimodal.syntheticNearDupAudio(Seq(2L, 113L, 4L).toDF("doc_id"), "doc_id", 37),
+      "doc_id", "clip").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(2L) == fp(113L), "lossless re-encodings must fingerprint equal")
+    assert(fp(2L) != fp(4L), "different keys must differ")
+    // perturbed twin (39 % 37 = 2, 39 % 3 == 0): Hamming ≤ 2 vs clean
+    val fpP = Multimodal.audioFingerprint(
+      Multimodal.syntheticNearDupAudio(Seq(2L, 39L).toDF("doc_id"), "doc_id", 37),
+      "doc_id", "clip").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ham = java.lang.Long.bitCount(fpP(2L) ^ fpP(39L))
+    assert(ham <= 2, s"one-sample perturbation moved $ham bits")
+  }
+
+  test("audioFingerprint64 is amplitude-offset invariant and length-guarded") {
+    // +100 on every sample shifts every segment mean equally: the
+    // comparison bits cannot move (the time-axis analog of dHash's
+    // brightness invariance)
+    val n = 200
+    val base = Array.tabulate(n)(s => Multimodal.audioDupSample(5L, s))
+    val shifted = base.map(v => math.min(v + 100, 32767))
+    val a = Multimodal.DecodedAudio(1, 8000, base)
+    val b = Multimodal.DecodedAudio(1, 8000, shifted)
+    // clamp at 32767 can flip bits; restrict to a clip where no sample
+    // clamps so the invariance is exact
+    if (!base.exists(_ > 32767 - 100))
+      assert(Multimodal.audioFingerprint64(a) == Multimodal.audioFingerprint64(b))
+    // sub-65-sample clips have no 65-segment partition: None, not junk
+    assert(Multimodal.audioFingerprint64(
+      Multimodal.DecodedAudio(1, 8000, base.take(64))).isEmpty)
+  }
 }
