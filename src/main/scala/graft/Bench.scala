@@ -152,6 +152,7 @@ object Bench {
     val memoTrainers: Map[String, () => Unit] = Map(
       "bpe_train_steps" -> (() => SparkEntry.evictBpeMemo()),
       "bpe_pretok_train" -> (() => SparkEntry.evictBpeMemo()),
+      "bpe_byte_train" -> (() => SparkEntry.evictBpeMemo()),
       "semdedup_prune" -> (() => graft.operators.Similarity.evictTreeMemo()))
     val results: Map[String, Double] = selected.flatMap { case (name, fn) =>
       settleHeap()

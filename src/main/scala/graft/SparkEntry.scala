@@ -67,6 +67,8 @@ object SparkEntry {
           t(s, dir, "documents").select(concat(col("text"), lit(" it's doc-"),
             col("doc_id").cast("string"), lit(", ok!")).as("mtext")),
           "mtext", bpeSteps)
+        case "byte" => TextAnalysis.bpeTrainStepsBytes(
+          bpeByteSalted(s, dir), "mtext", bpeSteps)
         case _ => TextAnalysis.bpeTrainSteps(t(s, dir, "documents"), "text", bpeSteps)
       }
       fresh.collect().toSeq
@@ -78,6 +80,18 @@ object SparkEntry {
     s.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
+
+  /** The byte-level BPE corpus: documents text salted with a
+    * manufactured NON-ASCII tail (two-byte é/ü, three-byte CJK), so
+    * the byte path's multi-byte sequences genuinely fire — ASCII-only
+    * text would make byte-level degenerate to char-level. Lowercase-
+    * stable characters only (é, ü, CJK), so lower() agrees between
+    * engines; the oracle replays the identical concatenation.
+    */
+  private def bpeByteSalted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" café münchen 東京 "),
+        (col("doc_id") % 7).cast("string")).as("mtext"))
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // evict plans owned by STOPPED sessions so a long-lived JVM that
@@ -1657,6 +1671,22 @@ object SparkEntry {
     "bpe_vocab" -> ((s, dir) =>
       TextAnalysis.bpeVocabFromMerges(t(s, dir, "documents"), "text",
         bpeMergesCached(s, dir, "ws"), bpeSteps)),
+
+    // BYTE-level BPE training (the GPT-2 construction): pre-tokens'
+    // UTF-8 bytes through the fixed 256-entry bytes-to-unicode table
+    // are the base alphabet, so merge tables are drop-in for
+    // byte-level tokenizers and non-ASCII text (the salted é/ü/CJK
+    // tail) exercises real multi-byte merges. Memoized per (session,
+    // dir) like its siblings; Bench evicts on trainer passes.
+    "bpe_byte_train" -> ((s, dir) => bpeMergesCached(s, dir, "byte")),
+
+    // APPLY the learned byte-level merges back to the salted corpus —
+    // the byte train→apply loop closed: per-doc pre-token and
+    // byte-symbol counts; merge table one broadcast row, encoding
+    // row-local array arithmetic
+    "bpe_byte_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncodeBytes(bpeByteSalted(s, dir), "doc_id", "mtext",
+        bpeMergesCached(s, dir, "byte"), bpeSteps)),
 
     // corpus bigram LM table: top continuations by count with exact
     // integer-ratio conditional probability; row-local bigram

@@ -725,6 +725,93 @@ object TextAnalysis {
         col("cnt").as("pair_freq"))
   }
 
+  /** The GPT-2 bytes-to-unicode bijection (Radford et al. 2019,
+    * encoder.py `bytes_to_unicode`): every byte maps to ONE visible
+    * unicode character — printable bytes (33–126, 161–172, 174–255)
+    * map to themselves, the rest (controls, space, soft hyphen) map
+    * to 256+n in ascending byte order. BPE over these symbols is
+    * BYTE-level: any UTF-8 input tokenizes with a 256-symbol base
+    * alphabet and no unknown-token fallback — the representation the
+    * dominant GPT-2-family tokenizers use, which is what makes merge
+    * tables learned here drop-in for them. A fixed 256-entry table
+    * both engines embed as literals (the oracle's copy is GENERATED
+    * from this Seq — they cannot drift).
+    */
+  val byteToUnicode: IndexedSeq[String] = {
+    val printable =
+      ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var n = 0
+    (0 to 255).map { b =>
+      if (printable(b)) new String(Character.toChars(b))
+      else { val s = new String(Character.toChars(256 + n)); n += 1; s }
+    }
+  }
+
+  /** A word's BYTE symbol array: UTF-8 bytes through the
+    * [[byteToUnicode]] table — hex-pair extraction over the encoded
+    * bytes, each pair indexed into the 256-entry literal array. Pure
+    * built-in expressions (encode/hex/regexp_extract_all/conv/
+    * element_at), codegen'd, scan-stage.
+    */
+  def byteSymbols(word: Column): Column =
+    transform(
+      regexp_extract_all(hex(encode(word, "UTF-8")), lit(".."), lit(0)),
+      p => element_at(typedLit(byteToUnicode),
+        conv(p, 16, 10).cast("int") + 1))
+
+  /** BYTE-level BPE training: [[bpeTrainStepsPretok]]'s regex
+    * pre-tokens, but the initial symbols are each pre-token's UTF-8
+    * BYTES through [[byteToUnicode]] instead of its characters — the
+    * GPT-2 construction. Non-ASCII text exercises real multi-byte
+    * sequences (a two-byte é is two base symbols that must MERGE
+    * before é behaves atomically), and learned tables are drop-in
+    * for byte-level tokenizers. Same fold, same canonical merge,
+    * same deterministic tie-break (binary UTF-8 order in both
+    * engines — the mapped symbols compare as their UTF-8 bytes).
+    */
+  def bpeTrainStepsBytes(
+      df: DataFrame,
+      textCol: String,
+      steps: Int): DataFrame = {
+    val (_, merges) = bpeFold(df, textCol, steps, preTokens, byteSymbols)
+    merges.reduce(_.unionByName(_))
+      .select(col("step"), col("l").as("sym_left"), col("r").as("sym_right"),
+        col("cnt").as("pair_freq"))
+  }
+
+  /** APPLY learned BYTE-level merges: encode every doc's pre-tokens
+    * as byte symbols and run the K merges in learned order — the
+    * byte twin of [[bpeEncode]] (same broadcast-rules trick, same
+    * canonical merge, zero shuffle beyond the per-doc agg).
+    *
+    * @return (id, n_words, n_bpe_tokens)
+    */
+  def bpeEncodeBytes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame,
+      steps: Int): DataFrame = {
+    val agg = (1 to steps).flatMap { s =>
+      Seq(
+        max(when(col("step") === s, col("sym_left"))).as(s"l$s"),
+        max(when(col("step") === s, col("sym_right"))).as(s"r$s"))
+    }
+    val rules = merges.agg(agg.head, agg.tail: _*)
+    var enc = df.select(col(idCol), preTokens(col(textCol)).as("ws"))
+      .crossJoin(broadcast(rules))
+      .select((Seq(col(idCol), explode(col("ws")).as("w")) ++
+        (1 to steps).flatMap(s => Seq(col(s"l$s"), col(s"r$s")))): _*)
+      .withColumn("syms", byteSymbols(col("w")))
+    for (s <- 1 to steps)
+      enc = enc.withColumn("syms",
+        canonicalMerge(col("syms"), col(s"l$s"), col(s"r$s")))
+    enc
+      .select(col(idCol), size(col("syms")).cast("long").as("n_syms"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+  }
+
   /** The symbol VOCABULARY the trainer's final state induces — every
     * distinct symbol left in the (word, freq) table after `steps`
     * merges, with its corpus-weighted token count and its raw
@@ -787,14 +874,15 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String,
       steps: Int,
-      wordsOf: Column => Column = c => tokens(Dedup.normalized(c)))
+      wordsOf: Column => Column = c => tokens(Dedup.normalized(c)),
+      symsOf: Column => Column = c => split(c, ""))
       : (DataFrame, Seq[DataFrame]) = {
     require(steps >= 1 && steps <= 16, "unrolled plan: keep steps small")
     val words = Dedup.rebalance(df)
       .select(explode(wordsOf(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(split(col("w"), "").as("syms"), col("freq"))
+      .select(symsOf(col("w")).as("syms"), col("freq"))
       .persistTracked
     (1 to steps).foldLeft(
       (words, Seq.empty[DataFrame])) { case ((cur, acc), step) =>

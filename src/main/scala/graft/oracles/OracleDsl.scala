@@ -91,6 +91,58 @@ private[graft] object OracleDsl {
     }.mkString(",\n         ")
   }
 
+  /** The GPT-2 bytes-to-unicode table as a DuckDB list literal —
+    * GENERATED from [[graft.operators.TextAnalysis.byteToUnicode]]
+    * (the Spark side's typedLit array), so the two engines cannot
+    * drift. Index = byte value + 1 (1-based lists).
+    */
+  def duckB2uList: String =
+    operators.TextAnalysis.byteToUnicode
+      .map(s => "'" + s.replace("'", "''") + "'")
+      .mkString("[", ", ", "]")
+
+  /** A word's byte-symbol list in DuckDB: hex pairs of the UTF-8
+    * encoding, each mapped through the `m` list (the [[duckB2uList]]
+    * carried by a cross-joined 1-row CTE — lambdas can capture outer
+    * columns but not scalar subqueries). strpos is 1-based, so
+    * (h1-1)*16 + h2 lands on byte value + 1 directly.
+    */
+  def duckByteSyms(w: String): String =
+    s"""list_transform(generate_series(1, strlen($w)), i ->
+         m[(strpos('0123456789ABCDEF', substr(hex(encode($w)), 2*i-1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hex(encode($w)), 2*i, 1))])"""
+
+  /** The byte-level BPE corpus construction (SparkEntry.bpeByteSalted
+    * + preTokens) as a toks CTE: documents text salted with the
+    * manufactured non-ASCII tail, regex pre-tokenized.
+    */
+  def bpeByteToksCte: String =
+    """toks AS (SELECT unnest(list_filter(regexp_extract_all(
+         lower(text || ' café münchen 東京 ' || CAST(doc_id % 7 AS VARCHAR)),
+         '''(s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s'']+|''+'),
+         x -> x <> '')) AS w FROM documents)"""
+
+  /** [[bpeByteToksCte]] with doc_id carried — the per-DOCUMENT token
+    * stream the byte-level encoder oracle consumes.
+    */
+  def bpeByteDocToksCte: String =
+    """dtoks AS (SELECT doc_id, unnest(list_filter(regexp_extract_all(
+         lower(text || ' café münchen 東京 ' || CAST(doc_id % 7 AS VARCHAR)),
+         '''(s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s'']+|''+'),
+         x -> x <> '')) AS w FROM documents)"""
+
+  /** The BYTE-level trainer chain: same step CTEs as every other
+    * trainer oracle, but seqs0 maps each pre-token's UTF-8 bytes
+    * through the bytes-to-unicode list instead of splitting chars.
+    */
+  def bpeByteTrainCtes: String =
+    s"""$bpeByteToksCte,
+       b2u AS (SELECT $duckB2uList AS m),
+       words AS (SELECT w, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
+       seqs0 AS MATERIALIZED (SELECT ${duckByteSyms("w")} AS syms, freq
+           FROM words, b2u),
+       $bpeStepCtes"""
+
   /** DuckDB dot-product snippet with the same sequential left-to-right
     * fold order as the native DotProduct expression — bit-identical
     * doubles on both engines.

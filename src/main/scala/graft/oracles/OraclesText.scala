@@ -100,6 +100,39 @@ private[graft] object OraclesText {
          FROM enc$bpeSteps GROUP BY doc_id"""
     },
 
+    // BYTE-level trainer: identical merge-unroll chain, but seqs0 is
+    // each pre-token's UTF-8 bytes through the bytes-to-unicode list
+    // (generated from the engine's own table) over the salted
+    // non-ASCII corpus
+    "bpe_byte_train" -> {
+      val unions = (1 to bpeSteps).map(s => s"SELECT * FROM b$s").mkString(" UNION ALL ")
+      s"""WITH $bpeByteTrainCtes
+         SELECT step, l AS sym_left, r AS sym_right, cnt AS pair_freq
+         FROM ($unions)"""
+    },
+
+    // byte-level encode: the byte trainer chain (b1..bK learned
+    // identically), then the same per-step canonical merge applied to
+    // each DOCUMENT's pre-token byte symbols (duplicates kept)
+    "bpe_byte_encode" -> {
+      val encCtes = (1 to bpeSteps).map { s =>
+        s"""encm$s AS MATERIALIZED (SELECT doc_id, syms, rl, rr,
+               ${duckMergePos("syms", "rl", "rr")} AS mp
+             FROM enc${s - 1}, (SELECT max(l) AS rl, max(r) AS rr FROM b$s) jre$s),
+           enc$s AS MATERIALIZED (SELECT doc_id,
+               ${duckMergeApply("syms", "mp", "rl", "rr")} AS syms
+             FROM encm$s)"""
+      }.mkString(",\n         ")
+      s"""WITH $bpeByteTrainCtes,
+         $bpeByteDocToksCte,
+         enc0 AS MATERIALIZED (SELECT doc_id, ${duckByteSyms("w")} AS syms
+           FROM dtoks, b2u),
+         $encCtes
+         SELECT doc_id, count(*)::BIGINT AS n_words,
+           sum(len(syms))::BIGINT AS n_bpe_tokens
+         FROM enc$bpeSteps GROUP BY doc_id"""
+    },
+
     "bpe_vocab" ->
       s"""WITH $bpeTrainCtes,
          vsyms AS (SELECT unnest(syms) AS symbol, freq FROM seqs$bpeSteps)

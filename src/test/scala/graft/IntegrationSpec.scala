@@ -249,6 +249,53 @@ class IntegrationSpec extends SparkSpec {
     assert(enc.toSeq == Seq((1L, 2L), (2L, 3L)), s"got ${enc.toSeq}")
   }
 
+  test("byteToUnicode is the GPT-2 bijection (256 entries, printable identity)") {
+    val t = graft.operators.TextAnalysis.byteToUnicode
+    assert(t.length == 256)
+    assert(t.distinct.length == 256, "must be a bijection")
+    // printable bytes map to themselves
+    assert(t('a'.toInt) == "a" && t('!'.toInt) == "!" && t(255) == "ÿ")
+    // non-printable bytes map to 256+n in ascending byte order:
+    // byte 0 -> U+0100, space (32) -> U+0120, DEL (127) -> U+0121,
+    // soft hyphen (173) -> U+0143 (the last of the 68 shifted bytes)
+    assert(t(0) == "Ā" && t(32) == "Ġ"
+      && t(127) == "ġ" && t(173) == "Ń")
+  }
+
+  test("byteSymbols: UTF-8 byte count, multi-byte chars split into base symbols") {
+    import spark.implicits._
+    val got = Seq(("ab", 0), ("é", 1), ("東", 2)).toDF("w", "i")
+      .select(col("i"), graft.operators.TextAnalysis.byteSymbols(col("w")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(got(0) == Seq("a", "b"))
+    // é is 0xC3 0xA9: both printable-range bytes map to themselves
+    assert(got(1) == Seq("Ã", "©"))
+    // 東 is 0xE6 0x9D 0xB1: 0x9D is non-printable -> shifted symbol
+    assert(got(2).length == 3)
+    assert(got(2)(0) == "æ" && got(2)(2) == "±")
+  }
+
+  test("bpeTrainStepsBytes learns multi-byte merges; encode matches trainer state") {
+    import spark.implicits._
+    // 'éé' x3: bytes [C3 A9 C3 A9]; step1 must merge (Ã,©) — the
+    // two-byte é becoming atomic — and step2 (Ã©,Ã©)
+    val docs = Seq((1L, "éé éé éé"), (2L, "éé ab")).toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeTrainStepsBytes(docs, "text", 2)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1L, "Ã", "©", 8L), (2L, "Ã©", "Ã©", 4L)),
+      s"got ${merges.toSeq}")
+    val enc = graft.operators.TextAnalysis.bpeEncodeBytes(
+      docs, "doc_id", "text",
+      graft.operators.TextAnalysis.bpeTrainStepsBytes(docs, "text", 2), 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc1: éé x3 -> 1 symbol each; doc2: éé (1) + ab (2 syms, no
+    // letter merge learned)
+    assert(enc.toSeq == Seq((1L, 3L, 3L), (2L, 2L, 3L)), s"got ${enc.toSeq}")
+  }
+
   test("bpeVocabFromMerges == bpeVocab (train-once artifact is hash-identical)") {
     // the memoized family path derives the vocabulary from the learned
     // 5-row merge table instead of refolding the trainer — outputs
