@@ -962,6 +962,23 @@ object SparkEntry {
           col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // incremental ANN index refresh: the daily batch (even vec_ids)
+    // ASSIGNED against the persisted tree artifact of the odd-id
+    // corpus — the SAME memoized tree the kNN family built, which is
+    // the production story (an IVF index is built once and appended
+    // to daily, not retrained per batch). Greedy beam-width-1 descent
+    // = the corpus assignment rule, so batch x (2 broadcast child
+    // scores per level) is the whole cost; the oracle replays the
+    // descent over its own tree replay bit-exactly.
+    "ann_ivf_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") % 2 === 1)
+      val batch = emb.where(col("vec_id") % 2 === 0)
+      val nCells = Similarity.cellsPlan(corpus.count(), 64)
+      Similarity.assignIncremental(batch, corpus, "vec_id", "embedding",
+        nCells, iters = 1, targetRows = 64)
+    }),
+
     // ---- §2b: embedding preparation ---------------------------------
     // Unit-normalize every vector with the native one-pass kernel;
     // sequential-order square sum + IEEE-exact sqrt/divide make every

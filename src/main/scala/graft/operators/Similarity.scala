@@ -1798,6 +1798,51 @@ object Similarity {
     }.reduce(_.unionByName(_))
   }
 
+  /** The vector index's row table as rows: every corpus vector's cell
+    * assignment from the (memoized) size-guarded bisecting tree — the
+    * persisted IVF artifact a production pipeline appends to daily.
+    */
+  def cellAssignments(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int,
+      targetRows: Int = 0): DataFrame = {
+    val (asg, _) =
+      bisectAssignedCached(corpus, idCol, vecCol, nCells, iters, targetRows)
+    asg.select(col("vid").as(idCol), col("cell_id"))
+  }
+
+  /** Incremental ANN index refresh: ASSIGN a new batch against the
+    * persisted tree artifact instead of retraining — the vector-index
+    * twin of dedup_incremental. Batch rows descend the memoized
+    * per-level kid tables greedily (beam width 1 — EXACTLY the rule
+    * corpus rows were assigned by: argmax child on (cosine desc,
+    * child asc), pass through nodes a level did not split), so the
+    * daily batch costs batch × (≤2 broadcast child scores per level),
+    * never batch × corpus and never a rebuild. Because the descent IS
+    * the assignment rule, a corpus row descending its own tree lands
+    * in its stored cell bit-exactly (spec-pinned) — incremental
+    * assignment and full assignment agree on the union by
+    * construction.
+    *
+    * @return (idCol, cell_id) — the rows to append to the index.
+    */
+  def assignIncremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int,
+      targetRows: Int = 0): DataFrame = {
+    val (_, levels) =
+      bisectAssignedCached(corpus, idCol, vecCol, nCells, iters, targetRows)
+    beamDescend(batch, idCol, vecCol, levels, nProbe = 1)
+      .select(col("query_id").as(idCol), col("cell_id"))
+  }
+
   def knnJoinIvf(
       queries: DataFrame,
       corpus: DataFrame,

@@ -449,6 +449,18 @@ private[graft] object OraclesSimilarityQ {
            AND coalesce(${pick("c")}, 0) < 3"""
     },
 
+    // incremental index refresh: the batch (even ids) descends the
+    // odd-id corpus' tree replay with beam width 1 — the assignment
+    // rule itself — and the probe table IS the result
+    "ann_ivf_incremental" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
+         q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe FROM v
+               WHERE vec_id % 2 = 0),
+         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
+         ${duckBeam(iters = 1, maxDepth = 10, nProbe = 1)}
+         SELECT query_id AS vec_id, cell_id FROM pr""",
+
     "knn_recall_eval" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),

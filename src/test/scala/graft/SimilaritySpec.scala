@@ -568,4 +568,29 @@ class SimilaritySpec extends SparkSpec {
       assert(ranks.size <= 3)
     }
   }
+
+  test("assignIncremental: descending the tree reproduces the stored assignment") {
+    // the incremental-refresh invariant: the greedy width-1 descent IS
+    // the assignment rule, so a corpus row sent through the batch path
+    // lands in its stored cell bit-exactly — incremental assignment
+    // and full assignment agree on the union by construction
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") % 2 === 1)
+    val nCells = Similarity.cellsPlan(corpus.count(), 64)
+    val stored = Similarity.cellAssignments(corpus, "vec_id", "embedding",
+      nCells, iters = 1, targetRows = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val descended = Similarity.assignIncremental(corpus, corpus,
+      "vec_id", "embedding", nCells, iters = 1, targetRows = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(descended.size == stored.size, "every corpus row must descend to a cell")
+    val diffs = stored.collect { case (id, c) if descended(id) != c =>
+      (id, c, descended(id)) }
+    assert(diffs.isEmpty, s"${diffs.size} rows diverge, e.g. ${diffs.take(3)}")
+    // and a genuinely NEW batch (even ids) gets a total assignment
+    val batch = emb.where(col("vec_id") % 2 === 0)
+    val asg = Similarity.assignIncremental(batch, corpus, "vec_id", "embedding",
+      nCells, iters = 1, targetRows = 64)
+    assert(asg.count() == batch.count(), "assignment must be total over the batch")
+  }
 }
