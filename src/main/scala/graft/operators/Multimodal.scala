@@ -1726,9 +1726,28 @@ object Multimodal {
   val videoDupW = 18
   val videoDupH = 16
 
+  /** Per-key pseudo-random pixel for the near-dup VIDEO corpus —
+    * [[nearDupPixel]]'s two-round Lehmer is NOT enough here: the AVI
+    * stream header fixes ONE (w, h) for all frames, and with fixed
+    * dims the Lehmer mix (affine in `key` for every fixed pixel)
+    * leaves the dHash comparison bits correlated ACROSS keys — the
+    * sf1 chain measured the resulting band skew as a 256 s quadratic
+    * blowup (633 distinct band buckets for 4000 rasters, top bucket
+    * holding 8% of all keys; the image corpus dodges this only
+    * because its dims VARY per key). Squaring the first round makes
+    * the mix jointly nonlinear in (key, p): measured top bucket 5 of
+    * 16k band rows, mean 2.0 — the chance rate. a < 2³¹ so a² < 2⁶²
+    * fits both engines' 64-bit integers; closed form replayed
+    * verbatim by the oracle.
+    */
+  def videoDupPixel(key: Long, p: Int, c: Int): Int = {
+    val a = (key * 48271L + p.toLong * 16807L + c * 31L + 7L) % 2147483647L
+    ((a * a % 2147483647L) % 256L).toInt
+  }
+
   /** Construct REAL multi-frame AVIs with planted near-duplicate
     * FRAMES ACROSS videos: frame `f` of video `id` carries the
-    * [[nearDupPixel]] raster of key (id + f) mod nKeys, so videos
+    * [[videoDupPixel]] raster of key (id + f) mod nKeys, so videos
     * whose (id, f) slots land on the same key share a frame raster —
     * except that slots with (id + f) divisible by 3 carry the same
     * one-pixel perturbation as the image corpus (+16 red on pixel
@@ -1753,7 +1772,7 @@ object Multimodal {
           val key = (id + f) % nKeys
           val rgb = new Array[Int](w * h * 3)
           var i = 0
-          while (i < rgb.length) { rgb(i) = nearDupPixel(key, i / 3, i % 3); i += 1 }
+          while (i < rgb.length) { rgb(i) = videoDupPixel(key, i / 3, i % 3); i += 1 }
           if ((id + f) % 3 == 0) {
             val p0 = (key % (w * h)).toInt
             rgb(p0 * 3) = (rgb(p0 * 3) + 16) % 256

@@ -105,18 +105,28 @@ private[graft] object OraclesMultimodalQ {
          vk AS (SELECT doc_id, f, (doc_id + f) % (SELECT nk FROM nf) AS key,
                   ((doc_id + f) % 3 = 0) AS pert, doc_id * 8 + f AS fid
                 FROM vf),
-         cells AS (
-           SELECT fid, gi.i AS i, gj.j AS j,
-             (list_sum(flatten(list_transform(
-                generate_series(gi.i * 2, gi.i * 2 + 1),
-                y -> list_transform(generate_series(gj.j * 2, gj.j * 2 + 1),
-                  x -> (299 * (CASE WHEN pert AND y * 18 + x = key % 288
-                               THEN ((((key * 48271 + (y * 18 + x) * 16807) % 2147483647) * 48271 % 2147483647) % 256 + 16) % 256
-                               ELSE (((key * 48271 + (y * 18 + x) * 16807) % 2147483647) * 48271 % 2147483647) % 256 END)
-                        + 587 * ((((key * 48271 + (y * 18 + x) * 16807 + 31) % 2147483647) * 48271 % 2147483647) % 256)
-                        + 114 * ((((key * 48271 + (y * 18 + x) * 16807 + 62) % 2147483647) * 48271 % 2147483647) % 256)) // 1000))))
-              // 4)::BIGINT AS cell
-           FROM vk, generate_series(0, 7) gi(i), generate_series(0, 8) gj(j)),
+         -- videoDupPixel: a = (key*48271 + p*16807 + c*31 + 7) mod M,
+         -- v = (a*a mod M) mod 256 — the squared (jointly nonlinear)
+         -- mix; vp0/vp1/vp2 materialize a per channel so a*a reads it
+         -- once (c offsets 7 / 38 / 69 = c*31 + 7)
+         vpx AS (SELECT fid, key, pert, gi.i AS i, gj.j AS j, gy.y AS y, gx.x AS x,
+             (key * 48271 + (gy.y * 18 + gx.x) * 16807 + 7) % 2147483647 AS a0,
+             (key * 48271 + (gy.y * 18 + gx.x) * 16807 + 38) % 2147483647 AS a1,
+             (key * 48271 + (gy.y * 18 + gx.x) * 16807 + 69) % 2147483647 AS a2
+           FROM vk, generate_series(0, 7) gi(i), generate_series(0, 8) gj(j),
+             generate_series(0, 1) gy0(yy), generate_series(0, 1) gx0(xx),
+             LATERAL (SELECT gi.i * 2 + gy0.yy AS y) gy,
+             LATERAL (SELECT gj.j * 2 + gx0.xx AS x) gx),
+         vgr AS (SELECT fid, i, j,
+             (299 * (CASE WHEN pert AND y * 18 + x = key % 288
+                     THEN ((a0 * a0 % 2147483647) % 256 + 16) % 256
+                     ELSE (a0 * a0 % 2147483647) % 256 END)
+              + 587 * ((a1 * a1 % 2147483647) % 256)
+              + 114 * ((a2 * a2 % 2147483647) % 256)) // 1000 AS gray
+           FROM vpx),
+         cells AS (SELECT fid, i, j,
+             (sum(gray) // 4)::BIGINT AS cell
+           FROM vgr GROUP BY 1, 2, 3),
          bits AS (SELECT a.fid, a.i * 8 + a.j AS bit,
                     CASE WHEN a.cell < b.cell THEN 1 ELSE 0 END AS fb
                   FROM cells a JOIN cells b
