@@ -889,17 +889,28 @@ object Similarity {
     * touch, so an UNBOUNDED memo in a long-lived library session
     * iterating many corpora/params would accumulate pinned executor
     * storage until GC happened to collect the dropped handles
-    * (ADVICE r16). Access-ordered LRU; evicted entries have their
-    * checkpoint RDDs unpersisted EXPLICITLY (below) instead of
-    * waiting for GC + ContextCleaner.
+    * (ADVICE r16). Access-ordered LRU. Capacity eviction DROPS THE
+    * REFERENCES ONLY (no eager unpersist — ADVICE r17): these RDDs
+    * are lineage-free, so a DataFrame previously returned to a
+    * caller still referencing the evicted tree (a long-lived session
+    * interleaving >4 (corpus, params) configs, or a concurrent
+    * consumer) would otherwise fail its next action on missing
+    * blocks instead of recomputing. The caller's own DataFrame holds
+    * the RDD reachable, so the ContextCleaner frees the blocks
+    * exactly when the LAST handle goes — the memo stays bounded in
+    * entry count, storage is released at true end-of-life, and no
+    * live handle is ever invalidated. Eager unpersist remains only
+    * on the two paths where it is safe or explicitly requested:
+    * stale entries (blocks already lost — any outstanding handle is
+    * broken regardless) and [[evictTreeMemo]] (Bench trainer-pass
+    * hygiene; documented: don't hold tree-derived frames across it).
     */
   private val treeCacheCap = 4
 
   private val treeCache = new java.util.LinkedHashMap[TreeKey, TreeVal](
     16, 0.75f, /* accessOrder = */ true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[TreeKey, TreeVal]): Boolean =
-      if (size > treeCacheCap) { unpersistTree(e.getValue); true } else false
+        e: java.util.Map.Entry[TreeKey, TreeVal]): Boolean = size > treeCacheCap
   }
 
   /** Explicitly free a memoized tree's checkpoint blocks: every
@@ -958,6 +969,16 @@ object Similarity {
       ()
     }
 
+  /** Per-key in-flight builds: concurrent callers of the SAME
+    * (corpus, params) share one build; different keys build in
+    * parallel. The global `treeCache` monitor is held only for
+    * lookup/install — never across `fresh()`, a full multi-job Spark
+    * tree build that would otherwise serialize all concurrent builds
+    * and block evictTreeMemo for its whole duration (ADVICE r17).
+    */
+  private val treeInFlight = new java.util.concurrent.ConcurrentHashMap[
+    TreeKey, java.util.concurrent.FutureTask[TreeVal]]()
+
   private def bisectAssignedCached(
       corpus: DataFrame,
       idCol: String,
@@ -983,15 +1004,31 @@ object Similarity {
       val planKey =
         s"${plan.semanticHash()}:${plan.canonicalized.toString}"
       val key: TreeKey = (s, planKey, nCells, iters, targetRows, slack)
-      treeCache.synchronized {
-        val hit = treeCache.get(key)
-        if (hit != null && treeBlocksIntact(hit)) hit
+      // fast path: memo hit under the (briefly held) monitor; a stale
+      // entry (blocks lost to executor failure) is evicted — its
+      // remaining blocks freed eagerly, since every outstanding
+      // handle is already broken — and rebuilt below
+      val hit = treeCache.synchronized {
+        val h = treeCache.get(key)
+        if (h != null && treeBlocksIntact(h)) h
         else {
-          if (hit != null) { treeCache.remove(key); unpersistTree(hit) }
-          val v = fresh()
-          treeCache.put(key, v)
-          v
+          if (h != null) { treeCache.remove(key); unpersistTree(h) }
+          null
         }
+      }
+      if (hit != null) hit
+      else {
+        val task = new java.util.concurrent.FutureTask[TreeVal](
+          () => fresh())
+        val prior = treeInFlight.putIfAbsent(key, task)
+        if (prior != null) prior.get() // share the concurrent build
+        else
+          try {
+            task.run() // OUTSIDE the monitor: builds don't serialize
+            val v = task.get()
+            treeCache.synchronized { treeCache.put(key, v); () }
+            v
+          } finally { treeInFlight.remove(key); () }
       }
     }
   }
@@ -1677,7 +1714,11 @@ object Similarity {
         .select(col("query_id"), col("qv"), col("cnode").as("node"), col("sc"))
         .localCheckpoint(false)
     }
-    beam.select(col("query_id"), col("qv"), col("node").as("cell_id"))
+    // `sc` rides along: each row's LAST assignment cosine (the same
+    // semantics as the corpus side's cent_cos) — the drift report's
+    // batch-side signal; other consumers ignore the extra column
+    beam.select(col("query_id"), col("qv"), col("node").as("cell_id"),
+      col("sc"))
   }
 
   /** Measured recall@k of the distributed kNN join across a LADDER of
@@ -1841,6 +1882,124 @@ object Similarity {
       bisectAssignedCached(corpus, idCol, vecCol, nCells, iters, targetRows)
     beamDescend(batch, idCol, vecCol, levels, nProbe = 1)
       .select(col("query_id").as(idCol), col("cell_id"))
+  }
+
+  /** ANN index DRIFT report — the measured answer to "when do I
+    * retrain?" that [[assignIncremental]] makes a production
+    * question: per cell, build-time vs after-batch occupancy (exact
+    * integers) with the hot_key_report skew protocol (occupancy /
+    * balanced-ideal ratio in integer micro-units by exact decimal
+    * cross-multiplied division), plus the mean assignment cosine of
+    * the corpus rows (cent_cos — cosine to the centroid each row was
+    * assigned by) vs the batch rows (the descent's final score, the
+    * same semantics), both frozen per-row in 2⁻²⁰ integer units and
+    * mean-rounded the recall-harness way (floor(sum/n + 0.5)). A
+    * growing occupancy skew or a falling batch-side mean cosine IS
+    * the retrain trigger — a measured signal, not a guess.
+    *
+    * Scale shape: ONE groupBy(cell_id) over corpus ∪ batch rows
+    * carrying 16-byte (cell, micro-cosine) pairs, a two-scalar
+    * summary broadcast back; report rows bounded by the cell count.
+    *
+    * @return (cell_id, n_corpus, n_batch, n_total, occ_skew_micro,
+    *         corpus_mean_cos_micro, batch_mean_cos_micro,
+    *         drift_micro) — batch columns NULL for cells the batch
+    *         never reached.
+    */
+  def annIvfDrift(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int,
+      targetRows: Int = 0): DataFrame = {
+    val (asg, levels) =
+      bisectAssignedCached(corpus, idCol, vecCol, nCells, iters, targetRows)
+    val micro = (c: Column) => floor(c * lit(1048576.0) + lit(0.5)).cast("long")
+    val u = asg
+      .select(col("cell_id"), lit(true).as("isc"),
+        micro(col("cent_cos")).as("cm"))
+      .unionByName(
+        beamDescend(batch, idCol, vecCol, levels, nProbe = 1)
+          .select(col("cell_id"), lit(false).as("isc"),
+            micro(col("sc")).as("cm")))
+    val perCell = u.groupBy(col("cell_id"))
+      .agg(
+        sum(when(col("isc"), 1L).otherwise(0L)).as("n_corpus"),
+        sum(when(!col("isc"), 1L).otherwise(0L)).as("n_batch"),
+        sum(when(col("isc"), col("cm"))).as("ccs"),
+        sum(when(!col("isc"), col("cm"))).as("bcs"))
+    val totals = perCell.agg(
+      sum(col("n_corpus") + col("n_batch")).as("total"),
+      count(lit(1)).as("n_cells"))
+    // the hot_key_report exact-division protocol: DECIMAL(38,0)
+    // subtraction trick — the quotient is an integer, the long cast
+    // lossless; all terms positive here
+    def exactDiv(a: Column, b: Column): Column = {
+      val (ad, bd) = (a.cast("decimal(38,0)"), b.cast("decimal(38,0)"))
+      ((ad - pmod(ad, bd)) / bd).cast("long")
+    }
+    val meanMicro = (s: Column, n: Column) =>
+      floor(s.cast("double") / n.cast("double") + lit(0.5)).cast("long")
+    perCell.crossJoin(broadcast(totals))
+      .select(col("cell_id"), col("n_corpus"), col("n_batch"),
+        (col("n_corpus") + col("n_batch")).as("n_total"),
+        exactDiv((col("n_corpus") + col("n_batch")).cast("decimal(38,0)")
+          * col("n_cells") * lit(1000000L), col("total")).as("occ_skew_micro"),
+        meanMicro(col("ccs"), col("n_corpus")).as("corpus_mean_cos_micro"),
+        when(col("n_batch") > 0, meanMicro(col("bcs"), col("n_batch")))
+          .as("batch_mean_cos_micro"),
+        when(col("n_batch") > 0,
+          meanMicro(col("bcs"), col("n_batch"))
+            - meanMicro(col("ccs"), col("n_corpus"))).as("drift_micro"))
+  }
+
+  /** STREAMING incremental ANN assignment — the stateless mirror of
+    * [[assignIncremental]]: each micro-batch of new vectors descends
+    * the memoized tree artifact with the same greedy width-1 rule,
+    * expressed as one stream-static broadcast LEFT join per level
+    * plus row-local arithmetic (no window, no state — a beam of
+    * width 1 per row never needs a rank). Per level: a node's ≤2
+    * child centroids arrive PIVOTED onto one static row (ctv0,
+    * ctv1), the child pick is the row-local comparison cos₁ > cos₀
+    * (ties → child 0 — exactly the (cosine desc, child asc) argmax),
+    * and a node the level did not split has no static row and passes
+    * through unchanged. Batch-equivalence with [[assignIncremental]]
+    * is structural: same levels, same rule, same arithmetic
+    * (spec-pinned); the driver grades it against the batch oracle
+    * verbatim.
+    */
+  def assignIncrementalStream(
+      batchStream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int,
+      targetRows: Int = 0): DataFrame = {
+    val (_, levels) =
+      bisectAssignedCached(corpus, idCol, vecCol, nCells, iters, targetRows)
+    var st = batchStream
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+        lit(1L).as("node"))
+    for (kids <- levels) {
+      // pivot the ≤2 children onto one row per node; guarded
+      // element access (ANSI mode throws on out-of-bounds)
+      val kflat = kids.select(col("node"),
+        col("kids").getItem(0).getField("ctv").as("ctv0"),
+        when(size(col("kids")) >= 2,
+          col("kids").getItem(1).getField("ctv")).as("ctv1"))
+      st = st.join(broadcast(kflat), Seq("node"), "left_outer")
+        .select(col("query_id"), col("qv"),
+          when(col("ctv0").isNull, col("node")) // pass-through
+            .otherwise(col("node") * lit(2L) +
+              when(col("ctv1").isNotNull &&
+                cosine(col("qv"), col("ctv1")) > cosine(col("qv"), col("ctv0")),
+                lit(1L)).otherwise(lit(0L)))
+            .as("node"))
+    }
+    st.select(col("query_id").as(idCol), col("node").as("cell_id"))
   }
 
   def knnJoinIvf(

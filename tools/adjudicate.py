@@ -11,13 +11,24 @@ instead of by hand.
 
 Usage:
   python3 tools/adjudicate.py bench.json tools/adjudications_r17.json \
-      [--reps 4] [--extra q1,q2]
+      [--reps 4] [--extra q1,q2] [--prev prev_bench.json]
 
 The output rows carry the isolated rep times, per-rep foreign-CPU and
 the warm lower-median (`iso_mid`). `resolved` is set mechanically:
 true when iso_mid <= 0.67 x the contaminated bench median (the bench
 number was burst inflation), else false (a real regression — look at
 the plan). The `note` records the evidence either way.
+
+--prev (r17 verdict #1): also adjudicate ROUND-OVER-ROUND MOVERS —
+any query whose median moved >2x in either direction vs the previous
+round's committed bench snapshot. The foreign-CPU gate only sees
+cross-process bursts; same-JVM inflation (GC/pass interaction) moves
+a committed sf0.1 median by multiples with `queries_contaminated`
+empty, so the committed snapshot silently drifts from steady state.
+For movers, `resolved` = iso_mid within 1.5x of min(cur, prev)
+median (the move was window noise around the smaller number); a
+mover that is ALSO slower in isolation stays unresolved — a real
+change, inspect the plan.
 """
 import json
 import subprocess
@@ -37,6 +48,11 @@ def main() -> int:
     if "--extra" in args:
         i = args.index("--extra")
         extra = [q for q in args[i + 1].split(",") if q]
+        del args[i:i + 2]
+    prev_path = None
+    if "--prev" in args:
+        i = args.index("--prev")
+        prev_path = args[i + 1]
         del args[i:i + 2]
     if len(args) != 2:
         print(__doc__)
@@ -60,6 +76,19 @@ def main() -> int:
     for q in extra:
         if q not in flagged:
             flagged.append(q)
+    movers = {}
+    if prev_path:
+        with open(prev_path) as f:
+            prev = {k: float(v)
+                    for k, v in json.load(f).get("queries", {}).items()}
+        for q, cur in queries.items():
+            p = prev.get(q)
+            if p is None or p <= 0 or cur <= 0:
+                continue
+            if cur > 2.0 * p or p > 2.0 * cur:
+                movers[q] = p
+                if q not in flagged:
+                    flagged.append(q)
     if not flagged:
         print("[adjudicate] nothing to adjudicate (no contaminated queries)")
         with open(out_path, "w") as f:
@@ -76,14 +105,42 @@ def main() -> int:
         print(f"[adjudicate] {' '.join(cmd)}")
         r = subprocess.run(cmd, capture_output=True, text=True)
         if r.returncode != 0:
-            rows[q] = {"iso_mid": None, "resolved": False,
-                       "note": "RunOne failed: " + r.stdout[-300:].replace("\n", " ")}
+            # sbt/JVM errors land on stderr; keep both tails (ADVICE r17)
+            rows[q] = {"iso_mid": None, "resolved": False, "failed": True,
+                       "note": ("RunOne failed: "
+                                + r.stdout[-200:].replace("\n", " ")
+                                + " | stderr: "
+                                + r.stderr[-300:].replace("\n", " "))}
     with open(tmp) as f:
         for line in f:
             row = json.loads(line)
             q = row["query"]
+            # a partially-written --json row from a FAILED run must not
+            # overwrite the recorded failure note (ADVICE r17)
+            if rows.get(q, {}).get("failed"):
+                continue
             bench_med = queries.get(q)
             iso = row["iso_mid"]
+            if q in movers and q not in bench.get("queries_contaminated", []):
+                prev_med = movers[q]
+                base = min(bench_med, prev_med)
+                resolved = iso <= 1.5 * base
+                rows[q] = {
+                    "iso_mid": iso,
+                    "resolved": bool(resolved),
+                    "note": (
+                        f"auto-adjudicated round-over-round mover "
+                        f"(tools/adjudicate.py --prev): median moved "
+                        f"{prev_med} -> {bench_med} s (>2x) with foreign-CPU "
+                        f"gate silent; isolated RunOne reps {row['reps']} s, "
+                        f"warm lower-median {iso} s. "
+                        + ("Within 1.5x of the smaller round's median - "
+                           "same-JVM window noise, steady state stands."
+                           if resolved else
+                           "iso does NOT sit near the smaller median - "
+                           "treat as a real change and inspect the plan.")),
+                }
+                continue
             resolved = bench_med is not None and iso <= 0.67 * bench_med
             rows[q] = {
                 "iso_mid": iso,

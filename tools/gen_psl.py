@@ -26,6 +26,7 @@ its source rule; ASCII rules are unaffected.
 Usage: python3 tools/gen_psl.py [src.dat] [out.scala]
 """
 import encodings.idna as _idna
+import idna
 import sys
 from collections import defaultdict
 
@@ -52,18 +53,38 @@ def scala_escape(s: str) -> str:
     return '"' + "".join(out) + '"'
 
 
+def _puny_label(l: str) -> str:
+    """One label's wire (xn--) form. UTS46 (the `idna` package) is the
+    encoding real crawl hosts arrive in — IDNA2003 (encodings.idna)
+    diverges on sharp-s, final sigma, ZWJ/ZWNJ (ADVICE r17). Prefer
+    UTS46; where BOTH encoders succeed they must AGREE, so a future
+    list refresh that introduces a divergent label fails loudly here
+    instead of silently shipping a twin that misses wire-format hosts.
+    """
+    a = idna.encode(l, uts46=True).decode("ascii")
+    try:
+        b = _idna.ToASCII(l).decode("ascii")
+    except (UnicodeError, ValueError):
+        b = None
+    if b is not None and a != b:
+        raise AssertionError(
+            "UTS46/IDNA2003 divergence on label %r: %s vs %s "
+            "(decide which form the matcher should ship)" % (l, a, b))
+    return a
+
+
 def puny(rule: str):
-    """IDNA/punycode form of a rule (per-label ToASCII), or None when
-    the rule is already all-ASCII or a label refuses to encode (the
-    rule then ships Unicode-only, same as before)."""
+    """Wire (UTS46/punycode) form of a rule, or None when the rule is
+    already all-ASCII or a label refuses to encode (the rule then
+    ships Unicode-only, same as before)."""
     if all(ord(c) < 128 for c in rule):
         return None
     try:
         labs = [l if all(ord(c) < 128 for c in l)
-                else _idna.ToASCII(l).decode("ascii")
+                else _puny_label(l)
                 for l in rule.split(".")]
         return ".".join(labs)
-    except (UnicodeError, ValueError):
+    except (idna.IDNAError, UnicodeError, ValueError):
         return None
 
 
