@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Curation, Dedup, Embeddings, Html, Multimodal, Similarity, Skew, Temporal, TextAnalysis, Warc, Web}
+import graft.operators.{Corpus, Curation, Dedup, Embeddings, Html, Multimodal, Similarity, Skew, Tar, Temporal, TextAnalysis, Warc, Web}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -979,6 +979,46 @@ object SparkEntry {
         nCells, iters = 1, targetRows = 64)
     }),
 
+    // ANN index drift report — the measured retrain trigger that
+    // ann_ivf_incremental makes a production question: per cell,
+    // build-time vs after-batch occupancy (hot_key_report's exact
+    // integer skew protocol) + mean assignment cosine of corpus rows
+    // (cent_cos) vs batch rows (the descent score) in 2^-20 integer
+    // units. One cell-keyed shuffle of 16-byte rows; output bounded
+    // by the cell count.
+    "ann_ivf_drift" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") % 2 === 1)
+      val batch = emb.where(col("vec_id") % 2 === 0)
+      val nCells = Similarity.cellsPlan(corpus.count(), 64)
+      Similarity.annIvfDrift(batch, corpus, "vec_id", "embedding",
+        nCells, iters = 1, targetRows = 64)
+    }),
+
+    // driver-graded STREAMING mirror of ann_ivf_incremental — the
+    // cheapest possible stateless mirror (assignment against the
+    // memoized tree artifact is row-local: one stream-static
+    // broadcast left join per level, no window, zero streaming
+    // state), completing the incremental story: every incremental
+    // channel now has batch + streaming twins including the vector
+    // index. Graded VERBATIM by the batch twin's oracle.
+    "stream_ann_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(col("vec_id") % 2 === 1)
+      val nCells = Similarity.cellsPlan(corpus.count(), 64)
+      // stream with the FILE's schema (array<float> or a replica's
+      // array<double> — t()'s normalized schema could mismatch the
+      // physical type); assignIncrementalStream casts to double itself
+      val st0 = graft.sources.Sources.streamTable(s, dir, "embeddings",
+        s.read.parquet(s"$dir/embeddings.parquet").schema)
+      val out = Similarity.assignIncrementalStream(
+        st0.where(col("vec_id") % 2 === 0), corpus, "vec_id", "embedding",
+        nCells, iters = 1, targetRows = 64)
+      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_ann",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      s.table("g_stream_ann").select(col("vec_id"), col("cell_id"))
+    }),
+
     // ---- §2b: embedding preparation ---------------------------------
     // Unit-normalize every vector with the native one-pass kernel;
     // sequential-order square sum + IEEE-exact sqrt/divide make every
@@ -1303,6 +1343,44 @@ object SparkEntry {
         .toDF
     }),
 
+    // PAD-INVARIANT audio fingerprint — real re-encodes carry encoder
+    // padding (priming samples; even FLAC/WAV round trips through
+    // other tools gain them), and the plain fingerprint shifts every
+    // segment boundary on a single prepended sample. Planted
+    // silence-padded re-encodings (per-doc pad amounts, sub-threshold
+    // by construction) are trimmed by the exact integer rule
+    // |s| < 512 before the 65-segment split — trim(pad++clip++pad')
+    // == trim(clip), so padded copies collide at Hamming 0 with
+    // their unpadded-PCM twins via the same banded join.
+    "audio_fingerprint_padded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nKeys = Multimodal.nearDupKeysPlan(docs.count())
+      Pipeline(Multimodal.syntheticNearDupAudioPadded(docs, "doc_id", nKeys))
+        .apply { clips =>
+          Multimodal.audioFingerprintTrimmed(clips, "doc_id", "clip")
+            .persistTracked
+        }
+        .apply { idx => Dedup.hashNearDups(idx, "doc_id", "afp", 3) }
+        .toDF
+    }),
+
+    // shot segmentation + keyframe selection over the per-frame dHash
+    // index — the frame-SAMPLING step before video dedup, and the
+    // persisted (video, frame, dhash) index already holds the whole
+    // signal: boundary = popcount(dhash_f xor dhash_{f-1}) > 8 via
+    // one per-video lag window, shot label = running boundary count,
+    // keyframe = argmin (popcount, frame_idx) per shot. Planted
+    // multi-shot AVIs (raster key changes mid-clip, within-shot
+    // one-pixel wobble); zero new shuffle beyond the per-video window
+    // (the (video, shot) aggregation reuses its partitioning).
+    "video_shot_segments" -> ((s, dir) =>
+      Multimodal.videoShotSegments(
+        Multimodal.videoFrameDHash(
+          Multimodal.syntheticShotVideos(
+            t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+          "doc_id", "avi"),
+        "doc_id", 8)),
+
     // audio is real too: WAV/PCM is uncompressed, so construct genuine
     // RIFF/WAVE clips (mono AND stereo, ancillary LIST chunk) and decode
     // them back — chunk walk, fmt validation, s16le samples; exact
@@ -1408,6 +1486,33 @@ object SparkEntry {
     "warc_gzip_roundtrip" -> ((s, dir) =>
       Warc.roundTrip(t(s, dir, "documents"), "doc_id", "text", "source",
         gzipMembers = true)),
+
+    // WebDataset (ustar) shard round trip — the tar-of-samples
+    // container multimodal training pipelines actually ship: one .tar
+    // per (source, id-range), each doc contributing <id>.txt +
+    // <id>.json + <id>.img (a REAL BMP) members; the lenient
+    // checksum-verified walker parses members back, samples
+    // reassemble by basename key, and id/source/text/member-count/
+    // binary length grade against source fields (payload byte
+    // equality is spec-pinned in TarSpec)
+    "webdataset_roundtrip" -> ((s, dir) => {
+      val rt = Tar.roundTrip(t(s, dir, "documents"), "doc_id", "text", "source")
+      rt.select(col("doc_id"),
+        get_json_object(col("json"), "$.source").as("source"),
+        col("text"), col("n_members"), col("img_bytes"))
+    }),
+
+    // the same round trip through a gzipped shard (.tar.gz — one RFC
+    // 1952 stream over the whole archive; java.util.zip IS zlib):
+    // the lenient multi-member gunzip from the WARC tier feeds the
+    // same ustar walker
+    "webdataset_gzip_roundtrip" -> ((s, dir) => {
+      val rt = Tar.roundTrip(t(s, dir, "documents"), "doc_id", "text", "source",
+        gzip = true)
+      rt.select(col("doc_id"),
+        get_json_object(col("json"), "$.source").as("source"),
+        col("text"), col("n_members"), col("img_bytes"))
+    }),
 
     // crawl-tier URL canonicalization: deterministic MESSY urls are
     // manufactured from row fields (mixed-case scheme/host, default +
@@ -1703,6 +1808,15 @@ object SparkEntry {
     // row-local array arithmetic
     "bpe_byte_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncodeBytes(bpeByteSalted(s, dir), "doc_id", "mtext",
+        bpeMergesCached(s, dir, "byte"), bpeSteps)),
+
+    // the byte trainer's learned artifact as inspectable rows (the
+    // vocab.json shape byte-level tokenizers consume): every symbol
+    // left in the final (word, freq) state with its corpus-weighted
+    // token mass — derived from the memoized 5-row merge table, not
+    // a retrain (the family's train-once rule)
+    "bpe_byte_vocab" -> ((s, dir) =>
+      TextAnalysis.bpeVocabFromMergesBytes(bpeByteSalted(s, dir), "mtext",
         bpeMergesCached(s, dir, "byte"), bpeSteps)),
 
     // corpus bigram LM table: top continuations by count with exact
@@ -2815,7 +2929,8 @@ object SparkEntry {
       "stream_daily_anomaly" -> base("event_daily_anomaly"),
       "stream_sessionize" -> base("events_sessionize"),
       "stream_dedup_window" -> base("events_dedup_window"),
-      "stream_phash_incremental" -> base("image_phash_incremental"))
+      "stream_phash_incremental" -> base("image_phash_incremental"),
+      "stream_ann_assign" -> base("ann_ivf_incremental"))
   }
 
   private def baseOracleSql: Map[String, String] =

@@ -1517,6 +1517,116 @@ object Multimodal {
     Some(hash)
   }
 
+  /** Silence-trim threshold for the PAD-INVARIANT fingerprint: a
+    * sample is "silence" iff |s| < this exact integer bound. Encoder
+    * padding (priming samples, tool round trips) is near-zero, so
+    * trimming leading/trailing sub-threshold runs BEFORE the
+    * 65-segment split makes the fingerprint invariant to it — the
+    * plain [[audioFingerprint64]] shifts every segment boundary on a
+    * single prepended sample.
+    */
+  val audioSilenceThresh = 512
+
+  /** [[audioFingerprint64]] over the clip with leading/trailing
+    * silence runs trimmed: drop channel-0 samples from the front
+    * while |s| < `thresh`, likewise from the back, then fingerprint
+    * the remaining window. trim(pad ++ clip ++ pad') == trim(clip)
+    * whenever every pad sample is sub-threshold, so a padded
+    * re-encoding collides with its unpadded twin at Hamming 0 BY
+    * CONSTRUCTION — the closed form the oracle replays. None when
+    * nothing survives the trim or fewer than 65 samples do.
+    */
+  def audioFingerprint64Trimmed(
+      a: DecodedAudio, thresh: Int = audioSilenceThresh): Option[Long] = {
+    val n = a.samples.length / a.channels
+    var i0 = 0
+    while (i0 < n && math.abs(a.samples(i0 * a.channels)) < thresh) i0 += 1
+    if (i0 == n) return None
+    var i1 = n - 1
+    while (i1 >= 0 && math.abs(a.samples(i1 * a.channels)) < thresh) i1 -= 1
+    val m = i1 - i0 + 1
+    if (m < 65) return None
+    val win = new Array[Int](m * a.channels)
+    System.arraycopy(a.samples, i0 * a.channels, win, 0, m * a.channels)
+    audioFingerprint64(DecodedAudio(a.channels, a.sampleRate, win))
+  }
+
+  /** Silent pad sample p for clip key — strictly sub-threshold by
+    * construction (range [-511, 511]), closed-form in both engines
+    * (though the oracle never needs it: trim provably removes pads).
+    */
+  def audioPadSample(key: Long, p: Int): Int =
+    (((key * 31L + p.toLong * 17L) % 1023L) - 511L).toInt
+
+  /** [[syntheticNearDupAudio]] with planted ENCODER PADDING: the same
+    * per-key PCM and WAV/FLAC re-encoding plan, but each clip gains
+    * id%7 leading and (id/3)%5 trailing sub-threshold samples (the
+    * priming/padding real re-encodes carry). Padding amounts differ
+    * PER DOC, so same-key docs only collide if the fingerprint is
+    * genuinely pad-invariant — the property this corpus exists to
+    * grade.
+    */
+  def syntheticNearDupAudioPadded(
+      df: DataFrame, idCol: String, nKeys: Int): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("clip", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        val key = id % nKeys
+        val n = (192 + key % 64).toInt
+        val lead = (id % 7).toInt
+        val trail = ((id / 3) % 5).toInt
+        val samples = new Array[Int](lead + n + trail)
+        var p = 0
+        while (p < lead) { samples(p) = audioPadSample(key, p); p += 1 }
+        var s = 0
+        while (s < n) { samples(lead + s) = audioDupSample(key, s); s += 1 }
+        p = 0
+        while (p < trail) {
+          samples(lead + n + p) = audioPadSample(key, 100 + p); p += 1
+        }
+        if (id % 3 == 0) {
+          val s0 = lead + (key % n).toInt
+          samples(s0) = (((samples(s0) + 32768 + 512) % 65536) - 32768)
+        }
+        val clip =
+          if (id % 2 == 0) encodeWav(samples, 1, 8000)
+          else Flac.encodeFlac(samples, 1, 8000, blockSize = 64,
+            stereoMode = "independent",
+            predictor = if (id % 6 < 3) "fixed" else "lpc",
+            partitionOrder = (id % 3).toInt)
+        Row(r.get(idIdx), clip)
+      }
+    }(enc)
+  }
+
+  /** (id, afp) via full decode + silence trim — [[audioFingerprint]]
+    * with [[audioFingerprint64Trimmed]] as the kernel: same fused
+    * scan-stage pass, same 16-byte rows out, pad-invariant.
+    */
+  def audioFingerprintTrimmed(
+      df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val outType = StructType(Seq(idField, StructField("afp", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.getAs[Array[Byte]](binIdx)
+        val dec =
+          if (b != null && b.length >= 4 && b(0) == 'f' && b(1) == 'L'
+            && b(2) == 'a' && b(3) == 'C') Flac.decodeFlac(b)
+          else decodeWav(b)
+        dec.flatMap(a => audioFingerprint64Trimmed(a))
+          .map(fp => Row(r.get(idIdx), fp))
+      }
+    }(enc)
+  }
+
   /** (id, afp) via full decode — one fused partition-parallel pass
     * (magic-sniff WAV/FLAC + PCM decode + segment sums + bits), no
     * shuffle: the fingerprint is computed in the scan stage and only
@@ -1782,6 +1892,87 @@ object Multimodal {
         Row(r.get(idIdx), encodeAvi(w, h, frames))
       }
     }(enc)
+  }
+
+  /** Construct REAL multi-SHOT AVIs: clips of 4 + id%5 frames whose
+    * raster key changes at planted shot boundaries — frame f belongs
+    * to shot f / shotLen (shotLen = 2 + id%2) and carries the
+    * [[videoDupPixel]] raster of key (id·5 + shot·11) mod 97, so
+    * frames WITHIN a shot share a raster (Hamming 0) while
+    * consecutive shots differ by a fresh pseudo-random raster
+    * (Hamming ≈ 32 ≫ threshold). Slots with (id + f) % 3 == 0 carry a
+    * one-pixel perturbation at pixel (key + f) mod (w·h) — within-
+    * shot wobble at Hamming ≤ 4 (two perturbed frames differ at ≤ 2
+    * cells), well under the boundary threshold, so segmentation must
+    * tolerate near-identical, not only identical, frames. All
+    * closed-form; dims fixed at [[videoDupW]]×[[videoDupH]] (the AVI
+    * stream-header constraint).
+    */
+  def syntheticShotVideos(df: DataFrame, idCol: String): DataFrame = {
+    val idField = df.schema(idCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val outType = StructType(Seq(idField, StructField("avi", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(outType)
+    val w = videoDupW; val h = videoDupH
+    df.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getAs[Number](idIdx).longValue()
+        val nFrames = (4 + id % 5).toInt
+        val shotLen = (2 + id % 2).toInt
+        val frames = (0 until nFrames).map { f =>
+          val key = (id * 5 + (f / shotLen).toLong * 11) % 97
+          val rgb = new Array[Int](w * h * 3)
+          var i = 0
+          while (i < rgb.length) { rgb(i) = videoDupPixel(key, i / 3, i % 3); i += 1 }
+          if ((id + f) % 3 == 0) {
+            val p0 = ((key + f) % (w * h)).toInt
+            rgb(p0 * 3) = (rgb(p0 * 3) + 16) % 256
+          }
+          rgb
+        }
+        Row(r.get(idIdx), encodeAvi(w, h, frames))
+      }
+    }(enc)
+  }
+
+  /** Shot segmentation + keyframe selection over a per-frame dHash
+    * index — the frame-SAMPLING step video pipelines run before/with
+    * dedup, and the persisted (video, frame_idx, dhash) index from
+    * the near-dup channel already contains the whole signal: a shot
+    * boundary is popcount(dhash_f XOR dhash_{f-1}) > threshold (one
+    * LAG window per video), the shot label is the running boundary
+    * count, and the keyframe is the deterministic argmin of
+    * (popcount(dhash), frame_idx) within the shot span — a pure
+    * min-hash/min-id pick both engines replay.
+    *
+    * Scale shape: ZERO new shuffle beyond the per-video window — the
+    * window's hash partitioning on `idCol` already satisfies the
+    * (idCol, shot) grouping's clustered distribution, so the
+    * aggregation reuses it. Output rows are bounded by shot count ≤
+    * frame count.
+    *
+    * @return (idCol, shot_start, shot_len, keyframe_idx)
+    */
+  def videoShotSegments(
+      frames: DataFrame, idCol: String, threshold: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev_dhash", lag(col("dhash"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev_dhash").isNull ||
+          bit_count(col("dhash").bitwiseXOR(col("prev_dhash"))) > threshold,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("shot", sum(col("boundary")).over(w))
+      .withColumn("pc", bit_count(col("dhash")).cast("long"))
+      .groupBy(col(idCol), col("shot"))
+      .agg(
+        min(col("frame_idx")).as("shot_start"),
+        count(lit(1)).as("shot_len"),
+        min(struct(col("pc"), col("frame_idx")))
+          .getField("frame_idx").as("keyframe_idx"))
+      .select(col(idCol), col("shot_start"), col("shot_len"),
+        col("keyframe_idx"))
   }
 
   /** (id, frame_idx, dhash) via full AVI decode — the video twin of

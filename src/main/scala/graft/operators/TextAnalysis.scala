@@ -845,7 +845,9 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String,
       merges: DataFrame,
-      steps: Int): DataFrame = {
+      steps: Int,
+      wordsOf: Column => Column = c => tokens(Dedup.normalized(c)),
+      symsOf: Column => Column = c => split(c, "")): DataFrame = {
     val agg = (1 to steps).flatMap { s =>
       Seq(
         max(when(col("step") === s, col("sym_left"))).as(s"l$s"),
@@ -853,11 +855,11 @@ object TextAnalysis {
     }
     val rules = merges.agg(agg.head, agg.tail: _*)
     var cur = Dedup.rebalance(df)
-      .select(explode(tokens(Dedup.normalized(col(textCol)))).as("w"))
+      .select(explode(wordsOf(col(textCol))).as("w"))
       .where(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .crossJoin(broadcast(rules))
-      .withColumn("syms", split(col("w"), ""))
+      .withColumn("syms", symsOf(col("w")))
     for (s <- 1 to steps)
       cur = cur.withColumn("syms",
         canonicalMerge(col("syms"), col(s"l$s"), col(s"r$s")))
@@ -865,6 +867,22 @@ object TextAnalysis {
       .groupBy(col("symbol"))
       .agg(sum(col("freq")).as("n_tokens"), count(lit(1)).as("n_occurrences"))
   }
+
+  /** [[bpeVocabFromMerges]] for the BYTE-level family: the same
+    * rebuild-and-apply derivation, but words come from [[preTokens]]
+    * and the base symbols are each pre-token's UTF-8 bytes through
+    * [[byteToUnicode]] — the vocab.json shape GPT-2-family byte-level
+    * tokenizers consume, derived from the memoized 5-row merge
+    * artifact instead of a retrain (the family's train-once rule).
+    * Hash-identical to the byte trainer's final corpus state by the
+    * same fold-state argument as char-level (spec-pinned).
+    */
+  def bpeVocabFromMergesBytes(
+      df: DataFrame,
+      textCol: String,
+      merges: DataFrame,
+      steps: Int): DataFrame =
+    bpeVocabFromMerges(df, textCol, merges, steps, preTokens, byteSymbols)
 
   /** Shared trainer fold: (word,freq) table → `steps` rounds of
     * pair-count → argmax → delimiter replace. Returns the final

@@ -298,7 +298,8 @@ private[graft] object OracleDsl {
     s"""bq${pfx}0 AS MATERIALIZED (SELECT query_id, qe, 1::BIGINT AS node,
            1.0::DOUBLE AS sc FROM q),
        $levels,
-       pr$pfx AS MATERIALIZED (SELECT query_id, qe, node AS cell_id FROM bq$pfx$maxDepth)"""
+       pr$pfx AS MATERIALIZED (SELECT query_id, qe, node AS cell_id, sc
+         FROM bq$pfx$maxDepth)"""
   }
 
   /** Integer replay of `Similarity.cellsPlan(count(c), target)` as a

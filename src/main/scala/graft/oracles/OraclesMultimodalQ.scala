@@ -21,6 +21,23 @@ private[graft] object OraclesMultimodalQ {
       """SELECT doc_id, source, strlen(text)::BIGINT AS content_length, text
          FROM documents""",
 
+    // WebDataset shard round trip: every doc must come back as one
+    // 3-member sample; the binary member's length is the closed-form
+    // BMP size (54-byte headers + 4-padded stride x height) of the
+    // id-derived dims the constructor used
+    "webdataset_roundtrip" ->
+      """SELECT doc_id, source, text, 3::BIGINT AS n_members,
+         (54 + ((((2 + doc_id % 5) * 3 + 3) // 4) * 4) * (2 + doc_id % 3))::BIGINT
+           AS img_bytes
+         FROM documents""",
+
+    // .tar.gz: the gzip layer is transparent transport — identical truth
+    "webdataset_gzip_roundtrip" ->
+      """SELECT doc_id, source, text, 3::BIGINT AS n_members,
+         (54 + ((((2 + doc_id % 5) * 3 + 3) // 4) * 4) * (2 + doc_id % 3))::BIGINT
+           AS img_bytes
+         FROM documents""",
+
     // closed-form dHash replay: grid cells from the synthetic pixel
     // formula (never decoding — the Spark side proves the codecs
     // invert), then the same bit-level band blocking + exact Hamming
@@ -184,6 +201,118 @@ private[graft] object OraclesMultimodalQ {
                    JOIN bits fb2 ON fb2.doc_id = c.id_b AND fb2.bit = fa.bit
                  GROUP BY 1, 2)
          SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""",
+
+    // pad-invariant audio fingerprint: the same closed-form replay as
+    // audio_fingerprint_neardup, but the 65 segments run over the
+    // TRIMMED window [i0..i1] — the first/last clip sample with
+    // |s| >= 512. The planted pads are strictly sub-threshold, so
+    // trim provably removes them and the oracle never materializes a
+    // pad sample at all: trim(pad ++ clip ++ pad') == trim(clip) is
+    // the invariant under grade
+    "audio_fingerprint_padded" ->
+      """WITH nk AS (SELECT least(greatest(37, count(*) // 14), 2147483647) AS nk
+                     FROM documents),
+         ad AS (SELECT doc_id, doc_id % (SELECT nk FROM nk) AS key,
+                  192 + (doc_id % (SELECT nk FROM nk)) % 64 AS n,
+                  (doc_id % 3 = 0) AS pert FROM documents),
+         tb AS (SELECT doc_id, key, n, pert, keep[1] AS i0, keep[-1] AS i1,
+                  (keep[-1] - keep[1] + 1) AS m
+                FROM (SELECT doc_id, key, n, pert,
+                    list_filter(generate_series(0, n - 1), s ->
+                      abs(CASE WHEN pert AND s = key % n
+                          THEN ((((key * 48271 + s * 16807 + 11) % 2147483647) * 48271 % 2147483647) % 65536 + 512) % 65536 - 32768
+                          ELSE (((key * 48271 + s * 16807 + 11) % 2147483647) * 48271 % 2147483647) % 65536 - 32768 END) >= 512) AS keep
+                  FROM ad)
+                WHERE len(keep) > 0),
+         segs AS (SELECT doc_id, gj.j AS j,
+             (list_sum(list_transform(
+                generate_series((gj.j * m) // 65, ((gj.j + 1) * m) // 65 - 1),
+                t -> (CASE WHEN pert AND (i0 + t) = key % n
+                      THEN ((((key * 48271 + (i0 + t) * 16807 + 11) % 2147483647) * 48271 % 2147483647) % 65536 + 512) % 65536 - 32768
+                      ELSE (((key * 48271 + (i0 + t) * 16807 + 11) % 2147483647) * 48271 % 2147483647) % 65536 - 32768 END))))::BIGINT AS ssum,
+             (((gj.j + 1) * m) // 65 - (gj.j * m) // 65)::BIGINT AS slen
+           FROM tb, generate_series(0, 64) gj(j)
+           WHERE m >= 65),
+         bits AS (SELECT a.doc_id, a.j AS bit,
+                    CASE WHEN a.ssum * b.slen < b.ssum * a.slen THEN 1 ELSE 0 END AS fb
+                  FROM segs a JOIN segs b
+                    ON b.doc_id = a.doc_id AND b.j = a.j + 1
+                  WHERE a.j < 64),
+         bands AS (SELECT doc_id, bit % 4 AS band,
+                     sum(fb * (1 << (bit // 4)))::BIGINT AS band_val
+                   FROM bits GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_val = b.band_val
+                      AND a.doc_id < b.doc_id),
+         ham AS (SELECT c.id_a, c.id_b,
+                   sum(CASE WHEN fa.fb <> fb2.fb THEN 1 ELSE 0 END)::BIGINT AS hamming
+                 FROM cand c JOIN bits fa ON fa.doc_id = c.id_a
+                   JOIN bits fb2 ON fb2.doc_id = c.id_b AND fb2.bit = fa.bit
+                 GROUP BY 1, 2)
+         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3""",
+
+    // shot segmentation: the same closed-form per-frame dHash replay
+    // as video_frame_neardup (new key rule: shot = f // shotLen, key
+    // = (id*5 + shot*11) mod 97; perturbation pixel varies by frame),
+    // then the lag + popcount closed form — boundary iff first frame
+    // or bit-distance > 8, shot = running boundary count, keyframe =
+    // argmin (popcount, frame_idx) within the shot
+    "video_shot_segments" ->
+      """WITH vf AS (SELECT doc_id, unnest(generate_series(0, 3 + doc_id % 5)) AS f
+                FROM documents),
+         vk AS (SELECT doc_id, f,
+                  (doc_id * 5 + (f // (2 + doc_id % 2)) * 11) % 97 AS key,
+                  ((doc_id + f) % 3 = 0) AS pert
+                FROM vf),
+         vpx AS (SELECT doc_id, f, key, pert, gi.i AS i, gj.j AS j,
+             gy.y AS y, gx.x AS x,
+             (key * 48271 + (gy.y * 18 + gx.x) * 16807 + 7) % 2147483647 AS a0,
+             (key * 48271 + (gy.y * 18 + gx.x) * 16807 + 38) % 2147483647 AS a1,
+             (key * 48271 + (gy.y * 18 + gx.x) * 16807 + 69) % 2147483647 AS a2
+           FROM vk, generate_series(0, 7) gi(i), generate_series(0, 8) gj(j),
+             generate_series(0, 1) gy0(yy), generate_series(0, 1) gx0(xx),
+             LATERAL (SELECT gi.i * 2 + gy0.yy AS y) gy,
+             LATERAL (SELECT gj.j * 2 + gx0.xx AS x) gx),
+         vgr AS (SELECT doc_id, f, i, j,
+             (299 * (CASE WHEN pert AND y * 18 + x = (key + f) % 288
+                     THEN ((a0 * a0 % 2147483647) % 256 + 16) % 256
+                     ELSE (a0 * a0 % 2147483647) % 256 END)
+              + 587 * ((a1 * a1 % 2147483647) % 256)
+              + 114 * ((a2 * a2 % 2147483647) % 256)) // 1000 AS gray
+           FROM vpx),
+         cells AS (SELECT doc_id, f, i, j, (sum(gray) // 4)::BIGINT AS cell
+           FROM vgr GROUP BY 1, 2, 3, 4),
+         bits AS (SELECT a.doc_id, a.f, a.i * 8 + a.j AS bit,
+                    CASE WHEN a.cell < b.cell THEN 1 ELSE 0 END AS fb
+                  FROM cells a JOIN cells b
+                    ON b.doc_id = a.doc_id AND b.f = a.f
+                      AND b.i = a.i AND b.j = a.j + 1
+                  WHERE a.j < 8),
+         pcs AS (SELECT doc_id, f, sum(fb)::BIGINT AS pc
+                 FROM bits GROUP BY 1, 2),
+         ham AS (SELECT a.doc_id, a.f,
+                   sum(CASE WHEN a.fb <> b.fb THEN 1 ELSE 0 END)::BIGINT AS d
+                 FROM bits a JOIN bits b
+                   ON b.doc_id = a.doc_id AND b.f = a.f - 1 AND b.bit = a.bit
+                 GROUP BY 1, 2),
+         bnd AS (SELECT p.doc_id, p.f, p.pc,
+                   CASE WHEN h.d IS NULL OR h.d > 8 THEN 1 ELSE 0 END AS boundary
+                 FROM pcs p LEFT JOIN ham h
+                   ON h.doc_id = p.doc_id AND h.f = p.f),
+         sh AS (SELECT doc_id, f, pc,
+                  sum(boundary) OVER (PARTITION BY doc_id ORDER BY f) AS shot
+                FROM bnd),
+         agg AS (SELECT doc_id, shot, min(f)::BIGINT AS shot_start,
+                   count(*)::BIGINT AS shot_len
+                 FROM sh GROUP BY 1, 2),
+         kf AS (SELECT doc_id, shot, f,
+                  row_number() OVER (PARTITION BY doc_id, shot
+                    ORDER BY pc, f) AS rn
+                FROM sh)
+         SELECT agg.doc_id, shot_start, shot_len, kf.f::BIGINT AS keyframe_idx
+         FROM agg JOIN kf ON kf.doc_id = agg.doc_id AND kf.shot = agg.shot
+           AND kf.rn = 1""",
 
     // Web.canonicalizeUrl replayed step-for-step (duckUrlCanonCtes)
     // over the same manufactured messy urls — the canonical STRING is

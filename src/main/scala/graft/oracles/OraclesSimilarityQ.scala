@@ -461,6 +461,46 @@ private[graft] object OraclesSimilarityQ {
          ${duckBeam(iters = 1, maxDepth = 10, nProbe = 1)}
          SELECT query_id AS vec_id, cell_id FROM pr""",
 
+    // drift report: corpus side from fasg (cent_cos), batch side from
+    // the width-1 beam (its final sc — the same assignment-cosine
+    // semantics), both frozen in 2^-20 integer units; occupancy skew
+    // by exact integer cross-multiplied division (hot_key_report),
+    // means rounded floor(sum/n + 0.5) like the recall harness
+    "ann_ivf_drift" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),
+         q AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe FROM v
+               WHERE vec_id % 2 = 0),
+         ${duckBisectTree(iters = 1, maxDepth = 10, ncells = duckCellsPlan(64), target = 64)},
+         ${duckBeam(iters = 1, maxDepth = 10, nProbe = 1)},
+         uc AS (SELECT cell_id, TRUE AS isc,
+                  floor(cent_cos * 1048576.0 + 0.5)::BIGINT AS cm FROM fasg
+                UNION ALL
+                SELECT cell_id, FALSE,
+                  floor(sc * 1048576.0 + 0.5)::BIGINT FROM pr),
+         pcell AS (SELECT cell_id,
+             sum(CASE WHEN isc THEN 1 ELSE 0 END)::BIGINT AS n_corpus,
+             sum(CASE WHEN NOT isc THEN 1 ELSE 0 END)::BIGINT AS n_batch,
+             sum(CASE WHEN isc THEN cm END)::BIGINT AS ccs,
+             sum(CASE WHEN NOT isc THEN cm END)::BIGINT AS bcs
+           FROM uc GROUP BY 1),
+         tt AS (SELECT sum(n_corpus + n_batch)::BIGINT AS total,
+                  count(*)::BIGINT AS n_cells FROM pcell)
+         SELECT cell_id, n_corpus, n_batch,
+           (n_corpus + n_batch)::BIGINT AS n_total,
+           (((n_corpus + n_batch) * n_cells * 1000000) // total)::BIGINT
+             AS occ_skew_micro,
+           floor(ccs::DOUBLE / n_corpus::DOUBLE + 0.5)::BIGINT
+             AS corpus_mean_cos_micro,
+           CASE WHEN n_batch > 0
+             THEN floor(bcs::DOUBLE / n_batch::DOUBLE + 0.5)::BIGINT END
+             AS batch_mean_cos_micro,
+           CASE WHEN n_batch > 0
+             THEN (floor(bcs::DOUBLE / n_batch::DOUBLE + 0.5)
+                   - floor(ccs::DOUBLE / n_corpus::DOUBLE + 0.5))::BIGINT END
+             AS drift_micro
+         FROM pcell, tt""",
+
     "knn_recall_eval" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          c AS MATERIALIZED (SELECT vec_id AS nid, e AS ce FROM v WHERE vec_id % 2 = 1),

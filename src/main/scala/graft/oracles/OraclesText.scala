@@ -140,6 +140,15 @@ private[graft] object OraclesText {
            count(*)::BIGINT AS n_occurrences
          FROM vsyms GROUP BY symbol""",
 
+    // byte-level vocab: the byte trainer chain's final state exploded
+    // — same aggregation as bpe_vocab over the byte-symbol seqs
+    "bpe_byte_vocab" ->
+      s"""WITH $bpeByteTrainCtes,
+         vsyms AS (SELECT unnest(syms) AS symbol, freq FROM seqs$bpeSteps)
+         SELECT symbol, sum(freq)::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_occurrences
+         FROM vsyms GROUP BY symbol""",
+
     "text_langid" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') toks
                     FROM documents),

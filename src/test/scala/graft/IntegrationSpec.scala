@@ -320,6 +320,21 @@ class IntegrationSpec extends SparkSpec {
       "memoized merge table diverged from the fresh trainer")
   }
 
+  test("bpeVocabFromMergesBytes: derived byte vocab is the trainer's final state") {
+    import spark.implicits._
+    // the éé corpus from the byte-trainer spec: after the two learned
+    // merges (Ã,©) then (Ã©,Ã©), word 'éé' (freq 4) collapses to ONE
+    // symbol 'Ã©Ã©' and 'ab' (freq 1) stays [a, b] — the derived
+    // vocab must be exactly that fold state, hand-checked
+    val docs = Seq((1L, "éé éé éé"), (2L, "éé ab")).toDF("doc_id", "text")
+    val vocab = graft.operators.TextAnalysis.bpeVocabFromMergesBytes(
+      docs, "text",
+      graft.operators.TextAnalysis.bpeTrainStepsBytes(docs, "text", 2), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(vocab == Set(("Ã©Ã©", 4L, 1L),
+      ("a", 1L, 1L), ("b", 1L, 1L)), s"got $vocab")
+  }
+
   test("BPE degenerate corpus: fewer mergeable pairs than steps is lossless, never NULL/empty") {
     import spark.implicits._
     // single-char words: ZERO mergeable pairs exist, so all 3 steps

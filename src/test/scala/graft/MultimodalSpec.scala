@@ -582,4 +582,89 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioFingerprint64(
       Multimodal.DecodedAudio(1, 8000, base.take(64))).isEmpty)
   }
+
+  test("audioFingerprint64Trimmed: trim(pad ++ clip ++ pad') == trim(clip) exactly") {
+    val clip = Array.tabulate(200)(s => Multimodal.audioDupSample(5L, s))
+    val lead = Array.tabulate(6)(p => Multimodal.audioPadSample(5L, p))
+    val trail = Array.tabulate(4)(p => Multimodal.audioPadSample(5L, 100 + p))
+    assert(lead.forall(v => math.abs(v) < 512) && trail.forall(v => math.abs(v) < 512),
+      "pad samples must be sub-threshold by construction")
+    val plain = Multimodal.audioFingerprint64Trimmed(
+      Multimodal.DecodedAudio(1, 8000, clip))
+    val padded = Multimodal.audioFingerprint64Trimmed(
+      Multimodal.DecodedAudio(1, 8000, lead ++ clip ++ trail))
+    assert(plain.isDefined && plain == padded,
+      "padding must be invisible to the trimmed fingerprint")
+    // the UNtrimmed fingerprint is NOT pad-invariant — the reason the
+    // trimmed variant exists
+    assert(Multimodal.audioFingerprint64(
+      Multimodal.DecodedAudio(1, 8000, clip)) !=
+      Multimodal.audioFingerprint64(
+        Multimodal.DecodedAudio(1, 8000, lead ++ clip ++ trail)))
+    // an all-silence clip trims to nothing: None, not junk
+    assert(Multimodal.audioFingerprint64Trimmed(
+      Multimodal.DecodedAudio(1, 8000, lead ++ trail)).isEmpty)
+  }
+
+  test("padded pipeline: WAV and FLAC padded re-encodings collide at Hamming 0") {
+    import spark.implicits._
+    // 2 and 113 share key 2 (WAV vs FLAC, neither perturbed) but get
+    // DIFFERENT pad amounts (lead 2%7=2 vs 113%7=1; trail 0 vs 2):
+    // only genuine pad-invariance makes them equal
+    val fp = Multimodal.audioFingerprintTrimmed(
+      Multimodal.syntheticNearDupAudioPadded(
+        Seq(2L, 113L, 4L).toDF("doc_id"), "doc_id", 37),
+      "doc_id", "clip").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(2L) == fp(113L),
+      "padded lossless re-encodings must fingerprint equal")
+    assert(fp(2L) != fp(4L), "different keys must differ")
+  }
+
+  test("videoShotSegments: hand-built frame index segments exactly") {
+    import spark.implicits._
+    // video 1: dhashes [0, 0, -1L, -1L, -1L] — bit distance 64 at
+    // frame 2 → shots [0..1] and [2..4]; keyframe = argmin
+    // (popcount, frame): frame 0 (pc 0) and frame 2 (pc 64)
+    val idx = Seq(
+      (1L, 0L, 0L), (1L, 1L, 0L), (1L, 2L, -1L), (1L, 3L, -1L), (1L, 4L, -1L),
+      // video 2: distance 1 (≤ threshold) never splits
+      (2L, 0L, 0L), (2L, 1L, 1L))
+      .toDF("doc_id", "frame_idx", "dhash")
+    val got = Multimodal.videoShotSegments(idx, "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, 0L, 2L, 0L), (1L, 2L, 3L, 2L), (2L, 0L, 2L, 0L)),
+      s"got $got")
+  }
+
+  test("video_shot_segments corpus: planted boundaries detected, spans cover the clip") {
+    import spark.implicits._
+    val docs = (0L until 12L).toDF("doc_id")
+    val segs = Multimodal.videoShotSegments(
+      Multimodal.videoFrameDHash(
+        Multimodal.syntheticShotVideos(docs, "doc_id"), "doc_id", "avi"),
+      "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    segs.groupBy(_._1).foreach { case (id, ss) =>
+      val nFrames = 4 + id % 5
+      val shotLen = 2 + id % 2
+      // spans tile the clip exactly
+      assert(ss.map(_._3).sum == nFrames, s"video $id spans must cover all frames")
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 + a._3 == b._2, s"video $id spans must tile")
+        case _ => ()
+      }
+      // planted structure: boundaries exactly at shot-length multiples
+      // (cross-shot rasters are independent pseudo-random draws; the
+      // within-shot wobble is ≤ 4 bits, under the threshold)
+      assert(sorted.map(_._2).toSeq ==
+        (0L until nFrames by shotLen).toSeq,
+        s"video $id: got starts ${sorted.map(_._2).toSeq}")
+      // keyframe falls inside its span
+      sorted.foreach { case (_, st, len, kf) =>
+        assert(kf >= st && kf < st + len)
+      }
+    }
+  }
 }

@@ -593,4 +593,67 @@ class SimilaritySpec extends SparkSpec {
       nCells, iters = 1, targetRows = 64)
     assert(asg.count() == batch.count(), "assignment must be total over the batch")
   }
+
+  test("annIvfDrift: corpus-as-batch reports zero drift in every cell") {
+    // descend(corpus row) ≡ stored assignment (the spec above), so a
+    // drift report of the corpus against ITSELF must show per-cell
+    // n_batch == n_corpus, batch mean == corpus mean, drift == 0 —
+    // any nonzero cell would mean the two cosine channels (cent_cos
+    // vs beam sc) disagree on identical rows
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") % 2 === 1)
+    val nCells = Similarity.cellsPlan(corpus.count(), 64)
+    val rep = Similarity.annIvfDrift(corpus, corpus, "vec_id", "embedding",
+      nCells, iters = 1, targetRows = 64).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"cell ${r.getLong(0)}: n_batch ${r.getLong(2)} != n_corpus ${r.getLong(1)}")
+      assert(r.getLong(5) == r.getLong(6),
+        s"cell ${r.getLong(0)}: batch mean != corpus mean")
+      assert(r.getLong(7) == 0L, s"cell ${r.getLong(0)}: drift != 0")
+    }
+    assert(rep.map(_.getLong(1)).sum == corpus.count(),
+      "per-cell corpus occupancy must sum to the corpus")
+    // occupancy skew: the unweighted mean of n_total/ideal is 1 by
+    // construction — Σ skew_micro = n_cells·10⁶ up to one floor unit
+    // per cell
+    val nCellsGot = rep.length.toLong
+    val ssum = rep.map(_.getLong(4)).sum
+    assert(math.abs(ssum - nCellsGot * 1000000L) <= nCellsGot,
+      "occupancy skew must average to one across cells")
+  }
+
+  test("assignIncrementalStream equals assignIncremental (batch-equivalence)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.where(col("vec_id") % 2 === 1)
+    val batch = emb.where(col("vec_id") % 2 === 0)
+    val nCells = Similarity.cellsPlan(corpus.count(), 64)
+    val want = Similarity.assignIncremental(batch, corpus, "vec_id", "embedding",
+      nCells, iters = 1, targetRows = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = batch.select(col("vec_id"),
+      col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Double])]
+    val out = Similarity.assignIncrementalStream(
+      in.toDS().toDF("vec_id", "embedding"), corpus, "vec_id", "embedding",
+      nCells, iters = 1, targetRows = 64)
+    val q = out.writeStream.format("memory").queryName("eq_annassign")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("eq_annassign")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      "streaming width-1 descent diverged from the batch assignment")
+  }
 }
