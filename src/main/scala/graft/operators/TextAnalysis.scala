@@ -902,6 +902,16 @@ object TextAnalysis {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(symsOf(col("w")).as("syms"), col("freq"))
       .persistTracked
+    val spark = df.sparkSession
+    val bestSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("l",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType)))
     (1 to steps).foldLeft(
       (words, Seq.empty[DataFrame])) { case ((cur, acc), step) =>
       val pairs = cur
@@ -912,20 +922,34 @@ object TextAnalysis {
             element_at(col("syms"), i + 1).as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
-      val best = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+      // the argmax row comes back to the DRIVER (a bounded collect —
+      // exactly one row per step, ≤16 steps by the require above, the
+      // same bounded class as bpeMergesCached's K-row collect) and
+      // re-enters the next state as plain LITERALS. The pre-r18 shape
+      // re-aggregated the row and crossJoined a BroadcastExchange into
+      // every word: per step that cost a broadcast build + an extra
+      // agg job + broadcast-var plumbing in the merged plan — measured
+      // at sf0.1 as ~2s of driver-side gaps across the 5-step fold
+      // (ProfileOne: 27 jobs, Σjob 1.3s, wall 3.4s). A 1-row literal
+      // is plan-identical in semantics (canonicalMerge with NULL
+      // symbols is the identity, so an EMPTY argmax — degenerate
+      // corpus with no mergeable pair left — carries the word table
+      // through untouched, as before).
+      val bestRows = pairs.orderBy(col("cnt").desc, col("l").asc, col("r").asc)
         .limit(1)
         .select(lit(step.toLong).as("step"), col("l"), col("r"), col("cnt"))
+        .collect()
+      val (rl, rr) = bestRows.headOption match {
+        case Some(row) => (lit(row.getString(1)), lit(row.getString(2)))
+        case None => (lit(null).cast("string"), lit(null).cast("string"))
+      }
+      val merged = cur
+        .select(canonicalMerge(col("syms"), rl, rr).as("syms"), col("freq"))
         .persistTracked
-      // one-row rule even when `best` is EMPTY (degenerate corpus with
-      // no mergeable pair left): agg-over-empty yields one NULL row,
-      // and canonicalMerge with NULL symbols is the identity, so the
-      // fold carries the word table through untouched instead of
-      // collapsing every later state (and bpe_vocab) to zero rows
-      val rule = best.agg(max(col("l")).as("rl"), max(col("r")).as("rr"))
-      val merged = cur.crossJoin(broadcast(rule))
-        .select(canonicalMerge(col("syms"), col("rl"), col("rr")).as("syms"),
-          col("freq"))
-        .persistTracked
+      // LocalRelation (no job, no persist) carrying the step's merge
+      // row for the trainer's output union
+      val best = spark.createDataFrame(
+        java.util.Arrays.asList(bestRows: _*), bestSchema)
       (merged, acc :+ best)
     }
   }
