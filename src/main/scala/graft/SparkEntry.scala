@@ -1014,8 +1014,9 @@ object SparkEntry {
       val out = Similarity.assignIncrementalStream(
         st0.where(col("vec_id") % 2 === 0), corpus, "vec_id", "embedding",
         nCells, iters = 1, targetRows = 64)
-      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_ann",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.Streams.runToMemoryAvailableNowSized(out, "g_stream_ann",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        graft.sources.Sources.sizedShufflePartitions(dir, "embeddings"))
       s.table("g_stream_ann").select(col("vec_id"), col("cell_id"))
     }),
 
@@ -1206,8 +1207,9 @@ object SparkEntry {
         "doc_id", "img")
       val out = graft.streaming.Streams.incrementalHashNearDupStream(
         stHashed, corpus, "doc_id", "dhash", 3)
-      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_phash",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.Streams.runToMemoryAvailableNowSized(out, "g_stream_phash",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        graft.sources.Sources.sizedShufflePartitions(dir, "documents"))
       s.table("g_stream_phash")
         .select(col("id_new"), col("id_old"), col("hamming"))
     }),
@@ -1870,8 +1872,9 @@ object SparkEntry {
         .as[(String, String)]
       val out = graft.streaming.Streams.distinctSketchStream(stream, 4096)
         .toDF("source", "v_filled", "n_est")
-      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_card",
-        org.apache.spark.sql.streaming.OutputMode.Update())
+      graft.streaming.Streams.runToMemoryAvailableNowSized(out, "g_stream_card",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        graft.sources.Sources.sizedShufflePartitions(dir, "documents"))
       val fin = s.table("g_stream_card").groupBy(col("source"))
         .agg(max(struct(col("v_filled"), col("n_est"))).as("st"))
         .select(col("source"), col("st.v_filled"), col("st.n_est"))
@@ -1898,8 +1901,9 @@ object SparkEntry {
         .as[(String, String)]
       val out = graft.streaming.Streams.hllSketchStream(stream, 8)
         .toDF("source", "seq", "n_est")
-      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_hll",
-        org.apache.spark.sql.streaming.OutputMode.Update())
+      graft.streaming.Streams.runToMemoryAvailableNowSized(out, "g_stream_hll",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        graft.sources.Sources.sizedShufflePartitions(dir, "documents"))
       val fin = s.table("g_stream_hll").groupBy(col("source"))
         .agg(max(struct(col("seq"), col("n_est"))).as("st"))
         .select(col("source"), col("st.n_est").as("n_est_hll"))
@@ -1924,8 +1928,9 @@ object SparkEntry {
         .select(explode(TextAnalysis.tokens(col("text"))).as("tok")).as[String]
       val out = graft.streaming.Streams.freqSketchStream(stream, 4, 1024)
         .toDF("i", "counters")
-      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_cms",
-        org.apache.spark.sql.streaming.OutputMode.Update())
+      graft.streaming.Streams.runToMemoryAvailableNowSized(out, "g_stream_cms",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        graft.sources.Sources.sizedShufflePartitions(dir, "documents"))
       val cms = s.table("g_stream_cms")
         .withColumn("tot", aggregate(col("counters"), lit(0L), _ + _))
         .groupBy(col("i")).agg(max_by(col("counters"), col("tot")).as("counters"))
@@ -1960,8 +1965,9 @@ object SparkEntry {
       val out = graft.streaming.Streams
         .quantileSketchStream(stream, 65536L, 1024, Seq(0.5, 0.9, 0.99))
         .toDF("q", "rank", "est_upper")
-      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_quant",
-        org.apache.spark.sql.streaming.OutputMode.Update())
+      graft.streaming.Streams.runToMemoryAvailableNowSized(out, "g_stream_quant",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        graft.sources.Sources.sizedShufflePartitions(dir, "orders"))
       val fin = s.table("g_stream_quant").groupBy(col("q"))
         .agg(max(struct(col("rank"), col("est_upper"))).as("st"))
         .select(col("q"), col("st.rank"), col("st.est_upper"))
@@ -1990,8 +1996,9 @@ object SparkEntry {
         timestamp_micros(Temporal.epochUs(stream0, "ts")))
       val out = graft.streaming.Streams.dailyAnomalyStream(
         stream, stats, "event_time", "event_type", 2.0)
-      graft.streaming.Streams.runToMemoryAvailableNow(out, "g_stream_anom",
-        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.streaming.Streams.runToMemoryAvailableNowSized(out, "g_stream_anom",
+        org.apache.spark.sql.streaming.OutputMode.Complete(),
+        graft.sources.Sources.sizedShufflePartitions(dir, "events"))
       s.table("g_stream_anom")
     }),
 
@@ -2864,8 +2871,9 @@ object SparkEntry {
           Temporal.epochUs(st0, "ts").as("ts"), col("value"))
         .as[graft.streaming.Streams.SessIn]
       val out = graft.streaming.Streams.sessionizeStream(st, 1800000000L)
-      graft.streaming.Streams.runToMemoryAvailableNow(out.toDF, "g_stream_sess",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.Streams.runToMemoryAvailableNowSized(out.toDF, "g_stream_sess",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        graft.sources.Sources.sizedShufflePartitions(dir, "events"))
       s.table("g_stream_sess")
         .groupBy(col("user"), col("sessionSeq"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
@@ -2884,8 +2892,9 @@ object SparkEntry {
           col("event_id").as("eventId"), Temporal.epochUs(st0, "ts").as("ts"))
         .as[graft.streaming.Streams.WDedupIn]
       val out = graft.streaming.Streams.dedupWindowStream(st, 60000000L)
-      graft.streaming.Streams.runToMemoryAvailableNow(out.toDF, "g_stream_wdedup",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.Streams.runToMemoryAvailableNowSized(out.toDF, "g_stream_wdedup",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        graft.sources.Sources.sizedShufflePartitions(dir, "events"))
       s.table("g_stream_wdedup")
         .groupBy(col("eventType"))
         .agg(count(lit(1)).as("n_total"),

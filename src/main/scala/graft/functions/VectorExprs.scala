@@ -139,6 +139,26 @@ object VectorExprs {
     */
   def fmix64(h: Column): Column =
     GraftBridge.column(Fmix64(GraftBridge.expression(h)))
+
+  /** The GPT-2 byte-level base symbols of a word — each UTF-8 byte
+    * through a fixed 256-entry symbol table — as one compiled byte
+    * walk. Replaces hex(encode(..)) → regexp_extract_all("..") →
+    * conv(p,16,10) → element_at(typedLit(table)), which ran a regex
+    * match plus a radix conversion per BYTE inside interpreted
+    * lambdas (property-pinned equal, IntegrationSpec).
+    */
+  def byteSymbols(word: Column, table: IndexedSeq[String]): Column =
+    GraftBridge.column(ByteSymbols(GraftBridge.expression(word), table))
+
+  /** struct(n_tokens, n_masked, corrupted_text, target_text) of the
+    * T5 span-corruption over (doc id, token array) — one compiled
+    * pass replacing the interpreted transform/filter lambda chain
+    * that evaluated the 3-pmod Lehmer mask up to three times per
+    * position (Corpus.spanCorruptDeclarative, property-pinned equal).
+    */
+  def spanCorrupt(id: Column, toks: Column, permille: Int, seed: Long): Column =
+    GraftBridge.column(SpanCorruptExpr(
+      GraftBridge.expression(id), GraftBridge.expression(toks), permille, seed))
 }
 
 /** Shared FNV-1a 64-bit primitives — single source of truth for the
@@ -794,6 +814,146 @@ case class ShingleStats(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShingleStats =
     copy(child = newChild)
+}
+
+/** array<string> of per-UTF-8-byte symbols for one word (the GPT-2
+  * bytes-to-unicode construction): byte b → table(b), where `table`
+  * is the fixed 256-entry bijection (TextAnalysis.byteToUnicode).
+  * One pass over the word's bytes with the symbol UTF8Strings
+  * pre-encoded once at plan construction — no hex dump, no regex,
+  * no per-byte radix conversion.
+  */
+case class ByteSymbols(child: Expression, table: IndexedSeq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"byte_symbols requires string, got ${child.dataType.simpleString}")
+
+  require(table.length == 256, "byte symbol table must have 256 entries")
+
+  @transient private lazy val syms: Array[org.apache.spark.unsafe.types.UTF8String] =
+    table.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  /** Kernel body, also the codegen target (reference-object call). */
+  def compute(word: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val bs = word.getBytes
+    val out = new Array[Any](bs.length)
+    var i = 0
+    while (i < bs.length) {
+      out(i) = syms(bs(i) & 0xff)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("byteSymbols", this, classOf[ByteSymbols].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSymbols =
+    copy(child = newChild)
+}
+
+/** T5 span-corruption of one document in a single compiled pass —
+  * the whole-row kernel behind `span_corrupt`. Replicates the
+  * declarative formulation bit for bit (the DuckDB oracle replays
+  * that form; CorpusSpec property-pins the two equal):
+  *
+  *   masked(i)  = pmod(pmod(pmod(id·1000003 + i−1, 2³¹−1)·48271
+  *                  + seed, 2³¹−1), 1000) < permille     (1-based i)
+  *   run-start  = masked(i) && !masked(i−1)
+  *   corrupted  = join " " of [run-start → "<X>"; unmasked → token]
+  *   target     = join " " of [run-start → "<X> "+token; masked → token]
+  *
+  * The declarative chain evaluates the 3-pmod Lehmer mask up to three
+  * times per position inside interpreted (CodegenFallback) lambdas and
+  * allocates a struct per position; this pass evaluates it once and
+  * allocates only the output pieces. NULL array elements reproduce the
+  * declarative's filter(isNotNull) behaviour: they are dropped from
+  * both outputs (a run-start sentinel still prints to the corrupted
+  * side — when(rs, "<X>") never saw the token) but keep their mask
+  * state for run detection and n_masked.
+  */
+case class SpanCorruptExpr(
+    left: Expression, right: Expression, permille: Int, seed: Long)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_masked", LongType, nullable = false),
+    StructField("corrupted_text", StringType, nullable = false),
+    StructField("target_text", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"span_corrupt requires a long id, got ${left.dataType.simpleString}")
+    else ExprChecks.requireArray(right.dataType, StringType, "span_corrupt")
+
+  protected override def nullSafeEval(idAny: Any, toksAny: Any): Any =
+    compute(idAny.asInstanceOf[Long], toksAny.asInstanceOf[ArrayData])
+
+  private final val Mod = 2147483647L
+  private val sentinel =
+    org.apache.spark.unsafe.types.UTF8String.fromString("<X>")
+  private val sentinelSp =
+    org.apache.spark.unsafe.types.UTF8String.fromString("<X> ")
+  private val space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Kernel body, also the codegen target (reference-object call). */
+  def compute(id: Long, toks: ArrayData): InternalRow = {
+    val n = toks.numElements()
+    val corrupted =
+      new scala.collection.mutable.ArrayBuffer[org.apache.spark.unsafe.types.UTF8String](n)
+    val target =
+      new scala.collection.mutable.ArrayBuffer[org.apache.spark.unsafe.types.UTF8String](n)
+    var nMasked = 0L
+    var prevMasked = false
+    var i = 1
+    while (i <= n) {
+      // same wrap-on-overflow long arithmetic as the Column form
+      // (non-ANSI `*`/`+` wrap; pmod == floorMod for a positive mod)
+      val s1 = java.lang.Math.floorMod(id * 1000003L + (i - 1L), Mod)
+      val m = java.lang.Math.floorMod(
+        java.lang.Math.floorMod(s1 * 48271L + seed, Mod), 1000L) < permille.toLong
+      val tok = if (toks.isNullAt(i - 1)) null else toks.getUTF8String(i - 1)
+      if (m) {
+        nMasked += 1
+        if (!prevMasked) { // run start
+          corrupted += sentinel
+          if (tok != null)
+            target += org.apache.spark.unsafe.types.UTF8String.concat(sentinelSp, tok)
+        } else if (tok != null) target += tok
+      } else if (tok != null) corrupted += tok
+      prevMasked = m
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      n.toLong, nMasked,
+      org.apache.spark.unsafe.types.UTF8String.concatWs(space, corrupted.toSeq: _*),
+      org.apache.spark.unsafe.types.UTF8String.concatWs(space, target.toSeq: _*)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("spanCorrupt", this, classOf[SpanCorruptExpr].getName)
+    nullSafeCodeGen(ctx, ev, (idv, tv) =>
+      s"${ev.value} = $ref.compute($idv, $tv);")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SpanCorruptExpr =
+    copy(left = l, right = r)
 }
 
 /** BPE-ish pre-tokenizer token count in one native UTF-8 byte scan:

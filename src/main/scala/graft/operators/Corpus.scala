@@ -975,6 +975,31 @@ object Corpus {
       textCol: String,
       permille: Int = 150,
       seed: Long = 11L): DataFrame = {
+    // one compiled pass per row (VectorExprs.SpanCorruptExpr): the
+    // declarative twin below is interpreted lambda-per-position and
+    // re-evaluates the 3-pmod mask up to 3x per token — measured 3.6s
+    // of pure scan-stage compute at sf0.1 vs ~0.5s compiled. The two
+    // are property-pinned equal (CorpusSpec); the DuckDB oracle
+    // replays the declarative form.
+    val sc = graft.functions.VectorExprs.spanCorrupt(
+      col(idCol).cast("long"), TextAnalysis.tokens(col(textCol)), permille, seed)
+    df.select(col(idCol), sc.as("sc"))
+      .select(col(idCol), col("sc.n_tokens").as("n_tokens"),
+        col("sc.n_masked").as("n_masked"),
+        col("sc.corrupted_text").as("corrupted_text"),
+        col("sc.target_text").as("target_text"))
+  }
+
+  /** The declarative Column formulation of [[spanCorrupt]] — the form
+    * the DuckDB oracle replays; kept as the property-test reference
+    * for the compiled kernel.
+    */
+  private[graft] def spanCorruptDeclarative(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      permille: Int = 150,
+      seed: Long = 11L): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     val id = col(idCol).cast("long")
     // masked(i) for 0-based i — i arrives 1-based from sequence().

@@ -28,12 +28,20 @@ object Dedup {
     * The probe reads `queryExecution.toRdd` partition counts: physical
     * planning only (no job, no InternalRow→Row conversion layer), but
     * it IS a non-AQE plan of the subtree per call — keep rebalance at
-    * source boundaries, not inside loops. Known blind spot, accepted:
-    * a source with many partitions of which only one is POPULATED
-    * (partition-count ≥ target but data skewed) passes through
-    * untouched; downstream exchanges + AQE skew handling own that
-    * case, and the salted-join operators (Skew.scala) are the explicit
-    * fallback.
+    * source boundaries, not inside loops. Under AQE the probe on a
+    * mid-chain input additionally finalizes the adaptive plan
+    * (executing its shuffle stages — ~0.3 s ghost jobs inside
+    * curation_e2e), but an r18 experiment that skipped the probe for
+    * exchange-containing plans REGRESSED (4.7 s → 6.1 s): AQE's
+    * advisory-byte coalescing collapses small shuffles to 1–4
+    * partitions, and without the explicit respread the CPU-bound
+    * shingling/tokenize stages downstream run on those few cores.
+    * The probe's cost is the price of a correct CPU-spread decision.
+    * Known blind spot, accepted: a source with many partitions of
+    * which only one is POPULATED (partition-count ≥ target but data
+    * skewed) passes through untouched; downstream exchanges + AQE
+    * skew handling own that case, and the salted-join operators
+    * (Skew.scala) are the explicit fallback.
     */
   private[operators] def rebalance(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

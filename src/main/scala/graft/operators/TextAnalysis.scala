@@ -435,7 +435,16 @@ object TextAnalysis {
         col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
     // train-side count tables; prefix totals as unordered window sums
     // over the (already vocab-bounded) counts, the docPerplexity trick
-    // that avoids re-aggregating a second copy of the subtree
+    // that avoids re-aggregating a second copy of the subtree.
+    // (r18 note: a one-corpus-scan variant — padded (w1|NULL, w2|NULL,
+    // w3) contexts aggregated once, bigram/unigram tables derived from
+    // the persisted context table — was built, oracle-verified, and
+    // REVERTED: the three LM subtrees here are broadcast-build
+    // futures Spark runs CONCURRENTLY, so on an unsaturated cluster
+    // three parallel corpus scans finish in the wall time of one,
+    // while the shared-table variant serializes a materialization
+    // barrier onto the critical path. Measured at sf0.1/local[32]:
+    // 2.4s as-is vs 3.0s restructured-with-eager-materialize.)
     val triCnt = tri.where(col("is_t"))
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
     val wTriPrefix = org.apache.spark.sql.expressions.Window
@@ -754,6 +763,16 @@ object TextAnalysis {
     * element_at), codegen'd, scan-stage.
     */
   def byteSymbols(word: Column): Column =
+    graft.functions.VectorExprs.byteSymbols(word, byteToUnicode)
+
+  /** The declarative Column form of [[byteSymbols]] (hex-pair
+    * extraction over the encoded bytes, each pair indexed into the
+    * literal table) — what the DuckDB oracle replays; kept as the
+    * property-test reference for the compiled kernel, which ran a
+    * regex match plus a radix conversion PER BYTE in interpreted
+    * lambdas on the hot encode path.
+    */
+  private[graft] def byteSymbolsDeclarative(word: Column): Column =
     transform(
       regexp_extract_all(hex(encode(word, "UTF-8")), lit(".."), lit(0)),
       p => element_at(typedLit(byteToUnicode),

@@ -58,4 +58,23 @@ object Sources {
     else spark.readStream.schema(schema)
       .option("pathGlobFilter", s"$name.parquet").parquet(dir)
   }
+
+  /** Shuffle/state-store partition count for a streaming replay over
+    * one table, derived from its on-disk bytes: one partition per
+    * ~32 MB of compressed parquet (≈128 MB in-memory — the guide's
+    * 100 MB–1 GB post-shuffle window), clamped to [1, 32768].
+    * Streaming plans get no AQE coalescing, so this is the streaming
+    * twin of the advisory-size rule the batch queries rely on —
+    * input-derived at ANY scale, never a constant tuned to local
+    * mode or the cluster.
+    */
+  def sizedShufflePartitions(dir: String, name: String): Int = {
+    val p = new java.io.File(s"$dir/$name.parquet")
+    val bytes =
+      if (p.isDirectory)
+        Option(p.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
+      else p.length()
+    val per = 32L << 20
+    math.max(1L, math.min(32768L, (bytes + per - 1) / per)).toInt
+  }
 }

@@ -757,4 +757,29 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** [[runToMemoryAvailableNow]] with the micro-batch shuffle width
+    * sized to the INPUT instead of the session default. Streaming
+    * plans get no AQE (Spark disables it for stateful workloads), so
+    * unlike every batch query — where the advisory-size coalesce
+    * adapts the 32 session partitions down to the data — a streaming
+    * micro-batch runs exactly `spark.sql.shuffle.partitions` tasks
+    * for every shuffle AND creates that many state-store (RocksDB)
+    * instances, regardless of volume. `shufflePartitions` here is
+    * derived from input bytes ([[graft.sources.Sources.sizedShufflePartitions]]),
+    * so the replay keeps one state instance per ~32 MB of input at
+    * any scale rather than a constant tuned to either extreme. The
+    * session value is restored after termination — keyed streaming
+    * state is partition-count-independent, so results are identical
+    * (the batch-equivalence specs pin this).
+    */
+  def runToMemoryAvailableNowSized(
+      df: DataFrame, name: String, outputMode: OutputMode,
+      shufflePartitions: Int): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    try runToMemoryAvailableNow(df, name, outputMode)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

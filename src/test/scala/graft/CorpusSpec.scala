@@ -472,6 +472,27 @@ class CorpusSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getLong(1) == 8L)
   }
 
+  test("spanCorrupt: compiled kernel equals the declarative formulation") {
+    import spark.implicits._
+    // the r18 compiled kernel (VectorExprs.SpanCorruptExpr) must be
+    // bit-identical to the Column/lambda form the DuckDB oracle
+    // replays — corpus docs plus hand-built edges: empty, 1-token,
+    // long mask runs (repeated ids hit repeated positions), sf3-scale
+    // ids, multi-space text
+    val edges = Seq(
+      (0L, ""), (1L, "a"), (2L, "a  b   c"), (290000007L, "x y z w v u t s"),
+      (7L, (1 to 200).map(i => s"tok$i").mkString(" ")),
+      (13L, (1 to 50).map(_ => "same").mkString(" ")))
+      .toDF("doc_id", "text")
+    for (df <- Seq(docs.limit(200).select(col("doc_id"), col("text")), edges)) {
+      val a = Corpus.spanCorrupt(df, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      val b = Corpus.spanCorruptDeclarative(df, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(a.map(_.toString) == b.map(_.toString))
+    }
+  }
+
   test("spanCorrupt: splicing targets back into sentinels reconstructs the doc") {
     val out = Corpus.spanCorrupt(docs.limit(50), "doc_id", "text").collect()
     val orig = docs.limit(50).collect()

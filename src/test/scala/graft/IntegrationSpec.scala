@@ -275,6 +275,22 @@ class IntegrationSpec extends SparkSpec {
     assert(got(2)(0) == "æ" && got(2)(2) == "±")
   }
 
+  test("byteSymbols: compiled kernel equals the declarative hex-pair formulation") {
+    import spark.implicits._
+    // every byte value once (as latin-1 chars, so each is one byte in
+    // the 0-255 range after encode) plus multi-byte UTF-8 and empties
+    val words = (0 to 255).map(b => new String(Array(b.toByte), "ISO-8859-1")) ++
+      Seq("", "a", "é東ü", "it's doc-42, ok!", "ĀĠ mixed Ń")
+    val df = words.zipWithIndex.map { case (w, i) => (i, w) }.toDF("i", "w")
+    val a = df.select(col("i"),
+        graft.operators.TextAnalysis.byteSymbols(col("w")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    val b = df.select(col("i"),
+        graft.operators.TextAnalysis.byteSymbolsDeclarative(col("w")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[String](1)).toMap
+    assert(a == b)
+  }
+
   test("bpeTrainStepsBytes learns multi-byte merges; encode matches trainer state") {
     import spark.implicits._
     // 'éé' x3: bytes [C3 A9 C3 A9]; step1 must merge (Ã,©) — the
