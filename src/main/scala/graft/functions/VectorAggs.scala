@@ -48,6 +48,21 @@ object VectorAggs {
     GraftBridge.column(
       Min2ByVid(GraftBridge.expression(vid), GraftBridge.expression(cv))
         .toAggregateExpression())
+
+  /** Per-group exact top-k by (score desc, id asc):
+    * array<struct<neighbor_id, cosine>> in rank order. Partial-
+    * aggregable (each map task keeps at most k candidates per group),
+    * so the brute-force kNN truth shuffles k rows per (group,
+    * partition) instead of the full |queries|×|corpus| scored pair
+    * table through a window sort — the §2.3 "aggregate before you
+    * shuffle" shape. Comparator is java.lang.Double.compare on the
+    * score with the id as tie-break — bit-identical ranking to the
+    * row_number window it replaces (same tie order on equal doubles).
+    */
+  def topKByScore(id: Column, score: Column, k: Int): Column =
+    GraftBridge.column(
+      TopKByScore(GraftBridge.expression(id), GraftBridge.expression(score), k)
+        .toAggregateExpression())
 }
 
 /** Mutable buffer for [[FrozenVecSum]]: per-dim long sums + count. */
@@ -205,5 +220,97 @@ case class Min2ByVid(
   override def withNewInputAggBufferOffset(o: Int): Min2ByVid =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Min2ByVid =
+    copy(left = l, right = r)
+}
+
+/** Mutable buffer for [[TopKByScore]]: parallel arrays of the current
+  * top candidates in rank order (score desc, id asc), n ≤ k.
+  */
+final class TopKBuf(var n: Int, var ids: Array[Long], var scores: Array[Double])
+
+case class TopKByScore(
+    left: Expression,   // id: long, unique within the corpus side
+    right: Expression,  // score: double (cosine)
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuf] with BinaryLike[Expression] {
+
+  require(k >= 1, "top-k needs k >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("neighbor_id", LongType, nullable = false),
+    StructField("cosine", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKBuf =
+    new TopKBuf(0, new Array[Long](k), new Array[Double](k))
+
+  /** rank order: score desc (java.lang.Double.compare — the same
+    * total order Spark's sort applies to DoubleType, NaN greatest),
+    * id asc on ties.
+    */
+  private def beats(s: Double, id: Long, s2: Double, id2: Long): Boolean = {
+    val c = java.lang.Double.compare(s, s2)
+    c > 0 || (c == 0 && id < id2)
+  }
+
+  private def offer(b: TopKBuf, id: Long, s: Double): Unit = {
+    if (b.n == k && !beats(s, id, b.scores(k - 1), b.ids(k - 1))) return
+    // insertion position by linear scan — k is small (3-5 in every caller)
+    var pos = if (b.n == k) k - 1 else b.n
+    if (b.n < k) b.n += 1
+    while (pos > 0 && beats(s, id, b.scores(pos - 1), b.ids(pos - 1))) {
+      b.ids(pos) = b.ids(pos - 1); b.scores(pos) = b.scores(pos - 1); pos -= 1
+    }
+    b.ids(pos) = id; b.scores(pos) = s
+  }
+
+  override def update(b: TopKBuf, input: InternalRow): TopKBuf = {
+    val iv = left.eval(input)
+    val sv = right.eval(input)
+    if (iv != null && sv != null)
+      offer(b, iv.asInstanceOf[Long], sv.asInstanceOf[Double])
+    b
+  }
+
+  override def merge(b: TopKBuf, o: TopKBuf): TopKBuf = {
+    var i = 0
+    while (i < o.n) { offer(b, o.ids(i), o.scores(i)); i += 1 }
+    b
+  }
+
+  override def eval(b: TopKBuf): Any = {
+    val out = new Array[Any](b.n)
+    var i = 0
+    while (i < b.n) {
+      out(i) = InternalRow(b.ids(i), b.scores(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: TopKBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putLong(b.ids(i)); bb.putDouble(b.scores(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val b = new TopKBuf(n, new Array[Long](k), new Array[Double](k))
+    var i = 0
+    while (i < n) { b.ids(i) = bb.getLong(); b.scores(i) = bb.getDouble(); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScore =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScore =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TopKByScore =
     copy(left = l, right = r)
 }

@@ -106,14 +106,22 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm2(col("cv")))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / sqrt(col("qn") * col("cn"))).as("cosine"))
+    // exact top-k as a PARTIAL-AGGREGABLE aggregate (r18, guide §2.3):
+    // the row_number window this replaces shuffled and sorted the full
+    // |queries|×|corpus| scored pair table; the aggregate keeps at
+    // most k candidates per (query, map task), so the exchange
+    // carries ≤ k·partitions rows per query. Ranking is bit-identical
+    // (java.lang.Double.compare on cosine desc, neighbor_id asc on
+    // ties — the window's order); the unchanged DuckDB oracle proves
+    // it per round.
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.VectorAggs
+        .topKByScore(col("neighbor_id"), col("cosine"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.cosine").as("cosine"))
   }
 
   /** SQL-expressible sign-bit bucket: packs the signs of the first

@@ -36,6 +36,39 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1, 2L), (2, 3L), (3, 4L)))
   }
 
+  test("topKByScore aggregate equals the row_number window on ties and NaN-free data") {
+    import spark.implicits._
+    // duplicate vectors force EXACT cosine ties -> id-asc tie-break;
+    // the r18 partial-aggregating top-k must rank identically to the
+    // window formulation it replaced
+    val corpus = Seq(
+      (10L, Array(1.0, 0.0, 0.0)), (11L, Array(1.0, 0.0, 0.0)),
+      (12L, Array(1.0, 0.0, 0.0)), (13L, Array(0.9, 0.1, 0.0)),
+      (14L, Array(0.0, 1.0, 0.0)), (15L, Array(0.5, 0.5, 0.0)))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.3, 0.7, 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.annTopKBruteForce(qs, corpus, "vec_id", "embedding", 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    // window reference, computed inline
+    import org.apache.spark.sql.expressions.Window
+    val q = qs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = c.crossJoin(q).withColumn("cosine",
+      graft.functions.VectorExprs.dotp(col("qv"), col("cv")) /
+        sqrt(graft.functions.VectorExprs.dotp(col("qv"), col("qv")) *
+          graft.functions.VectorExprs.dotp(col("cv"), col("cv"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    val want = scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(got == want)
+    // the tie block ranks 10 < 11 < 12
+    assert(got.contains((1L, 1, 10L)) && got.contains((1L, 2, 11L))
+      && got.contains((1L, 3, 12L)))
+  }
+
   test("LSH near-dup finds the close pair (bucketed, no full cross)") {
     val pairs = Similarity.nearDupCosineLsh(vecs, "vec_id", "embedding", 0.9, dims = 3)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
