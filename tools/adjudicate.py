@@ -25,10 +25,20 @@ round's committed bench snapshot. The foreign-CPU gate only sees
 cross-process bursts; same-JVM inflation (GC/pass interaction) moves
 a committed sf0.1 median by multiples with `queries_contaminated`
 empty, so the committed snapshot silently drifts from steady state.
-For movers, `resolved` = iso_mid within 1.5x of min(cur, prev)
-median (the move was window noise around the smaller number); a
-mover that is ALSO slower in isolation stays unresolved — a real
-change, inspect the plan.
+
+Mover resolution is DIRECTION-AWARE (r18: the original 1.5x-of-min
+rule could never resolve a genuine improvement on a sub-second query,
+because an isolated RunOne pays a fixed fresh-JVM floor of ~0.3-0.5 s
+that the in-sweep median does not):
+  - cur < prev (downward mover / improvement): resolved when
+    iso_mid <= 0.67 x prev — isolation CONFIRMS the query no longer
+    costs what the previous snapshot recorded.
+  - cur > prev (upward mover / apparent regression): resolved when
+    iso_mid <= max(1.5 x prev, prev + 0.5) — isolated steady state
+    still sits near the old number (the +0.5 s absolute allowance is
+    the RunOne fresh-JVM floor, which dominates sub-second queries).
+A mover that fails its gate stays unresolved — a real change,
+inspect the plan.
 """
 import json
 import subprocess
@@ -123,22 +133,32 @@ def main() -> int:
             iso = row["iso_mid"]
             if q in movers and q not in bench.get("queries_contaminated", []):
                 prev_med = movers[q]
-                base = min(bench_med, prev_med)
-                resolved = iso <= 1.5 * base
+                improved = bench_med < prev_med
+                if improved:
+                    resolved = iso <= 0.67 * prev_med
+                    verdict_note = (
+                        "Isolation confirms the improvement (iso well under "
+                        "the previous round's median)." if resolved else
+                        "iso does NOT confirm the improvement - inspect.")
+                else:
+                    resolved = iso <= max(1.5 * prev_med, prev_med + 0.5)
+                    verdict_note = (
+                        "Isolated steady state sits near the previous "
+                        "round's median (+0.5s fresh-JVM floor allowance) - "
+                        "the upward move was window noise." if resolved else
+                        "iso does NOT sit near the previous median - treat "
+                        "as a real change and inspect the plan.")
                 rows[q] = {
                     "iso_mid": iso,
                     "resolved": bool(resolved),
                     "note": (
                         f"auto-adjudicated round-over-round mover "
                         f"(tools/adjudicate.py --prev): median moved "
-                        f"{prev_med} -> {bench_med} s (>2x) with foreign-CPU "
-                        f"gate silent; isolated RunOne reps {row['reps']} s, "
-                        f"warm lower-median {iso} s. "
-                        + ("Within 1.5x of the smaller round's median - "
-                           "same-JVM window noise, steady state stands."
-                           if resolved else
-                           "iso does NOT sit near the smaller median - "
-                           "treat as a real change and inspect the plan.")),
+                        f"{prev_med} -> {bench_med} s (>2x, "
+                        f"{'improvement' if improved else 'regression'}) "
+                        f"with foreign-CPU gate silent; isolated RunOne reps "
+                        f"{row['reps']} s, warm lower-median {iso} s. "
+                        + verdict_note),
                 }
                 continue
             resolved = bench_med is not None and iso <= 0.67 * bench_med
