@@ -61,12 +61,20 @@ object Sources {
 
   /** Shuffle/state-store partition count for a streaming replay over
     * one table, derived from its on-disk bytes: one partition per
-    * ~32 MB of compressed parquet (≈128 MB in-memory — the guide's
-    * 100 MB–1 GB post-shuffle window), clamped to [1, 32768].
-    * Streaming plans get no AQE coalescing, so this is the streaming
-    * twin of the advisory-size rule the batch queries rely on —
-    * input-derived at ANY scale, never a constant tuned to local
-    * mode or the cluster.
+    * ~4 MB of compressed parquet, clamped to [1, 32768]. Streaming
+    * plans get no AQE coalescing, so this is the streaming twin of
+    * the advisory-size rule the batch queries rely on — input-derived
+    * at ANY scale, never a constant tuned to local mode or the
+    * cluster. The per-partition target is deliberately SMALLER than a
+    * batch shuffle partition's: the stateful replays run a CPU-bound
+    * state machine per event (sessionize/dedup-window), so a
+    * partition here is a unit of COMPUTE parallelism, not just
+    * shuffle-buffer sizing — measured at sf1 (20 MB events), one
+    * partition serialized stream_dedup_window to 8.9 s where five
+    * read the r17 level; at sf0.1 (2 MB) both targets give 1
+    * partition and the 32 RocksDB instances the constant session
+    * width used to create stay gone. At 100 TB the 32768 cap
+    * dominates either target.
     */
   def sizedShufflePartitions(dir: String, name: String): Int = {
     val p = new java.io.File(s"$dir/$name.parquet")
@@ -74,7 +82,7 @@ object Sources {
       if (p.isDirectory)
         Option(p.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
       else p.length()
-    val per = 32L << 20
+    val per = 4L << 20
     math.max(1L, math.min(32768L, (bytes + per - 1) / per)).toInt
   }
 }
