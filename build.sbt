@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-contract: the metric JSON printed by graft.Bench must be
+// the physically-LAST, UNPREFIXED stdout line of `sbt "runMain ..."`.
+// Default sbt behavior defeats that twice: forked process output is
+// re-logged with an "[info] " prefix, and a trailing "[success] Total
+// time ..." line follows it. StdoutOutput passes the forked JVM's
+// stdout through raw; showSuccess drops the trailing success line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
